@@ -1,13 +1,191 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.{History, Relational}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q4StarJoin(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Relational / query core
+    "q1_agg" -> (Relational.q1Agg _),
+    "q2_filter_project" -> (Relational.q2FilterProject _),
+    "q3_broadcast_join" -> (Relational.q3BroadcastJoin _),
+    "q4_star_join" -> (Relational.q4StarJoin _),
+    "q5_topk" -> (Relational.q5TopK _),
+    "q6_window" -> (Relational.q6Window _),
+    "q7_semi_join" -> (Relational.q7SemiJoin _),
+    "q8_anti_join" -> (Relational.q8AntiJoin _),
+    "q9_distinct_agg" -> (Relational.q9DistinctAgg _),
+    "q10_rollup" -> (Relational.q10Rollup _),
+    "q11_conditional_pivot" -> (Relational.q11ConditionalPivot _),
+    "q12_scalar_subquery" -> (Relational.q12ScalarSubquery _),
+    // ETL / history
+    "h1_snapshot_history" -> (History.h1SnapshotHistory _),
+    "h2_latest_state" -> (History.h2LatestState _),
+    "h3_incremental_delta" -> (History.h3IncrementalDelta _),
+    "h4_dedup_consecutive" -> (History.h4DedupConsecutive _),
+    "h5_state_at_time" -> (History.h5StateAtTime _),
+    "h6_multivalue_merge" -> (History.h6MultivalueMerge _),
+    "h7_flag_parse" -> (History.h7FlagParse _),
+    "h8_json_props" -> (History.h8JsonProps _),
+    "h9_alias_canonical" -> (History.h9AliasCanonical _),
+    "h10_normalize_scrub" -> (History.h10NormalizeScrub _),
+    "h11_sessionize" -> (History.h11Sessionize _),
+    "h12_es_docs" -> (History.h12EsDocs _),
+  )
+
+  /** DuckDB oracle SQL per query (same parquet tables, same column
+    * aliases, same deterministic ORDER BY, floats rounded identically). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_price, round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS n
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, round(l_quantity,2) AS qty, epoch_ms(l_shipdate) AS ship_ms
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1995-06-01 00:00:00' AND l_quantity <= 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q3_broadcast_join" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders,
+        | count(DISTINCT o_custkey) AS n_cust
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q4_star_join" ->
+      """SELECT r_name, n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | count(*) AS n_lines
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q5_topk" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice,2) AS totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q6_window" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, run_qty FROM (
+        | SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  row_number() OVER w AS rn,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run_qty
+        | FROM lineitem
+        | WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber))
+        |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+    "q7_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q8_anti_join" ->
+      """SELECT c_custkey, round(c_acctbal,2) AS acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q9_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_rollup" ->
+      """SELECT CASE WHEN GROUPING(r_name)=1 THEN 'ALL' ELSE r_name END AS r,
+        | CASE WHEN GROUPING(n_name)=1 THEN 'ALL' ELSE n_name END AS n,
+        | count(*) AS n_cust, round(sum(c_acctbal),2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name) ORDER BY r, n""".stripMargin,
+    "q11_conditional_pivot" ->
+      """SELECT user_id,
+        | count(CASE WHEN event_type='click' THEN 1 END) AS n_click,
+        | count(CASE WHEN event_type='view' THEN 1 END) AS n_view,
+        | count(CASE WHEN event_type='purchase' THEN 1 END) AS n_purchase,
+        | count(CASE WHEN event_type='signup' THEN 1 END) AS n_signup,
+        | count(CASE WHEN event_type='error' THEN 1 END) AS n_error,
+        | round(sum(value),2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_scalar_subquery" ->
+      """SELECT l_returnflag, count(*) AS n_above, round(sum(l_extendedprice),2) AS sum_above
+        |FROM lineitem WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "h1_snapshot_history" ->
+      """SELECT user_id, event_id, event_type, round(value,2) AS value, epoch_ms(ts) AS valid_from,
+        | COALESCE(lead(epoch_ms(ts)) OVER w, 9999999999000) AS valid_to,
+        | CAST(row_number() OVER w AS BIGINT) AS version
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    "h2_latest_state" ->
+      """SELECT user_id, event_type AS last_type, round(value,2) AS last_value, epoch_ms(ts) AS ts_ms
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "h3_incremental_delta" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        | CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS delta_version
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        |ORDER BY user_id, delta_version""".stripMargin,
+    "h4_dedup_consecutive" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+        |FROM (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |      FROM events)
+        |WHERE prev_type IS NULL OR prev_type <> event_type
+        |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    "h5_state_at_time" ->
+      """SELECT user_id, event_type AS state_at, epoch_ms(ts) AS ts_ms
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "h6_multivalue_merge" ->
+      """SELECT user_id, k FROM (
+        | SELECT DISTINCT user_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        | FROM events WHERE event_type = 'click'
+        | EXCEPT
+        | SELECT DISTINCT user_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        | FROM events WHERE event_type = 'error')
+        |ORDER BY user_id, k""".stripMargin,
+    "h7_flag_parse" ->
+      """SELECT event_id, flag,
+        | regexp_extract(flag, '^(.*?)([?+-])(\((.*)\))?$', 1) AS f_type,
+        | regexp_extract(flag, '^(.*?)([?+-])(\((.*)\))?$', 2) AS f_status,
+        | regexp_extract(flag, '^(.*?)([?+-])(\((.*)\))?$', 4) AS f_requestee
+        |FROM (SELECT event_id,
+        |  event_type || CASE WHEN value >= 100 THEN '+' WHEN value >= 50 THEN '?' ELSE '-' END ||
+        |  CASE WHEN user_id % 2 = 0 THEN '(u' || CAST(user_id AS VARCHAR) || '@x.com)' ELSE '' END AS flag
+        | FROM events)
+        |ORDER BY event_id""".stripMargin,
+    "h8_json_props" ->
+      """SELECT user_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        | min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT user_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "h9_alias_canonical" ->
+      """WITH amap AS (
+        | SELECT user_id, least(user_id, min(k % 25)) AS canonical
+        | FROM (SELECT user_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |       FROM events WHERE event_type = 'signup')
+        | GROUP BY user_id)
+        |SELECT COALESCE(a.canonical, e.user_id) AS canonical, count(*) AS n_events,
+        | count(DISTINCT e.user_id) AS n_users
+        |FROM events e LEFT JOIN amap a ON e.user_id = a.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "h10_normalize_scrub" ->
+      """SELECT event_id,
+        | CASE WHEN event_type IN ('', '--', '---') THEN NULL ELSE event_type END AS et,
+        | CASE WHEN value = 0 THEN NULL ELSE round(value,2) END AS v,
+        | strftime(ts, '%Y/%m/%d') AS date_str,
+        | epoch_ms(strptime(strftime(ts, '%Y/%m/%d'), '%Y/%m/%d')) AS date_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+    "h11_sessionize" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        | CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |FROM (SELECT *, CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+        |  THEN 1 ELSE 0 END AS is_new FROM events)
+        |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    // h12_es_docs: JSON text rendering is engine-specific → rows-only check.
+  )
 }

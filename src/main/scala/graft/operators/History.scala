@@ -1,0 +1,208 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** ETL / history operators — the reference's heart.
+  *
+  * The reference reconstructs per-bug snapshot *versions* with
+  * validity intervals by walking the activity log
+  * (reference: bugzilla_etl/parse_bug_history.py:29 "Set valid_from
+  * field as modification time; Set valid_to field as the modification
+  * time of the later version"). On Spark that imperative reverse-walk
+  * becomes declarative window algebra: partition by entity, order by
+  * modification time, and `lead`/`lag`/`row_number` derive the same
+  * intervals in one shuffle. All operators below share the same
+  * partitioning (entity id) so Catalyst collapses adjacent windows —
+  * at 100 TB the history build is ONE shuffle per entity key, then
+  * map-side work.
+  */
+object History {
+
+  /** Reference: bugzilla_etl/extract_bugzilla.py:26 — versions still
+    * current get this sentinel expiry (9999999999000 ms). */
+  val MaxTimestamp: Long = (10L * 1000 * 1000 * 1000 - 1) * 1000
+
+  private def byEntity: WindowSpec =
+    Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  /** H1: SCD-2 snapshot history — valid_from/valid_to per version.
+    * Spark analogue of BugHistoryParser.populateIntermediateVersionObjects
+    * (reference: bugzilla_etl/parse_bug_history.py:457). */
+  def h1SnapshotHistory(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"),
+        unix_millis(col("ts")).as("valid_from"),
+        coalesce(unix_millis(lead("ts", 1).over(byEntity)),
+          lit(MaxTimestamp)).as("valid_to"),
+        row_number().over(byEntity).cast("long").as("version"))
+      .orderBy("user_id", "version")
+
+  /** H2: latest state per entity (the "current" document the reference
+    * indexes; reference: bugzilla_etl/bz_etl.py incremental path). */
+  def h2LatestState(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        round(col("value"), 2).as("last_value"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .orderBy("user_id")
+
+  /** H3: incremental window — only rows after the cutoff re-versioned
+    * (reference: bugzilla_etl/bz_etl.py:172 incremental_etl). */
+  def h3IncrementalDelta(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts") >= lit("2024-01-20").cast("timestamp"))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        row_number().over(byEntity).cast("long").as("delta_version"))
+      .orderBy("user_id", "delta_version")
+
+  /** H4: collapse consecutive identical states (the reference skips
+    * versions whose diff is empty). Keep a row only when the state
+    * changed vs the previous one. */
+  def h4DedupConsecutive(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("prev_type", lag("event_type", 1).over(byEntity))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("event_type"))
+      .orderBy("user_id", "ts_ms", "event_id")
+
+  /** H5: as-of query — the snapshot valid at time T (what the
+    * reference answers by its [valid_from, valid_to) intervals). */
+  def h5StateAtTime(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts") < lit("2024-01-15").cast("timestamp"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("state_at"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .orderBy("user_id")
+
+  /** H6: multi-value add/remove merge. The reference merges cc /
+    * keywords / blocked sets by applying additions and removals
+    * (reference: bugzilla_etl/parse_bug_history.py:816 addValues /
+    * :848 removeValues). Here: per user, the set of `k` values added
+    * by clicks minus those removed by errors, exploded sorted. */
+  def h6MultivalueMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").cast("long").as("k"),
+        col("event_type"))
+    ev.groupBy("user_id")
+      .agg(
+        array_sort(array_except(
+          collect_set(when(col("event_type") === "click", col("k"))),
+          collect_set(when(col("event_type") === "error", col("k")))))
+          .as("ks"))
+      .select(col("user_id"), explode(col("ks")).as("k"))
+      .orderBy("user_id", "k")
+  }
+
+  /** H7: flag parsing — "review?(x@y)" → (type, status, requestee)
+    * (reference: bugzilla_etl/parse_bug_history.py:68 FLAG_PATTERN).
+    * Flags are synthesized deterministically from event columns, then
+    * parsed with the reference's regex — all codegen'd expressions. */
+  def h7FlagParse(s: SparkSession, d: String): DataFrame = {
+    val pat = "^(.*?)([?+-])(\\((.*)\\))?$"
+    Tables.events(s, d)
+      .withColumn("flag", concat(col("event_type"),
+        when(col("value") >= 100, lit("+"))
+          .when(col("value") >= 50, lit("?")).otherwise(lit("-")),
+        when(col("user_id") % 2 === 0,
+          concat(lit("(u"), col("user_id"), lit("@x.com)")))
+          .otherwise(lit(""))))
+      .select(col("event_id"), col("flag"),
+        regexp_extract(col("flag"), pat, 1).as("f_type"),
+        regexp_extract(col("flag"), pat, 2).as("f_status"),
+        regexp_extract(col("flag"), pat, 4).as("f_requestee"))
+      .orderBy("event_id")
+  }
+
+  /** H8: typed JSON property extraction (the reference flattens MySQL
+    * rows into nested docs; here JSON props → typed columns, then
+    * aggregate). */
+  def h8JsonProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").cast("long").as("k"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("user_id")
+
+  /** H9: alias canonicalization — build an alias map, then apply it via
+    * a broadcast join (reference: bugzilla_etl/alias_analysis.py:172
+    * get_canonical + parse_bug_history.py:1048 email_alias). The map
+    * is built from signup activity; canonical id = least observed id. */
+  def h9AliasCanonical(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val aliasMap = ev
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").cast("long").as("k"))
+      .groupBy("user_id")
+      .agg(least(col("user_id"), min(col("k") % 25)).as("canonical"))
+    ev.join(broadcast(aliasMap), Seq("user_id"), "left")
+      .withColumn("canonical", coalesce(col("canonical"), col("user_id")))
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("canonical")
+  }
+
+  /** H10: normalize/scrub — null sentinels, zero-is-null, date-string
+    * round-trip (reference: bugzilla_etl/transform_bugzilla.py:53
+    * normalize: NULL_VALUES scrub, ZERO_IS_NULL, DATE_PATTERN_* →
+    * epoch millis). */
+  def h10NormalizeScrub(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_id"),
+        when(col("event_type").isin("", "--", "---"), lit(null))
+          .otherwise(col("event_type")).as("et"),
+        when(col("value") === 0, lit(null))
+          .otherwise(round(col("value"), 2)).as("v"),
+        date_format(col("ts"), "yyyy/MM/dd").as("date_str"),
+        unix_millis(to_timestamp(date_format(col("ts"), "yyyy/MM/dd"),
+          "yyyy/MM/dd")).as("date_ms"))
+      .orderBy("event_id")
+
+  /** H11: gap-based sessionization — a new session when >30 min idle.
+    * Window-prefix-sum formulation: one shuffle on user_id, no state
+    * loop (streaming variant: graft.streaming.EventStream). */
+  def h11Sessionize(s: SparkSession, d: String): DataFrame = {
+    val gapMs = 30L * 60 * 1000
+    Tables.events(s, d)
+      .withColumn("prev_ms", unix_millis(lag("ts", 1).over(byEntity)))
+      .withColumn("is_new", when(col("prev_ms").isNull ||
+        unix_millis(col("ts")) - col("prev_ms") > gapMs, 1).otherwise(0))
+      .withColumn("session_no", sum("is_new").over(
+        byEntity.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("session_no"))
+      .orderBy("user_id", "ts_ms", "event_id")
+  }
+
+  /** H12: ES-style document generation — stable `_id` = entity_ts
+    * (reference: bugzilla_etl/transform_bugzilla.py:55 `bug.id =
+    * bug_id + "_" + modified_ts`), body as JSON. Rows-only check (JSON
+    * text isn't portably comparable across engines). */
+  def h12EsDocs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        concat(col("user_id"), lit("_"), unix_millis(col("ts"))).as("_id"),
+        to_json(struct(col("user_id"), col("event_type"),
+          col("value"), unix_millis(col("ts")).as("modified_ts")))
+          .as("doc"))
+      .orderBy("_id")
+}
