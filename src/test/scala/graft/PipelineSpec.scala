@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the LLM-pipeline operator families on sf0.001. */
+class PipelineSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("d2 minhash-lsh candidates are verified pairs with jaccard >= 0.5") {
+    val rows = dedup.Dedup.d2MinhashLsh(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0)
+    }
+  }
+
+  test("d2 finds the pairs a full-pairwise scan would (high-sim recall)") {
+    import graft.functions.{TextFunctions => T}
+    // ground truth: all pairs with true shingle jaccard >= 0.8
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(T.shingles(col("text"), 5)).as("sh"))
+    val a = docs.select(col("doc_id").as("id1"), col("sh").as("s1"))
+    val b = docs.select(col("doc_id").as("id2"), col("sh").as("s2"))
+    val truth = a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("jac", size(array_intersect(col("s1"), col("s2"))).cast("double") /
+        size(array_union(col("s1"), col("s2"))))
+      .filter(col("jac") >= 0.8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = dedup.Dedup.d2MinhashLsh(spark, sf).select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = truth -- found
+    assert(missed.size <= math.max(1, truth.size / 10),
+      s"LSH missed ${missed.size} of ${truth.size} high-sim pairs")
+  }
+
+  test("d3 simhash pairs have low hamming distance") {
+    dedup.Dedup.d3Simhash(spark, sf).collect().foreach { r =>
+      assert(r.getInt(2) <= 10)
+    }
+  }
+
+  test("s1 brute-force ann returns 5 ranked neighbors per query") {
+    val rows = similarity.Similarity.s1AnnBruteForce(spark, sf).collect()
+    assert(rows.length == 50)
+    rows.groupBy(_.getLong(0)).foreach { case (_, vs) =>
+      assert(vs.map(_.getLong(1)).sorted.sameElements(1L to 5L))
+      val coss = vs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(coss.sameElements(coss.sorted(Ordering[Double].reverse)))
+    }
+  }
+
+  test("s2/s3 ann results are subsets consistent with brute force per query") {
+    val bf = similarity.Similarity.s1AnnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    // LSH/IVF prune, so their top-1 should usually agree with brute force
+    val s3top = similarity.Similarity.s3IvfAnn(spark, sf)
+      .filter(col("rank") === 1).collect().map(r => (r.getLong(0), r.getLong(2)))
+    val agree = s3top.count(bf.contains)
+    assert(agree >= s3top.length / 2, s"IVF top-1 agreement too low: $agree/${s3top.length}")
+  }
+
+  test("t1 langid predicts a known language label") {
+    val langs = Set("en", "de", "fr", "es", "zh")
+    text.TextAnalysis.t1LangId(spark, sf).collect().foreach { r =>
+      assert(langs.contains(r.getString(2)))
+    }
+  }
+
+  test("t4 fingerprint is deterministic and content-sensitive") {
+    val fp1 = text.TextAnalysis.t4Fingerprint(spark, sf).collect()
+    val fp2 = text.TextAnalysis.t4Fingerprint(spark, sf).collect()
+    assert(fp1.map(_.getLong(1)).sameElements(fp2.map(_.getLong(1))))
+    assert(fp1.map(_.getLong(1)).distinct.length > fp1.length / 2)
+  }
+
+  test("m1 multimodal plumbing yields typed metadata for every doc") {
+    val n = Tables.documents(spark, sf).count()
+    val rows = multimodal.Multimodal.m1MultimodalMeta(spark, sf).collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      assert(r.getInt(3) >= 16 && r.getInt(4) >= 16 && r.getInt(5) >= 1)
+    }
+  }
+}
