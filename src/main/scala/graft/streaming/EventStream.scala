@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface: the reference's incremental ETL loop
+  * (reference: bugzilla_etl/bz_etl.py:172 incremental_etl polls for
+  * rows with modified_ts past the last run) becomes a continuous
+  * query — watermarked event-time windows for aggregation and
+  * mapGroupsWithState for gap sessionization (the stateful analogue of
+  * operators.History.h11Sessionize).
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Watermarked tumbling-window counts per event type. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
+  case class SessionState(lastMs: Long, sessionNo: Long)
+  case class SessionOut(user_id: Long, event_id: Long, ts_ms: Long,
+      session_no: Long)
+
+  /** Stateful gap sessionization: a new session when >30 min idle.
+    * State per user is two longs — bounded, watermark-evictable. */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 30L * 60 * 1000)
+      (implicit enc1: org.apache.spark.sql.Encoder[SessionOut])
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          // within a micro-batch rows may arrive unordered; sort locally
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = sorted.map { e =>
+            val ms = e.ts.getTime
+            val newSession = st.lastMs == Long.MinValue || ms - st.lastMs > gapMs
+            st = SessionState(ms, if (newSession) st.sessionNo + 1 else st.sessionNo)
+            SessionOut(userId, e.event_id, ms, st.sessionNo)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Streaming operators agree with their batch analogues; the ES sink
+  * emits valid bulk wire format. */
+class StreamAndSinkSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("streaming windowed counts match batch on the same data") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(streaming.EventStream.eventSchema)
+      .parquet(dir)
+    val q = streaming.EventStream.windowedCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_wc")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("graft_wc")
+      .select("w_start", "event_type", "n", "total_value").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = streaming.EventStream.windowedCounts(Tables.events(spark, sf))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming sessionize matches the batch window formulation") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_sess").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+
+    val stream = spark.readStream
+      .schema(streaming.EventStream.eventSchema).parquet(dir)
+      .select(col("event_id"), col("ts"), col("user_id"))
+      .as[streaming.EventStream.Ev]
+    val q = streaming.EventStream.sessionize(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sess")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("graft_sess").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val batch = operators.History.h11Sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("es sink writes parseable bulk ndjson with alternating lines") {
+    val out = Files.createTempDirectory("graft_bulk").toString + "/bulk"
+    val docs = operators.History.h12EsDocs(spark, sf)
+      .limit(100).withColumn("doc_id", col("_id")).drop("_id")
+    sources.EsSink.writeBulk(docs, "bugs", "doc_id", out)
+    val lines = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .toSeq
+    assert(lines.nonEmpty && lines.length % 2 == 0)
+    lines.grouped(2).foreach { case Seq(action, source) =>
+      assert(action.startsWith("""{"index":{"_index":"bugs","_id":""""))
+      assert(source.startsWith("{") && source.endsWith("}"))
+    }
+  }
+}
