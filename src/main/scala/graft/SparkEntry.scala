@@ -38,6 +38,7 @@ object SparkEntry {
     "h10_normalize_scrub" -> (History.h10NormalizeScrub _),
     "h11_sessionize" -> (History.h11Sessionize _),
     "h12_es_docs" -> (History.h12EsDocs _),
+    "b1_bug_history" -> (operators.HistoryDriver.b1BugHistory _),
     // Dedup family
     "d1_exact_dedup" -> (graft.dedup.Dedup.d1ExactDedup _),
     "d2_minhash_lsh" -> (graft.dedup.Dedup.d2MinhashLsh _),

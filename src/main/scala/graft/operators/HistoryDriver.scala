@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Drives [[BugHistory.reconstruct]] from the events table: events are
+  * shaped into an activity log (status transitions as single-value
+  * changes, click/error props as multi-value add/remove) plus a
+  * current-state row per user, then the generic operator rebuilds the
+  * full version history. */
+object HistoryDriver {
+
+  def b1BugHistory(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id").as("id"), unix_millis(col("ts")).as("ts"),
+        col("event_id"), col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType
+          .fromDDL("k INT")).getField("k").cast("string").as("k"))
+    val wU = Window.partitionBy("id").orderBy("ts", "event_id")
+
+    // status transitions: old = previous event type (bug creation state
+    // = first event's type, so the first "change" is dropped)
+    val statusChanges = ev
+      .withColumn("old_value", lag("event_type", 1).over(wU))
+      .filter(col("old_value").isNotNull && col("old_value") =!= col("event_type"))
+      .select(col("id"), col("ts"), concat(lit("u"), col("id")).as("modified_by"),
+        lit("status").as("field"), col("old_value"),
+        col("event_type").as("new_value"))
+    // cc membership: click adds item k, error removes item k
+    val ccChanges = ev
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("id"), col("ts"), concat(lit("u"), col("id")).as("modified_by"),
+        lit("cc").as("field"),
+        when(col("event_type") === "error", concat(lit("k"), col("k")))
+          .otherwise(lit("")).as("old_value"),
+        when(col("event_type") === "click", concat(lit("k"), col("k")))
+          .otherwise(lit("")).as("new_value"))
+    val activity = statusChanges.union(ccChanges)
+
+    val current = ev.groupBy("id")
+      .agg(min("ts").as("created_ts"),
+        max_by(col("event_type"), struct(col("ts"), col("event_id")))
+          .as("status"))
+      .withColumn("owner", concat(lit("u"), col("id")))
+      .withColumn("cc", array().cast("array<string>"))
+
+    BugHistory.reconstruct(current, activity, Seq("status", "owner"), Seq("cc"))
+      .select(col("id"), col("valid_from"), col("expires_on"), col("version"),
+        col("status"), col("owner"), concat_ws(",", col("cc")).as("cc"),
+        size(coalesce(col("changes"), array())).cast("long").as("n_changes"))
+      .orderBy("id", "version")
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed snapshot reconstruction cases, in the spirit of the
+  * reference's tests/resources/reference JSON fixtures. */
+class BugHistorySpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  // bug 1: created t=100 status=NEW assignee=alice cc={alice}
+  //  t=200 status NEW->ASSIGNED            (by bob)
+  //  t=300 cc +bob +carol                  (by bob)
+  //  t=400 status ASSIGNED->RESOLVED, cc -alice  (by carol)
+  // bug 2: created t=150, no activity, status=NEW cc={dan}
+  private lazy val current = Seq(
+    (1L, 100L, "RESOLVED", "alice", Seq("bob", "carol")),
+    (2L, 150L, "NEW", "dan", Seq("dan")))
+    .toDF("id", "created_ts", "status", "assignee", "cc")
+  private lazy val activity = Seq(
+    (1L, 200L, "bob", "status", "NEW", "ASSIGNED"),
+    (1L, 300L, "bob", "cc", "", "bob, carol"),
+    (1L, 400L, "carol", "status", "ASSIGNED", "RESOLVED"),
+    (1L, 400L, "carol", "cc", "alice", ""))
+    .toDF("id", "ts", "modified_by", "field", "old_value", "new_value")
+
+  private lazy val result = operators.BugHistory.reconstruct(
+    current, activity, Seq("status", "assignee"), Seq("cc"))
+
+  test("version timeline and expiry chaining") {
+    val b1 = result.filter($"id" === 1).orderBy("version").collect()
+    assert(b1.map(_.getAs[Long]("valid_from")).toSeq == Seq(100L, 200L, 300L, 400L))
+    assert(b1.map(_.getAs[Long]("expires_on")).toSeq ==
+      Seq(200L, 300L, 400L, operators.BugHistory.MaxTimestamp))
+    val b2 = result.filter($"id" === 2).collect()
+    assert(b2.length == 1 &&
+      b2.head.getAs[Long]("expires_on") == operators.BugHistory.MaxTimestamp)
+  }
+
+  test("single-value fields replay to the correct state per version") {
+    val b1 = result.filter($"id" === 1).orderBy("version").collect()
+    assert(b1.map(_.getAs[String]("status")).toSeq ==
+      Seq("NEW", "ASSIGNED", "ASSIGNED", "RESOLVED"))
+    // assignee never changed -> current value in every version
+    assert(b1.map(_.getAs[String]("assignee")).forall(_ == "alice"))
+    assert(result.filter($"id" === 2).head.getAs[String]("status") == "NEW")
+  }
+
+  test("multi-value membership intervals (incl. removal of a pre-history item)") {
+    val b1 = result.filter($"id" === 1).orderBy("version").collect()
+    val ccs = b1.map(_.getAs[collection.Seq[String]]("cc").toList).toSeq
+    // alice existed before history began (her first event is a removal)
+    assert(ccs == Seq(
+      List("alice"),
+      List("alice"),
+      List("alice", "bob", "carol"),
+      List("bob", "carol")))
+    assert(result.filter($"id" === 2).head.getAs[collection.Seq[String]]("cc") == Seq("dan"))
+  }
+
+  test("changes recorded per version; creation version has none") {
+    val b1 = result.filter($"id" === 1).orderBy("version").collect()
+    assert(b1.head.isNullAt(b1.head.fieldIndex("changes")))
+    val v4 = b1.last.getAs[collection.Seq[Row]]("changes")
+    assert(v4.map(_.getAs[String]("field_name")).sorted == Seq("cc", "status"))
+    assert(b1.last.getAs[String]("modified_by") == "carol")
+  }
+
+  test("final version state matches forward log application") {
+    // log-consistent data: last version equals the current row
+    val last1 = result.filter($"id" === 1).orderBy(desc("version")).head
+    assert(last1.getAs[String]("status") == "RESOLVED")
+    assert(last1.getAs[collection.Seq[String]]("cc").toList == List("bob", "carol"))
+  }
+
+  test("snapshot ids follow the reference format id_ts") {
+    assert(result.filter($"id" === 1 && $"version" === 2)
+      .head.getAs[String]("snapshot_id") == "1_200")
+  }
+}
