@@ -39,6 +39,7 @@ object SparkEntry {
     "h11_sessionize" -> (History.h11Sessionize _),
     "h12_es_docs" -> (History.h12EsDocs _),
     "b1_bug_history" -> (operators.HistoryDriver.b1BugHistory _),
+    "p1_privacy_screen" -> (operators.Screening.p1PrivacyScreen _),
     // Dedup family
     "d1_exact_dedup" -> (graft.dedup.Dedup.d1ExactDedup _),
     "d2_minhash_lsh" -> (graft.dedup.Dedup.d2MinhashLsh _),
@@ -204,6 +205,12 @@ object SparkEntry {
         |   OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
         |  THEN 1 ELSE 0 END AS is_new FROM events)
         |ORDER BY user_id, ts_ms, event_id""".stripMargin,
+    "p1_privacy_screen" ->
+      """SELECT doc_id, source,
+        | CASE WHEN n_chars < 150 THEN '[screened]' ELSE text END AS text,
+        | n_chars < 150 AS screened
+        |FROM documents WHERE source NOT IN ('src0', 'src1')
+        |ORDER BY doc_id""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS rep_id, count(*) AS n
         |FROM documents GROUP BY md5(text) ORDER BY rep_id""".stripMargin,
