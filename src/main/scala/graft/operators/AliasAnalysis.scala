@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Email alias analysis — associates the addresses one person used
+  * over time (reference: bugzilla_etl/alias_analysis.py:78
+  * AliasAnalyzer).
+  *
+  * Reference semantics: per bug, a signed multiset of cc-change
+  * emails (`- new + old`, alias_analysis.py:99 aggregator); an email
+  * with a negative total was added-but-never-removed (a person's NEW
+  * address), a positive one removed-but-never-added (their OLD
+  * address). The reference then greedily matches the worst problem
+  * email to the best co-occurring solution email when the margin over
+  * the runner-up is at least `minimum_diff` (alias_analysis.py:114
+  * analysis), folds the alias in, and repeats.
+  *
+  * Spark reformulation: the greedy one-at-a-time loop becomes a small
+  * number of *batch rounds* — every problem email is matched
+  * simultaneously, the alias map is folded in (including transitive
+  * remapping, alias_analysis.py:219), and the round repeats. Each
+  * round is a pair of joins + windowed argmax, fully distributed; the
+  * driver holds nothing but the loop counter.
+  */
+object AliasAnalysis {
+
+  /** @param ccChanges (bug_id, old_value, new_value) with
+    *                  comma-separated email lists, as in bugs_activity
+    * @return (alias, canonical) rows */
+  def analyze(ccChanges: DataFrame, rounds: Int = 3,
+      minimumDiff: Int = 2): DataFrame = {
+    val s = ccChanges.sparkSession
+    import s.implicits._
+
+    val sign = ccChanges.select(col("bug_id"),
+        explode(split(lower(col("new_value")), ",\\s*")).as("email"),
+        lit(-1L).as("delta"))
+      .union(ccChanges.select(col("bug_id"),
+        explode(split(lower(col("old_value")), ",\\s*")).as("email"),
+        lit(1L).as("delta")))
+      .filter(col("email") =!= "")
+    val base = sign.groupBy("bug_id", "email")
+      .agg(sum("delta").as("cnt"))
+      .filter(col("cnt") =!= 0)
+      .cache()
+
+    var aliases = Seq.empty[(String, String)].toDF("alias", "canonical")
+
+    for (_ <- 1 to rounds) {
+      // fold current aliases into the per-bug multisets
+      val folded = base
+        .join(aliases.withColumnRenamed("alias", "email"), Seq("email"), "left")
+        .withColumn("email", coalesce(col("canonical"), col("email")))
+        .groupBy("bug_id", "email")
+        .agg(sum("cnt").as("cnt"))
+        .filter(col("cnt") =!= 0)
+      val problems = folded.filter(col("cnt") < 0)
+        .select(col("bug_id"), col("email").as("problem"))
+      val solutions = folded.filter(col("cnt") > 0)
+        .select(col("bug_id"), col("email").as("solution"), col("cnt"))
+      // score every (problem, solution) by co-occurring positive mass
+      val scored = problems.join(solutions, "bug_id")
+        .groupBy("problem", "solution")
+        .agg(sum("cnt").as("score"))
+      val w = Window.partitionBy("problem")
+        .orderBy(col("score").desc, col("solution").asc)
+      val best = scored
+        .withColumn("rk", row_number().over(w))
+        .withColumn("margin", col("score") -
+          coalesce(lead("score", 1).over(w), lit(0L)))
+        .filter(col("rk") === 1 && col("margin") >= minimumDiff)
+        .select(col("problem").as("alias"), col("solution").as("canonical"))
+      // transitive fold: existing aliases pointing at a problem email
+      // get remapped to its new canonical
+      val remapped = aliases.as("a")
+        .join(best.as("b"), $"a.canonical" === $"b.alias", "left")
+        .select($"a.alias",
+          coalesce($"b.canonical", $"a.canonical").as("canonical"))
+      aliases = remapped.union(best)
+        .groupBy("alias").agg(min("canonical").as("canonical"))
+        .filter(col("alias") =!= col("canonical"))
+        .localCheckpoint(eager = true) // cut the growing lineage per round
+    }
+    base.unpersist()
+    aliases.orderBy("alias")
+  }
+}

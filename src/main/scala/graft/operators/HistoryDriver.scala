@@ -12,6 +12,22 @@ import org.apache.spark.sql.functions._
   * full version history. */
 object HistoryDriver {
 
+  /** Drives [[AliasAnalysis.analyze]] from events: purchases rename a
+    * person's address (old removed, new added on the same "bug"),
+    * producing the added-never-removed / removed-never-added signal the
+    * analyzer matches on. */
+  def a1AliasAnalysis(s: SparkSession, d: String): DataFrame = {
+    val cc = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("bug_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType
+          .fromDDL("k INT")).getField("k").as("k"))
+      .select(col("bug_id"),
+        concat(lit("p"), col("k") % 40, lit("@old.example")).as("old_value"),
+        concat(lit("p"), col("k") % 40, lit("@new.example")).as("new_value"))
+    AliasAnalysis.analyze(cc, rounds = 2, minimumDiff = 2)
+  }
+
   def b1BugHistory(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id").as("id"), unix_millis(col("ts")).as("ts"),

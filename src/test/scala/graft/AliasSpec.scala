@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Alias matching on a crafted fixture: one person renames
+  * alice@m -> alice2@m across several bugs; noise must not match. */
+class AliasSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  test("renamed address resolves to its old canonical email") {
+    // On bugs 1-4 alice@m (present since creation) is removed and
+    // alice2@m is added -> alice2 is a 'problem' (added, never removed),
+    // alice is the co-occurring 'solution'.
+    val cc = Seq(
+      (1L, "alice@m", "alice2@m"),
+      (2L, "alice@m", "alice2@m"),
+      (3L, "alice@m", "alice2@m"),
+      (4L, "alice@m", "alice2@m"),
+      // noise: bob added on one bug only, nothing removed there
+      (5L, "", "bob@m"),
+      // unrelated balanced churn
+      (6L, "carol@m", "carol@m"))
+      .toDF("bug_id", "old_value", "new_value")
+    val result = operators.AliasAnalysis.analyze(cc).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(result.get("alice2@m").contains("alice@m"))
+    assert(!result.contains("bob@m"))
+    assert(!result.contains("carol@m"))
+  }
+
+  test("transitive rename folds to one canonical") {
+    // a -> b on early bugs, then b -> c later: c should canonicalize to a
+    // chain ending at the oldest address
+    val cc = Seq(
+      (1L, "a@m", "b@m"), (2L, "a@m", "b@m"), (3L, "a@m", "b@m"),
+      (4L, "b@m", "c@m"), (5L, "b@m", "c@m"), (6L, "b@m", "c@m"))
+      .toDF("bug_id", "old_value", "new_value")
+    val result = operators.AliasAnalysis.analyze(cc, rounds = 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    // b and c both resolve to the same ultimate canonical
+    val canonB = result.getOrElse("b@m", "b@m")
+    val canonC = result.getOrElse("c@m", "c@m")
+    assert(canonB == canonC, s"b->$canonB c->$canonC should agree")
+    assert(canonB == "a@m")
+  }
+}
