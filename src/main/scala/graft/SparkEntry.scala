@@ -25,6 +25,8 @@ object SparkEntry {
     "q10_rollup" -> (Relational.q10Rollup _),
     "q11_conditional_pivot" -> (Relational.q11ConditionalPivot _),
     "q12_scalar_subquery" -> (Relational.q12ScalarSubquery _),
+    "q13_percentiles" -> (Relational.q13Percentiles _),
+    "n1_nested_flatten" -> (operators.Nested.n1NestedFlatten _),
     // ETL / history
     "h1_snapshot_history" -> (History.h1SnapshotHistory _),
     "h2_latest_state" -> (History.h2LatestState _),
@@ -131,6 +133,17 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n_above, round(sum(l_extendedprice),2) AS sum_above
         |FROM lineitem WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_percentiles" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.25),2) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5),2) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75),2) AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "n1_nested_flatten" ->
+      """SELECT l_orderkey AS orderkey,
+        | count(*) OVER (PARTITION BY l_orderkey) AS n_items,
+        | l_linenumber AS linenumber, round(l_quantity,2) AS qty,
+        | round(l_extendedprice,2) AS price
+        |FROM lineitem ORDER BY orderkey, linenumber""".stripMargin,
     "h1_snapshot_history" ->
       """SELECT user_id, event_id, event_type, round(value,2) AS value, epoch_ms(ts) AS valid_from,
         | COALESCE(lead(epoch_ms(ts)) OVER w, 9999999999000) AS valid_to,
