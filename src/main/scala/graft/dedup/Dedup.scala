@@ -37,17 +37,18 @@ object Dedup {
     val sigs = Tables.documents(s, d)
       .select(col("doc_id"),
         T.minhashSignature(T.shingleSet(col("text"), 5), k).as("sig"))
+    // The 32-long signature (256 B) rides along through the band join,
+    // so verification needs no second scan of the corpus: one shuffle
+    // on (band, hash), one distinct on the candidate pair.
     val banded = sigs
-      .select(col("doc_id"), posexplode(T.bandHashes(col("sig"), k, bands)))
+      .select(col("doc_id"), col("sig"),
+        posexplode(T.bandHashes(col("sig"), k, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    val candidates = banded.select(col("band"), col("bh"), col("doc_id").as("id1"))
-      .join(banded.select(col("band"), col("bh"), col("doc_id").as("id2")),
-        Seq("band", "bh"))
+    banded.select(col("band"), col("bh"), col("doc_id").as("id1"), col("sig").as("sig1"))
+      .join(banded.select(col("band"), col("bh"), col("doc_id").as("id2"),
+        col("sig").as("sig2")), Seq("band", "bh"))
       .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-    candidates
-      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
-      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
+      .dropDuplicates("id1", "id2")
       .withColumn("jaccard_est",
         round(T.minhashJaccardEst(col("sig1"), col("sig2"), k), 3))
       .filter(col("jaccard_est") >= 0.5)

@@ -23,4 +23,12 @@ object VectorFunctions {
     val bd = asDouble(b)
     dot(ad, bd) / sqrt(norm2(ad) * norm2(bd))
   }
+
+  /** Element-wise mean vector aggregate (native buffer, map-side
+    * partial agg — no posexplode row blowup). */
+  def vectorMean(v: Column, dim: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.VectorMeanAgg(
+        org.apache.spark.sql.graft.Bridge.expression(v), dim)
+        .toAggregateExpression())
 }

@@ -74,11 +74,8 @@ object Similarity {
   def s3IvfAnn(s: SparkSession, d: String): DataFrame = {
     val nprobe = 2
     val centroids = Tables.embeddings(s, d)
-      .select(col("label"), posexplode(col("embedding")))
-      .groupBy("label", "pos").agg(avg("col").as("v"))
       .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
-        p => p.getField("v")).as("centroid"))
+      .agg(V.vectorMean(col("embedding"), 64).as("centroid"))
     val probed = queries(s, d).join(broadcast(centroids))
       .withColumn("ccos", V.cosine(col("q_emb"), col("centroid")))
       .withColumn("crank", row_number().over(

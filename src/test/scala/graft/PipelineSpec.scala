@@ -74,6 +74,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp1.map(_.getLong(1)).distinct.length > fp1.length / 2)
   }
 
+  test("vectorMean agg equals the posexplode formulation") {
+    import graft.functions.{VectorFunctions => V}
+    val e = Tables.embeddings(spark, sf)
+    val native = e.groupBy("label").agg(V.vectorMean(col("embedding"), 64).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getAs[collection.Seq[Double]]("c").toVector).toMap
+    val exploded = e.select(col("label"), posexplode(col("embedding")))
+      .groupBy("label", "pos").agg(avg("col").as("v"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (l, rows) => l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toVector }
+    assert(native.keySet == exploded.keySet)
+    for (l <- native.keySet) {
+      val diff = native(l).zip(exploded(l)).map { case (a, b) => math.abs(a - b) }.max
+      assert(diff < 1e-9, s"label $l max diff $diff")
+    }
+  }
+
   test("m1 multimodal plumbing yields typed metadata for every doc") {
     val n = Tables.documents(spark, sf).count()
     val rows = multimodal.Multimodal.m1MultimodalMeta(spark, sf).collect()
