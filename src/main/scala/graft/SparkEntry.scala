@@ -134,9 +134,9 @@ object SparkEntry {
         |FROM lineitem WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q13_percentiles" ->
-      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.25),2) AS p25,
-        | round(quantile_cont(l_extendedprice, 0.5),2) AS p50,
-        | round(quantile_cont(l_extendedprice, 0.75),2) AS p75
+      """SELECT l_returnflag, round(quantile_disc(l_extendedprice, 0.25),2) AS p25,
+        | round(quantile_disc(l_extendedprice, 0.5),2) AS p50,
+        | round(quantile_disc(l_extendedprice, 0.75),2) AS p75
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "n1_nested_flatten" ->
       """SELECT l_orderkey AS orderkey,

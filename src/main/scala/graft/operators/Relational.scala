@@ -150,15 +150,16 @@ object Relational {
         round(sum("value"), 2).as("total_value"))
       .orderBy("user_id")
 
-  /** Q13: exact percentiles (linear interpolation, identical to
-    * quantile_cont) — distributed sort-based percentile, no collect. */
+  /** Q13: exact distributed percentiles. Discrete (order-statistic)
+    * variant — the result is an actual data value, so there is no
+    * interpolation arithmetic to drift across engines. */
   def q13Percentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 2).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 2).as("p75"))
+        round(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"), 2).as("p25"),
+        round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 2).as("p50"),
+        round(expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)"), 2).as("p75"))
       .orderBy("l_returnflag")
 
   /** Q12: global-aggregate scalar reused against the fact table via a
