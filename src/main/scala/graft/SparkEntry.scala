@@ -58,6 +58,7 @@ object SparkEntry {
     "t2_quality_score" -> (graft.text.TextAnalysis.t2QualityScore _),
     "t3_token_count" -> (graft.text.TextAnalysis.t3TokenCount _),
     "t4_fingerprint" -> (graft.text.TextAnalysis.t4Fingerprint _),
+    "t5_tfidf" -> (graft.text.TextAnalysis.t5Tfidf _),
     // Multimodal
     "m1_multimodal_meta" -> (graft.multimodal.Multimodal.m1MultimodalMeta _),
   )
@@ -271,6 +272,21 @@ object SparkEntry {
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t5_tfidf" ->
+      """SELECT doc_id, rk, term, score FROM (
+        | SELECT tf.doc_id, tf.term,
+        |  round(tf.tf * ln((n.n + 1.0)/(df.df + 1.0)), 4) AS score,
+        |  CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY round(tf.tf * ln((n.n + 1.0)/(df.df + 1.0)), 4) DESC,
+        |             tf.term ASC) AS BIGINT) AS rk
+        | FROM (SELECT doc_id, term, count(*) AS tf FROM (
+        |         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |       GROUP BY 1,2) tf
+        | JOIN (SELECT term, count(DISTINCT doc_id) AS df FROM (
+        |         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        |       GROUP BY 1) df ON tf.term = df.term
+        | CROSS JOIN (SELECT count(*) AS n FROM documents) n)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     // rows-only (non-SQL-expressible): h12_es_docs, d2_minhash_lsh,
     // d3_simhash, s2_ann_lsh, s3_ivf_ann, t1_langid, t4_fingerprint,
     // m1_multimodal_meta

@@ -80,4 +80,27 @@ object TextAnalysis {
     Tables.documents(s, d)
       .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
+
+  /** T5: TF-IDF top terms per document — explode → tf, document
+    * frequency, smoothed idf, top-3 per doc ranked on the quantized
+    * score (cross-engine determinism). The tf and df aggregations both
+    * partial-aggregate map-side; df joins back as a broadcast (term
+    * dictionary ≪ corpus at any scale). */
+  def t5Tfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") *
+        log((col("n") + 1.0) / (col("df") + 1.0)), 4))
+    scored
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("doc_id", "rk", "term", "score")
+      .orderBy("doc_id", "rk")
+  }
 }
