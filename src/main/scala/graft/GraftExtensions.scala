@@ -1,0 +1,58 @@
+package graft
+
+import graft.expressions.{MinHashSig, ShingleSet, SimHash64, VectorMeanAgg}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registers graft's native expressions as SQL functions, so the
+  * engine's sketch primitives are first-class in `spark.sql(...)`:
+  *
+  * {{{
+  * spark = SparkSession.builder()
+  *   .withExtensions(new GraftExtensions) ...
+  * // or: spark.sql.extensions=graft.GraftExtensions
+  * spark.sql("SELECT minhash_sig(shingle_set(text, 5), 32) FROM docs")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.registrations
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private[graft] val registrations: Seq[(FunctionIdentifier,
+      ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("shingle_set"),
+      new ExpressionInfo(classOf[ShingleSet].getName, "shingle_set"),
+      (args: Seq[Expression]) =>
+        ShingleSet(args.head, intArg(args(1), "shingle width"))),
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) =>
+        MinHashSig(args.head, intArg(args(1), "signature width"))),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (new FunctionIdentifier("vector_mean"),
+      new ExpressionInfo(classOf[VectorMeanAgg].getName, "vector_mean"),
+      (args: Seq[Expression]) =>
+        VectorMeanAgg(args.head, intArg(args(1), "dimension"))))
+
+  /** Installs the functions into an already-running session (when the
+    * session was not built with `withExtensions`). */
+  def installInto(session: org.apache.spark.sql.SparkSession): Unit =
+    registrations.foreach { case (ident, info, builder) =>
+      session.sessionState.functionRegistry
+        .registerFunction(ident, info, builder)
+    }
+}

@@ -31,6 +31,14 @@ object EventStream {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup: drop duplicate event_ids within the
+    * watermark horizon — the streaming face of dedup.Dedup.d1 (state
+    * store bounded by the watermark, not the corpus). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(lastMs: Long, sessionNo: Long)
   case class SessionOut(user_id: Long, event_id: Long, ts_ms: Long,

@@ -59,6 +59,23 @@ class StreamAndSinkSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dedup drops in-watermark duplicates") {
+    val dir = Files.createTempDirectory("graft_dupes").toString
+    val ev = Tables.events(spark, sf)
+    // duplicate the whole feed -> every event_id appears twice
+    ev.union(ev).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(streaming.EventStream.eventSchema).parquet(dir)
+    val q = streaming.EventStream.dedupStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("graft_dedup")
+    assert(got.count() == ev.count())
+    assert(got.select("event_id").distinct().count() == got.count())
+  }
+
   test("es sink writes parseable bulk ndjson with alternating lines") {
     val out = Files.createTempDirectory("graft_bulk").toString + "/bulk"
     val docs = operators.History.h12EsDocs(spark, sf)
