@@ -43,6 +43,7 @@ object SparkEntry {
     "b1_bug_history" -> (operators.HistoryDriver.b1BugHistory _),
     "p1_privacy_screen" -> (operators.Screening.p1PrivacyScreen _),
     "a1_alias_analysis" -> (operators.HistoryDriver.a1AliasAnalysis _),
+    "b2_nested_history" -> (operators.HistoryDriver.b2NestedHistory _),
     // Dedup family
     "d1_exact_dedup" -> (graft.dedup.Dedup.d1ExactDedup _),
     "d2_minhash_lsh" -> (graft.dedup.Dedup.d2MinhashLsh _),

@@ -182,4 +182,32 @@ object BugHistory {
       .withColumnRenamed("ts", "valid_from")
       .orderBy("id", "version")
   }
+
+  /** Nest sub-entity version histories into parent versions — the
+    * reference keeps each bug version's attachments (with their own
+    * changing fields) inline (reference: bugzilla_etl/
+    * parse_bug_history.py:255 processAttachmentsTableItem, :563
+    * currBugState.attachments). For every parent version interval, the
+    * sub-entity snapshot valid at the interval start is collected into
+    * a sorted struct array.
+    *
+    * @param parents     output of [[reconstruct]] for the parent
+    * @param subVersions output of [[reconstruct]] for sub-entities,
+    *                    whose `id` is the PARENT id and which carries a
+    *                    distinct `subId` column
+    * @param subFields   sub-entity fields to carry into the nest */
+  def nestSubEntities(parents: DataFrame, subVersions: DataFrame,
+      subFields: Seq[String]): DataFrame = {
+    val subCols = struct((col("subId") +: subFields.map(col)): _*)
+    val matched = parents.select(col("id"), col("valid_from"))
+      .join(subVersions.select((Seq(col("id"), col("subId"),
+          col("valid_from").as("s_from"), col("expires_on").as("s_to")) ++
+          subFields.map(col)): _*),
+        Seq("id"))
+      .filter(col("valid_from") >= col("s_from") &&
+        col("valid_from") < col("s_to"))
+      .groupBy("id", "valid_from")
+      .agg(array_sort(collect_list(subCols)).as("sub_entities"))
+    parents.join(matched, Seq("id", "valid_from"), "left")
+  }
 }

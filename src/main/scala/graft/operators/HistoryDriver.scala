@@ -28,7 +28,48 @@ object HistoryDriver {
     AliasAnalysis.analyze(cc, rounds = 2, minimumDiff = 2)
   }
 
-  def b1BugHistory(s: SparkSession, d: String): DataFrame = {
+  /** Drives [[BugHistory.nestSubEntities]]: purchases become
+    * attachments keyed (user, k%10) whose `size` field changes per
+    * purchase; each bug version reports its nested attachment state. */
+  def b2NestedHistory(s: SparkSession, d: String): DataFrame = {
+    val parents = b1BugHistoryVersions(s, d)
+    val pur = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("ts"), col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType
+          .fromDDL("k INT")).getField("k").cast("long").as("k"),
+        round(col("value"), 2).cast("string").as("size"))
+      .withColumn("subId", (col("k") % 10).cast("string"))
+      .withColumn("cid", concat_ws("#", col("user_id"), col("subId")))
+    val wA = Window.partitionBy("cid").orderBy("ts", "event_id")
+    val attActivity = pur
+      .withColumn("old_value", lag("size", 1).over(wA))
+      .filter(col("old_value").isNotNull)
+      .select(col("cid").as("id"), col("ts"),
+        concat(lit("u"), col("user_id")).as("modified_by"),
+        lit("size").as("field"), col("old_value"),
+        col("size").as("new_value"))
+    val attCurrent = pur.groupBy("cid")
+      .agg(min("ts").as("created_ts"),
+        max_by(col("size"), struct(col("ts"), col("event_id"))).as("size"))
+      .withColumnRenamed("cid", "id")
+    val subVersions = BugHistory.reconstruct(attCurrent, attActivity,
+      Seq("size"), Nil)
+      .withColumn("subId", split(col("id"), "#")(1))
+      .withColumn("id", split(col("id"), "#")(0).cast("long"))
+    BugHistory.nestSubEntities(parents, subVersions, Seq("size"))
+      .select(col("id"), col("version"), col("valid_from"), col("expires_on"),
+        col("status"),
+        size(coalesce(col("sub_entities"),
+          array().cast("array<struct<subId:string,size:string>>")))
+          .cast("long").as("n_atts"))
+      .orderBy("id", "version")
+  }
+
+  def b1BugHistory(s: SparkSession, d: String): DataFrame =
+    b1BugHistoryVersions(s, d)
+
+  private def b1BugHistoryVersions(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id").as("id"), unix_millis(col("ts")).as("ts"),
         col("event_id"), col("event_type"),

@@ -79,4 +79,29 @@ class BugHistorySpec extends AnyFunSuite {
     assert(result.filter($"id" === 1 && $"version" === 2)
       .head.getAs[String]("snapshot_id") == "1_200")
   }
+
+  test("sub-entity histories nest into the parent version intervals") {
+    // attachment 10 on bug 1: created t=250 obsolete=false,
+    // flipped to obsolete=true at t=400
+    val attCurrent = Seq((1L, "10", 250L, "true"))
+      .toDF("id", "subId", "created_ts", "obsolete")
+    val attActivity = Seq((1L, "10", 400L, "u1", "obsolete", "false", "true"))
+      .toDF("id", "subId", "ts", "modified_by", "field", "old_value", "new_value")
+    // reconstruct per (id, subId): temporarily key on a composite id
+    val subVersions = operators.BugHistory.reconstruct(
+      attCurrent.withColumn("id", concat_ws("#", $"id", $"subId")),
+      attActivity.withColumn("id", concat_ws("#", $"id", $"subId")),
+      Seq("obsolete"), Nil)
+      .withColumn("subId", split($"id", "#")(1))
+      .withColumn("id", split($"id", "#")(0).cast("long"))
+    val nested = operators.BugHistory.nestSubEntities(
+      result, subVersions, Seq("obsolete"))
+    val b1 = nested.filter($"id" === 1).orderBy("version").collect()
+    def atts(i: Int) = Option(b1(i).getAs[collection.Seq[Row]]("sub_entities"))
+      .map(_.map(r => (r.getString(0), r.getString(1))).toList).getOrElse(Nil)
+    assert(atts(0) == Nil)                      // t=100: not created yet
+    assert(atts(1) == Nil)                      // t=200: not created yet
+    assert(atts(2) == List(("10", "false")))    // t=300: live, not obsolete
+    assert(atts(3) == List(("10", "true")))     // t=400: flipped
+  }
 }
