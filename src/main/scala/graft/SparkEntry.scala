@@ -26,6 +26,7 @@ object SparkEntry {
     "q11_conditional_pivot" -> (Relational.q11ConditionalPivot _),
     "q12_scalar_subquery" -> (Relational.q12ScalarSubquery _),
     "q13_percentiles" -> (Relational.q13Percentiles _),
+    "q14_asof_join" -> (operators.AsOf.q14AsofJoin _),
     "n1_nested_flatten" -> (operators.Nested.n1NestedFlatten _),
     // ETL / history
     "h1_snapshot_history" -> (History.h1SnapshotHistory _),
@@ -140,6 +141,16 @@ object SparkEntry {
         | round(quantile_disc(l_extendedprice, 0.5),2) AS p50,
         | round(quantile_disc(l_extendedprice, 0.75),2) AS p75
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_asof_join" ->
+      """SELECT e.event_id, e.user_id, epoch_ms(e.ts) AS ts_ms,
+        | s.signup_ms, s.signup_value
+        |FROM events e ASOF LEFT JOIN (
+        |  SELECT user_id AS s_user, epoch_ms(ts) AS signup_ms,
+        |    round(max_by(value, event_id), 2) AS signup_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2) s
+        | ON e.user_id = s.s_user AND s.signup_ms <= epoch_ms(e.ts)
+        |WHERE e.event_type <> 'signup'
+        |ORDER BY e.event_id""".stripMargin,
     "n1_nested_flatten" ->
       """SELECT l_orderkey AS orderkey,
         | count(*) OVER (PARTITION BY l_orderkey) AS n_items,

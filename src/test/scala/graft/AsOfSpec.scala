@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom AsOfJoin operator vs an independent window formulation,
+  * plus edge cases the merge scan must get right. */
+class AsOfSpec extends AnyFunSuite {
+  import SparkTest._
+  import spark.implicits._
+
+  test("asof join equals union+window formulation on real data") {
+    val got = operators.AsOf.q14AsofJoin(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    // independent formulation: union events+signups, last signup as-of
+    val ev = Tables.events(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ms", "is_signup", "event_id")
+    val expected = ev.select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"),
+        (col("event_type") === "signup").cast("int").as("is_signup"),
+        when(col("event_type") === "signup", unix_millis(col("ts"))).as("sig_ms"))
+      .withColumn("last_sig", last("sig_ms", ignoreNulls = true)
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .filter(col("is_signup") === 0)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("left rows with no prior right row get nulls; ties on time match") {
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"),
+      (3L, 10L, "d"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, "r100"), (1L, 150L, "r150"), (2L, 60L, "r60"))
+      .toDF("k", "rt", "rv")
+    val out = operators.AsOf.join(left, right, Seq("k"), Seq("k"), "t", "rt")
+      .select("tag", "rv").collect().map(r =>
+        (r.getString(0), Option(r.getString(1)).getOrElse("-"))).toMap
+    assert(out == Map(
+      "a" -> "r100", // tie: rt <= t inclusive
+      "b" -> "r150", // latest of the two
+      "c" -> "-",    // right exists but only later (60 > 50)
+      "d" -> "-"))   // key absent on the right
+  }
+
+  test("survives repartitioned inputs (co-partitioning enforced)") {
+    val left = spark.range(0, 1000).select(
+      (col("id") % 7).as("k"), (col("id") * 10).as("t"), col("id").as("lid"))
+      .repartition(13)
+    val right = spark.range(0, 100).select(
+      (col("id") % 7).as("k"), (col("id") * 97).as("rt"), col("id").as("rid"))
+      .repartition(3)
+    val out = operators.AsOf.join(left, right, Seq("k"), Seq("k"), "t", "rt")
+    assert(out.count() == 1000)
+    // spot check: every matched rt is the max rt <= t for that k
+    val rows = out.collect()
+    val rightRows = right.collect().map(r => (r.getLong(0), r.getLong(1)))
+    rows.foreach { r =>
+      val k = r.getLong(0); val t = r.getLong(1)
+      val best = rightRows.filter(p => p._1 == k && p._2 <= t)
+        .map(_._2).sorted.lastOption
+      val got = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(got == best, s"k=$k t=$t")
+    }
+  }
+}
