@@ -27,6 +27,9 @@ object SparkEntry {
     "q12_scalar_subquery" -> (Relational.q12ScalarSubquery _),
     "q13_percentiles" -> (Relational.q13Percentiles _),
     "q14_asof_join" -> (operators.AsOf.q14AsofJoin _),
+    "c1_curation" -> (operators.Curation.c1Curation _),
+    "e1_embedding_quantize" -> (operators.Curation.e1EmbeddingQuantize _),
+    "o1_profile" -> (operators.Curation.o1Profile _),
     "n1_nested_flatten" -> (operators.Nested.n1NestedFlatten _),
     // ETL / history
     "h1_snapshot_history" -> (History.h1SnapshotHistory _),
@@ -151,6 +154,33 @@ object SparkEntry {
         | ON e.user_id = s.s_user AND s.signup_ms <= epoch_ms(e.ts)
         |WHERE e.event_type <> 'signup'
         |ORDER BY e.event_id""".stripMargin,
+    "c1_curation" ->
+      """WITH sc AS (SELECT source, doc_id,
+        |  round(n_chars * (1.0 - abs(0.3 -
+        |   (len(list_filter(string_split(text, ' '),
+        |     x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE /
+        |    len(string_split(text, ' '))))), 4) AS score
+        | FROM documents)
+        |SELECT source, rk, doc_id, score FROM (
+        | SELECT source, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        | FROM sc)
+        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+    "e1_embedding_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale
+        | FROM embeddings)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        | CAST(list_sum(list_transform(emb, x -> abs(CAST(floor(x/scale + 0.5) AS INT)))) AS BIGINT) AS l1_q,
+        | CAST(CAST(floor(emb[1]/scale + 0.5) AS INT) AS BIGINT) AS q0
+        |FROM s ORDER BY vec_id""".stripMargin,
+    "o1_profile" ->
+      """SELECT count(*) AS rows, count(c_name) AS name_nonnull,
+        | count(DISTINCT c_mktsegment) AS segments,
+        | round(min(c_acctbal),2) AS min_bal, round(max(c_acctbal),2) AS max_bal,
+        | round(avg(c_acctbal),2) AS avg_bal,
+        | count(DISTINCT c_nationkey) AS nations
+        |FROM customer""".stripMargin,
     "n1_nested_flatten" ->
       """SELECT l_orderkey AS orderkey,
         | count(*) OVER (PARTITION BY l_orderkey) AS n_items,

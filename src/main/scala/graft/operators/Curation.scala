@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{VectorFunctions => V}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: per-stratum selection,
+  * quantization, and dataset profiling. */
+object Curation {
+
+  /** C1: keep the top-3 documents per source by a quality score
+    * (length × stopword balance) — the per-stratum selection every
+    * curation pipeline runs before sampling. One window pass per
+    * stratum; strata are independent so this scales with the number
+    * of sources, not corpus size. */
+  def c1Curation(s: SparkSession, d: String): DataFrame = {
+    val score = round(col("n_chars") *
+      (lit(1.0) - abs(lit(0.3) - col("stop_ratio"))), 4)
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .withColumn("stop_ratio",
+        size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in", "is")))
+          .cast("double") / size(toks))
+      .withColumn("score", score)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("source", "rk", "doc_id", "score")
+      .orderBy("source", "rk")
+  }
+
+  /** E1: symmetric int8 embedding quantization — per-vector scale =
+    * max|x|/127, elements round to [-127, 127]. Cuts ANN storage and
+    * bandwidth 4×; the spec bounds the dequantization error. */
+  def e1EmbeddingQuantize(s: SparkSession, d: String): DataFrame = {
+    val emb = V.asDouble(col("embedding"))
+    Tables.embeddings(s, d)
+      .withColumn("raw_scale",
+        aggregate(emb, lit(0.0), (m, x) => greatest(m, abs(x))) / 127.0)
+      // floor(x+0.5) instead of round(): no round-half tie for the
+      // engines to disagree on
+      .withColumn("q", transform(emb, x =>
+        floor(x / col("raw_scale") + 0.5).cast("int")))
+      .select(col("vec_id"), round(col("raw_scale"), 6).as("scale"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + abs(v)).as("l1_q"),
+        element_at(col("q"), 1).cast("long").as("q0"))
+      .orderBy("vec_id")
+  }
+
+  /** O1: dataset profile — per-column null/distinct/min/max stats in
+    * ONE pass (conditional aggregation, no per-column jobs). */
+  def o1Profile(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    c.agg(
+      count(lit(1)).as("rows"),
+      count(col("c_name")).as("name_nonnull"),
+      countDistinct(col("c_mktsegment")).as("segments"),
+      round(min("c_acctbal"), 2).as("min_bal"),
+      round(max("c_acctbal"), 2).as("max_bal"),
+      round(avg("c_acctbal"), 2).as("avg_bal"),
+      countDistinct(col("c_nationkey")).as("nations"))
+  }
+}
