@@ -1,0 +1,103 @@
+package graft
+
+import graft.expressions.{MinHashSig, ShingleSet, SimHash64}
+import graft.functions.DiffUtils
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests: diff replay round-trips on arbitrary edits; the
+  * native hash expressions obey their algebraic contracts (checked by
+  * direct expression evaluation — no Spark session needed). */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    check(Prop.forAll(g) { a => f(a); true })
+
+  private val lineGen = Gen.listOfN(8, Gen.alphaNumStr.map(_.take(6)))
+
+  test("diff apply/reverse round-trips arbitrary single-hunk edits") {
+    val editGen = for {
+      lines <- lineGen.suchThat(_.nonEmpty)
+      start <- Gen.choose(0, lines.length - 1)
+      delLen <- Gen.choose(0, lines.length - start)
+      ins <- Gen.listOf(Gen.alphaNumStr.map(_.take(6)))
+      if delLen > 0 || ins.nonEmpty
+    } yield (lines, start, delLen, ins)
+
+    forAll(editGen) { case (lines, start, delLen, ins) =>
+      val removed = lines.slice(start, start + delLen)
+      val modified = lines.take(start) ++ ins ++ lines.drop(start + delLen)
+      val hunk =
+        s"@@ -${start + 1},$delLen +${start + 1},${ins.length} @@" ::
+          (removed.map("-" + _) ++ ins.map("+" + _))
+      val diff = hunk.mkString("\n")
+      val orig = lines.mkString("\n")
+      val expect = modified.mkString("\n")
+      assert(DiffUtils.applyDiff(orig, diff) == expect)
+      assert(DiffUtils.applyDiff(expect, diff, reverse = true) == orig)
+    }
+  }
+
+  private def evalMinhash(tokens: Seq[String], k: Int): Seq[Long] = {
+    val arr = new GenericArrayData(
+      tokens.map(t => UTF8String.fromString(t)).toArray[Any])
+    MinHashSig(Literal(arr, ArrayType(StringType)), k)
+      .eval(null).asInstanceOf[GenericArrayData].toLongArray().toSeq
+  }
+
+  test("minhash estimator: identity=1, symmetric, bounded") {
+    val setsGen = for {
+      a <- Gen.nonEmptyListOf(Gen.identifier.map(_.take(8))).map(_.distinct)
+      b <- Gen.nonEmptyListOf(Gen.identifier.map(_.take(8))).map(_.distinct)
+    } yield (a, b)
+    forAll(setsGen) { case (a, b) =>
+      val k = 32
+      def est(x: Seq[Long], y: Seq[Long]) =
+        x.zip(y).count(p => p._1 == p._2).toDouble / k
+      val (sa, sb) = (evalMinhash(a, k), evalMinhash(b, k))
+      assert(est(sa, sa) == 1.0)
+      assert(est(sa, sb) == est(sb, sa))
+      assert(est(sa, sb) >= 0.0 && est(sa, sb) <= 1.0)
+      // disjoint sets should rarely agree; identical sets always do
+      if (a.toSet == b.toSet) assert(est(sa, sb) == 1.0)
+    }
+  }
+
+  test("simhash: deterministic, zero hamming on identical input") {
+    forAll(Gen.nonEmptyListOf(Gen.identifier.map(_.take(8)))) { tokens =>
+      def sh(t: Seq[String]): Long = {
+        val arr = new GenericArrayData(
+          t.map(x => UTF8String.fromString(x)).toArray[Any])
+        SimHash64(Literal(arr, ArrayType(StringType)))
+          .eval(null).asInstanceOf[Long]
+      }
+      assert(sh(tokens) == sh(tokens))
+      assert(java.lang.Long.bitCount(sh(tokens) ^ sh(tokens)) == 0)
+    }
+  }
+
+  test("shingles: correct count, width, and distinctness") {
+    forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { text =>
+      val n = 5
+      val out = ShingleSet(Literal(UTF8String.fromString(text), StringType), n)
+        .eval(null).asInstanceOf[GenericArrayData]
+        .toArray[UTF8String](StringType).map(_.toString).toSeq
+      if (text.length <= n) assert(out == Seq(text))
+      else {
+        assert(out.forall(_.length == n))
+        assert(out.distinct == out)
+        assert(out.toSet == text.sliding(n).toSet)
+      }
+    }
+  }
+}
