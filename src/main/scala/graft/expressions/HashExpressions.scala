@@ -20,10 +20,41 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 
 /** MinHash signature: for seeds 0..k-1, the minimum of
-  * xxhash64(element, seed) over the input array<string>. */
+  * xxhash64(element, seed) over the input array<string>.
+  * Implements `doGenCode`, so the expression stays inside whole-stage
+  * codegen (the fallback eval is kept for interpreted paths). */
 case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, arr => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      s"""
+        |long[] $mins = new long[$k];
+        |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+        |for (int $i = 0; $i < $arr.numElements(); $i++) {
+        |  UTF8String $s = $arr.getUTF8String($i);
+        |  if ($s != null) {
+        |    for (int $j = 0; $j < $k; $j++) {
+        |      long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+        |        .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
+        |          $s.numBytes(), (long) $j);
+        |      if ($h < $mins[$j]) $mins[$j] = $h;
+        |    }
+        |  }
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+      """.stripMargin
+    })
+  }
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

@@ -39,6 +39,32 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  case class EvFull(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class LatestState(user_id: Long, last_type: String,
+      last_value: Double, ts_ms: Long)
+
+  /** Streaming latest-state upsert — the continuously-maintained
+    * "current document" the reference re-indexes on every incremental
+    * run (reference: bugzilla_etl/bz_etl.py:172 incremental_etl),
+    * here as one mapGroupsWithState row per entity per trigger. */
+  def latestState(events: Dataset[EvFull]): Dataset[LatestState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[LatestState, LatestState](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EvFull], state: GroupState[LatestState]) =>
+          val newest = rows.maxBy(e => (e.ts.getTime, e.event_id))
+          val cur = state.getOption match {
+            case Some(prev) if prev.ts_ms >= newest.ts.getTime => prev
+            case _ => LatestState(userId, newest.event_type,
+              math.round(newest.value * 100) / 100.0, newest.ts.getTime)
+          }
+          state.update(cur)
+          cur
+      }
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(lastMs: Long, sessionNo: Long)
   case class SessionOut(user_id: Long, event_id: Long, ts_ms: Long,

@@ -59,6 +59,34 @@ class StreamAndSinkSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming latest-state equals batch h2") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_ls").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(streaming.EventStream.eventSchema).parquet(dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[streaming.EventStream.EvFull]
+    val q = streaming.EventStream.latestState(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("graft_ls")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("graft_ls")
+      .groupBy("user_id")
+      .agg(max_by(struct(col("last_type"), col("last_value"), col("ts_ms")),
+        col("ts_ms")).as("s"))
+      .select(col("user_id"), col("s.last_type"), col("s.last_value"), col("s.ts_ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val batch = operators.History.h2LatestState(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup drops in-watermark duplicates") {
     val dir = Files.createTempDirectory("graft_dupes").toString
     val ev = Tables.events(spark, sf)
