@@ -66,6 +66,8 @@ object SparkEntry {
     "t5_tfidf" -> (graft.text.TextAnalysis.t5Tfidf _),
     // Multimodal
     "m1_multimodal_meta" -> (graft.multimodal.Multimodal.m1MultimodalMeta _),
+    "m2_frame_sample" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.m2FrameSample(s, d)),
   )
 
   /** DuckDB oracle SQL per query (same parquet tables, same column

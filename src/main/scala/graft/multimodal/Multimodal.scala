@@ -36,6 +36,38 @@ object Multimodal {
     (w, ht, frames)
   }
 
+  case class FrameSample(doc_id: Long, frame_idx: Int, frame_w: Int,
+      frame_h: Int, frame_hash: Long)
+
+  /** M2: frame sampling + resize — every k-th frame of each "video"
+    * payload, resized to a target box (aspect preserved). The sampling
+    * plan (which frames, what output geometry) is computed in the
+    * distributed stage; only the codec call is stubbed. One input row
+    * fans out to its sampled frames — row-per-frame is the shape a
+    * downstream vision encoder consumes. */
+  def m2FrameSample(s: SparkSession, d: String, every: Int = 8,
+      box: Int = 224): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("source"), length(col("text")).as("n_bytes"))
+      .as[MediaIn]
+    media.mapPartitions { batch =>
+      batch.flatMap { m =>
+        val (w, h, frames) = decodeStub(m.payload)
+        val scale = box.toDouble / math.max(w, h)
+        val (ow, oh) = (math.max(1, (w * scale).toInt),
+          math.max(1, (h * scale).toInt))
+        (0 until frames by every).map { f =>
+          // stub "decode frame f": deterministic content hash
+          var fh = 1469598103934665603L ^ m.doc_id
+          fh = fh * 1099511628211L + f
+          FrameSample(m.doc_id, f, ow, oh, fh)
+        }
+      }
+    }.toDF().orderBy("doc_id", "frame_idx")
+  }
+
   /** M1: binary ingest → batched partition decode → typed metadata.
     * `mapPartitions` is the Scala analogue of `mapInPandas`: one
     * decoder per partition, streaming batches, no per-row setup. */

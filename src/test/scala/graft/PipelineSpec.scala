@@ -90,6 +90,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("m2 frame sampling emits every 8th frame at box-bounded size") {
+    val meta = multimodal.Multimodal.m1MultimodalMeta(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getInt(5)).toMap
+    val frames = multimodal.Multimodal.m2FrameSample(spark, sf).collect()
+    val byDoc = frames.groupBy(_.getLong(0))
+    assert(byDoc.keySet == meta.keySet)
+    byDoc.foreach { case (doc, fs) =>
+      assert(fs.length == (meta(doc) + 7) / 8) // ceil(frames/8)
+      fs.foreach { f =>
+        assert(f.getInt(1) % 8 == 0)
+        assert(f.getInt(2) <= 224 && f.getInt(3) <= 224)
+        assert(math.max(f.getInt(2), f.getInt(3)) == 224 ||
+          (f.getInt(2) >= 1 && f.getInt(3) >= 1))
+      }
+    }
+  }
+
   test("m1 multimodal plumbing yields typed metadata for every doc") {
     val n = Tables.documents(spark, sf).count()
     val rows = multimodal.Multimodal.m1MultimodalMeta(spark, sf).collect()
