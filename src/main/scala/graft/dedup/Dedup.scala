@@ -40,14 +40,19 @@ object Dedup {
     // The 32-long signature (256 B) rides along through the band join,
     // so verification needs no second scan of the corpus: one shuffle
     // on (band, hash), one distinct on the candidate pair.
+    // Self-join on the SAME plan via dataset aliases so both sides
+    // canonicalize identically and the shuffle exchange is reused
+    // (one signature/band computation, not two).
     val banded = sigs
       .select(col("doc_id"), col("sig"),
         posexplode(T.bandHashes(col("sig"), k, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-    banded.select(col("band"), col("bh"), col("doc_id").as("id1"), col("sig").as("sig1"))
-      .join(banded.select(col("band"), col("bh"), col("doc_id").as("id2"),
-        col("sig").as("sig2")), Seq("band", "bh"))
-      .filter(col("id1") < col("id2"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
       .dropDuplicates("id1", "id2")
       .withColumn("jaccard_est",
         round(T.minhashJaccardEst(col("sig1"), col("sig2"), k), 3))

@@ -47,10 +47,12 @@ object AliasAnalysis {
       .cache()
 
     var aliases = Seq.empty[(String, String)].toDF("alias", "canonical")
+    var aliasesEmpty = true
 
     for (_ <- 1 to rounds) {
-      // fold current aliases into the per-bug multisets
-      val folded = base
+      // fold current aliases into the per-bug multisets (first round
+      // has nothing to fold — skip the join + re-aggregation)
+      val folded = if (aliasesEmpty) base else base
         .join(aliases.withColumnRenamed("alias", "email"), Seq("email"), "left")
         .withColumn("email", coalesce(col("canonical"), col("email")))
         .groupBy("bug_id", "email")
@@ -82,6 +84,7 @@ object AliasAnalysis {
         .groupBy("alias").agg(min("canonical").as("canonical"))
         .filter(col("alias") =!= col("canonical"))
         .localCheckpoint(eager = true) // cut the growing lineage per round
+      aliasesEmpty = false
     }
     base.unpersist()
     aliases.orderBy("alias")
