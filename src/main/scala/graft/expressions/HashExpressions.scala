@@ -90,10 +90,44 @@ case class MinHashSig(child: Expression, k: Int)
 }
 
 /** 64-bit SimHash over array<string>: bit i set when the sum of ±1
-  * votes from each element-hash's bit i is positive. */
+  * votes from each element-hash's bit i is positive. Codegen'd like
+  * [[MinHashSig]]. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val out = ctx.freshName("out")
+      s"""
+        |int[] $votes = new int[64];
+        |for (int $i = 0; $i < $arr.numElements(); $i++) {
+        |  UTF8String $s = $arr.getUTF8String($i);
+        |  if ($s != null) {
+        |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+        |      .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
+        |        $s.numBytes(), 42L);
+        |    for (int $b = 0; $b < 64; $b++) {
+        |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+        |    }
+        |  }
+        |}
+        |long $out = 0L;
+        |for (int $b = 0; $b < 64; $b++) {
+        |  if ($votes[$b] > 0) $out |= (1L << $b);
+        |}
+        |${ev.value} = $out;
+      """.stripMargin
+    })
+  }
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {

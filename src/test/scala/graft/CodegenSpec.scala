@@ -1,0 +1,59 @@
+package graft
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Proves the native hash expressions run INSIDE whole-stage codegen:
+  * with `spark.sql.codegen.fallback=false` a broken `doGenCode` fails
+  * the query instead of silently dropping to interpreted eval, and the
+  * codegen results must equal the interpreted (`eval`) results.
+  */
+class CodegenSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def withStrictCodegen[A](f: => A): A = {
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try f finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("minhash + simhash codegen paths compile and match interpreted eval") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs",
+      "",
+      "aaaa aaaa aaaa"
+    )
+    val k = 16
+    val rows = withStrictCodegen {
+      spark.createDataFrame(docs.map(Tuple1(_))).toDF("text")
+        .select(
+          T.minhashSignature(T.shingleSet(col("text"), 5), k).as("mh"),
+          T.simhash(T.tokenSet(col("text"))).as("sh"))
+        .collect()
+    }
+    docs.zip(rows).foreach { case (text, row) =>
+      val shArr = {
+        val s = if (text.length <= 5) Seq(text)
+        else text.sliding(5).toSeq.distinct
+        new GenericArrayData(s.map(UTF8String.fromString).toArray[Any])
+      }
+      val tokArr = new GenericArrayData(
+        text.split(" ").distinct.map(UTF8String.fromString).toArray[Any])
+      val mhInterp = graft.expressions
+        .MinHashSig(Literal(shArr, ArrayType(StringType)), k)
+        .eval(null).asInstanceOf[GenericArrayData].toLongArray().toSeq
+      val shInterp = graft.expressions
+        .SimHash64(Literal(tokArr, ArrayType(StringType)))
+        .eval(null).asInstanceOf[Long]
+      assert(row.getSeq[Long](0) == mhInterp, s"minhash mismatch for '$text'")
+      assert(row.getLong(1) == shInterp, s"simhash mismatch for '$text'")
+    }
+  }
+}
