@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the executed plan + wall time for named queries.
+  *
+  * Usage: runMain graft.PlanAudit <sfDir> <queryName> [<queryName>...]
+  * Prints the formatted physical plan (after AQE final plan when the
+  * query is executed) and two timed runs, so exchange reuse, pushed
+  * filters, pruned schemas, and codegen spans can be audited per query.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = args.head
+    val names = args.tail.toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (name <- names) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      println(s"===== $name : initial plan =====")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      val t0 = System.nanoTime(); val n = df.count()
+      val t1 = System.nanoTime(); df.count()
+      val t2 = System.nanoTime()
+      println(s"===== $name : final adaptive plan =====")
+      println(df.queryExecution.executedPlan.toString)
+      println(f"===== $name rows=$n cold=${(t1 - t0) / 1e9}%.2fs warm=${(t2 - t1) / 1e9}%.2fs =====")
+    }
+    spark.stop()
+  }
+}

@@ -47,17 +47,24 @@ object Dedup {
       .select(col("doc_id"), col("sig"),
         posexplode(T.bandHashes(col("sig"), k, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    // The Jaccard estimate is a pure function of the pair, so it is
+    // computed inside the join projection (identical value for every
+    // band a pair collides in) and the duplicate-collision dedup
+    // becomes groupBy(id1,id2).max(jac): a HashAggregate with map-side
+    // partials over 24-byte rows, instead of dropDuplicates carrying
+    // both 256-byte signatures through a SortAggregate (first() on
+    // array types forces the sort-based path). Filtering < 0.5 BEFORE
+    // the pair shuffle also drops most collisions map-side.
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
-      .dropDuplicates("id1", "id2")
-      .withColumn("jaccard_est",
-        round(T.minhashJaccardEst(col("sig1"), col("sig2"), k), 3))
-      .filter(col("jaccard_est") >= 0.5)
-      .select("id1", "id2", "jaccard_est")
+        round(T.minhashJaccardEst(col("a.sig"), col("b.sig"), k), 3)
+          .as("jac"))
+      .filter(col("jac") >= 0.5)
+      .groupBy("id1", "id2")
+      .agg(max("jac").as("jaccard_est"))
       .orderBy("id1", "id2")
   }
 

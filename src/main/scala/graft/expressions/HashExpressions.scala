@@ -1,7 +1,6 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -168,12 +167,41 @@ case class SimHash64(child: Expression)
 
 /** Character shingles computed natively: all n-byte windows of the
   * UTF-8 bytes (ASCII corpus ⇒ identical to character windows),
-  * distinct, as array<string>. */
+  * distinct, as array<string>. Codegen emits a static call into
+  * [[ShingleHelper]] — the set-building loop is allocation-bound, so
+  * inlining it as generated Java buys nothing, but the static call
+  * keeps the surrounding projection inside one whole-stage span
+  * (no per-row `eval` dispatch / InternalRow boxing as with
+  * `CodegenFallback`). */
 case class ShingleSet(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String]
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"graft.expressions.ShingleHelper.shingles($s, $n)")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"shingle_set needs string, got $t")
+    }
+  override def nullSafeEval(input: Any): Any =
+    ShingleHelper.shingles(input.asInstanceOf[UTF8String], n)
+  override protected def withNewChildInternal(c: Expression): ShingleSet =
+    copy(child = c)
+}
+
+/** Static target for [[ShingleSet]] codegen (Scala objects expose
+  * static forwarders, so generated Java calls this directly). */
+object ShingleHelper {
+  def shingles(s: UTF8String, n: Int): ArrayData = {
     val len = s.numBytes()
     if (len <= n) return new GenericArrayData(Array[Any](s.copy()))
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -188,6 +216,4 @@ case class ShingleSet(child: Expression, n: Int)
     while (it.hasNext) { out(j) = it.next(); j += 1 }
     new GenericArrayData(out)
   }
-  override protected def withNewChildInternal(c: Expression): ShingleSet =
-    copy(child = c)
 }
