@@ -49,23 +49,34 @@ object AliasAnalysis {
     var aliases = Seq.empty[(String, String)].toDF("alias", "canonical")
     var aliasesEmpty = true
 
-    for (_ <- 1 to rounds) {
+    var round = 0
+    var converged = false
+    while (round < rounds && !converged) {
+      round += 1
       // fold current aliases into the per-bug multisets (first round
-      // has nothing to fold — skip the join + re-aggregation)
+      // has nothing to fold — skip the join + re-aggregation; the
+      // alias map is tiny and checkpointed, so the join broadcasts)
       val folded = if (aliasesEmpty) base else base
         .join(aliases.withColumnRenamed("alias", "email"), Seq("email"), "left")
         .withColumn("email", coalesce(col("canonical"), col("email")))
         .groupBy("bug_id", "email")
         .agg(sum("cnt").as("cnt"))
         .filter(col("cnt") =!= 0)
-      val problems = folded.filter(col("cnt") < 0)
-        .select(col("bug_id"), col("email").as("problem"))
-      val solutions = folded.filter(col("cnt") > 0)
-        .select(col("bug_id"), col("email").as("solution"), col("cnt"))
-      // score every (problem, solution) by co-occurring positive mass
-      val scored = problems.join(solutions, "bug_id")
-        .groupBy("problem", "solution")
-        .agg(sum("cnt").as("score"))
+      // score every (problem, solution) by co-occurring positive mass.
+      // One pass: collect each bug's problem and solution lists in a
+      // single aggregation, then explode the cross product per bug —
+      // the fold subtree is evaluated once, where the earlier
+      // problems⋈solutions self-join evaluated it twice and reshuffled
+      // both sides on bug_id.
+      val scored = folded.groupBy("bug_id")
+        .agg(
+          collect_list(when(col("cnt") < 0, col("email"))).as("probs"),
+          collect_list(when(col("cnt") > 0,
+            struct(col("email"), col("cnt")))).as("sols"))
+        .select(explode(col("probs")).as("problem"), col("sols"))
+        .select(col("problem"), explode(col("sols")).as("sol"))
+        .groupBy(col("problem"), col("sol.email").as("solution"))
+        .agg(sum("sol.cnt").as("score"))
       val w = Window.partitionBy("problem")
         .orderBy(col("score").desc, col("solution").asc)
       val best = scored
@@ -74,17 +85,25 @@ object AliasAnalysis {
           coalesce(lead("score", 1).over(w), lit(0L)))
         .filter(col("rk") === 1 && col("margin") >= minimumDiff)
         .select(col("problem").as("alias"), col("solution").as("canonical"))
-      // transitive fold: existing aliases pointing at a problem email
-      // get remapped to its new canonical
-      val remapped = aliases.as("a")
-        .join(best.as("b"), $"a.canonical" === $"b.alias", "left")
-        .select($"a.alias",
-          coalesce($"b.canonical", $"a.canonical").as("canonical"))
-      aliases = remapped.union(best)
-        .groupBy("alias").agg(min("canonical").as("canonical"))
-        .filter(col("alias") =!= col("canonical"))
-        .localCheckpoint(eager = true) // cut the growing lineage per round
-      aliasesEmpty = false
+        // materialize once: `best` feeds both the transitive remap and
+        // the union below — without this the whole round pipeline
+        // (fold + pair-agg + window) would run twice
+        .localCheckpoint(eager = true)
+      if (best.isEmpty) {
+        converged = true // a fixpoint round adds nothing; later rounds won't either
+      } else {
+        // transitive fold: existing aliases pointing at a problem email
+        // get remapped to its new canonical
+        val remapped = aliases.as("a")
+          .join(best.as("b"), $"a.canonical" === $"b.alias", "left")
+          .select($"a.alias",
+            coalesce($"b.canonical", $"a.canonical").as("canonical"))
+        aliases = remapped.union(best)
+          .groupBy("alias").agg(min("canonical").as("canonical"))
+          .filter(col("alias") =!= col("canonical"))
+          .localCheckpoint(eager = true) // cut the growing lineage per round
+        aliasesEmpty = false
+      }
     }
     base.unpersist()
     aliases.orderBy("alias")
