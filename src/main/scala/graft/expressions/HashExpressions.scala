@@ -165,9 +165,11 @@ case class SimHash64(child: Expression)
     copy(child = c)
 }
 
-/** Character shingles computed natively: all n-byte windows of the
-  * UTF-8 bytes (ASCII corpus ⇒ identical to character windows),
-  * distinct, as array<string>. Codegen emits a static call into
+/** Character shingles computed natively: all n-CHARACTER windows of
+  * the string (`numChars`/char-indexed `substring`, so non-ASCII input
+  * shingles correctly and identically to the character-based columnar
+  * TextFunctions.shingles), distinct, as array<string>. Codegen emits
+  * a static call into
   * [[ShingleHelper]] — the set-building loop is allocation-bound, so
   * inlining it as generated Java buys nothing, but the static call
   * keeps the surrounding projection inside one whole-stage span
@@ -202,7 +204,9 @@ case class ShingleSet(child: Expression, n: Int)
   * static forwarders, so generated Java calls this directly). */
 object ShingleHelper {
   def shingles(s: UTF8String, n: Int): ArrayData = {
-    val len = s.numBytes()
+    // character count, NOT numBytes: UTF8String.substring indexes by
+    // character, so a byte-based bound disagrees on non-ASCII input
+    val len = s.numChars()
     if (len <= n) return new GenericArrayData(Array[Any](s.copy()))
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0

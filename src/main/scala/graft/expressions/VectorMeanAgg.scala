@@ -32,18 +32,27 @@ case class VectorMeanAgg(
   override def createAggregationBuffer(): Array[Double] =
     new Array[Double](dim + 1)
 
+  // element-type dispatch hoisted out of the per-element hot loop
+  @transient private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      val n = math.min(arr.numElements(), dim)
+      // a dim mismatch means wrong centroids (silent truncation /
+      // zero-padding into the mean) — fail loudly instead
+      if (arr.numElements() != dim) {
+        throw new IllegalArgumentException(
+          s"VectorMeanAgg(dim=$dim) got a vector of length ${arr.numElements()}")
+      }
       var i = 0
-      while (i < n) {
-        buf(i + 1) += (child.dataType match {
-          case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
-          case _ => arr.getDouble(i)
-        })
-        i += 1
+      if (isFloat) {
+        while (i < dim) { buf(i + 1) += arr.getFloat(i).toDouble; i += 1 }
+      } else {
+        while (i < dim) { buf(i + 1) += arr.getDouble(i); i += 1 }
       }
       buf(0) += 1
     }

@@ -54,10 +54,13 @@ object AliasAnalysis {
     while (round < rounds && !converged) {
       round += 1
       // fold current aliases into the per-bug multisets (first round
-      // has nothing to fold — skip the join + re-aggregation; the
-      // alias map is tiny and checkpointed, so the join broadcasts)
+      // has nothing to fold — skip the join + re-aggregation). The
+      // alias map is tiny by construction (bounded by distinct problem
+      // emails), so broadcast it explicitly: no shuffle of `base`, and
+      // AQE never has to guess.
       val folded = if (aliasesEmpty) base else base
-        .join(aliases.withColumnRenamed("alias", "email"), Seq("email"), "left")
+        .join(broadcast(aliases.withColumnRenamed("alias", "email")),
+          Seq("email"), "left")
         .withColumn("email", coalesce(col("canonical"), col("email")))
         .groupBy("bug_id", "email")
         .agg(sum("cnt").as("cnt"))
@@ -93,15 +96,18 @@ object AliasAnalysis {
         converged = true // a fixpoint round adds nothing; later rounds won't either
       } else {
         // transitive fold: existing aliases pointing at a problem email
-        // get remapped to its new canonical
+        // get remapped to its new canonical. `best` is the round's ONE
+        // materialization; the alias chain on top of it is a handful
+        // of broadcast joins over ≤rounds checkpointed tiny frames, so
+        // re-evaluating it is cheap and a second eager checkpoint per
+        // round (which serialized the loop) is not worth its job.
         val remapped = aliases.as("a")
-          .join(best.as("b"), $"a.canonical" === $"b.alias", "left")
+          .join(broadcast(best.as("b")), $"a.canonical" === $"b.alias", "left")
           .select($"a.alias",
             coalesce($"b.canonical", $"a.canonical").as("canonical"))
         aliases = remapped.union(best)
           .groupBy("alias").agg(min("canonical").as("canonical"))
           .filter(col("alias") =!= col("canonical"))
-          .localCheckpoint(eager = true) // cut the growing lineage per round
         aliasesEmpty = false
       }
     }

@@ -57,8 +57,18 @@ object BugHistory {
       singleFields: Seq[String], multiFields: Seq[String]): DataFrame = {
     val NEG = Long.MinValue
 
+    // The raw activity feeds four consumers (timeline, single-field
+    // changes, multi-field changes, per-version change records).
+    // Deliberately NOT cached here: measured at sf0.1, caching these
+    // interior frames cost more than the recompute it saved (eager
+    // materialization + the InMemoryRelation boundary blocking AQE's
+    // join planning). Callers cache their SHAPED inputs instead
+    // (HistoryDriver caches the purchase frame and the b1 parents),
+    // which is where the recompute amplification actually lives.
+    val act = activity
+
     // ---- version timeline ------------------------------------------------
-    val timeline = activity.select(col("id"), col("ts"))
+    val timeline = act.select(col("id"), col("ts"))
       .union(current.select(col("id"), col("created_ts").as("ts")))
       .distinct()
     val wV = Window.partitionBy("id").orderBy("ts")
@@ -68,7 +78,7 @@ object BugHistory {
 
     // ---- single-value fields --------------------------------------------
     val singles = if (singleFields.isEmpty) None else Some {
-      val chg = activity.filter(col("field").isin(singleFields: _*))
+      val chg = act.filter(col("field").isin(singleFields: _*))
         .select(col("id"), col("field"), col("ts"),
           col("old_value"), col("new_value"))
       val wC = Window.partitionBy("id", "field").orderBy("ts", "new_value")
@@ -110,7 +120,7 @@ object BugHistory {
 
     // ---- multi-value fields ---------------------------------------------
     val multis = if (multiFields.isEmpty) None else Some {
-      val mchg = activity.filter(col("field").isin(multiFields: _*))
+      val mchg = act.filter(col("field").isin(multiFields: _*))
       val ev = mchg.select(col("id"), col("field"), col("ts"),
           explode(split(col("new_value"), ",\\s*")).as("item"), lit(1).as("delta"))
         .union(mchg.select(col("id"), col("field"), col("ts"),
@@ -162,7 +172,7 @@ object BugHistory {
     }
 
     // ---- per-version change records -------------------------------------
-    val changes = activity
+    val changes = act
       .groupBy(col("id"), col("ts"))
       .agg(array_sort(collect_list(struct(
         col("field").as("field_name"),
@@ -198,14 +208,26 @@ object BugHistory {
     * @param subFields   sub-entity fields to carry into the nest */
   def nestSubEntities(parents: DataFrame, subVersions: DataFrame,
       subFields: Seq[String]): DataFrame = {
+    // A sub-entity's version intervals tile time contiguously from its
+    // first version to +inf, so "the interval containing the parent's
+    // valid_from" is exactly an AS-OF lookup: the latest sub version
+    // with s_from <= valid_from (none ⇒ the sub-entity doesn't exist
+    // yet). Expanding parent versions by their DISTINCT subIds and
+    // merge-scanning via the native as-of join keeps the intermediate
+    // at (parent versions × live subIds) rows; the earlier
+    // interval-filter join on the low-cardinality parent id built
+    // (parent versions × ALL sub version rows) — ~16× bigger here and
+    // quadratic in sub-entity churn at scale.
     val subCols = struct((col("subId") +: subFields.map(col)): _*)
-    val matched = parents.select(col("id"), col("valid_from"))
-      .join(subVersions.select((Seq(col("id"), col("subId"),
-          col("valid_from").as("s_from"), col("expires_on").as("s_to")) ++
-          subFields.map(col)): _*),
-        Seq("id"))
-      .filter(col("valid_from") >= col("s_from") &&
-        col("valid_from") < col("s_to"))
+    val subIds = subVersions.select(col("id"), col("subId")).distinct()
+    val expanded = parents.select(col("id"), col("valid_from"))
+      .join(subIds, Seq("id"))
+    val rhs = subVersions.select((Seq(col("id").as("s_id"),
+        col("subId").as("s_sub"), col("valid_from").as("s_from")) ++
+        subFields.map(col)): _*)
+    val matched = AsOf.join(expanded, rhs,
+        Seq("id", "subId"), Seq("s_id", "s_sub"), "valid_from", "s_from")
+      .filter(col("s_from").isNotNull)
       .groupBy("id", "valid_from")
       .agg(array_sort(collect_list(subCols)).as("sub_entities"))
     parents.join(matched, Seq("id", "valid_from"), "left")

@@ -25,8 +25,14 @@ object Salting {
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
       aggs: SaltedAggSpec*): DataFrame = {
     require(aggs.nonEmpty, "need at least one aggregate")
+    // Salt derived from row CONTENT, not monotonically_increasing_id:
+    // a nondeterministic salt can re-assign rows to different shards
+    // between stage attempts (SPARK-23207-class retry bug), double-
+    // counting or dropping rows in the phase-1 aggregate. Hashing all
+    // columns is deterministic per row; identical rows co-locating in
+    // one shard is harmless for algebraic aggregates.
     val salted = df.withColumn("__salt",
-      pmod(hash(monotonically_increasing_id()), lit(salts)))
+      pmod(hash(df.columns.map(col): _*), lit(salts)))
     val phase1 = aggs.map {
       case SaltedSum(n, c) => sum(c).as(n)
       case SaltedCount(n) => count(lit(1)).as(n)

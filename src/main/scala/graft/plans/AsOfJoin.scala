@@ -79,28 +79,44 @@ case class AsOfJoinExec(
       var matchKey: InternalRow = null
 
       lIter.map { lRow =>
-        val lk = lKey(lRow).copy()
-        val lt = lTime(lRow).getLong(0)
-        // advance the right side up to (key, time) — keep the last row
-        // at or before the left row's time
-        var continue = rBuf.hasNext
-        while (continue) {
-          val head = rBuf.head
-          val rk = rKey(head)
-          val cmp = keyOrd.compare(rk, lk)
-          if (cmp < 0 || (cmp == 0 && rTime(head).getLong(0) <= lt)) {
-            matchRow = head.copy()
-            matchKey = rKey(matchRow).copy()
-            rBuf.next()
-            continue = rBuf.hasNext
-          } else {
-            continue = false
-          }
-        }
-        if (matchRow != null && keyOrd.compare(matchKey, lk) == 0) {
-          outProj(joined(lRow, matchRow))
-        } else {
+        // SQL join semantics: null keys never match (NOT natural-
+        // ordering NULL==NULL), and a null time never matches either —
+        // mirrors DuckDB's ASOF, where such left rows get the
+        // null-padded right side.
+        val lkP = lKey(lRow)
+        val ltP = lTime(lRow)
+        if (lkP.anyNull || ltP.isNullAt(0)) {
           outProj(joined(lRow, nullRight))
+        } else {
+          val lk = lkP.copy()
+          val lt = ltP.getLong(0)
+          // advance the right side up to (key, time) — keep the last
+          // row at or before the left row's time; right rows with null
+          // key/time are consumed but never recorded as matches
+          var continue = rBuf.hasNext
+          while (continue) {
+            val head = rBuf.head
+            val rk = rKey(head)
+            if (rk.anyNull || rTime(head).isNullAt(0)) {
+              rBuf.next()
+              continue = rBuf.hasNext
+            } else {
+              val cmp = keyOrd.compare(rk, lk)
+              if (cmp < 0 || (cmp == 0 && rTime(head).getLong(0) <= lt)) {
+                matchRow = head.copy()
+                matchKey = rKey(matchRow).copy()
+                rBuf.next()
+                continue = rBuf.hasNext
+              } else {
+                continue = false
+              }
+            }
+          }
+          if (matchRow != null && keyOrd.compare(matchKey, lk) == 0) {
+            outProj(joined(lRow, matchRow))
+          } else {
+            outProj(joined(lRow, nullRight))
+          }
         }
       }
     }

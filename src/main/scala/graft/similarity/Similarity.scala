@@ -40,18 +40,11 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), col("cos3").as("cos"))
       .orderBy("q_id", "rank")
 
-  /** Deterministic random hyperplane j (seeded by xxhash64), as a
-    * double array in [-1, 1). */
-  private def plane(j: Int, dim: Int): org.apache.spark.sql.Column =
-    transform(sequence(lit(0), lit(dim - 1)),
-      i => pmod(xxhash64(lit(j), i), lit(2000)).cast("double") / 1000.0 - 1.0)
-
-  /** Sign-bucket of an embedding under `nPlanes` hyperplanes. */
+  /** Sign-bucket of an embedding under `nPlanes` seeded hyperplanes
+    * (shared deterministic planes: [[VectorFunctions.plane]]). */
   private def lshBucket(emb: org.apache.spark.sql.Column, nPlanes: Int,
       dim: Int): org.apache.spark.sql.Column =
-    (0 until nPlanes).map { j =>
-      when(V.dot(V.asDouble(emb), plane(j, dim)) > 0, 1L << j).otherwise(0L)
-    }.reduce(_ + _)
+    V.signSig(V.asDouble(emb), 0, nPlanes, dim)
 
   /** S2: random-hyperplane LSH ANN — queries only probe their own sign
     * bucket (4 planes → 16 cells; more planes = finer pruning at scale). */

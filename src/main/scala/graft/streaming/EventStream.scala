@@ -47,21 +47,37 @@ object EventStream {
   /** Streaming latest-state upsert — the continuously-maintained
     * "current document" the reference re-indexes on every incremental
     * run (reference: bugzilla_etl/bz_etl.py:172 incremental_etl),
-    * here as one mapGroupsWithState row per entity per trigger. */
-  def latestState(events: Dataset[EvFull]): Dataset[LatestState] = {
+    * here as one mapGroupsWithState row per entity per trigger.
+    *
+    * State is BOUNDED: EventTimeTimeout evicts entities idle past
+    * `retentionMs` (watermark-driven), emitting their final state once
+    * more on the way out — an update-mode sink upserts by user_id, so
+    * the re-emission is idempotent. Without this, state grows with
+    * key cardinality forever. */
+  def latestState(events: Dataset[EvFull],
+      retentionMs: Long = 30L * 24 * 3600 * 1000): Dataset[LatestState] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
       .mapGroupsWithState[LatestState, LatestState](
-        GroupStateTimeout.NoTimeout) {
+        GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[EvFull], state: GroupState[LatestState]) =>
-          val newest = rows.maxBy(e => (e.ts.getTime, e.event_id))
-          val cur = state.getOption match {
-            case Some(prev) if prev.ts_ms >= newest.ts.getTime => prev
-            case _ => LatestState(userId, newest.event_type,
-              math.round(newest.value * 100) / 100.0, newest.ts.getTime)
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val newest = rows.maxBy(e => (e.ts.getTime, e.event_id))
+            val cur = state.getOption match {
+              case Some(prev) if prev.ts_ms >= newest.ts.getTime => prev
+              case _ => LatestState(userId, newest.event_type,
+                math.round(newest.value * 100) / 100.0, newest.ts.getTime)
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(math.max(cur.ts_ms + retentionMs,
+              state.getCurrentWatermarkMs() + 1))
+            cur
           }
-          state.update(cur)
-          cur
       }
   }
 
@@ -71,26 +87,40 @@ object EventStream {
       session_no: Long)
 
   /** Stateful gap sessionization: a new session when >30 min idle.
-    * State per user is two longs — bounded, watermark-evictable. */
+    * State per user is two longs, and EventTimeTimeout evicts it once
+    * the watermark passes `lastMs + gapMs` — at that point any
+    * non-late future event would open a new session anyway, so
+    * eviction never merges or splits a session. (Per-user session
+    * NUMBERING restarts after eviction; sessions are identified by
+    * (user_id, first event) downstream, not by the counter, when
+    * running unbounded.) */
   def sessionize(events: Dataset[Ev], gapMs: Long = 30L * 60 * 1000)
       (implicit enc1: org.apache.spark.sql.Encoder[SessionOut])
       : Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
-          // within a micro-batch rows may arrive unordered; sort locally
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
-          val out = sorted.map { e =>
-            val ms = e.ts.getTime
-            val newSession = st.lastMs == Long.MinValue || ms - st.lastMs > gapMs
-            st = SessionState(ms, if (newSession) st.sessionNo + 1 else st.sessionNo)
-            SessionOut(userId, e.event_id, ms, st.sessionNo)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // within a micro-batch rows may arrive unordered; sort locally
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+            val out = sorted.map { e =>
+              val ms = e.ts.getTime
+              val newSession = st.lastMs == Long.MinValue || ms - st.lastMs > gapMs
+              st = SessionState(ms, if (newSession) st.sessionNo + 1 else st.sessionNo)
+              SessionOut(userId, e.event_id, ms, st.sessionNo)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(st.lastMs + gapMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 }

@@ -83,16 +83,20 @@ object TextAnalysis {
 
   /** T5: TF-IDF top terms per document — explode → tf, document
     * frequency, smoothed idf, top-3 per doc ranked on the quantized
-    * score (cross-engine determinism). The tf and df aggregations both
-    * partial-aggregate map-side; df joins back as a broadcast (term
-    * dictionary ≪ corpus at any scale). */
+    * score (cross-engine determinism). The corpus is scanned and
+    * exploded ONCE: df derives from tf (tf has exactly one row per
+    * (doc,term), so count == countDistinct docs) and Catalyst reuses
+    * the tf aggregate exchange for both join branches. The term
+    * dictionary is NOT broadcast — at 100 TB distinct terms run to
+    * billions; the shuffle hash join on `term` (AQE's pick) is the
+    * scale-safe plan. Only the 1-row corpus count broadcasts. */
   def t5Tfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val terms = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = terms.groupBy("term").agg(countDistinct("doc_id").as("df"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") *
         log((col("n") + 1.0) / (col("df") + 1.0)), 4))
     scored

@@ -56,4 +56,44 @@ class CodegenSpec extends AnyFunSuite {
       assert(row.getLong(1) == shInterp, s"simhash mismatch for '$text'")
     }
   }
+
+  test("shingle_set handles non-ASCII input by characters, like the columnar form") {
+    val docs = Seq("héllo wörld ünïcode", "日本語のテキストです", "mixed 漢字 and ascii")
+    val rows = withStrictCodegen {
+      spark.createDataFrame(docs.map(Tuple1(_))).toDF("text")
+        .select(sort_array(T.shingleSet(col("text"), 5)).as("native"),
+          sort_array(array_distinct(T.shingles(col("text"), 5))).as("columnar"))
+        .collect()
+    }
+    docs.zip(rows).foreach { case (text, r) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"shingle mismatch for '$text'")
+    }
+  }
+
+  test("native vec_dot equals the HOF formulation bit-for-bit") {
+    import graft.functions.{VectorFunctions => V}
+    val e = Tables.embeddings(spark, sf).limit(200)
+    val rows = withStrictCodegen {
+      e.select(
+        V.dot(V.asDouble(col("embedding")), V.asDouble(col("embedding"))).as("native"),
+        V.dotHof(V.asDouble(col("embedding")), V.asDouble(col("embedding"))).as("hof"),
+        V.dot(col("embedding"), col("embedding")).as("native_float"))
+        .collect()
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // identical accumulation order
+      assert(r.getDouble(2) == r.getDouble(1)) // in-loop float->double cast
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("driver-precomputed planes equal the SQL xxhash64 formulation") {
+    import graft.functions.{VectorFunctions => V}
+    for (j <- Seq(0, 3, 1000, 1095)) {
+      val sql = spark.range(1).select(V.plane(j, 64).as("p"))
+        .collect().head.getSeq[Double](0)
+      assert(sql == V.planeValues(j, 64).toSeq, s"plane $j mismatch")
+    }
+  }
 }

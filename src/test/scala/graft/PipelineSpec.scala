@@ -40,6 +40,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d3 pigeonhole banding finds EXACTLY the full-pairwise hamming<=10 pairs") {
+    import graft.functions.{TextFunctions => T}
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), T.simhash(T.tokenSet(col("text"))).as("sh"))
+    val truth = docs.select(col("doc_id").as("id1"), col("sh").as("h1"))
+      .crossJoin(docs.select(col("doc_id").as("id2"), col("sh").as("h2")))
+      .filter(col("id1") < col("id2"))
+      .withColumn("hamming", T.hamming(col("h1"), col("h2")))
+      .filter(col("hamming") <= 10)
+      .select("id1", "id2", "hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val found = dedup.Dedup.d3Simhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(found == truth, s"banding missed ${(truth -- found).size} / extra ${(found -- truth).size}")
+    assert(found.nonEmpty)
+  }
+
+  test("d5 banded LSH output equals the all-pairs within-label formulation") {
+    import graft.functions.{VectorFunctions => V}
+    val e = Tables.embeddings(spark, sf)
+      .select(col("label"), col("vec_id"), V.asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", V.norm2(col("emb")))
+    val truth = e.select(col("label"), col("vec_id").as("id1"),
+        col("emb").as("e1"), col("nrm").as("n1"))
+      .join(e.select(col("label"), col("vec_id").as("id2"),
+        col("emb").as("e2"), col("nrm").as("n2")), Seq("label"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cos", round(V.dot(col("e1"), col("e2")) /
+        sqrt(col("n1") * col("n2")), 3))
+      .filter(col("cos") >= 0.3)
+      .select("id1", "id2", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val found = dedup.Dedup.d5EmbeddingDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(found == truth, s"LSH missed ${(truth -- found).size} / extra ${(found -- truth).size}")
+  }
+
   test("s1 brute-force ann returns 5 ranked neighbors per query") {
     val rows = similarity.Similarity.s1AnnBruteForce(spark, sf).collect()
     assert(rows.length == 50)
