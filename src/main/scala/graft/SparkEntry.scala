@@ -70,9 +70,180 @@ object SparkEntry {
       graft.multimodal.Multimodal.m2FrameSample(s, d)),
   )
 
+  /** Shared CTE chain reproducing HistoryDriver's event→activity
+    * shaping plus BugHistory.reconstruct (version timeline, single-
+    * value as-of states, multi-value presence intervals) in pure SQL —
+    * the hard oracle for the engine's core operator. Ends with a
+    * trailing comma so callers append their own final CTEs/SELECT. */
+  private val bugHistoryCte: String =
+    """WITH ev AS (
+      |  SELECT user_id AS id, epoch_ms(ts) AS ts, event_id, event_type,
+      |    regexp_extract(props, '"k": (\d+)', 1) AS k
+      |  FROM events),
+      |status_chg AS (
+      |  SELECT id, ts, 'status' AS field, old_value, event_type AS new_value FROM (
+      |    SELECT id, ts, event_id, event_type,
+      |      lag(event_type) OVER (PARTITION BY id ORDER BY ts, event_id) AS old_value
+      |    FROM ev)
+      |  WHERE old_value IS NOT NULL AND old_value <> event_type),
+      |cc_chg AS (
+      |  SELECT id, ts, 'cc' AS field,
+      |    CASE WHEN event_type='error' THEN 'k'||k ELSE '' END AS old_value,
+      |    CASE WHEN event_type='click' THEN 'k'||k ELSE '' END AS new_value
+      |  FROM ev WHERE event_type IN ('click','error')),
+      |activity AS (SELECT * FROM status_chg UNION ALL SELECT * FROM cc_chg),
+      |cur AS (
+      |  SELECT id, min(ts) AS created_ts,
+      |    max(CASE WHEN rn=1 THEN event_type END) AS status,
+      |    'u'||id AS owner
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY id
+      |          ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+      |  GROUP BY id),
+      |timeline AS (
+      |  SELECT DISTINCT id, ts FROM (
+      |    SELECT id, ts FROM activity UNION ALL SELECT id, created_ts FROM cur)),
+      |versions AS (
+      |  SELECT id, ts,
+      |    COALESCE(lead(ts) OVER (PARTITION BY id ORDER BY ts), 9999999999000) AS expires_on,
+      |    CAST(row_number() OVER (PARTITION BY id ORDER BY ts) AS BIGINT) AS version
+      |  FROM timeline),
+      |chg AS (SELECT id, field, ts, old_value, new_value FROM activity
+      |        WHERE field IN ('status','owner')),
+      |init_log AS (
+      |  SELECT id, field, -9223372036854775808 AS ts, old_value AS value FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id, field ORDER BY ts, new_value) AS rn
+      |    FROM chg)
+      |  WHERE rn = 1),
+      |init_cur AS (
+      |  SELECT c.id, f.field, -9223372036854775808 AS ts,
+      |    CASE f.field WHEN 'status' THEN c.status WHEN 'owner' THEN c.owner END AS value
+      |  FROM cur c CROSS JOIN (VALUES ('status'),('owner')) f(field)
+      |  WHERE NOT EXISTS (SELECT 1 FROM chg WHERE chg.id=c.id AND chg.field=f.field)),
+      |segments AS (
+      |  SELECT id, field, ts, new_value AS value FROM chg
+      |  UNION ALL SELECT * FROM init_log UNION ALL SELECT * FROM init_cur),
+      |u AS (
+      |  SELECT id, field, ts, value, 0 AS kind FROM segments
+      |  UNION ALL
+      |  SELECT v.id, f.field, v.ts, NULL AS value, 1 AS kind
+      |  FROM versions v CROSS JOIN (VALUES ('status'),('owner')) f(field)),
+      |states AS (
+      |  SELECT * FROM (
+      |    SELECT id, field, ts, kind,
+      |      last_value(value IGNORE NULLS) OVER (PARTITION BY id, field
+      |        ORDER BY ts, kind, value
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+      |    FROM u)
+      |  WHERE kind = 1),
+      |sv AS (
+      |  SELECT id, ts,
+      |    max(CASE WHEN field='status' THEN state END) AS status,
+      |    max(CASE WHEN field='owner' THEN state END) AS owner
+      |  FROM states GROUP BY id, ts),
+      |mev AS (
+      |  SELECT * FROM (
+      |    SELECT id, ts, new_value AS item, 1 AS delta FROM activity WHERE field='cc'
+      |    UNION ALL
+      |    SELECT id, ts, old_value AS item, -1 AS delta FROM activity WHERE field='cc')
+      |  WHERE item <> ''),
+      |winit AS (
+      |  SELECT *, CASE WHEN first_value(delta) OVER (PARTITION BY id, item
+      |      ORDER BY ts, delta
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) = -1
+      |    THEN 1 ELSE 0 END AS init
+      |  FROM mev),
+      |wprev AS (
+      |  SELECT *, COALESCE(lag(cum) OVER (PARTITION BY id, item ORDER BY ts, delta),
+      |      init) AS prev_cum
+      |  FROM (SELECT *, init + sum(delta) OVER (PARTITION BY id, item
+      |          ORDER BY ts, delta
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |        FROM winit)),
+      |marks AS (
+      |  SELECT *, (prev_cum <= 0 AND cum > 0) AS is_start,
+      |    (prev_cum > 0 AND cum <= 0) AS is_end
+      |  FROM wprev),
+      |runs AS (
+      |  SELECT *, lead(CASE WHEN is_end THEN ts END) OVER (PARTITION BY id, item
+      |      ORDER BY ts, delta) AS next_end
+      |  FROM marks WHERE is_start OR is_end),
+      |intervals AS (
+      |  SELECT id, item, ts AS start_ts, COALESCE(next_end, 9999999999000) AS end_ts
+      |  FROM runs WHERE is_start
+      |  UNION ALL
+      |  SELECT id, item, -9223372036854775808 AS start_ts, ts AS end_ts FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY id, item ORDER BY ts, delta) AS rn
+      |    FROM winit WHERE init=1)
+      |  WHERE rn=1),
+      |member AS (
+      |  SELECT v.id, v.ts, i.item FROM versions v JOIN intervals i ON v.id=i.id
+      |  WHERE v.ts >= i.start_ts AND v.ts < i.end_ts),
+      |ccv AS (
+      |  SELECT id, ts, string_agg(DISTINCT item, ',' ORDER BY item) AS cc
+      |  FROM member GROUP BY id, ts),
+      |chn AS (SELECT id, ts, count(*) AS n FROM activity GROUP BY id, ts),
+      |""".stripMargin
+
   /** DuckDB oracle SQL per query (same parquet tables, same column
     * aliases, same deterministic ORDER BY, floats rounded identically). */
   def oracleSql: Map[String, String] = Map(
+    "b1_bug_history" -> (bugHistoryCte +
+      """dummy AS (SELECT 1)
+        |SELECT v.id, v.ts AS valid_from, v.expires_on, v.version,
+        |  sv.status, sv.owner, COALESCE(ccv.cc, '') AS cc,
+        |  COALESCE(chn.n, 0) AS n_changes
+        |FROM versions v
+        |LEFT JOIN sv ON v.id=sv.id AND v.ts=sv.ts
+        |LEFT JOIN ccv ON v.id=ccv.id AND v.ts=ccv.ts
+        |LEFT JOIN chn ON v.id=chn.id AND v.ts=chn.ts
+        |ORDER BY v.id, v.version""".stripMargin),
+    "b2_nested_history" -> (bugHistoryCte +
+      """pur AS (
+        |  SELECT user_id AS id, epoch_ms(ts) AS ts,
+        |    CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS VARCHAR) AS subId
+        |  FROM events WHERE event_type = 'purchase'),
+        |atts AS (SELECT id, subId, min(ts) AS created FROM pur GROUP BY 1, 2),
+        |natt AS (
+        |  SELECT v.id, v.ts, count(*) AS n
+        |  FROM versions v JOIN atts a ON v.id = a.id AND a.created <= v.ts
+        |  GROUP BY 1, 2)
+        |SELECT v.id, v.version, v.ts AS valid_from, v.expires_on, sv.status,
+        |  COALESCE(natt.n, 0) AS n_atts
+        |FROM versions v
+        |LEFT JOIN sv ON v.id = sv.id AND v.ts = sv.ts
+        |LEFT JOIN natt ON v.id = natt.id AND v.ts = natt.ts
+        |ORDER BY v.id, v.version""".stripMargin),
+    "t1_langid" ->
+      """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> list_contains(['der','und','von','schnell'], x))) AS s_de,
+        |  len(list_filter(toks, x -> list_contains(['the','and','of','fast','slow'], x))) AS s_en,
+        |  len(list_filter(toks, x -> list_contains(['el','y','de','rapido'], x))) AS s_es,
+        |  len(list_filter(toks, x -> list_contains(['le','et','de','vite'], x))) AS s_fr,
+        |  len(list_filter(toks, x -> list_contains(['de','he','kuai'], x))) AS s_zh
+        | FROM t)
+        |SELECT doc_id, lang AS actual,
+        | CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |      WHEN s_fr >= s_zh THEN 'fr'
+        |      ELSE 'zh' END AS predicted
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, greatest(length(text), 1) + 1),
+        |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "h12_es_docs" ->
+      """SELECT user_id || '_' || epoch_ms(ts) AS _id,
+        |  '{"user_id":' || user_id || ',"event_type":"' || event_type ||
+        |  '","value":' || CAST(value AS VARCHAR) || ',"modified_ts":' ||
+        |  epoch_ms(ts) || '}' AS doc
+        |FROM events ORDER BY _id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty,
         | round(sum(l_extendedprice),2) AS sum_price, round(avg(l_discount),4) AS avg_disc,
@@ -331,8 +502,10 @@ object SparkEntry {
         |       GROUP BY 1) df ON tf.term = df.term
         | CROSS JOIN (SELECT count(*) AS n FROM documents) n)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
-    // rows-only (non-SQL-expressible): h12_es_docs, d2_minhash_lsh,
-    // d3_simhash, s2_ann_lsh, s3_ivf_ann, t1_langid, t4_fingerprint,
-    // m1_multimodal_meta
+    // rows-only (non-SQL-expressible; each is ScalaTest-proven against
+    // a Spark-built ground truth instead): a1_alias_analysis,
+    // d2_minhash_lsh (recall spec), d3_simhash (exact-equality spec),
+    // s2_ann_lsh / s3_ivf_ann (brute-force agreement specs),
+    // m1_multimodal_meta / m2_frame_sample (plumbing specs)
   )
 }

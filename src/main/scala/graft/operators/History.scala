@@ -197,8 +197,10 @@ object History {
 
   /** H12: ES-style document generation — stable `_id` = entity_ts
     * (reference: bugzilla_etl/transform_bugzilla.py:55 `bug.id =
-    * bug_id + "_" + modified_ts`), body as JSON. Rows-only check (JSON
-    * text isn't portably comparable across engines). */
+    * bug_id + "_" + modified_ts`), body as JSON. Oracle-checked: the
+    * DuckDB oracle rebuilds the JSON text via string concatenation and
+    * the shortest-round-trip double reprs agree byte-for-byte on the
+    * test corpus. */
   def h12EsDocs(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(
