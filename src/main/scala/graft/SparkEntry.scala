@@ -48,6 +48,9 @@ object SparkEntry {
     "p1_privacy_screen" -> (operators.Screening.p1PrivacyScreen _),
     "a1_alias_analysis" -> (operators.HistoryDriver.a1AliasAnalysis _),
     "b2_nested_history" -> (operators.HistoryDriver.b2NestedHistory _),
+    "b3_diff_history" -> (operators.DiffHistory.b3DiffHistory _),
+    "c2_comments_stream" -> (operators.Comments.c2CommentsStream _),
+    "h13_flag_lifecycle" -> (History.h13FlagLifecycle _),
     // Dedup family
     "d1_exact_dedup" -> (graft.dedup.Dedup.d1ExactDedup _),
     "d2_minhash_lsh" -> (graft.dedup.Dedup.d2MinhashLsh _),
@@ -213,6 +216,44 @@ object SparkEntry {
         |LEFT JOIN sv ON v.id = sv.id AND v.ts = sv.ts
         |LEFT JOIN natt ON v.id = natt.id AND v.ts = natt.ts
         |ORDER BY v.id, v.version""".stripMargin),
+    "b3_diff_history" ->
+      """SELECT user_id AS id, epoch_ms(ts) AS ts, event_id,
+        | string_agg('k=' || regexp_extract(props, '"k": (\d+)', 1) ||
+        |     ' e=' || event_id, chr(10))
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS story
+        |FROM events WHERE event_type = 'view'
+        |ORDER BY id, ts, event_id""".stripMargin,
+    "c2_comments_stream" ->
+      """SELECT doc_id AS comment_id, doc_id % 100 AS bug_id,
+        | 'u' || (doc_id % 50) || '@example.com' AS modified_by,
+        | 1704067200000 + doc_id * 3600000 AS modified_ts,
+        | CASE WHEN n_chars < 150 THEN '[screened]' ELSE text END AS comment
+        |FROM documents WHERE source <> 'src0' ORDER BY comment_id""".stripMargin,
+    "h13_flag_lifecycle" ->
+      """WITH fe AS (
+        |  SELECT user_id AS id, epoch_ms(ts) AS ts, event_id,
+        |    event_type AS flag_type, value,
+        |    'u' || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 40) % 20
+        |      || '@x.com' AS requestee,
+        |    CASE WHEN value >= 50 THEN 1 ELSE -1 END AS delta
+        |  FROM events),
+        |tr AS (
+        |  SELECT * FROM (
+        |    SELECT *, lag(delta) OVER (PARTITION BY id, flag_type, requestee
+        |        ORDER BY ts, event_id) AS prev
+        |    FROM fe)
+        |  WHERE prev IS NULL OR prev <> delta),
+        |lc AS (
+        |  SELECT *, lead(ts) OVER (PARTITION BY id, flag_type, requestee
+        |      ORDER BY ts, event_id) AS removed_ts
+        |  FROM tr)
+        |SELECT id, flag_type, requestee, ts AS granted_ts, removed_ts,
+        |  removed_ts - ts AS duration_ms,
+        |  CASE WHEN removed_ts IS NOT NULL THEN 'd'
+        |       WHEN value >= 100 THEN '+' ELSE '?' END AS status
+        |FROM lc WHERE delta = 1
+        |ORDER BY id, flag_type, requestee, granted_ts""".stripMargin,
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
         |           FROM documents),

@@ -131,6 +131,51 @@ object History {
       .orderBy("event_id")
   }
 
+  /** H13: flag LIFECYCLE matching — beyond h7's parse, the reference
+    * pairs each flag REMOVAL with the matching granted flag by
+    * (type, requestee) with requestee emails folded through the alias
+    * map, carrying previous_modified_ts forward and marking the flag
+    * 'd' (reference: bugzilla_etl/parse_bug_history.py:292
+    * processFlagsTableItem, :625 findFlag requestee-alias matching,
+    * :652 processFlagChange).
+    *
+    * Events shape: value >= 50 sets flag (event_type, requestee),
+    * value < 50 clears it; the raw requestee id (k % 40) canonicalizes
+    * to k % 20 — two alias ids per canonical address, so matching
+    * only works through the alias fold, as in the reference. Per
+    * (entity, type, canonical requestee): state TRANSITIONS pair each
+    * set with the next clear — granted_ts, removed_ts (null while
+    * granted), duration, and final status '+'/'?' or 'd'. Window
+    * algebra over one (id, type, requestee) partitioning; no
+    * per-entity loop. */
+  def h13FlagLifecycle(s: SparkSession, d: String): DataFrame = {
+    val fe = Tables.events(s, d)
+      .select(col("user_id").as("id"), unix_millis(col("ts")).as("ts"),
+        col("event_id"), col("event_type").as("flag_type"), col("value"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType
+          .fromDDL("k INT")).getField("k").cast("long").as("k"))
+      // alias fold: raw id k%40 -> canonical k%20 (parse_bug_history
+      // matches requestees via email_alias the same way)
+      .withColumn("requestee",
+        concat(lit("u"), pmod(col("k"), lit(40)) % 20, lit("@x.com")))
+      .withColumn("delta", when(col("value") >= 50, 1).otherwise(-1))
+    val wF = Window.partitionBy("id", "flag_type", "requestee")
+      .orderBy("ts", "event_id")
+    val transitions = fe
+      .withColumn("prev", lag("delta", 1).over(wF))
+      .filter(col("prev").isNull || col("prev") =!= col("delta"))
+    transitions
+      .withColumn("removed_ts", lead("ts", 1).over(wF))
+      .filter(col("delta") === 1)
+      .select(col("id"), col("flag_type"), col("requestee"),
+        col("ts").as("granted_ts"), col("removed_ts"),
+        (col("removed_ts") - col("ts")).as("duration_ms"),
+        when(col("removed_ts").isNotNull, lit("d"))
+          .when(col("value") >= 100, lit("+")).otherwise(lit("?"))
+          .as("status"))
+      .orderBy("id", "flag_type", "requestee", "granted_ts")
+  }
+
   /** H8: typed JSON property extraction (the reference flattens MySQL
     * rows into nested docs; here JSON props → typed columns, then
     * aggregate). */

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Comments stream, diff-replay history, flag lifecycle, and the
+  * incremental replicate analogue. */
+class EtlExtrasSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def bulkIds(dir: String): Set[String] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .filter(_.startsWith("""{"index":"""))
+      .map(l => l.split("\"_id\":\"")(1).takeWhile(_ != '"'))
+      .toSet
+
+  test("c2 comments: private dropped, screened tier redacted, own index") {
+    val rows = operators.Comments.c2CommentsStream(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val srcs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (source, nChars) = srcs(r.getLong(0))
+      assert(source != "src0") // private comments never emitted
+      if (nChars < 150) assert(r.getString(4) == "[screened]")
+      else assert(r.getString(4).nonEmpty && r.getString(4) != "[screened]")
+    }
+    val out = Files.createTempDirectory("graft_comments").toString + "/bulk"
+    operators.Comments.writeCommentsIndex(spark, sf, out)
+    val lines = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => Files.readAllLines(p).asScala).toSeq
+    assert(lines.nonEmpty && lines.length % 2 == 0)
+    assert(lines.head.startsWith("""{"index":{"_index":"comments","_id":""""))
+  }
+
+  test("b3 diff replay equals the direct window formulation") {
+    val replayed = operators.DiffHistory.b3DiffHistory(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val direct = Tables.events(spark, sf)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("id"), unix_millis(col("ts")).as("ts"),
+        col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType
+          .fromDDL("k INT")).getField("k").as("k"))
+      .withColumn("story", array_join(collect_list(
+        concat(lit("k="), col("k"), lit(" e="), col("event_id"))).over(w), "\n"))
+      .orderBy("id", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(4)))
+    assert(replayed.toSeq == direct.toSeq)
+    assert(replayed.nonEmpty)
+  }
+
+  test("h13 flag lifecycles: removed flags marked d with positive duration") {
+    val rows = operators.History.h13FlagLifecycle(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val removed = !r.isNullAt(4)
+      val status = r.getString(6)
+      if (removed) {
+        assert(status == "d")
+        assert(r.getLong(5) >= 0) // clear at or after grant
+      } else {
+        assert(status == "+" || status == "?")
+        assert(r.isNullAt(5))
+      }
+    }
+    // lifecycles of the same flag never overlap
+    rows.groupBy(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .foreach { case (_, ls) =>
+        val sorted = ls.sortBy(_.getLong(3)).toSeq
+        sorted.sliding(2).foreach {
+          case Seq(a, b) => assert(!a.isNullAt(4) && a.getLong(4) <= b.getLong(3))
+          case _ =>
+        }
+      }
+  }
+
+  test("replicate: split incremental runs copy exactly what one run would") {
+    val docs = operators.Comments.c2CommentsStream(spark, sf)
+      .withColumn("_id", col("comment_id").cast("string"))
+    val cut = docs.agg(expr("percentile_approx(modified_ts, 0.5)")).head().getLong(0)
+
+    val tmp = Files.createTempDirectory("graft_repl").toString
+    // one-shot reference copy
+    val oneShot = etl.Replicate.run(spark, docs, "_id",
+      s"$tmp/state_full", s"$tmp/full")
+    // split: first the old half, then everything
+    val r1 = etl.Replicate.run(spark, docs.filter(col("modified_ts") < cut),
+      "_id", s"$tmp/state_inc", s"$tmp/inc")
+    val r2 = etl.Replicate.run(spark, docs, "_id",
+      s"$tmp/state_inc", s"$tmp/inc")
+    assert(r1.copied > 0 && r2.copied > 0)
+    assert(r1.copied + r2.copied == oneShot.copied)
+
+    val fullIds = bulkIds(s"$tmp/full/run_0")
+    val incIds = bulkIds(s"$tmp/inc/run_0") ++
+      bulkIds(s"$tmp/inc/run_${r1.newHighWater}")
+    assert(incIds == fullIds)
+    // a third run with nothing new copies nothing
+    val r3 = etl.Replicate.run(spark, docs, "_id",
+      s"$tmp/state_inc", s"$tmp/inc")
+    assert(r3.copied == 0)
+  }
+}
