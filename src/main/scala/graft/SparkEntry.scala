@@ -46,6 +46,7 @@ object SparkEntry {
     "h12_es_docs" -> (History.h12EsDocs _),
     "b1_bug_history" -> (operators.HistoryDriver.b1BugHistory _),
     "p1_privacy_screen" -> (operators.Screening.p1PrivacyScreen _),
+    "p2_field_screen" -> (operators.Screening.p2FieldScreen _),
     "a1_alias_analysis" -> (operators.HistoryDriver.a1AliasAnalysis _),
     "b2_nested_history" -> (operators.HistoryDriver.b2NestedHistory _),
     "b3_diff_history" -> (operators.DiffHistory.b3DiffHistory _),
@@ -216,6 +217,53 @@ object SparkEntry {
         |LEFT JOIN sv ON v.id = sv.id AND v.ts = sv.ts
         |LEFT JOIN natt ON v.id = natt.id AND v.ts = natt.ts
         |ORDER BY v.id, v.version""".stripMargin),
+    "a1_alias_analysis" ->
+      """WITH cc AS (
+        |  SELECT user_id AS bug_id,
+        |    'p' || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 40) || '@old.example' AS old_value,
+        |    'p' || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 40) || '@new.example' AS new_value
+        |  FROM events WHERE event_type = 'purchase'),
+        |sign AS (
+        |  SELECT bug_id, lower(new_value) AS email, -1 AS delta FROM cc
+        |  UNION ALL SELECT bug_id, lower(old_value) AS email, 1 AS delta FROM cc),
+        |base AS (
+        |  SELECT bug_id, email, CAST(sum(delta) AS BIGINT) AS cnt FROM sign
+        |  WHERE email <> '' GROUP BY 1, 2 HAVING sum(delta) <> 0),
+        |scored1 AS (
+        |  SELECT p.email AS problem, s.email AS solution, sum(s.cnt) AS score
+        |  FROM (SELECT bug_id, email FROM base WHERE cnt < 0) p
+        |  JOIN (SELECT bug_id, email, cnt FROM base WHERE cnt > 0) s USING (bug_id)
+        |  GROUP BY 1, 2),
+        |best1 AS (
+        |  SELECT problem AS alias, solution AS canonical FROM (
+        |    SELECT *, row_number() OVER w AS rk,
+        |      score - COALESCE(lead(score) OVER w, 0) AS margin
+        |    FROM scored1 WINDOW w AS (PARTITION BY problem ORDER BY score DESC, solution ASC))
+        |  WHERE rk = 1 AND margin >= 2),
+        |folded AS (
+        |  SELECT b.bug_id, COALESCE(a.canonical, b.email) AS email,
+        |    CAST(sum(b.cnt) AS BIGINT) AS cnt
+        |  FROM base b LEFT JOIN best1 a ON b.email = a.alias
+        |  GROUP BY 1, 2 HAVING sum(b.cnt) <> 0),
+        |scored2 AS (
+        |  SELECT p.email AS problem, s.email AS solution, sum(s.cnt) AS score
+        |  FROM (SELECT bug_id, email FROM folded WHERE cnt < 0) p
+        |  JOIN (SELECT bug_id, email, cnt FROM folded WHERE cnt > 0) s USING (bug_id)
+        |  GROUP BY 1, 2),
+        |best2 AS (
+        |  SELECT problem AS alias, solution AS canonical FROM (
+        |    SELECT *, row_number() OVER w AS rk,
+        |      score - COALESCE(lead(score) OVER w, 0) AS margin
+        |    FROM scored2 WINDOW w AS (PARTITION BY problem ORDER BY score DESC, solution ASC))
+        |  WHERE rk = 1 AND margin >= 2),
+        |remapped AS (
+        |  SELECT a.alias, COALESCE(b.canonical, a.canonical) AS canonical
+        |  FROM best1 a LEFT JOIN best2 b ON a.canonical = b.alias),
+        |final AS (
+        |  SELECT alias, min(canonical) AS canonical FROM (
+        |    SELECT * FROM remapped UNION ALL SELECT * FROM best2)
+        |  GROUP BY alias HAVING alias <> min(canonical))
+        |SELECT alias, canonical FROM final ORDER BY alias""".stripMargin,
     "b3_diff_history" ->
       """SELECT user_id AS id, epoch_ms(ts) AS ts, event_id,
         | string_agg('k=' || regexp_extract(props, '"k": (\d+)', 1) ||
@@ -482,6 +530,12 @@ object SparkEntry {
         | n_chars < 150 AS screened
         |FROM documents WHERE source NOT IN ('src0', 'src1')
         |ORDER BY doc_id""".stripMargin,
+    "p2_field_screen" ->
+      """SELECT doc_id, source,
+        | CASE WHEN source IN ('src1','src3') THEN '[screened]' ELSE text END AS text,
+        | CASE WHEN source IN ('src1','src3') THEN NULL ELSE lang END AS lang,
+        | n_chars, source IN ('src1','src3') AS screened
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS rep_id, count(*) AS n
         |FROM documents GROUP BY md5(text) ORDER BY rep_id""".stripMargin,
@@ -543,10 +597,11 @@ object SparkEntry {
         |       GROUP BY 1) df ON tf.term = df.term
         | CROSS JOIN (SELECT count(*) AS n FROM documents) n)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
-    // rows-only (non-SQL-expressible; each is ScalaTest-proven against
-    // a Spark-built ground truth instead): a1_alias_analysis,
-    // d2_minhash_lsh (recall spec), d3_simhash (exact-equality spec),
-    // s2_ann_lsh / s3_ivf_ann (brute-force agreement specs),
-    // m1_multimodal_meta / m2_frame_sample (plumbing specs)
+    // rows-only (non-SQL-expressible — DuckDB lacks xxhash64 and
+    // 64-bit wrapping arithmetic; each is ScalaTest-proven against a
+    // Spark-built ground truth instead): d2_minhash_lsh (recall spec),
+    // d3_simhash (exact-equality spec), s2_ann_lsh / s3_ivf_ann
+    // (brute-force agreement specs), m1_multimodal_meta /
+    // m2_frame_sample (plumbing specs)
   )
 }

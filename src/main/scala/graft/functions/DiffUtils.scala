@@ -19,7 +19,14 @@ object DiffUtils {
 
   /** Apply `diff` to `text` (both newline-joined). Malformed hunks
     * throw IllegalArgumentException — callers mirror the reference's
-    * tolerance by catching and keeping the prior text. */
+    * tolerance by catching and keeping the prior text.
+    *
+    * Representation caveat: the newline-joined string "" is read as
+    * ZERO lines, so a document whose only content is a single empty
+    * line collapses to the empty document (exactly as in the
+    * reference, which also round-trips line lists through joined
+    * text). [[applyDiffLines]] on line vectors has no such ambiguity
+    * and round-trips exactly. */
   def applyDiff(text: String, diff: String, reverse: Boolean = false): String =
     applyDiffLines(
       if (text.isEmpty) Vector.empty else text.split("\n", -1).toVector,

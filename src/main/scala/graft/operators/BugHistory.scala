@@ -59,12 +59,11 @@ object BugHistory {
 
     // The raw activity feeds four consumers (timeline, single-field
     // changes, multi-field changes, per-version change records).
-    // Deliberately NOT cached here: measured at sf0.1, caching these
-    // interior frames cost more than the recompute it saved (eager
-    // materialization + the InMemoryRelation boundary blocking AQE's
-    // join planning). Callers cache their SHAPED inputs instead
-    // (HistoryDriver caches the purchase frame and the b1 parents),
-    // which is where the recompute amplification actually lives.
+    // Deliberately NOT cached, and callers should not cache their
+    // shaped inputs either: measured at sf0.1, every caching variant
+    // was 2-5x slower than recompute — these subtrees are codegen'd
+    // scans+windows, and a cache boundary costs an eager
+    // materialization job plus AQE losing sight of the child stats.
     val act = activity
 
     // ---- version timeline ------------------------------------------------

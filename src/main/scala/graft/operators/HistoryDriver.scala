@@ -32,11 +32,15 @@ object HistoryDriver {
     * attachments keyed (user, k%10) whose `size` field changes per
     * purchase; each bug version reports its nested attachment state. */
   def b2NestedHistory(s: SparkSession, d: String): DataFrame = {
-    // parents feeds nestSubEntities twice (interval match + final
-    // join) and rebuilding it re-runs the whole b1 reconstruct; the
-    // purchase shaping (from_json + window) likewise feeds both the
-    // activity and current sides. Cache both — one pass each.
-    val parents = b1BugHistoryVersions(s, d).cache()
+    // Deliberately NO .cache() anywhere in this DAG, although parents
+    // and the purchase shaping each feed two consumers: measured at
+    // sf0.1, every caching variant (parents+pur, reconstruct
+    // interiors, shaped activity) was 2-5x SLOWER than straight
+    // recompute — the repeated subtrees are all codegen'd scans and
+    // windows, while a cache boundary forces eager materialization
+    // jobs and hides stats from AQE's join planning. (8.4s cached vs
+    // 2.8s uncached; the as-of nest rewrite is the algorithmic win.)
+    val parents = b1BugHistoryVersions(s, d)
     val pur = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), unix_millis(col("ts")).as("ts"), col("event_id"),
@@ -45,7 +49,6 @@ object HistoryDriver {
         round(col("value"), 2).cast("string").as("size"))
       .withColumn("subId", (col("k") % 10).cast("string"))
       .withColumn("cid", concat_ws("#", col("user_id"), col("subId")))
-      .cache()
     val wA = Window.partitionBy("cid").orderBy("ts", "event_id")
     val attActivity = pur
       .withColumn("old_value", lag("size", 1).over(wA))

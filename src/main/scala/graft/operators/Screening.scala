@@ -30,4 +30,29 @@ object Screening {
         (col("n_chars") < 150).as("screened"))
       .orderBy("doc_id")
   }
+
+  /** P2: FIELD-level screening — unlike p1's whole-row tiers, the
+    * reference scrubs specific *fields* of bugs in screened groups
+    * while keeping the rest of the row intact: `SCREENED_FIELDDEFS`
+    * replaces chosen field values with '[screened]' and screened
+    * whiteboards are blanked (reference:
+    * bugzilla_etl/extract_bugzilla.py:30 SCREENED_FIELDDEFS, :104
+    * get_screened_whiteboard; bug_group_map membership decides which
+    * bugs are screened).
+    *
+    * Mapping: documents of sources 'src1'/'src3' are in a screened
+    * group; for those rows `text` becomes '[screened]' and `lang`
+    * (the whiteboard stand-in) is nulled — doc_id, source, n_chars
+    * survive untouched, and no row is dropped. Pure map stage. */
+  def p2FieldScreen(s: SparkSession, d: String): DataFrame = {
+    val screenedGroups = Seq("src1", "src3")
+    val inGroup = col("source").isin(screenedGroups: _*)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        when(inGroup, lit("[screened]")).otherwise(col("text")).as("text"),
+        when(inGroup, lit(null).cast("string")).otherwise(col("lang"))
+          .as("lang"),
+        col("n_chars"), inGroup.as("screened"))
+      .orderBy("doc_id")
+  }
 }

@@ -85,6 +85,39 @@ class EtlExtrasSpec extends AnyFunSuite {
       }
   }
 
+  test("p2 field screening scrubs fields but keeps rows") {
+    val n = Tables.documents(spark, sf).count()
+    val rows = operators.Screening.p2FieldScreen(spark, sf).collect()
+    assert(rows.length == n) // no row dropped
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+    rows.foreach { r =>
+      if (r.getBoolean(5)) {
+        assert(r.getString(2) == "[screened]" && r.isNullAt(3))
+      } else {
+        assert(r.getString(2) != "[screened]" && !r.isNullAt(3))
+      }
+    }
+  }
+
+  test("es index lifecycle: alias swaps only after a successful build; prune keeps rollback") {
+    val root = Files.createTempDirectory("graft_idx").toString
+    val docs = operators.Comments.c2CommentsStream(spark, sf)
+      .limit(50).withColumn("_id", col("comment_id").cast("string"))
+    assert(sources.EsIndexManager.resolve(root, "bugs").isEmpty)
+    val v1 = sources.EsIndexManager.publish(docs, root, "bugs", "_id")
+    assert(sources.EsIndexManager.resolve(root, "bugs").contains(v1))
+    val v2 = sources.EsIndexManager.publish(docs.limit(10), root, "bugs", "_id")
+    assert(v1 != v2)
+    assert(sources.EsIndexManager.resolve(root, "bugs").contains(v2))
+    // both index versions exist until pruned; alias readers see v2
+    assert(Files.exists(Paths.get(root, v1)) && Files.exists(Paths.get(root, v2)))
+    val v3 = sources.EsIndexManager.publish(docs.limit(5), root, "bugs", "_id")
+    val dropped = sources.EsIndexManager.prune(root, "bugs", keep = 1)
+    assert(dropped == Seq(v1)) // v3 live, v2 kept for rollback
+    assert(!Files.exists(Paths.get(root, v1)) && Files.exists(Paths.get(root, v2)))
+    assert(sources.EsIndexManager.resolve(root, "bugs").contains(v3))
+  }
+
   test("replicate: split incremental runs copy exactly what one run would") {
     val docs = operators.Comments.c2CommentsStream(spark, sf)
       .withColumn("_id", col("comment_id").cast("string"))

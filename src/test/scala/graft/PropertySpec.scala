@@ -40,11 +40,19 @@ class PropertySpec extends AnyFunSuite {
       val hunk =
         s"@@ -${start + 1},$delLen +${start + 1},${ins.length} @@" ::
           (removed.map("-" + _) ++ ins.map("+" + _))
-      val diff = hunk.mkString("\n")
-      val orig = lines.mkString("\n")
-      val expect = modified.mkString("\n")
-      assert(DiffUtils.applyDiff(orig, diff) == expect)
-      assert(DiffUtils.applyDiff(expect, diff, reverse = true) == orig)
+      val diff = hunk.mkString("\n").split("\n", -1).toVector
+      // the line-vector form round-trips EXACTLY for arbitrary content
+      // (the joined-string form collapses a lone trailing empty line —
+      // see DiffUtils.applyDiff's representation caveat)
+      assert(DiffUtils.applyDiffLines(lines.toVector, diff,
+        reverse = false) == modified.toVector)
+      assert(DiffUtils.applyDiffLines(modified.toVector, diff,
+        reverse = true) == lines.toVector)
+      // string form agrees whenever the representation is unambiguous
+      if (lines != List("") && modified != List("")) {
+        assert(DiffUtils.applyDiff(lines.mkString("\n"), diff.mkString("\n"))
+          == modified.mkString("\n"))
+      }
     }
   }
 
