@@ -25,8 +25,12 @@ object PlanAudit {
       println(s"===== $name : initial plan =====")
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
-      val t0 = System.nanoTime(); val n = df.count()
-      val t1 = System.nanoTime(); df.count()
+      // drive the Dataset's OWN queryExecution (df.count() would plan a
+      // fresh execution and leave this one's AQE plan non-final)
+      val t0 = System.nanoTime()
+      val n = df.queryExecution.executedPlan.execute().count()
+      val t1 = System.nanoTime()
+      df.queryExecution.executedPlan.execute().count()
       val t2 = System.nanoTime()
       println(s"===== $name : final adaptive plan =====")
       println(df.queryExecution.executedPlan.toString)

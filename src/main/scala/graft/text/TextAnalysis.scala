@@ -94,7 +94,16 @@ object TextAnalysis {
     val docs = Tables.documents(s, d)
     val terms = docs.select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // count(tf >= 1), not count(1): every tf is >= 1 so the value is
+    // identical, but the predicate genuinely references the tf column,
+    // which keeps this branch's partial aggregate IDENTICAL to the tf
+    // branch's. With count(1) (or count(tf), which the optimizer
+    // rewrites to count(1) for a non-null column) column pruning turns
+    // this side into a bare distinct, the two (doc_id, term) exchanges
+    // stop being canonically equal, and exchange reuse — ONE corpus
+    // scan instead of two — is lost.
+    val df = tf.groupBy("term")
+      .agg(count(when(col("tf") >= 1, 1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("score", round(col("tf") *
