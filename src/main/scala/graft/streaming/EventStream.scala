@@ -22,6 +22,23 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Continuous Load stage: stream micro-batches into the ES bulk
+    * sink via foreachBatch — the streaming face of the reference's
+    * incremental ETL loop, which polls and bulk-indexes each window
+    * (reference: bugzilla_etl/bz_etl.py:172 incremental_etl). Each
+    * micro-batch lands as its own bulk directory named by batch id,
+    * so replayed batches overwrite idempotently (same dir, same _ids)
+    * instead of double-indexing. */
+  def esSinkQuery(docs: DataFrame, index: String, idCol: String,
+      outRoot: String): org.apache.spark.sql.streaming.DataStreamWriter[
+      org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        graft.sources.EsSink.writeBulk(batch.toDF(), index, idCol,
+          s"$outRoot/batch_$batchId")
+    }
+
   /** Watermarked tumbling-window counts per event type. */
   def windowedCounts(events: DataFrame): DataFrame =
     events

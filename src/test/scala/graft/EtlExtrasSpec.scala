@@ -118,6 +118,54 @@ class EtlExtrasSpec extends AnyFunSuite {
     assert(sources.EsIndexManager.resolve(root, "bugs").contains(v3))
   }
 
+  test("streaming es sink: foreachBatch lands every row exactly once across batch dirs") {
+    val dir = Files.createTempDirectory("graft_sstream").toString
+    Tables.events(spark, sf).repartition(8).write.mode("overwrite").parquet(dir)
+    val out = Files.createTempDirectory("graft_sbulk").toString
+    val stream = spark.readStream
+      .schema(streaming.EventStream.eventSchema)
+      .option("maxFilesPerTrigger", "2") // force several micro-batches
+      .parquet(dir)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val q = streaming.EventStream.esSinkQuery(stream, "events", "event_id", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val batchDirs = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("batch_")).toSeq
+    assert(batchDirs.length > 1) // genuinely incremental
+    val ids = batchDirs.flatMap(d => bulkIds(d.toString))
+    assert(ids.length == ids.distinct.length)
+    val expected = Tables.events(spark, sf).select("event_id")
+      .collect().map(_.getLong(0).toString).toSet
+    assert(ids.toSet == expected)
+  }
+
+  test("bucketed layout: agg and self-join on the bucket key plan no shuffle") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("value"))
+    sources.Bucketed.write(ev, "graft_ev_bucketed", "user_id", 8)
+    val t = sources.Bucketed.read(spark, "graft_ev_bucketed")
+
+    val agg = t.groupBy("user_id").agg(count(lit(1)).as("n"))
+    agg.collect()
+    assert(sources.Bucketed.shuffleFree(agg), "bucketed agg should not shuffle")
+
+    val plain = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+    plain.collect()
+    assert(!sources.Bucketed.shuffleFree(plain), "unbucketed agg must shuffle")
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = t.as("a").join(t.as("b"), "user_id")
+        .groupBy("user_id").agg(count(lit(1)).as("pairs"))
+      joined.collect()
+      assert(sources.Bucketed.shuffleFree(joined),
+        "bucketed self-join + agg should not shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("replicate: split incremental runs copy exactly what one run would") {
     val docs = operators.Comments.c2CommentsStream(spark, sf)
       .withColumn("_id", col("comment_id").cast("string"))
