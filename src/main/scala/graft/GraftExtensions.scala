@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{MinHashSig, ShingleSet, SimHash64, VectorMeanAgg}
+import graft.expressions.{MinHashSig, ShingleSet, SimHash64, VecDot, VectorMeanAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -46,7 +46,10 @@ object GraftExtensions {
     (new FunctionIdentifier("vector_mean"),
       new ExpressionInfo(classOf[VectorMeanAgg].getName, "vector_mean"),
       (args: Seq[Expression]) =>
-        VectorMeanAgg(args.head, intArg(args(1), "dimension"))))
+        VectorMeanAgg(args.head, intArg(args(1), "dimension"))),
+    (new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args.head, args(1))))
 
   /** Installs the functions into an already-running session (when the
     * session was not built with `withExtensions`). */

@@ -43,6 +43,15 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows(1).getAs[collection.Seq[Double]]("m") == Seq(10.0, 10.0))
   }
 
+  test("vec_dot from SQL computes the float64 dot product") {
+    val row = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
+        |  vec_dot(array(CAST(1.5 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS f
+        |""".stripMargin).head()
+    assert(row.getDouble(0) == 32.0)
+    assert(row.getDouble(1) == 3.0)
+  }
+
   test("identical input gives identical signatures across calls") {
     val a = spark.sql("SELECT minhash_sig(shingle_set('graft engine', 5), 16)").head().getSeq[Long](0)
     val b = spark.sql("SELECT minhash_sig(shingle_set('graft engine', 5), 16)").head().getSeq[Long](0)
