@@ -28,6 +28,7 @@ object SparkEntry {
     "q13_percentiles" -> (Relational.q13Percentiles _),
     "q14_asof_join" -> (operators.AsOf.q14AsofJoin _),
     "c1_curation" -> (operators.Curation.c1Curation _),
+    "c3_sample_split" -> (operators.Curation.c3SampleSplit _),
     "e1_embedding_quantize" -> (operators.Curation.e1EmbeddingQuantize _),
     "o1_profile" -> (operators.Curation.o1Profile _),
     "n1_nested_flatten" -> (operators.Nested.n1NestedFlatten _),
@@ -68,6 +69,9 @@ object SparkEntry {
     "t3_token_count" -> (graft.text.TextAnalysis.t3TokenCount _),
     "t4_fingerprint" -> (graft.text.TextAnalysis.t4Fingerprint _),
     "t5_tfidf" -> (graft.text.TextAnalysis.t5Tfidf _),
+    "t6_normalize_text" -> (graft.text.TextAnalysis.t6NormalizeText _),
+    "t7_seq_pack" -> ((s: SparkSession, d: String) =>
+      graft.text.TextAnalysis.t7SeqPack(s, d)),
     // Multimodal
     "m1_multimodal_meta" -> (graft.multimodal.Multimodal.m1MultimodalMeta _),
     "m2_frame_sample" -> ((s: SparkSession, d: String) =>
@@ -428,6 +432,34 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS BIGINT) AS rk
         | FROM sc)
         |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+    "c3_sample_split" ->
+      """SELECT doc_id, source,
+        | (doc_id * 2654435761) % 4294967296 % 100 AS bucket,
+        | CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |      WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t6_normalize_text" ->
+      """SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_clean_chars
+        |FROM (
+        | SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |    'https?://[^ ]+', ' ', 'g'), '[^ ]+@[^ ]+', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS clean
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "t7_seq_pack" ->
+      """SELECT doc_id, source, n_tokens,
+        | CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS bin,
+        | CAST((cum - n_tokens) % 256 AS BIGINT) AS bin_offset
+        |FROM (
+        | SELECT doc_id, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY source
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum
+        | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "e1_embedding_quantize" ->
       """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
         |  list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale

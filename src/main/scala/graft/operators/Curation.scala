@@ -32,6 +32,22 @@ object Curation {
       .orderBy("source", "rk")
   }
 
+  /** C3: deterministic train/val/test split — every curation pipeline
+    * needs a split that is (a) reproducible across runs and engines,
+    * (b) independent of row order and partitioning, (c) computable as
+    * a pure map with no shuffle. A Knuth multiplicative hash of the
+    * stable doc_id gives all three (md5/xxhash would too, but their
+    * bit-twiddling isn't portable to every oracle engine): bucket =
+    * (doc_id * 2654435761) mod 2^32 mod 100 → 80/10/10. */
+  def c3SampleSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
   /** E1: symmetric int8 embedding quantization — per-vector scale =
     * max|x|/127, elements round to [-127, 127]. Cuts ANN storage and
     * bandwidth 4×; the spec bounds the dequantization error. */

@@ -81,6 +81,42 @@ object TextAnalysis {
       .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** T6: text normalization for pretraining — strip URLs and emails,
+    * collapse whitespace runs, trim, lowercase. The standard cleanup
+    * pass before dedup/tokenization; pure map stage, regexes chosen
+    * to behave identically under Java regex and RE2. */
+  def t6NormalizeText(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(regexp_replace(
+          lower(col("text")),
+          "https?://[^ ]+", " "),
+          "[^ ]+@[^ ]+", " "),
+          " +", " ")).as("clean"))
+      .withColumn("n_clean_chars", length(col("clean")).cast("long"))
+      .orderBy("doc_id")
+
+  /** T7: sequence packing — concatenate documents per source in
+    * doc_id order and chunk the token stream into fixed context
+    * windows (`budget` tokens): each document records its window
+    * (`bin`) and offset, exactly the concat-then-chunk packing a
+    * pretraining loader does. Window cumsum per stratum — one
+    * shuffle on source, no driver state. */
+  def t7SeqPack(s: SparkSession, d: String, budget: Long = 256L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(T.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / budget).cast("long").as("bin"),
+        ((col("cum") - col("n_tokens")) % budget).as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
   /** T5: TF-IDF top terms per document — explode → tf, document
     * frequency, smoothed idf, top-3 per doc ranked on the quantized
     * score (cross-engine determinism). The corpus is scanned and
