@@ -46,11 +46,21 @@ object Similarity {
       dim: Int): org.apache.spark.sql.Column =
     V.signSig(V.asDouble(emb), 0, nPlanes, dim)
 
-  /** S2: random-hyperplane LSH ANN — queries only probe their own sign
-    * bucket (4 planes → 16 cells; more planes = finer pruning at scale). */
+  /** S2: random-hyperplane LSH ANN with MULTI-PROBE — each query
+    * probes its own sign bucket plus every bucket one sign-flip away
+    * (planes+1 probes of the 2^planes cells). A near neighbor that
+    * disagrees on exactly one hyperplane — the dominant miss mode for
+    * a close pair — is still found, at probes/2^planes of the corpus
+    * instead of a bigger OR-construction's extra corpus passes. The
+    * corpus side stays single-bucketed (one scan, one bucket key);
+    * only the tiny broadcast query set fans out. */
   def s2AnnLsh(s: SparkSession, d: String): DataFrame = {
     val dim = 64; val planes = 4
-    val q = queries(s, d).withColumn("bucket", lshBucket(col("q_emb"), planes, dim))
+    val q = queries(s, d)
+      .withColumn("bucket0", lshBucket(col("q_emb"), planes, dim))
+      .select(col("q_id"), col("q_emb"), explode(array(
+        (col("bucket0") +: (0 until planes).map(j =>
+          col("bucket0").bitwiseXOR(lit(1L << j)))): _*)).as("bucket"))
     val c = corpus(s, d).withColumn("bucket", lshBucket(col("c_emb"), planes, dim))
     c.join(broadcast(q), Seq("bucket"))
       .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
