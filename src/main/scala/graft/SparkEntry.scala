@@ -449,13 +449,14 @@ object SparkEntry {
         | FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "t7_seq_pack" ->
-      """SELECT doc_id, source, n_tokens,
+      """SELECT doc_id, source, shard, n_tokens,
         | CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS bin,
         | CAST((cum - n_tokens) % 256 AS BIGINT) AS bin_offset
         |FROM (
-        | SELECT doc_id, source,
+        | SELECT doc_id, source, doc_id % 8 AS shard,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY source
+        |  CAST(sum(len(string_split(text, ' '))) OVER (
+        |    PARTITION BY source, doc_id % 8
         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS cum
         | FROM documents)

@@ -96,22 +96,27 @@ object TextAnalysis {
       .withColumn("n_clean_chars", length(col("clean")).cast("long"))
       .orderBy("doc_id")
 
-  /** T7: sequence packing — concatenate documents per source in
-    * doc_id order and chunk the token stream into fixed context
+  /** T7: sequence packing — concatenate documents per (source, shard)
+    * in doc_id order and chunk the token stream into fixed context
     * windows (`budget` tokens): each document records its window
     * (`bin`) and offset, exactly the concat-then-chunk packing a
-    * pretraining loader does. Window cumsum per stratum — one
-    * shuffle on source, no driver state. */
-  def t7SeqPack(s: SparkSession, d: String, budget: Long = 256L): DataFrame = {
+    * pretraining loader does. The shard (deterministic doc_id mod) is
+    * load-bearing for scale: a window keyed on `source` alone puts a
+    * whole stratum — potentially most of a 100 TB corpus — into ONE
+    * window partition; sharding bounds every cumsum partition, and a
+    * distributed loader consumes shards independently anyway. */
+  def t7SeqPack(s: SparkSession, d: String, budget: Long = 256L,
+      shards: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
+      .partitionBy("source", "shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
+        (col("doc_id") % shards).as("shard"),
         size(T.tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("cum", sum("n_tokens").over(w))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
         ((col("cum") - col("n_tokens")) / budget).cast("long").as("bin"),
         ((col("cum") - col("n_tokens")) % budget).as("bin_offset"))
       .orderBy("doc_id")
