@@ -150,16 +150,21 @@ object Relational {
         round(sum("value"), 2).as("total_value"))
       .orderBy("user_id")
 
-  /** Q13: exact distributed percentiles. Discrete (order-statistic)
-    * variant — the result is an actual data value, so there is no
-    * interpolation arithmetic to drift across engines. */
+  /** Q13: distributed percentiles as order statistics (the result is
+    * an actual data value — no interpolation arithmetic to drift
+    * across engines). approx_percentile, NOT percentile_disc: the
+    * exact aggregate buffers every group value in executor memory,
+    * which dies at 100 TB, while the Greenwald-Khanna sketch is
+    * mergeable (map-side partials) with memory bounded by `accuracy`
+    * — and below `accuracy` ranks it IS the exact order statistic,
+    * which the DuckDB quantile_disc oracle verifies. */
   def q13Percentiles(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        round(expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"), 2).as("p25"),
-        round(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"), 2).as("p50"),
-        round(expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)"), 2).as("p75"))
+        round(expr("approx_percentile(l_extendedprice, 0.25, 10000000)"), 2).as("p25"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 10000000)"), 2).as("p50"),
+        round(expr("approx_percentile(l_extendedprice, 0.75, 10000000)"), 2).as("p75"))
       .orderBy("l_returnflag")
 
   /** Q12: global-aggregate scalar reused against the fact table via a
