@@ -83,7 +83,11 @@ object Dedup {
     val bandDefs = Seq((0, 6), (6, 6), (12, 6), (18, 6), (24, 6), (30, 6),
       (36, 6), (42, 6), (48, 6), (54, 5), (59, 5))
     val banded = Tables.documents(s, d)
-      .select(col("doc_id"), T.simhash(T.tokenSet(col("text"))).as("sh"))
+      // knownNotNull: the band values become join keys, and without it
+      // the inferred isnotnull(key) constraint re-evaluates simhash64
+      // per row inside the scan filter — doubling the sketch cost
+      .select(col("doc_id"),
+        T.knownNotNull(T.simhash(T.tokenSet(col("text")))).as("sh"))
       .select(col("doc_id"), col("sh"),
         posexplode(array(bandDefs.map { case (off, w) =>
           shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1))

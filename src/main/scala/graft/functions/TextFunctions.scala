@@ -66,6 +66,17 @@ object TextFunctions {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Declare a column non-null (Catalyst KnownNotNull). Use on an
+    * EXPENSIVE expression that becomes a join key: the optimizer
+    * infers `isnotnull(key)` filters from join constraints, and on a
+    * nullable sketch column that re-evaluates the whole sketch per
+    * row inside the scan filter — doubling its cost. Caller asserts
+    * the inputs can't produce null (e.g. text IS NOT NULL scans). */
+  def knownNotNull(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.KnownNotNull(
+        org.apache.spark.sql.graft.Bridge.expression(c)))
+
   /** Rolling polynomial fingerprint mod 1e9+7 over the code points —
     * accumulator stays < 2^35 so ANSI overflow checking never trips. */
   def fingerprint(text: Column): Column =
