@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned SparkSession builder shared by the driver mains and any
+  * embedding application.
+  *
+  * Settings are the 100 TB defaults scaled to local mode: AQE with
+  * skew-join splitting and partition coalescing (Spark 4 defaults,
+  * asserted here so a misconfigured cluster profile can't silently
+  * drop them), shuffle parallelism = core count locally (a cluster
+  * deploy sets it to ~2-3x total executor cores), UTC session time
+  * (oracle parity), and graft's native SQL functions registered. */
+object GraftSession {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def local(nThreads: String = cpus): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$nThreads]")
+      .config("spark.sql.shuffle.partitions", nThreads)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    // getOrCreate can return a pre-existing session that never went
+    // through the builder's extension hook
+    if (!s.catalog.functionExists("minhash_sig"))
+      GraftExtensions.installInto(s)
+    s
+  }
+}

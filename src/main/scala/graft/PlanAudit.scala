@@ -13,12 +13,7 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.head
     val names = args.tail.toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, dir)

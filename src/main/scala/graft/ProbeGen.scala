@@ -19,14 +19,7 @@ object ProbeGen {
   def main(args: Array[String]): Unit = {
     val Array(src, out, copiesStr) = args
     val copies = copiesStr.toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local()
 
     // raw load (no ts normalization) so written columns keep their
     // on-disk types; events.ts lands as plain INT64 nanos, which the
