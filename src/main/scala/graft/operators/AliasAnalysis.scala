@@ -26,11 +26,27 @@ import org.apache.spark.sql.functions._
   */
 object AliasAnalysis {
 
+  /** Persist an alias map for the next run — the reference stores its
+    * alias file and reloads it so later incremental runs start from
+    * the accumulated knowledge (reference: bugzilla_etl/
+    * alias_analysis.py:full_analysis save_aliases / load from
+    * param.alias_file). */
+  def saveAliases(aliases: DataFrame, path: String): Unit =
+    aliases.write.mode("overwrite").parquet(path)
+
+  def loadAliases(s: SparkSession, path: String): Option[DataFrame] =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      Some(s.read.parquet(path))
+    else None
+
   /** @param ccChanges (bug_id, old_value, new_value) with
     *                  comma-separated email lists, as in bugs_activity
+    * @param prior     alias map from a previous run to seed round 0
+    *                  (folded in before the first matching pass, like
+    *                  the reference's reloaded alias file)
     * @return (alias, canonical) rows */
   def analyze(ccChanges: DataFrame, rounds: Int = 3,
-      minimumDiff: Int = 2): DataFrame = {
+      minimumDiff: Int = 2, prior: Option[DataFrame] = None): DataFrame = {
     val s = ccChanges.sparkSession
     import s.implicits._
 
@@ -46,8 +62,9 @@ object AliasAnalysis {
       .filter(col("cnt") =!= 0)
       .cache()
 
-    var aliases = Seq.empty[(String, String)].toDF("alias", "canonical")
-    var aliasesEmpty = true
+    var aliases = prior.map(_.select("alias", "canonical"))
+      .getOrElse(Seq.empty[(String, String)].toDF("alias", "canonical"))
+    var aliasesEmpty = prior.isEmpty
 
     var round = 0
     var converged = false

@@ -44,4 +44,28 @@ class AliasSpec extends AnyFunSuite {
     assert(canonB == canonC, s"b->$canonB c->$canonC should agree")
     assert(canonB == "a@m")
   }
+
+  test("saved aliases seed the next run and stay transitively closed") {
+    val run1 = Seq(
+      (1L, "a@m", "b@m"), (2L, "a@m", "b@m"), (3L, "a@m", "b@m"))
+      .toDF("bug_id", "old_value", "new_value")
+    val aliasPath = java.nio.file.Files
+      .createTempDirectory("graft_alias").toString + "/aliases"
+    operators.AliasAnalysis.saveAliases(
+      operators.AliasAnalysis.analyze(run1), aliasPath)
+
+    // next incremental run only sees the later rename b -> c, but the
+    // reloaded alias file carries b -> a, so c still folds to a
+    val run2 = Seq(
+      (4L, "b@m", "c@m"), (5L, "b@m", "c@m"), (6L, "b@m", "c@m"))
+      .toDF("bug_id", "old_value", "new_value")
+    val prior = operators.AliasAnalysis.loadAliases(spark, aliasPath)
+    assert(prior.isDefined)
+    val result = operators.AliasAnalysis.analyze(run2, prior = prior)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(result.get("b@m").contains("a@m")) // carried forward
+    assert(result.get("c@m").contains("a@m")) // new rename folds through
+    // closure: no canonical is itself an alias
+    assert(result.values.toSet.intersect(result.keySet).isEmpty)
+  }
 }
