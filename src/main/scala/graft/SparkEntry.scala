@@ -72,6 +72,7 @@ object SparkEntry {
     "t6_normalize_text" -> (graft.text.TextAnalysis.t6NormalizeText _),
     "t7_seq_pack" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t7SeqPack(s, d)),
+    "t8_repetition" -> (graft.text.TextAnalysis.t8Repetition _),
     // Multimodal
     "m1_multimodal_meta" -> (graft.multimodal.Multimodal.m1MultimodalMeta _),
     "m2_frame_sample" -> ((s: SparkSession, d: String) =>
@@ -460,6 +461,21 @@ object SparkEntry {
         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS BIGINT) AS cum
         | FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "t8_repetition" ->
+      """SELECT doc_id, dup_tok_frac, dup_3gram_frac,
+        | dup_tok_frac < 0.8 AND dup_3gram_frac < 0.6 AS keep
+        |FROM (
+        | SELECT doc_id,
+        |  round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks), 4)
+        |    AS dup_tok_frac,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    round(1.0 - len(list_distinct(list_transform(
+        |      range(0, len(toks) - 2),
+        |      i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))::DOUBLE
+        |      / (len(toks) - 2), 4)
+        |   ELSE 0.0 END AS dup_3gram_frac
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
         |ORDER BY doc_id""".stripMargin,
     "e1_embedding_quantize" ->
       """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS emb,

@@ -81,6 +81,30 @@ object TextAnalysis {
       .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** T8: repetition signals — the published MassiveText/Gopher-style
+    * quality rules flag documents whose content repeats itself:
+    * duplicate-token fraction and duplicate word-3-gram fraction
+    * (Rae et al. 2021, "Scaling Language Models", table A1 uses
+    * duplicate line/paragraph/n-gram fractions). Pure map stage;
+    * `keep` applies an illustrative threshold pair. */
+  def t8Repetition(s: SparkSession, d: String): DataFrame = {
+    val toks = T.tokens(col("text"))
+    val n = size(toks)
+    val grams = transform(sequence(lit(0), n - 3),
+      i => concat_ws(" ", element_at(toks, i + 1),
+        element_at(toks, i + 2), element_at(toks, i + 3)))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        round(lit(1.0) - size(array_distinct(toks)).cast("double") / n, 4)
+          .as("dup_tok_frac"),
+        when(n >= 3, round(lit(1.0) -
+            size(array_distinct(grams)).cast("double") / (n - 2), 4))
+          .otherwise(0.0).as("dup_3gram_frac"))
+      .withColumn("keep",
+        col("dup_tok_frac") < 0.8 && col("dup_3gram_frac") < 0.6)
+      .orderBy("doc_id")
+  }
+
   /** T6: text normalization for pretraining — strip URLs and emails,
     * collapse whitespace runs, trim, lowercase. The standard cleanup
     * pass before dedup/tokenization; pure map stage, regexes chosen
