@@ -50,8 +50,54 @@ case class VecDot(left: Expression, right: Expression)
       l: Expression, r: Expression): VecDot = copy(left = l, right = r)
 }
 
-/** Static target for [[VecDot]] codegen. */
+/** Count of pairwise-equal slots between two long arrays (minhash
+  * signature agreement). The `zip_with`+`aggregate` formulation is
+  * semantically identical but evaluates interpreted lambdas per
+  * candidate pair — this is the LSH verification hot path. */
+case class SigAgree(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"sig_agree needs two array<bigint>, got $l, $r")
+    }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.VecHelper.sigAgree($a, $b)")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecHelper.sigAgree(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SigAgree = copy(left = l, right = r)
+}
+
+/** Static target for [[VecDot]] / [[SigAgree]] codegen. */
 object VecHelper {
+
+  def sigAgree(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"sig_agree length mismatch: $n vs ${b.numElements()}")
+    }
+    var agree = 0L
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) agree += 1
+      i += 1
+    }
+    agree
+  }
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = a.numElements()
     if (b.numElements() != n) {

@@ -40,8 +40,18 @@ object TextFunctions {
       graft.expressions.MinHashSig(
         org.apache.spark.sql.graft.Bridge.expression(shingleCol), k))
 
-  /** MinHash-estimated Jaccard: fraction of agreeing signature slots. */
+  /** MinHash-estimated Jaccard: fraction of agreeing signature slots
+    * (native tight loop — this runs once per LSH candidate pair). */
   def minhashJaccardEst(sig1: Column, sig2: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SigAgree(
+        org.apache.spark.sql.graft.Bridge.expression(sig1),
+        org.apache.spark.sql.graft.Bridge.expression(sig2)))
+      .cast("double") / k
+
+  /** Interpreted HOF formulation of [[minhashJaccardEst]] — kept for
+    * the equivalence spec only. */
+  def minhashJaccardEstHof(sig1: Column, sig2: Column, k: Int): Column =
     aggregate(zip_with(sig1, sig2, (a, b) => when(a === b, 1).otherwise(0)),
       lit(0), (acc, m) => acc + m).cast("double") / k
 

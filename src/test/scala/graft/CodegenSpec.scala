@@ -88,6 +88,26 @@ class CodegenSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("native sig_agree equals the HOF jaccard estimate") {
+    import graft.functions.{TextFunctions => T}
+    val sigs = Tables.documents(spark, sf).limit(100)
+      .select(T.minhashSignature(T.shingleSet(col("text"), 5), 16).as("s1"),
+        T.minhashSignature(T.shingleSet(concat(col("text"), lit(" x")), 5), 16)
+          .as("s2"))
+    val rows = withStrictCodegen {
+      sigs.select(
+        T.minhashJaccardEst(col("s1"), col("s2"), 16).as("native"),
+        T.minhashJaccardEstHof(col("s1"), col("s2"), 16).as("hof"),
+        T.minhashJaccardEst(col("s1"), col("s1"), 16).as("self"))
+        .collect()
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == 1.0)
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("driver-precomputed planes equal the SQL xxhash64 formulation") {
     import graft.functions.{VectorFunctions => V}
     for (j <- Seq(0, 3, 1000, 1095)) {
