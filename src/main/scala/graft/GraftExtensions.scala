@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{MinHashSig, ShingleSet, SimHash64, VecDot, VectorMeanAgg}
+import graft.expressions.{MinHashSig, ShingleSet, SigAgree, SimHash64, VecDot, VectorMeanAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -49,7 +49,10 @@ object GraftExtensions {
         VectorMeanAgg(args.head, intArg(args(1), "dimension"))),
     (new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => VecDot(args.head, args(1))))
+      (args: Seq[Expression]) => VecDot(args.head, args(1))),
+    (new FunctionIdentifier("sig_agree"),
+      new ExpressionInfo(classOf[SigAgree].getName, "sig_agree"),
+      (args: Seq[Expression]) => SigAgree(args.head, args(1))))
 
   /** Installs the functions into an already-running session (when the
     * session was not built with `withExtensions`). */

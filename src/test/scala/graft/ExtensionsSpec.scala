@@ -52,6 +52,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(row.getDouble(1) == 3.0)
   }
 
+  test("sig_agree from SQL counts equal slots") {
+    val row = spark.sql(
+      "SELECT sig_agree(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 8L)) AS a")
+      .head()
+    assert(row.getLong(0) == 2L)
+  }
+
   test("identical input gives identical signatures across calls") {
     val a = spark.sql("SELECT minhash_sig(shingle_set('graft engine', 5), 16)").head().getSeq[Long](0)
     val b = spark.sql("SELECT minhash_sig(shingle_set('graft engine', 5), 16)").head().getSeq[Long](0)
