@@ -57,10 +57,12 @@ object AliasAnalysis {
         explode(split(lower(col("old_value")), ",\\s*")).as("email"),
         lit(1L).as("delta")))
       .filter(col("email") =!= "")
+    // NOT cached, though round 2's fold re-reads it: same measured
+    // result as the history DAGs — recompute of a codegen'd
+    // scan+explode+agg beats a cache materialization barrier.
     val base = sign.groupBy("bug_id", "email")
       .agg(sum("delta").as("cnt"))
       .filter(col("cnt") =!= 0)
-      .cache()
 
     var aliases = prior.map(_.select("alias", "canonical"))
       .getOrElse(Seq.empty[(String, String)].toDF("alias", "canonical"))
@@ -128,7 +130,6 @@ object AliasAnalysis {
         aliasesEmpty = false
       }
     }
-    base.unpersist()
     aliases.orderBy("alias")
   }
 }
