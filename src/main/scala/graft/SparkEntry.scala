@@ -59,6 +59,7 @@ object SparkEntry {
     "d3_simhash" -> (graft.dedup.Dedup.d3Simhash _),
     "d4_ngram_jaccard" -> (graft.dedup.Dedup.d4NgramJaccard _),
     "d5_embedding_dedup" -> (graft.dedup.Dedup.d5EmbeddingDedup _),
+    "d6_decontaminate" -> (graft.dedup.Dedup.d6Decontaminate _),
     // Similarity search
     "s1_ann_bruteforce" -> (graft.similarity.Similarity.s1AnnBruteForce _),
     "s2_ann_lsh" -> (graft.similarity.Similarity.s2AnnLsh _),
@@ -606,6 +607,24 @@ object SparkEntry {
         | FROM embeddings a JOIN embeddings b
         |  ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin,
+    "d6_decontaminate" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, len(string_split(text,' ')) - 2),
+        |      i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')) AS grams
+        |  FROM documents),
+        |bench AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |shared AS (
+        |  SELECT doc_id, count(DISTINCT gram) AS n_shared
+        |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0) t
+        |  JOIN bench USING (gram)
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(s.n_shared, 0) AS n_shared,
+        |  COALESCE(s.n_shared, 0) >= 3 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN shared s ON d.doc_id = s.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "s1_ann_bruteforce" ->
       """SELECT q_id, rank, c_id, cos FROM (
         | SELECT q.vec_id AS q_id, c.vec_id AS c_id,

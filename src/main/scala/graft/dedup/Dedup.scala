@@ -130,6 +130,41 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** D6: benchmark decontamination — flag training documents that
+    * overlap an evaluation set by shared word n-grams, the standard
+    * pretraining hygiene step (GPT-3's appendix uses 13-gram overlap;
+    * 3-grams here — the longest span this corpus actually repeats
+    * across documents, so the flag carries live signal). The benchmark is a
+    * DIMENSION: its distinct n-gram set broadcasts (eval suites are
+    * tiny next to the corpus) and the corpus side is one scan +
+    * explode + broadcast semi-ish join — no shuffle of the corpus at
+    * any size. Deterministic benchmark stand-in: doc_id % 97 == 0. */
+  def d6Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val n = 3
+    def grams(c: org.apache.spark.sql.Column) = {
+      val toks = T.tokens(c)
+      // explicit step: sequence(0, negative, 1) is EMPTY (a doc
+      // shorter than n grams has none), where the step-less form
+      // would count downward
+      transform(sequence(lit(0), size(toks) - n, lit(1)),
+        i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))
+    }
+    val docs = Tables.documents(s, d)
+    val benchGrams = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(grams(col("text"))).as("gram")).distinct()
+    val shared = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(grams(col("text"))).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct("gram").as("n_shared"))
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") >= 3)
+      .orderBy("doc_id")
+  }
+
   /** D5: embedding-cosine near-dup — pairs within the same cluster
     * (label) whose cosine ≥ 0.3; float64 math to match the oracle.
     *
