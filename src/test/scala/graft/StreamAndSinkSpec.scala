@@ -104,6 +104,49 @@ class StreamAndSinkSpec extends AnyFunSuite {
     assert(got.select("event_id").distinct().count() == got.count())
   }
 
+  test("end-to-end streaming ETL: events -> latest-state -> ES bulk index") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_e2e").toString
+    Tables.events(spark, sf).repartition(4).write.mode("overwrite").parquet(dir)
+    val out = Files.createTempDirectory("graft_e2e_bulk").toString
+    val stream = spark.readStream
+      .schema(streaming.EventStream.eventSchema)
+      .option("maxFilesPerTrigger", "2")
+      .parquet(dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[streaming.EventStream.EvFull]
+    val docs = streaming.EventStream.latestState(stream).toDF()
+      .withColumn("_id", col("user_id").cast("string"))
+    val q = streaming.EventStream.esSinkQuery(docs, "state", "_id", out)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // the LAST bulk emission per user must equal batch h2 latest-state
+    val lines = Files.list(Paths.get(out)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("batch_")).toSeq
+      .sortBy(_.getFileName.toString.stripPrefix("batch_").toInt)
+      .flatMap { d =>
+        Files.list(d).iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .flatMap(p => Files.readAllLines(p).asScala)
+      }
+    val lastDoc = scala.collection.mutable.LinkedHashMap[String, String]()
+    lines.grouped(2).foreach { case Seq(action, source) =>
+      val id = action.split("\"_id\":\"")(1).takeWhile(_ != '"')
+      lastDoc(id) = source
+    }
+    val batch = operators.History.h2LatestState(spark, sf).collect()
+      .map(r => r.getLong(0).toString ->
+        (r.getString(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(lastDoc.keySet == batch.keySet)
+    lastDoc.foreach { case (id, json) =>
+      val (lt, lv, ts) = batch(id)
+      assert(json.contains(s""""last_type":"$lt""""), s"user $id: $json")
+      assert(json.contains(s""""ts_ms":$ts"""), s"user $id: $json")
+    }
+  }
+
   test("es sink writes parseable bulk ndjson with alternating lines") {
     val out = Files.createTempDirectory("graft_bulk").toString + "/bulk"
     val docs = operators.History.h12EsDocs(spark, sf)
