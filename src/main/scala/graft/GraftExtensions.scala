@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{MinHashSig, ShingleSet, SigAgree, SimHash64, VecDot, VectorMeanAgg}
+import graft.expressions.{MinHashSig, ShingleSet, SigAgree, SimHash128, VecDot, VectorMeanAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -40,9 +40,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) =>
         MinHashSig(args.head, intArg(args(1), "signature width"))),
-    (new FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)),
+    (new FunctionIdentifier("simhash128"),
+      new ExpressionInfo(classOf[SimHash128].getName, "simhash128"),
+      (args: Seq[Expression]) => SimHash128(args.head)),
     (new FunctionIdentifier("vector_mean"),
       new ExpressionInfo(classOf[VectorMeanAgg].getName, "vector_mean"),
       (args: Seq[Expression]) =>

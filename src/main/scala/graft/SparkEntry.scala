@@ -194,9 +194,177 @@ object SparkEntry {
       |chn AS (SELECT id, ts, count(*) AS n FROM activity GROUP BY id, ts),
       |""".stripMargin
 
+  /** Scala doubles as a DuckDB DOUBLE[] literal. Double.toString is
+    * the shortest round-trip representation, so DuckDB parses back the
+    * exact same IEEE bits. */
+  private def doubleList(xs: Array[Double]): String =
+    xs.mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  /** Left-to-right sequential dot product of a DOUBLE[] column with a
+    * plane literal — the same accumulation order as the native VecDot,
+    * so hyperplane SIGNS (discrete bucket membership) agree exactly. */
+  private def seqDot(embExpr: String, planeList: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(range(64), i -> $embExpr[i + 1] * ($planeList)[i + 1])), " +
+      "(acc, x) -> acc + x)"
+
+  /** The m1/m2 stub payload hash in SQL: rolling (h*31 + byte) mod
+    * 1e9+7 over the ASCII payload bytes, seed 5381 — mirrors
+    * [[graft.multimodal.Multimodal.payloadHash]]. */
+  private val payloadHashSql: String =
+    """list_reduce(list_prepend(CAST(5381 AS BIGINT),
+      |      list_transform(range(1, length(text) + 1),
+      |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+      |      (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
   /** DuckDB oracle SQL per query (same parquet tables, same column
     * aliases, same deterministic ORDER BY, floats rounded identically). */
   def oracleSql: Map[String, String] = Map(
+    // ---- md5-based sketches: the SAME mixing arithmetic as the native
+    // expressions (md5_number_lower/upper ≡ Md5Helper, permutation
+    // constants interpolated from MinHashParams) ----
+    "d2_minhash_lsh" -> {
+      val a = graft.expressions.MinHashParams.A.take(32)
+        .mkString("[", ", ", "]")
+      val b = graft.expressions.MinHashParams.B.take(32)
+        .mkString("[", ", ", "]")
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(text) <= 5 THEN [text]
+         |    ELSE list_distinct(list_transform(range(1, length(text) - 3),
+         |      i -> substr(text, CAST(i AS INT), 5))) END) AS shingle
+         |  FROM documents WHERE text IS NOT NULL),
+         |hx AS (
+         |  SELECT doc_id,
+         |    CAST(md5_number_lower(shingle) % 4294967296 AS BIGINT) AS x
+         |  FROM sh),
+         |mh AS (
+         |  SELECT doc_id, j, min((A[j + 1] * x + B[j + 1]) % 2147483647) AS h
+         |  FROM hx CROSS JOIN range(32) r(j)
+         |  CROSS JOIN (SELECT $a AS A, $b AS B) p
+         |  GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+         |band AS (
+         |  SELECT doc_id, sig, b AS band, sig[b * 4 + 1 : b * 4 + 4] AS bv
+         |  FROM sig CROSS JOIN range(8) r(b)),
+         |cand AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    len(list_filter(range(32), i -> a.sig[i + 1] = b.sig[i + 1])) / 32.0 AS jac
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, max(jac) AS jaccard_est FROM cand WHERE jac >= 0.5
+         |GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin
+    },
+    "d3_simhash" ->
+      """WITH t AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |hb AS (
+        |  SELECT doc_id, md5_number_lower(tok) AS lo, md5_number_upper(tok) AS hi
+        |  FROM t),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN b < 64
+        |      THEN CASE WHEN (lo >> b) & 1 = 1 THEN 1 ELSE -1 END
+        |      ELSE CASE WHEN (hi >> (b - 64)) & 1 = 1 THEN 1 ELSE -1 END END) AS v
+        |  FROM hb CROSS JOIN range(128) r(b) GROUP BY 1, 2),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN v > 0 AND b < 64 THEN
+        |      CASE WHEN b = 63 THEN -9223372036854775808
+        |           ELSE (CAST(1 AS BIGINT) << CAST(b AS INT)) END
+        |      ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN v > 0 AND b >= 64 THEN
+        |      CASE WHEN b = 127 THEN -9223372036854775808
+        |           ELSE (CAST(1 AS BIGINT) << CAST(b - 64 AS INT)) END
+        |      ELSE 0 END) AS BIGINT) AS hi
+        |  FROM votes GROUP BY doc_id)
+        |SELECT id1, id2, hamming FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+        |      AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 10 ORDER BY id1, id2""".stripMargin,
+    "s2_ann_lsh" -> {
+      val planes = (0 until 4).map(j =>
+        doubleList(graft.functions.VectorFunctions.planeValues(j, 64)))
+      val dots = (0 until 4).map(j =>
+        s"${seqDot("emb", planes(j))} AS d$j").mkString(",\n    ")
+      val bucket = (0 until 4).map(j =>
+        s"CASE WHEN d$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |bkt AS (
+         |  SELECT vec_id, emb, $bucket AS bucket FROM (
+         |    SELECT vec_id, emb,
+         |    $dots
+         |    FROM e)),
+         |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS b0
+         |      FROM bkt WHERE vec_id < 10),
+         |qp AS (SELECT q_id, q_emb, unnest(
+         |    [b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
+         |  FROM q),
+         |c AS (SELECT vec_id AS c_id, emb AS c_emb, bucket
+         |      FROM bkt WHERE vec_id >= 10)
+         |SELECT q_id, rank, c_id, cos FROM (
+         |  SELECT q_id, c_id,
+         |    round(list_cosine_similarity(q_emb, c_emb), 3) AS cos,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY round(list_cosine_similarity(q_emb, c_emb), 3) DESC,
+         |               c_id ASC) AS BIGINT) AS rank
+         |  FROM c JOIN qp USING (bucket))
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
+    "s3_ivf_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+        |cpos AS (
+        |  SELECT label, i, avg(emb[i + 1]) AS c
+        |  FROM e CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+        |cent AS (SELECT label, list(c ORDER BY i) AS centroid FROM cpos
+        |         GROUP BY label),
+        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+        |pr AS (
+        |  SELECT q_id, q_emb, label FROM (
+        |    SELECT q.q_id, q.q_emb, c.label,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.q_emb, c.centroid) DESC,
+        |                 c.label ASC) AS crank
+        |    FROM q CROSS JOIN cent c)
+        |  WHERE crank <= 2)
+        |SELECT q_id, rank, c_id, cos FROM (
+        |  SELECT pr.q_id, c.vec_id AS c_id,
+        |    round(list_cosine_similarity(pr.q_emb, c.emb), 3) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY pr.q_id
+        |      ORDER BY round(list_cosine_similarity(pr.q_emb, c.emb), 3) DESC,
+        |               c.vec_id ASC) AS BIGINT) AS rank
+        |  FROM pr JOIN e c ON c.label = pr.label AND c.vec_id >= 10)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "m1_multimodal_meta" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source, CAST(length(text) AS INT) AS n_bytes,
+         |    $payloadHashSql AS hv
+         |  FROM documents)
+         |SELECT doc_id, source, n_bytes,
+         |  CAST(16 + hv % 640 AS INT) AS width,
+         |  CAST(16 + (hv // 640) % 480 AS INT) AS height,
+         |  CAST(1 + (hv // 307200) % 32 AS INT) AS frames
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "m2_frame_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $payloadHashSql AS hv FROM documents),
+         |dims AS (
+         |  SELECT doc_id, hv, 16 + hv % 640 AS w, 16 + (hv // 640) % 480 AS ht,
+         |    1 + (hv // 307200) % 32 AS frames
+         |  FROM h),
+         |fr AS (
+         |  SELECT doc_id, hv, w, ht, unnest(range(0, frames, 8)) AS f FROM dims)
+         |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+         |  CAST(greatest(1, CAST(trunc(w * (224.0 / greatest(w, ht))) AS BIGINT))
+         |    AS INT) AS frame_w,
+         |  CAST(greatest(1, CAST(trunc(ht * (224.0 / greatest(w, ht))) AS BIGINT))
+         |    AS INT) AS frame_h,
+         |  ((hv * 131) % 1000000007 + doc_id * 977 + f) % 1000000007 AS frame_hash
+         |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
     "b1_bug_history" -> (bugHistoryCte +
       """dummy AS (SELECT 1)
         |SELECT v.id, v.ts AS valid_from, v.expires_on, v.version,
@@ -223,6 +391,14 @@ object SparkEntry {
         |LEFT JOIN sv ON v.id = sv.id AND v.ts = sv.ts
         |LEFT JOIN natt ON v.id = natt.id AND v.ts = natt.ts
         |ORDER BY v.id, v.version""".stripMargin),
+    // NOTE: this oracle hand-unrolls exactly TWO matching rounds
+    // (scored1/best1, scored2/best2). AliasAnalysis.analyze runs up to
+    // rounds=3 with a convergence check; on the driver's testdata the
+    // fold converges after round 2 (round 3 finds nothing), so the
+    // unroll is exact HERE. If the events generator changes and a
+    // dataset only converges in round 3, extend the unroll — a
+    // mismatch on this query is more likely this assumption than an
+    // engine bug.
     "a1_alias_analysis" ->
       """WITH cc AS (
         |  SELECT user_id AS bug_id,
@@ -600,13 +776,42 @@ object SparkEntry {
         |        list_distinct(string_split(text, ' ')) AS toks FROM documents) b
         |  ON a.source = b.source AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
         |WHERE jac >= 0.7 ORDER BY id1, id2""".stripMargin,
-    "d5_embedding_dedup" ->
-      """SELECT id1, id2, cos FROM (
-        | SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS cos
-        | FROM embeddings a JOIN embeddings b
-        |  ON a.label = b.label AND a.vec_id < b.vec_id)
-        |WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin,
+    // d5's oracle replicates the BANDED candidate generation itself
+    // (plane literals interpolated from VectorFunctions.planeValues,
+    // same sequential dot order), so the hash check is an exact check
+    // of the query's actual LSH semantics — not an all-pairs claim
+    // that only holds when recall happens to be 1.0 on this corpus.
+    // The recall-vs-all-pairs bound lives in the PipelineSpec instead.
+    "d5_embedding_dedup" -> {
+      // plane id = 1000 + band*3 + j, unrolled into a (band, weight,
+      // plane) TABLE — indexing a nested list literal from inside the
+      // dot-product lambda makes DuckDB re-materialize the whole
+      // 32x64 literal per element (measured: minutes); as a joined
+      // column reference the same arithmetic is milliseconds.
+      val planeRows = (for (b <- 0 until 32; j <- 0 until 3) yield
+        s"($b, ${1L << j}, " +
+          doubleList(graft.functions.VectorFunctions.planeValues(1000 + b * 3 + j, 64)) +
+          ")").mkString(",\n    ")
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |pt(b, w, plane) AS (VALUES
+         |    $planeRows),
+         |sg AS (
+         |  SELECT vec_id, label, b,
+         |    CAST(sum(CASE WHEN ${seqDot("emb", "plane")} > 0
+         |      THEN w ELSE 0 END) AS BIGINT) AS sig
+         |  FROM e CROSS JOIN pt GROUP BY 1, 2, 3),
+         |cand AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM sg a JOIN sg b ON a.label = b.label AND a.b = b.b
+         |    AND a.sig = b.sig AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, cos FROM (
+         |  SELECT id1, id2,
+         |    round(list_cosine_similarity(e1.emb, e2.emb), 3) AS cos
+         |  FROM cand JOIN e e1 ON e1.vec_id = id1 JOIN e e2 ON e2.vec_id = id2)
+         |WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin
+    },
     "d6_decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id,
@@ -665,11 +870,10 @@ object SparkEntry {
         |       GROUP BY 1) df ON tf.term = df.term
         | CROSS JOIN (SELECT count(*) AS n FROM documents) n)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
-    // rows-only (non-SQL-expressible — DuckDB lacks xxhash64 and
-    // 64-bit wrapping arithmetic; each is ScalaTest-proven against a
-    // Spark-built ground truth instead): d2_minhash_lsh (recall spec),
-    // d3_simhash (exact-equality spec), s2_ann_lsh / s3_ivf_ann
-    // (brute-force agreement specs), m1_multimodal_meta /
-    // m2_frame_sample (plumbing specs)
+    // Every query key has an oracle: the former rows-only set
+    // (d2, d3, s2, s3, m1, m2) became hash-checkable by building the
+    // sketches on md5 (≡ DuckDB md5_number_lower/upper), interpolating
+    // the driver-folded hyperplane literals into the SQL, and keeping
+    // the multimodal stub hash inside mod-1e9+7 arithmetic.
   )
 }

@@ -28,24 +28,28 @@ object Dedup {
 
   /** D2: MinHash + LSH — 5-char shingles → 32-wide minhash signature →
     * 8 bands of 4 → bucket-join candidates → MinHash-estimated Jaccard
-    * ≥ 0.5. Only (band, hash, id) tuples enter the bucket shuffle and
+    * ≥ 0.5. Only (band, slice, id) tuples enter the bucket shuffle and
     * only 32-long signatures enter verification — the shingle sets
     * never leave the scan stage, which is what keeps this
-    * corpus-size-independent per candidate at 100 TB. */
+    * corpus-size-independent per candidate at 100 TB.
+    * The signature hash is md5-derived ([[graft.expressions.MinHashSig]]),
+    * so the whole pipeline — sketch included — is hash-checked against
+    * the DuckDB oracle (md5_number_lower + the same permutations). */
   def d2MinhashLsh(s: SparkSession, d: String): DataFrame = {
     val k = 32; val bands = 8
     val sigs = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         T.minhashSignature(T.shingleSet(col("text"), 5), k).as("sig"))
     // The 32-long signature (256 B) rides along through the band join,
     // so verification needs no second scan of the corpus: one shuffle
-    // on (band, hash), one distinct on the candidate pair.
+    // on (band, slice), one distinct on the candidate pair.
     // Self-join on the SAME plan via dataset aliases so both sides
     // canonicalize identically and the shuffle exchange is reused
     // (one signature/band computation, not two).
     val banded = sigs
       .select(col("doc_id"), col("sig"),
-        posexplode(T.bandHashes(col("sig"), k, bands)))
+        posexplode(T.bandSlices(col("sig"), k, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
     // The Jaccard estimate is a pure function of the pair, so it is
     // computed inside the join projection (identical value for every
@@ -59,44 +63,61 @@ object Dedup {
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
+      // n/32 is exactly representable in float64 in BOTH engines, so
+      // the estimate ships unrounded and hash-checks bit-for-bit.
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        round(T.minhashJaccardEst(col("a.sig"), col("b.sig"), k), 3)
-          .as("jac"))
+        T.minhashJaccardEst(col("a.sig"), col("b.sig"), k).as("jac"))
       .filter(col("jac") >= 0.5)
       .groupBy("id1", "id2")
       .agg(max("jac").as("jaccard_est"))
       .orderBy("id1", "id2")
   }
 
-  /** D3: SimHash near-dup — 64-bit simhash, Hamming distance ≤ 10,
-    * candidates via PIGEONHOLE BANDING: the 64 bits split into 11
-    * disjoint bands (9×6 + 2×5 bits); a pair differing in ≤ 10 bits
+  /** D3: SimHash near-dup — 128-bit simhash (md5-vote based, so the
+    * sketch is DuckDB-oracle-checkable), Hamming distance ≤ 10,
+    * candidates via PIGEONHOLE BANDING: the 128 bits split into 11
+    * disjoint bands (7×12 + 4×11 bits); a pair differing in ≤ 10 bits
     * must agree EXACTLY on at least one band (11 bands, ≤10 "holes"),
     * so bucketing on (band, band-bits) guarantees 100% recall — unlike
     * a fixed prefix bucket, which silently misses any pair differing
     * in the prefix. Precision is restored by the exact Hamming filter,
     * applied in the join projection BEFORE the pair-dedup shuffle.
     * Scale: per-band bucket population is corpus/2^width per value;
-    * for larger corpora widen the hash (128-bit simhash ⇒ 11 bands of
-    * ~11 bits) rather than loosening the distance bound. */
+    * every band is ≥ 11 bits (≥ 2048 values), which removes the
+    * 64-bit variant's 5–6-bit band ceiling (quadratic within-bucket
+    * pair growth at corpus scale). */
   def d3Simhash(s: SparkSession, d: String): DataFrame = {
-    val bandDefs = Seq((0, 6), (6, 6), (12, 6), (18, 6), (24, 6), (30, 6),
-      (36, 6), (42, 6), (48, 6), (54, 5), (59, 5))
+    // 11 disjoint bands over the 128 bits; band 5 (offset 60, width 12)
+    // crosses the lo/hi boundary and is assembled from both halves.
+    val bandDefs = Seq((0, 12), (12, 12), (24, 12), (36, 12), (48, 12),
+      (60, 12), (72, 12), (84, 11), (95, 11), (106, 11), (117, 11))
+    def bandVal(lo: org.apache.spark.sql.Column,
+        hi: org.apache.spark.sql.Column, off: Int, w: Int) =
+      if (off + w <= 64)
+        shiftrightunsigned(lo, off).bitwiseAND(lit((1L << w) - 1))
+      else if (off >= 64)
+        shiftrightunsigned(hi, off - 64).bitwiseAND(lit((1L << w) - 1))
+      else // crossing band: low bits from lo's top, high bits from hi's bottom
+        shiftrightunsigned(lo, off).bitwiseOR(
+          shiftleft(hi.bitwiseAND(lit((1L << (w - (64 - off))) - 1)), 64 - off))
     // knownNotNull: the band values become join keys, and without it
-    // the inferred isnotnull(key) constraint re-evaluates simhash64
-    // per row inside the scan filter — doubling the sketch cost.
-    // The 8-byte hash RIDES the band join and hamming is evaluated
+    // the inferred isnotnull(key) constraint re-evaluates the sketch
+    // per row inside the scan filter — doubling its cost. The explicit
+    // text IS NOT NULL filter makes the assertion locally true instead
+    // of assumed from the data generator.
+    // The 16-byte hash RIDES the band join and hamming is evaluated
     // per collision, BEFORE the pair-dedup shuffle: measured 2x
     // faster than the dedup-pairs-then-fetch-hashes shape (hamming
-    // is one codegen'd xor+popcount; the exact filter prunes the
+    // is two codegen'd xor+popcounts; the exact filter prunes the
     // shuffle, while a distinct-first plan shuffles every collision
     // and pays two more joins).
     val banded = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"),
         T.knownNotNull(T.simhash(T.tokenSet(col("text")))).as("sh"))
       .select(col("doc_id"), col("sh"),
         posexplode(array(bandDefs.map { case (off, w) =>
-          shiftrightunsigned(col("sh"), off).bitwiseAND(lit((1L << w) - 1))
+          bandVal(col("sh.lo"), col("sh.hi"), off, w)
         }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
     banded.as("a")
@@ -104,7 +125,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        T.hamming(col("a.sh"), col("b.sh")).as("hamming"))
+        T.hamming128(col("a.sh"), col("b.sh")).as("hamming"))
       .filter(col("hamming") <= 10)
       .groupBy("id1", "id2")
       .agg(min("hamming").as("hamming"))

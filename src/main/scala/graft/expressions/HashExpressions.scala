@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,64 +18,61 @@ import org.apache.spark.unsafe.types.UTF8String
   * partition-local, so they scale embarrassingly on a cluster.
   */
 
-/** MinHash signature: for seeds 0..k-1, the minimum of
-  * xxhash64(element, seed) over the input array<string>.
-  * Implements `doGenCode`, so the expression stays inside whole-stage
-  * codegen (the fallback eval is kept for interpreted paths). */
-case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override protected def doGenCode(
-      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
-      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    nullSafeCodeGen(ctx, ev, arr => {
-      val mins = ctx.freshName("mins")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val s = ctx.freshName("s")
-      val h = ctx.freshName("h")
-      s"""
-        |long[] $mins = new long[$k];
-        |java.util.Arrays.fill($mins, Long.MAX_VALUE);
-        |for (int $i = 0; $i < $arr.numElements(); $i++) {
-        |  UTF8String $s = $arr.getUTF8String($i);
-        |  if ($s != null) {
-        |    for (int $j = 0; $j < $k; $j++) {
-        |      long $h = org.apache.spark.sql.catalyst.expressions.XXH64
-        |        .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
-        |          $s.numBytes(), (long) $j);
-        |      if ($h < $mins[$j]) $mins[$j] = $h;
-        |    }
-        |  }
-        |}
-        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
-      """.stripMargin
-    })
+/** MD5-derived 64-bit values, bit-identical to DuckDB's
+  * `md5_number_lower` / `md5_number_upper` (verified empirically:
+  * lower = digest bytes 8..15 little-endian, upper = bytes 0..7
+  * little-endian). MD5 is the ONE string hash both engines share, so
+  * every sketch built on it is oracle-checkable end to end — xxhash64
+  * sketches were rows-only forever. */
+object Md5Helper {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
-  override def checkInputDataTypes()
-      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    child.dataType match {
-      case ArrayType(StringType, _) =>
-        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
-      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-        .TypeCheckFailure(s"minhash_sig needs array<string>, got $t")
-    }
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  private def leLong(d: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (d(off + i) & 0xffL); i -= 1 }
+    v
+  }
+  def digest(s: UTF8String): Array[Byte] = {
+    val md = tl.get(); md.reset(); md.update(s.getBytes); md.digest()
+  }
+  /** DuckDB `md5_number_lower(s)` bit pattern (as a signed long). */
+  def lo64(s: UTF8String): Long = leLong(digest(s), 8)
+  /** DuckDB `md5_number_upper(s)` bit pattern (as a signed long). */
+  def hi64(s: UTF8String): Long = leLong(digest(s), 0)
+}
+
+/** MinHash permutation parameters: h_j(x) = (A(j)·x + B(j)) mod P over
+  * the low-32 md5 bits x. A(j) < 2^30 and x < 2^32 keep the product
+  * inside non-overflowing signed-64 range in BOTH engines (DuckDB
+  * BIGINT errors on overflow; Java would silently wrap). The arrays
+  * are interpolated verbatim into the DuckDB oracle SQL, so both
+  * sides share one definition. */
+object MinHashParams {
+  val P = 2147483647L // 2^31 - 1
+  private val AMod = 1073741789L // largest prime < 2^30
+  val A: Array[Long] = Array.tabulate(64)(j => 1L + (2654435761L * (j + 1)) % AMod)
+  val B: Array[Long] = Array.tabulate(64)(j => (40503L * (j + 1) * (j + 17)) % P)
+}
+
+/** Static loop target for [[MinHashSig]] codegen. */
+object MinHashHelper {
+  def sig(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
+    val a = MinHashParams.A
+    val b = MinHashParams.B
+    val p = MinHashParams.P
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
       if (s != null) {
-        val base = s.getBaseObject
-        val off = s.getBaseOffset
-        val len = s.numBytes()
+        val x = Md5Helper.lo64(s) & 0xffffffffL
         var j = 0
         while (j < k) {
-          val h = XXH64.hashUnsafeBytes(base, off, len, j.toLong)
+          val h = (a(j) * x + b(j)) % p
           if (h < mins(j)) mins(j) = h
           j += 1
         }
@@ -84,84 +81,104 @@ case class MinHashSig(child: Expression, k: Int)
     }
     new GenericArrayData(mins)
   }
-  override protected def withNewChildInternal(c: Expression): MinHashSig =
-    copy(child = c)
 }
 
-/** 64-bit SimHash over array<string>: bit i set when the sum of ±1
-  * votes from each element-hash's bit i is positive. Codegen'd like
-  * [[MinHashSig]]. */
-case class SimHash64(child: Expression)
+/** MinHash signature: for permutations 0..k-1, the minimum of
+  * (A(j)·md5lo32(element) + B(j)) mod P over the input array<string>.
+  * One MD5 per element + k cheap mults — cheaper than the former k
+  * seeded xxhash64 passes, and DuckDB-reproducible (md5_number_lower).
+  * Codegen emits a static call into [[MinHashHelper]], keeping the
+  * surrounding projection in one whole-stage span. */
+case class MinHashSig(child: Expression, k: Int)
     extends UnaryExpression {
-  override def dataType: DataType = LongType
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
-      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
-    nullSafeCodeGen(ctx, ev, arr => {
-      val votes = ctx.freshName("votes")
-      val i = ctx.freshName("i")
-      val b = ctx.freshName("b")
-      val s = ctx.freshName("s")
-      val h = ctx.freshName("h")
-      val out = ctx.freshName("out")
-      s"""
-        |int[] $votes = new int[64];
-        |for (int $i = 0; $i < $arr.numElements(); $i++) {
-        |  UTF8String $s = $arr.getUTF8String($i);
-        |  if ($s != null) {
-        |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
-        |      .hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
-        |        $s.numBytes(), 42L);
-        |    for (int $b = 0; $b < 64; $b++) {
-        |      if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
-        |    }
-        |  }
-        |}
-        |long $out = 0L;
-        |for (int $b = 0; $b < 64; $b++) {
-        |  if ($votes[$b] > 0) $out |= (1L << $b);
-        |}
-        |${ev.value} = $out;
-      """.stripMargin
-    })
-  }
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.expressions.MinHashHelper.sig($arr, $k);")
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(StringType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-        .TypeCheckFailure(s"simhash64 needs array<string>, got $t")
+        .TypeCheckFailure(s"minhash_sig needs array<string>, got $t")
     }
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    MinHashHelper.sig(input.asInstanceOf[ArrayData], k)
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** Static loop target for [[SimHash128]] codegen. */
+object SimHashHelper {
+  def sig128(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](128)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
       if (s != null) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-          s.numBytes(), 42L)
+        val lo = Md5Helper.lo64(s)
+        val hi = Md5Helper.hi64(s)
         var b = 0
         while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          if (((lo >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          if (((hi >>> b) & 1L) == 1L) votes(64 + b) += 1 else votes(64 + b) -= 1
           b += 1
         }
       }
       i += 1
     }
-    var out = 0L
+    var outLo = 0L
+    var outHi = 0L
     var b = 0
     while (b < 64) {
-      if (votes(b) > 0) out |= (1L << b)
+      if (votes(b) > 0) outLo |= (1L << b)
+      if (votes(64 + b) > 0) outHi |= (1L << b)
       b += 1
     }
-    java.lang.Long.valueOf(out)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](outLo, outHi))
   }
-  override protected def withNewChildInternal(c: Expression): SimHash64 =
+}
+
+/** 128-bit SimHash over array<string> as a (lo, hi) long pair: bit i
+  * set when the sum of ±1 votes from each element's md5 bit i is
+  * positive (bits 0..63 from md5_number_lower, 64..127 from
+  * md5_number_upper — both DuckDB-reproducible, so the sketch itself
+  * is oracle-checked). 128 bits keep pigeonhole bands ≥ 11 bits wide
+  * at hamming ≤ 10, which bounds per-band bucket population at
+  * corpus/2^11 per value — the 64-bit variant's 5–6-bit bands went
+  * quadratic within buckets at corpus scale. */
+case class SimHash128(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("lo", LongType, nullable = false),
+    StructField("hi", LongType, nullable = false)))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.expressions.SimHashHelper.sig128($arr);")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"simhash128 needs array<string>, got $t")
+    }
+  override def nullSafeEval(input: Any): Any =
+    SimHashHelper.sig128(input.asInstanceOf[ArrayData])
+  override protected def withNewChildInternal(c: Expression): SimHash128 =
     copy(child = c)
 }
 

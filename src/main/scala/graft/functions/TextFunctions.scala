@@ -55,26 +55,31 @@ object TextFunctions {
     aggregate(zip_with(sig1, sig2, (a, b) => when(a === b, 1).otherwise(0)),
       lit(0), (acc, m) => acc + m).cast("double") / k
 
-  /** LSH band keys: split the k-wide signature into `bands` bands of
-    * k/bands rows each; band key = hash of the band's slice. */
-  def bandHashes(sig: Column, k: Int, bands: Int): Column = {
+  /** LSH band keys: split the k-wide signature into `bands` slices of
+    * k/bands values each. The raw slice array IS the join key (array
+    * equality shuffles and compares fine) — no band hash, so the
+    * banding is exactly reproducible in the DuckDB oracle via
+    * list_slice, with zero hash-collision false candidates. */
+  def bandSlices(sig: Column, k: Int, bands: Int): Column = {
     val rows = k / bands
-    array((0 until bands).map { b =>
-      xxhash64((lit(b) +: (0 until rows).map(r =>
-        element_at(sig, b * rows + r + 1))): _*)
-    }: _*)
+    array((0 until bands).map(b => slice(sig, b * rows + 1, rows)): _*)
   }
 
-  /** 64-bit SimHash over a token array via the native expression:
-    * bit i is set when the sum of (+1/-1) votes from each token-hash's
-    * bit i is positive. */
+  /** 128-bit SimHash over a token array via the native expression:
+    * struct(lo, hi) of two longs; bit i is set when the sum of
+    * (+1/-1) votes from each token's md5 bit i is positive. */
   def simhash(tokenCol: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
-      graft.expressions.SimHash64(
+      graft.expressions.SimHash128(
         org.apache.spark.sql.graft.Bridge.expression(tokenCol)))
 
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Hamming distance between two simhash128 structs. */
+  def hamming128(a: Column, b: Column): Column =
+    hamming(a.getField("lo"), b.getField("lo")) +
+      hamming(a.getField("hi"), b.getField("hi"))
 
   /** Declare a column non-null (Catalyst KnownNotNull). Use on an
     * EXPENSIVE expression that becomes a join key: the optimizer

@@ -25,14 +25,28 @@ object Multimodal {
 
   /** STUB decoder — deterministic fake dims from a payload hash.
     * A real implementation would parse the image/video container here,
-    * per batch, reusing a decoder instance per partition. */
-  private def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
-    var h = 1125899906842597L
+    * per batch, reusing a decoder instance per partition.
+    * The hash is a rolling polynomial mod 1e9+7 (like t4_fingerprint):
+    * non-wrapping positive arithmetic, so the DuckDB oracle reproduces
+    * it exactly via list_reduce — which is what turns m1/m2 from
+    * rows-only plumbing checks into hash-checked queries. */
+  private val P = 1000000007L
+
+  /** Rolling polynomial payload hash mod 1e9+7 (seed 5381, base 31
+    * over unsigned bytes) — stays positive and below 2^35, so the
+    * arithmetic is identical in DuckDB. */
+  private[multimodal] def payloadHash(payload: Array[Byte]): Long = {
+    var h = 5381L
     var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    val w = 16 + math.floorMod(h, 640).toInt
-    val ht = 16 + math.floorMod(h >> 16, 480).toInt
-    val frames = 1 + math.floorMod(h >> 32, 32).toInt
+    while (i < payload.length) { h = (h * 31 + (payload(i) & 0xff)) % P; i += 1 }
+    h
+  }
+
+  private[multimodal] def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
+    val h = payloadHash(payload)
+    val w = 16 + (h % 640).toInt
+    val ht = 16 + ((h / 640) % 480).toInt
+    val frames = 1 + ((h / (640 * 480)) % 32).toInt
     (w, ht, frames)
   }
 
@@ -54,14 +68,15 @@ object Multimodal {
       .as[MediaIn]
     media.mapPartitions { batch =>
       batch.flatMap { m =>
+        val ph = payloadHash(m.payload)
         val (w, h, frames) = decodeStub(m.payload)
         val scale = box.toDouble / math.max(w, h)
         val (ow, oh) = (math.max(1, (w * scale).toInt),
           math.max(1, (h * scale).toInt))
         (0 until frames by every).map { f =>
-          // stub "decode frame f": deterministic content hash
-          var fh = 1469598103934665603L ^ m.doc_id
-          fh = fh * 1099511628211L + f
+          // stub "decode frame f": deterministic content hash mixing
+          // payload hash, doc id and frame index, mod-1e9+7 arithmetic
+          val fh = ((ph * 131) % P + m.doc_id * 977 + f) % P
           FrameSample(m.doc_id, f, ow, oh, fh)
         }
       }

@@ -50,10 +50,13 @@ class CodegenSpec extends AnyFunSuite {
         .MinHashSig(Literal(shArr, ArrayType(StringType)), k)
         .eval(null).asInstanceOf[GenericArrayData].toLongArray().toSeq
       val shInterp = graft.expressions
-        .SimHash64(Literal(tokArr, ArrayType(StringType)))
-        .eval(null).asInstanceOf[Long]
+        .SimHash128(Literal(tokArr, ArrayType(StringType)))
+        .eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
       assert(row.getSeq[Long](0) == mhInterp, s"minhash mismatch for '$text'")
-      assert(row.getLong(1) == shInterp, s"simhash mismatch for '$text'")
+      assert(row.getStruct(1).getLong(0) == shInterp.getLong(0) &&
+        row.getStruct(1).getLong(1) == shInterp.getLong(1),
+        s"simhash mismatch for '$text'")
     }
   }
 

@@ -47,7 +47,7 @@ class PipelineSpec extends AnyFunSuite {
     val truth = docs.select(col("doc_id").as("id1"), col("sh").as("h1"))
       .crossJoin(docs.select(col("doc_id").as("id2"), col("sh").as("h2")))
       .filter(col("id1") < col("id2"))
-      .withColumn("hamming", T.hamming(col("h1"), col("h2")))
+      .withColumn("hamming", T.hamming128(col("h1"), col("h2")))
       .filter(col("hamming") <= 10)
       .select("id1", "id2", "hamming")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet

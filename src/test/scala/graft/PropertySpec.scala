@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{MinHashSig, ShingleSet, SimHash64}
+import graft.expressions.{MinHashSig, ShingleSet, SimHash128}
 import graft.functions.DiffUtils
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -83,14 +83,18 @@ class PropertySpec extends AnyFunSuite {
 
   test("simhash: deterministic, zero hamming on identical input") {
     forAll(Gen.nonEmptyListOf(Gen.identifier.map(_.take(8)))) { tokens =>
-      def sh(t: Seq[String]): Long = {
+      def sh(t: Seq[String]): (Long, Long) = {
         val arr = new GenericArrayData(
           t.map(x => UTF8String.fromString(x)).toArray[Any])
-        SimHash64(Literal(arr, ArrayType(StringType)))
-          .eval(null).asInstanceOf[Long]
+        val r = SimHash128(Literal(arr, ArrayType(StringType)))
+          .eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+        (r.getLong(0), r.getLong(1))
       }
       assert(sh(tokens) == sh(tokens))
-      assert(java.lang.Long.bitCount(sh(tokens) ^ sh(tokens)) == 0)
+      val ((lo1, hi1), (lo2, hi2)) = (sh(tokens), sh(tokens))
+      assert(java.lang.Long.bitCount(lo1 ^ lo2) +
+        java.lang.Long.bitCount(hi1 ^ hi2) == 0)
     }
   }
 
