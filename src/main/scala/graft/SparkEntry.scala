@@ -39,6 +39,7 @@ object SparkEntry {
     "h4_dedup_consecutive" -> (History.h4DedupConsecutive _),
     "h5_state_at_time" -> (History.h5StateAtTime _),
     "h6_multivalue_merge" -> (History.h6MultivalueMerge _),
+    "h6b_multivalue_setdiff" -> (History.h6bMultivalueSetdiff _),
     "h7_flag_parse" -> (History.h7FlagParse _),
     "h8_json_props" -> (History.h8JsonProps _),
     "h9_alias_canonical" -> (History.h9AliasCanonical _),
@@ -382,11 +383,16 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'purchase'),
         |atts AS (SELECT id, subId, min(ts) AS created FROM pur GROUP BY 1, 2),
         |natt AS (
-        |  SELECT v.id, v.ts, count(*) AS n
+        |  SELECT v.id, v.ts, count(*) AS n,
+        |    CAST(sum(CASE WHEN CAST(a.subId AS BIGINT) % 3 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_patch,
+        |    min(CASE WHEN CAST(a.subId AS BIGINT) % 2 = 0
+        |      THEN 'text/plain' ELSE 'image/png' END) AS mime_min
         |  FROM versions v JOIN atts a ON v.id = a.id AND a.created <= v.ts
         |  GROUP BY 1, 2)
         |SELECT v.id, v.version, v.ts AS valid_from, v.expires_on, sv.status,
-        |  COALESCE(natt.n, 0) AS n_atts
+        |  COALESCE(natt.n, 0) AS n_atts,
+        |  COALESCE(natt.n_patch, 0) AS n_patch, natt.mime_min AS mime_min
         |FROM versions v
         |LEFT JOIN sv ON v.id = sv.id AND v.ts = sv.ts
         |LEFT JOIN natt ON v.id = natt.id AND v.ts = natt.ts
@@ -413,7 +419,8 @@ object SparkEntry {
         |  WHERE email <> '' GROUP BY 1, 2 HAVING sum(delta) <> 0),
         |scored1 AS (
         |  SELECT p.email AS problem, s.email AS solution, sum(s.cnt) AS score
-        |  FROM (SELECT bug_id, email FROM base WHERE cnt < 0) p
+        |  FROM (SELECT bug_id, email FROM base
+        |        WHERE cnt < 0 AND email <> 'p0@new.example') p
         |  JOIN (SELECT bug_id, email, cnt FROM base WHERE cnt > 0) s USING (bug_id)
         |  GROUP BY 1, 2),
         |best1 AS (
@@ -429,7 +436,8 @@ object SparkEntry {
         |  GROUP BY 1, 2 HAVING sum(b.cnt) <> 0),
         |scored2 AS (
         |  SELECT p.email AS problem, s.email AS solution, sum(s.cnt) AS score
-        |  FROM (SELECT bug_id, email FROM folded WHERE cnt < 0) p
+        |  FROM (SELECT bug_id, email FROM folded
+        |        WHERE cnt < 0 AND email <> 'p0@new.example') p
         |  JOIN (SELECT bug_id, email, cnt FROM folded WHERE cnt > 0) s USING (bug_id)
         |  GROUP BY 1, 2),
         |best2 AS (
@@ -702,7 +710,19 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00')
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    // reference-ordered set replay: last operation on (user, item) wins
     "h6_multivalue_merge" ->
+      """SELECT user_id, k FROM (
+        | SELECT user_id,
+        |   CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k,
+        |   event_type,
+        |   row_number() OVER (
+        |     PARTITION BY user_id, regexp_extract(props, '"k": (\d+)', 1)
+        |     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events WHERE event_type IN ('click', 'error'))
+        |WHERE rn = 1 AND event_type = 'click'
+        |ORDER BY user_id, k""".stripMargin,
+    "h6b_multivalue_setdiff" ->
       """SELECT user_id, k FROM (
         | SELECT DISTINCT user_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
         | FROM events WHERE event_type = 'click'

@@ -34,13 +34,25 @@ case class VecDot(left: Expression, right: Expression)
         .TypeCheckFailure(s"vec_dot needs two array<float|double>, got $l, $r")
     }
 
+  // a null ELEMENT nulls the whole dot (the HOF formulation's
+  // semantics: null*x poisons the running sum), so the expression can
+  // return null even for non-null array inputs — codegen must route
+  // through a boxed helper and set isNull
+  override def nullable: Boolean = true
+
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.expressions.VecHelper.dot($a, $b, " +
-        s"${isFloatArr(left.dataType)}, ${isFloatArr(right.dataType)})")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotRes")
+      s"""
+        |java.lang.Double $r = graft.expressions.VecHelper.dot($a, $b,
+        |  ${isFloatArr(left.dataType)}, ${isFloatArr(right.dataType)});
+        |if ($r == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $r.doubleValue(); }
+      """.stripMargin
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any =
     VecHelper.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
@@ -84,6 +96,9 @@ case class SigAgree(left: Expression, right: Expression)
 /** Static target for [[VecDot]] / [[SigAgree]] codegen. */
 object VecHelper {
 
+  /** Null SLOTS count as disagreement — identical to the HOF
+    * `when(a === b, 1).otherwise(0)` form, where a null comparison
+    * falls through to the otherwise(0) branch. */
   def sigAgree(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
     if (b.numElements() != n) {
@@ -93,12 +108,20 @@ object VecHelper {
     var agree = 0L
     var i = 0
     while (i < n) {
-      if (a.getLong(i) == b.getLong(i)) agree += 1
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) {
+        agree += 1
+      }
       i += 1
     }
     agree
   }
-  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+
+  /** Returns null when any element is null — identical to the HOF
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)` form, where a null
+    * product poisons the running sum. (Unsafe arrays would otherwise
+    * silently read a null slot as 0.0.) */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean)
+      : java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) {
       throw new IllegalArgumentException(
@@ -107,15 +130,19 @@ object VecHelper {
     var acc = 0.0
     var i = 0
     if (!aFloat && !bFloat) {
-      while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        acc += a.getDouble(i) * b.getDouble(i); i += 1
+      }
     } else {
       while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
         val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
         val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
         acc += x * y
         i += 1
       }
     }
-    acc
+    java.lang.Double.valueOf(acc)
   }
 }

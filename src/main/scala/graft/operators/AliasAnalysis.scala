@@ -41,12 +41,28 @@ object AliasAnalysis {
 
   /** @param ccChanges (bug_id, old_value, new_value) with
     *                  comma-separated email lists, as in bugs_activity
+    * @param minimumDiff     required margin of the best match over the
+    *                  runner-up (reference MINIMUM_DIFF_ROUGH)
+    * @param minimumDiffFine once the rough threshold reaches a
+    *                  fixpoint (a round matches nothing), relax to
+    *                  min(minimumDiff, minimumDiffFine) and keep
+    *                  going — the reference tightens the same way on
+    *                  its final pass once all data is in
+    *                  (alias_analysis.py:115-117 MINIMUM_DIFF_FINE,
+    *                  "ONCE WE HAVE ALL THE DATA IN WE CAN BE LESS
+    *                  DISCRIMINATING")
+    * @param notAliases      single-column `email` frame of explicit
+    *                  non-matches (human-curated): these emails are
+    *                  never treated as problems
+    *                  (alias_analysis.py:92 not_aliases, :135 filter)
     * @param prior     alias map from a previous run to seed round 0
     *                  (folded in before the first matching pass, like
     *                  the reference's reloaded alias file)
     * @return (alias, canonical) rows */
   def analyze(ccChanges: DataFrame, rounds: Int = 3,
-      minimumDiff: Int = 2, prior: Option[DataFrame] = None): DataFrame = {
+      minimumDiff: Int = 2, minimumDiffFine: Int = 2,
+      notAliases: Option[DataFrame] = None,
+      prior: Option[DataFrame] = None): DataFrame = {
     val s = ccChanges.sparkSession
     import s.implicits._
 
@@ -68,6 +84,8 @@ object AliasAnalysis {
       .getOrElse(Seq.empty[(String, String)].toDF("alias", "canonical"))
     var aliasesEmpty = prior.isEmpty
 
+    val fine = math.min(minimumDiff, minimumDiffFine)
+    var curDiff = minimumDiff
     var round = 0
     var converged = false
     while (round < rounds && !converged) {
@@ -90,7 +108,7 @@ object AliasAnalysis {
       // the fold subtree is evaluated once, where the earlier
       // problems⋈solutions self-join evaluated it twice and reshuffled
       // both sides on bug_id.
-      val scored = folded.groupBy("bug_id")
+      val scoredAll = folded.groupBy("bug_id")
         .agg(
           collect_list(when(col("cnt") < 0, col("email"))).as("probs"),
           collect_list(when(col("cnt") > 0,
@@ -99,20 +117,35 @@ object AliasAnalysis {
         .select(col("problem"), explode(col("sols")).as("sol"))
         .groupBy(col("problem"), col("sol.email").as("solution"))
         .agg(sum("sol.cnt").as("score"))
+      // excluded problems are dropped BEFORE the argmax window, like
+      // the reference's problems filter — they are simply never
+      // candidates for matching (the tiny curated list broadcasts)
+      val scored = notAliases match {
+        case Some(na) => scoredAll.join(
+          broadcast(na.select(lower(col("email")).as("problem"))),
+          Seq("problem"), "left_anti")
+        case None => scoredAll
+      }
       val w = Window.partitionBy("problem")
         .orderBy(col("score").desc, col("solution").asc)
       val best = scored
         .withColumn("rk", row_number().over(w))
         .withColumn("margin", col("score") -
           coalesce(lead("score", 1).over(w), lit(0L)))
-        .filter(col("rk") === 1 && col("margin") >= minimumDiff)
+        .filter(col("rk") === 1 && col("margin") >= curDiff)
         .select(col("problem").as("alias"), col("solution").as("canonical"))
         // materialize once: `best` feeds both the transitive remap and
         // the union below — without this the whole round pipeline
         // (fold + pair-agg + window) would run twice
         .localCheckpoint(eager = true)
       if (best.isEmpty) {
-        converged = true // a fixpoint round adds nothing; later rounds won't either
+        if (curDiff > fine) {
+          // rough fixpoint reached with data fully folded in: relax to
+          // the fine threshold and keep matching (reference last_run)
+          curDiff = fine
+        } else {
+          converged = true // fine fixpoint adds nothing; later rounds won't either
+        }
       } else {
         // transitive fold: existing aliases pointing at a problem email
         // get remapped to its new canonical. `best` is the round's ONE

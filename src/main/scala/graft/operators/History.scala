@@ -89,16 +89,38 @@ object History {
         unix_millis(col("ts")).as("ts_ms"))
       .orderBy("user_id")
 
-  /** H6: multi-value add/remove merge. The reference merges cc /
-    * keywords / blocked sets by applying additions and removals
-    * (reference: bugzilla_etl/parse_bug_history.py:816 addValues /
-    * :848 removeValues). Here: per user, the set of `k` values added
-    * by clicks minus those removed by errors, exploded sorted. */
+  /** H6: multi-value add/remove merge with the REFERENCE'S ordered set
+    * semantics (bugzilla_etl/parse_bug_history.py:816 addValues /
+    * :848 removeValues): adds and removes apply in time order with
+    * tolerance for inconsistent logs — adding a present item and
+    * removing an absent item are no-ops, so a remove-then-add leaves
+    * the item PRESENT. Per (user, item) that reduces exactly to
+    * "the last operation wins", which is a single hash aggregation
+    * (map-side partial max_by, no window sort) — the set replay
+    * without materializing any set. Clicks add `k`, errors remove it. */
   def h6MultivalueMerge(s: SparkSession, d: String): DataFrame = {
-    // Anti-join formulation (adds minus removals) — stays in
-    // whole-stage codegen with map-side-distinct partial aggregation,
-    // unlike a collect_set/array_except buffer build (measured 4x
-    // slower at 1M events).
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("user_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").cast("long").as("k"),
+        col("event_type"), col("ts"), col("event_id"))
+    ev.groupBy("user_id", "k")
+      .agg(max_by(col("event_type"), struct(col("ts"), col("event_id")))
+        .as("last_op"))
+      .filter(col("last_op") === "click")
+      .select("user_id", "k")
+      .orderBy("user_id", "k")
+  }
+
+  /** H6b: the order-INSENSITIVE variant (ever-added ∖ ever-removed) —
+    * kept as a separate documented query because it is the right
+    * semantics when the log is a statement of facts rather than a
+    * replayable edit stream. Anti-join formulation stays in
+    * whole-stage codegen with map-side-distinct partial aggregation,
+    * unlike a collect_set/array_except buffer build (measured 4x
+    * slower at 1M events). Diverges from h6 exactly on items whose
+    * last op is an add but were ever removed (or vice versa). */
+  def h6bMultivalueSetdiff(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
       .select(col("user_id"),
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").cast("long").as("k"),

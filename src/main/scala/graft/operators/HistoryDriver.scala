@@ -25,7 +25,12 @@ object HistoryDriver {
       .select(col("bug_id"),
         concat(lit("p"), col("k") % 40, lit("@old.example")).as("old_value"),
         concat(lit("p"), col("k") % 40, lit("@new.example")).as("new_value"))
-    AliasAnalysis.analyze(cc, rounds = 2, minimumDiff = 2)
+    import s.implicits._
+    // human-curated exclusion (reference not_aliases): p0@new.example
+    // is declared a NON-alias and must never be matched, even though
+    // the activity signal says it is one
+    AliasAnalysis.analyze(cc, rounds = 2, minimumDiff = 2,
+      notAliases = Some(Seq("p0@new.example").toDF("email")))
   }
 
   /** Drives [[BugHistory.nestSubEntities]]: purchases become
@@ -65,12 +70,38 @@ object HistoryDriver {
       Seq("size"), Nil)
       .withColumn("subId", split(col("id"), "#")(1))
       .withColumn("id", split(col("id"), "#")(0).cast("long"))
-    BugHistory.nestSubEntities(parents, subVersions, Seq("size"))
+      // raw Bugzilla-shaped attachment attributes, as the extraction
+      // SELECTs them (extract_bugzilla.py:572-575): is* flags arrive
+      // as "0"/"1" STRINGS, mimetype as free text
+      .withColumn("is_patch_raw",
+        when(col("subId").cast("long") % 3 === 0, lit("1")).otherwise(lit("0")))
+      .withColumn("mimetype",
+        when(col("subId").cast("long") % 2 === 0, lit("text/plain"))
+          .otherwise(lit("image/png")))
+    val nested = BugHistory.nestSubEntities(parents, subVersions,
+      Seq("size", "is_patch_raw", "mimetype"))
+    // normalize() INSIDE the nested docs (transform_bugzilla.py:62-70):
+    // attachments_is{patch,obsolete,private} flags are int-coerced
+    // (value2int) and mimetype is renamed/carried unchanged — applied
+    // per nested attachment, not on the flat row
+    val norm = nested.withColumn("sub_entities",
+      transform(col("sub_entities"), a => struct(
+        a.getField("subId").as("subId"),
+        a.getField("size").as("size"),
+        a.getField("is_patch_raw").cast("int").as("is_patch"),
+        a.getField("mimetype").as("mimetype"))))
+    norm
       .select(col("id"), col("version"), col("valid_from"), col("expires_on"),
         col("status"),
-        size(coalesce(col("sub_entities"),
-          array().cast("array<struct<subId:string,size:string>>")))
-          .cast("long").as("n_atts"))
+        size(coalesce(col("sub_entities"), array().cast(
+          "array<struct<subId:string,size:string,is_patch:int,mimetype:string>>")))
+          .cast("long").as("n_atts"),
+        // aggregates over the NORMALIZED nested values, so the oracle
+        // (which re-derives them independently) checks the coercion
+        coalesce(aggregate(col("sub_entities"), lit(0L),
+          (acc, a) => acc + a.getField("is_patch")), lit(0L)).as("n_patch"),
+        array_min(transform(col("sub_entities"), a => a.getField("mimetype")))
+          .as("mime_min"))
       .orderBy("id", "version")
   }
 

@@ -25,14 +25,18 @@ object Salting {
   def saltedAgg(df: DataFrame, keys: Seq[String], salts: Int,
       aggs: SaltedAggSpec*): DataFrame = {
     require(aggs.nonEmpty, "need at least one aggregate")
-    // Salt derived from row CONTENT, not monotonically_increasing_id:
-    // a nondeterministic salt can re-assign rows to different shards
-    // between stage attempts (SPARK-23207-class retry bug), double-
-    // counting or dropping rows in the phase-1 aggregate. Hashing all
-    // columns is deterministic per row; identical rows co-locating in
-    // one shard is harmless for algebraic aggregates.
+    // Salt derived from (input partition id, row content), not
+    // monotonically_increasing_id: a nondeterministic salt can
+    // re-assign rows to different shards between stage attempts
+    // (SPARK-23207-class retry bug), double-counting or dropping rows
+    // in the phase-1 aggregate. Partition ids are deterministic across
+    // stage retries (the scan's partitioning is fixed), and mixing
+    // them in spreads FULLY IDENTICAL rows — the canonical skew case,
+    // a hot key duplicated millions of times — across shards, where a
+    // pure content hash would funnel them all into one shard and
+    // defeat the salting entirely.
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(salts)))
+      pmod(hash(spark_partition_id() +: df.columns.map(col): _*), lit(salts)))
     val phase1 = aggs.map {
       case SaltedSum(n, c) => sum(c).as(n)
       case SaltedCount(n) => count(lit(1)).as(n)

@@ -45,6 +45,45 @@ class AliasSpec extends AnyFunSuite {
     assert(canonB == "a@m")
   }
 
+  test("not_aliases exclusion: a declared non-match is never matched") {
+    // same clear alice signal as above, but a human has declared
+    // alice2@m a NON-alias (reference alias_analysis.py:92
+    // not_aliases) — it must never appear in the output, while an
+    // unrelated rename on other bugs still matches
+    val cc = Seq(
+      (1L, "alice@m", "alice2@m"),
+      (2L, "alice@m", "alice2@m"),
+      (3L, "alice@m", "alice2@m"),
+      (7L, "dave@m", "dave2@m"),
+      (8L, "dave@m", "dave2@m"),
+      (9L, "dave@m", "dave2@m"))
+      .toDF("bug_id", "old_value", "new_value")
+    val result = operators.AliasAnalysis.analyze(cc,
+      notAliases = Some(Seq("alice2@m").toDF("email"))).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(!result.contains("alice2@m"))
+    assert(result.get("dave2@m").contains("dave@m"))
+  }
+
+  test("fine pass: rough threshold misses a weak match, fine catches it") {
+    // eve renames on only 2 bugs: margin over the runner-up is 2.
+    // At minimumDiff=3 (rough) no round matches her; once the rough
+    // fixpoint is reached the analyzer relaxes to minimumDiffFine=2
+    // (reference MINIMUM_DIFF_FINE final-pass tightening) and matches.
+    val cc = Seq(
+      (1L, "eve@m", "eve2@m"),
+      (2L, "eve@m", "eve2@m"))
+      .toDF("bug_id", "old_value", "new_value")
+    val rough = operators.AliasAnalysis.analyze(cc,
+      rounds = 3, minimumDiff = 3, minimumDiffFine = 3).collect()
+    assert(rough.isEmpty, "margin-2 match must fail the rough threshold")
+    val fine = operators.AliasAnalysis.analyze(cc,
+      rounds = 3, minimumDiff = 3, minimumDiffFine = 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(fine.get("eve2@m").contains("eve@m"),
+      "fine pass after rough fixpoint must catch the margin-2 match")
+  }
+
   test("saved aliases seed the next run and stay transitively closed") {
     val run1 = Seq(
       (1L, "a@m", "b@m"), (2L, "a@m", "b@m"), (3L, "a@m", "b@m"))

@@ -111,6 +111,28 @@ class CodegenSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("vec_dot and sig_agree match the HOF semantics on null ELEMENTS") {
+    import graft.functions.{TextFunctions => T, VectorFunctions => V}
+    val df = spark.sql(
+      """SELECT array(1.0D, CAST(NULL AS DOUBLE), 3.0D) AS a,
+        |  array(1.0D, 2.0D, 3.0D) AS b,
+        |  array(1L, CAST(NULL AS BIGINT), 3L) AS s1,
+        |  array(1L, CAST(NULL AS BIGINT), 9L) AS s2""".stripMargin)
+    val r = withStrictCodegen {
+      df.select(
+        V.dot(col("a"), col("b")).as("native"),
+        V.dotHof(col("a"), col("b")).as("hof"),
+        T.minhashJaccardEst(col("s1"), col("s2"), 3).as("agree_native"),
+        T.minhashJaccardEstHof(col("s1"), col("s2"), 3).as("agree_hof"))
+        .head()
+    }
+    // a null element poisons the dot in both formulations
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    // a null slot counts as disagreement in both formulations
+    assert(r.getDouble(2) == r.getDouble(3))
+    assert(r.getDouble(2) == 1.0 / 3.0)
+  }
+
   test("driver-precomputed planes equal the SQL xxhash64 formulation") {
     import graft.functions.{VectorFunctions => V}
     for (j <- Seq(0, 3, 1000, 1095)) {
