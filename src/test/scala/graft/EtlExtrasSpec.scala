@@ -60,6 +60,31 @@ class EtlExtrasSpec extends AnyFunSuite {
     assert(replayed.nonEmpty)
   }
 
+  test("b3 replay streams one large entity without buffering the group") {
+    import operators.DiffHistory.DiffEv
+    import spark.implicits._
+    // one entity with 5000 appended lines interleaved with a small
+    // one — the secondary-sort fold must keep entities separate and
+    // replay each in (ts, event_id) order regardless of input order
+    val n = 5000
+    val big = (0 until n).map { i =>
+      DiffEv(7L, 1000L + i, i.toLong,
+        s"@@ -${i + 1},0 +${i + 1},1 @@\n+line$i")
+    }
+    val small = Seq(
+      DiffEv(8L, 1000L, 0L, "@@ -1,0 +1,1 @@\n+solo"),
+      DiffEv(8L, 2000L, 1L, "@@ -2,0 +2,1 @@\n+duo"))
+    val shuffled = scala.util.Random.shuffle(big ++ small)
+    val out = operators.DiffHistory.replay(shuffled.toDS())
+      .collect().groupBy(_.id)
+    val bigStories = out(7L).sortBy(v => (v.ts, v.event_id))
+    assert(bigStories.length == n)
+    assert(bigStories.last.story.split("\n").length == n)
+    assert(bigStories.last.story.startsWith("line0\nline1\n"))
+    assert(out(8L).map(_.story).sorted.toSeq ==
+      Seq("solo", "solo\nduo").sorted)
+  }
+
   test("h13 flag lifecycles: removed flags marked d with positive duration") {
     val rows = operators.History.h13FlagLifecycle(spark, sf).collect()
     assert(rows.nonEmpty)
