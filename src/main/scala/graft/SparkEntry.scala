@@ -29,6 +29,7 @@ object SparkEntry {
     "q14_asof_join" -> (operators.AsOf.q14AsofJoin _),
     "c1_curation" -> (operators.Curation.c1Curation _),
     "c3_sample_split" -> (operators.Curation.c3SampleSplit _),
+    "c4_quality_resample" -> (operators.Curation.c4QualityResample _),
     "e1_embedding_quantize" -> (operators.Curation.e1EmbeddingQuantize _),
     "o1_profile" -> (operators.Curation.o1Profile _),
     "n1_nested_flatten" -> (operators.Nested.n1NestedFlatten _),
@@ -65,6 +66,7 @@ object SparkEntry {
     "s1_ann_bruteforce" -> (graft.similarity.Similarity.s1AnnBruteForce _),
     "s2_ann_lsh" -> (graft.similarity.Similarity.s2AnnLsh _),
     "s3_ivf_ann" -> (graft.similarity.Similarity.s3IvfAnn _),
+    "s4_pq_encode" -> (graft.similarity.Similarity.s4PqEncode _),
     // Text analysis
     "t1_langid" -> (graft.text.TextAnalysis.t1LangId _),
     "t2_quality_score" -> (graft.text.TextAnalysis.t2QualityScore _),
@@ -75,6 +77,7 @@ object SparkEntry {
     "t7_seq_pack" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t7SeqPack(s, d)),
     "t8_repetition" -> (graft.text.TextAnalysis.t8Repetition _),
+    "t9_pii_redact" -> (graft.text.TextAnalysis.t9PiiRedact _),
     // Multimodal
     "m1_multimodal_meta" -> (graft.multimodal.Multimodal.m1MultimodalMeta _),
     "m2_frame_sample" -> ((s: SparkSession, d: String) =>
@@ -625,6 +628,59 @@ object SparkEntry {
         |      WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t9_pii_redact" ->
+      """WITH r AS (
+        |  SELECT doc_id, text || ' contact u' || (doc_id % 50) ||
+        |    '@mail.example from 10.' || (doc_id % 200) || '.0.7' AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "c4_quality_resample" ->
+      """WITH s AS (
+        |  SELECT doc_id, source,
+        |    1.0 - abs(0.3 - (len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE /
+        |      len(string_split(text, ' ')))) AS w,
+        |    ((doc_id * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, source, round(w, 4) AS weight, u, u < w AS sampled
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "s4_pq_encode" -> {
+      val sq = "(e.emb[j.j*8 + i + 1] - c.centroid[j.j*8 + i + 1])"
+      val codeCols = (0 until 8).map(j =>
+        s"max(CASE WHEN sub = $j THEN code END) AS c$j").mkString(",\n  ")
+      val errSum = (0 until 8).map(j =>
+        s"max(CASE WHEN sub = $j THEN dist END)").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cpos AS (
+         |  SELECT label, i, avg(emb[i + 1]) AS c
+         |  FROM e CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+         |cent AS (SELECT label, list(c ORDER BY i) AS centroid FROM cpos
+         |         GROUP BY label),
+         |dist AS (
+         |  SELECT e.vec_id, c.label, j.j AS sub,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(8), i -> $sq * $sq)),
+         |      (a, b) -> a + b) AS dist
+         |  FROM e CROSS JOIN cent c CROSS JOIN range(8) j(j)),
+         |best AS (
+         |  SELECT vec_id, sub, label AS code, dist FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY dist, label) AS rn FROM dist)
+         |  WHERE rn = 1)
+         |SELECT vec_id,
+         |  $codeCols,
+         |  round($errSum, 3) AS recon_err
+         |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
     "t6_normalize_text" ->
       """SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_clean_chars
         |FROM (

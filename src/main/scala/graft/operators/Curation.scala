@@ -48,6 +48,31 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** C4: quality-weighted resampling — keep each document with
+    * probability proportional to its quality weight, DETERMINISTICALLY:
+    * the acceptance "coin" is the same Knuth multiplicative hash as c3
+    * (reproducible across runs, engines, partitionings; no RNG state),
+    * compared against the weight. Pure map, no shuffle — the standard
+    * way to skew a 100 TB corpus toward higher-quality strata without
+    * materializing per-stratum quotas. The accept test compares
+    * UNROUNDED doubles computed identically in both engines; only the
+    * reported weight is rounded. */
+  def c4QualityResample(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopRatio =
+      size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in", "is")))
+        .cast("double") / size(toks)
+    val weight = lit(1.0) - abs(lit(0.3) - stopRatio) // in [0.3, 1]
+    val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 10000)
+      .cast("double") / 10000.0
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        round(weight, 4).as("weight"),
+        u.as("u"),
+        (u < weight).as("sampled"))
+      .orderBy("doc_id")
+  }
+
   /** E1: symmetric int8 embedding quantization — per-vector scale =
     * max|x|/127, elements round to [-127, 127]. Cuts ANN storage and
     * bandwidth 4×; the spec bounds the dequantization error. */

@@ -70,6 +70,53 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** S4: product-quantization encoding — the memory side of ANN at
+    * 100 TB: 64-dim float vectors (256 B) compress to 8 one-byte codes
+    * by splitting into 8 subspaces of 8 dims and snapping each
+    * subvector to the nearest codeword. Codebooks here are the label
+    * centroids restricted to each subspace (deterministic — a k-means
+    * refinement would drop in without changing the plan). Shape:
+    * codebook is tiny and BROADCAST, distances are a map-side
+    * cross-product per row, argmin is a hash aggregation (max_by on an
+    * inverted struct key — no window shuffle), so the corpus is
+    * encoded in one pass with no shuffle of the vectors at all. */
+  def s4PqEncode(s: SparkSession, d: String): DataFrame = {
+    val nSub = 8; val subDim = 8
+    val cent = Tables.embeddings(s, d)
+      .groupBy("label")
+      .agg(V.vectorMean(col("embedding"), 64).as("centroid"))
+    val dists = Tables.embeddings(s, d)
+      .select(col("vec_id"), V.asDouble(col("embedding")).as("emb"))
+      .join(broadcast(cent))
+      .select(col("vec_id"), col("label"), posexplode(
+        array((0 until nSub).map { j =>
+          aggregate(
+            zip_with(slice(col("emb"), j * subDim + 1, subDim),
+              slice(col("centroid"), j * subDim + 1, subDim),
+              (x, c) => (x - c) * (x - c)),
+            lit(0.0), (acc, v) => acc + v)
+        }: _*)))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "dist")
+    // argmin codeword per (vector, subspace): min_by over (dist, label)
+    val codes = dists.groupBy("vec_id", "sub")
+      .agg(min_by(col("label"), struct(col("dist"), col("label"))).as("code"),
+        min(col("dist")).as("dist"))
+    // pivot subspaces to columns; the reconstruction error sums the 8
+    // per-subspace minima in FIXED j order (a bare sum() would add in
+    // row order — nondeterministic across engines for float64)
+    val aggs = (0 until nSub).map(j =>
+      max(when(col("sub") === j, col("code"))).as(s"c$j")) ++
+      (0 until nSub).map(j =>
+        max(when(col("sub") === j, col("dist"))).as(s"d$j"))
+    codes.groupBy("vec_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id") +:
+        (0 until nSub).map(j => col(s"c$j")) :+
+        round((0 until nSub).map(j => col(s"d$j")).reduce(_ + _), 3)
+          .as("recon_err"): _*)
+      .orderBy("vec_id")
+  }
+
   /** S3: IVF-style ANN — cells = label clusters with mean-vector
     * centroids; each query probes its 2 nearest centroids and searches
     * only those cells. Centroid build is a distributed position-wise

@@ -98,6 +98,64 @@ object EventStream {
       }
   }
 
+  case class VersionState(version: Long, open: EvFull)
+  case class VersionRow(user_id: Long, event_id: Long, event_type: String,
+      value: Double, valid_from: Long, valid_to: Long, version: Long)
+
+  /** Streaming SCD-2 version maintenance — the reference's CORE
+    * operator (parse_bug_history's snapshot versioning, batch analogue
+    * operators.History.h1SnapshotHistory) run continuously: each
+    * arriving event CLOSES the entity's open version (emitted with
+    * valid_to = the new event's ts) and opens the next one. Append
+    * mode emits exactly the closed versions — the immutable CDC
+    * records a downstream index consumes; the one still-open version
+    * per entity lives in the state store (it IS the mutable "current
+    * document") until EventTimeTimeout evicts it, at which point it is
+    * emitted with the open-ended valid_to = 9999999999000, exactly as
+    * the batch operator marks it. State per entity is one version
+    * counter plus one event — bounded by live-entity cardinality, not
+    * history length. Late events older than the open version would
+    * rewrite closed history; the watermark bounds them and they are
+    * dropped (the reference's incremental ETL instead REBUILDS touched
+    * entities — that path is EtlRunner's full/incremental contract). */
+  def versionHistory(events: Dataset[EvFull],
+      retentionMs: Long = 30L * 24 * 3600 * 1000): Dataset[VersionRow] = {
+    import events.sparkSession.implicits._
+    def mkRow(uid: Long, open: EvFull, validTo: Long, version: Long) =
+      VersionRow(uid, open.event_id, open.event_type,
+        math.round(open.value * 100) / 100.0, open.ts.getTime, validTo, version)
+    events.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[VersionState, VersionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[EvFull], state: GroupState[VersionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(mkRow(uid, s.open, 9999999999000L, s.version))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.orNull
+            val out = Seq.newBuilder[VersionRow]
+            sorted.foreach { e =>
+              val later = st == null || e.ts.getTime > st.open.ts.getTime ||
+                (e.ts.getTime == st.open.ts.getTime &&
+                  e.event_id > st.open.event_id)
+              if (st == null) {
+                st = VersionState(1L, e)
+              } else if (later) {
+                out += mkRow(uid, st.open, e.ts.getTime, st.version)
+                st = VersionState(st.version + 1, e)
+              } // else: late/out-of-order vs the open version — drop
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(st.open.ts.getTime + retentionMs,
+              state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(lastMs: Long, sessionNo: Long)
   case class SessionOut(user_id: Long, event_id: Long, ts_ms: Long,

@@ -74,6 +74,33 @@ object TextAnalysis {
           .as("bpe_tokens"))
       .orderBy("doc_id")
 
+  /** T9: PII redaction — the scrubbing pass every pretraining corpus
+    * runs before anything else: regex-detect emails and IPv4s, count
+    * them, and replace with typed placeholder tokens. Pure map stage
+    * (codegen'd regexp expressions), so it scales like t1-t8. The
+    * corpus here is clean synthetic text, so a deterministic
+    * contact-line is appended per document to give the detectors live
+    * signal — the oracle synthesizes the identical line and re-runs
+    * the same patterns (Java regex and DuckDB's RE2 agree on this
+    * dialect subset: char classes, \d, \b, +). */
+  def t9PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+"
+    val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val raw = concat(col("text"),
+      lit(" contact u"), col("doc_id") % 50, lit("@mail.example from 10."),
+      col("doc_id") % 200, lit(".0.7"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(emailPat), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(ipPat), lit(0)))
+          .cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+          ipPat, "<IP>").as("clean"))
+      .orderBy("doc_id")
+  }
+
   /** T4: rolling-hash document fingerprint (content-defined identity
     * that survives storage/encoding changes, unlike md5 of raw bytes). */
   def t4Fingerprint(s: SparkSession, d: String): DataFrame =

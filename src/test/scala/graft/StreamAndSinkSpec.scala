@@ -87,6 +87,72 @@ class StreamAndSinkSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming SCD-2 version maintenance equals batch h1 on closed versions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_vh").toString
+    Tables.events(spark, sf).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(streaming.EventStream.eventSchema).parquet(dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[streaming.EventStream.EvFull]
+    val q = streaming.EventStream.versionHistory(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_vh")
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("graft_vh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(4),
+        r.getLong(5), r.getLong(6))).toSet
+    val batch = operators.History.h1SnapshotHistory(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(4),
+        r.getLong(5), r.getLong(6)))
+    // append mode emits exactly the CLOSED versions; the open version
+    // per entity is the state-store "current document"
+    val closed = batch.filter(_._5 != 9999999999000L).toSet
+    val open = batch.filter(_._5 == 9999999999000L)
+    assert(streamed == closed)
+    assert(open.size ==
+      Tables.events(spark, sf).select("user_id").distinct().count())
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming SCD-2 eviction emits the open version with open-ended valid_to") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[streaming.EventStream.EvFull]
+    // 24h retention: user 1's open version must be evicted (and
+    // emitted open-ended) once the watermark passes its ts + 24h
+    val q = streaming.EventStream.versionHistory(ms.toDS(),
+        retentionMs = 24L * 3600 * 1000)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_vh_evict")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // hours 10/11, not 0/1: the initial watermark is epoch 0 and
+    // stateful ops drop rows at-or-before it
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600 * 1000)
+    ms.addData(
+      streaming.EventStream.EvFull(1L, ts(10), 1L, "open", 1.0),
+      streaming.EventStream.EvFull(2L, ts(11), 1L, "close-me", 2.0))
+    q.processAllAvailable()
+    // far-future event on ANOTHER user drives the watermark past
+    // user 1's timeout (11h event ts + 24h retention < 110h - 1h wm lag)
+    ms.addData(streaming.EventStream.EvFull(3L, ts(110), 2L, "later", 3.0))
+    q.processAllAvailable()
+    // one more batch so the timeout (evaluated against the advanced
+    // watermark) actually fires
+    ms.addData(streaming.EventStream.EvFull(4L, ts(111), 2L, "later2", 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("graft_vh_evict").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(5), r.getLong(6)))
+    // closed version 1 of user 1, then the evicted OPEN version 2
+    assert(rows.contains((1L, 1L, 11L * 3600 * 1000, 1L)))
+    assert(rows.contains((1L, 2L, 9999999999000L, 2L)))
+  }
+
   test("streaming dedup drops in-watermark duplicates") {
     val dir = Files.createTempDirectory("graft_dupes").toString
     val ev = Tables.events(spark, sf)
