@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan CONTRACTS: structural properties of the executed physical
+  * plans that the 100 TB design depends on — pushed filters, pruned
+  * schemas, broadcast joins, exchange reuse (one corpus scan), hash
+  * (not window/sort) aggregation. A regression that silently loses one
+  * of these still returns correct ROWS at test scale but becomes a
+  * scale-killer on a cluster; these tests make the plan shape itself
+  * part of the test suite. Asserted on the FINAL adaptive plan (after
+  * driving the dataset's own execution, so AQE has re-planned).
+  */
+class PlanContractSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    // drive the dataset's OWN queryExecution: a df.count() would plan
+    // a separate execution and leave this plan non-final
+    df.queryExecution.executedPlan.execute().count()
+    // AdaptiveSparkPlanExec prints BOTH the final and the initial plan
+    // — keep only the final section, or scans double-count
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  /** At sf0.001 AQE (correctly) broadcasts the tiny self-join sides,
+    * which re-computes the build subtree and hides the exchange reuse
+    * that matters at scale. Disabling broadcast surfaces the
+    * shuffle-path plan — the one a 100 TB corpus would run — so the
+    * one-scan/reused-exchange contract is what gets asserted. */
+  private def finalPlanNoBroadcast(name: String): String = {
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try finalPlan(name)
+    finally {
+      prev.foreach(spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevA.foreach(spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+      if (prev.isEmpty) spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      if (prevA.isEmpty) spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  private def scanCount(plan: String): Int =
+    "FileScan parquet".r.findAllIn(plan).length
+
+  test("q2: filter and projection reach the parquet scan") {
+    val p = finalPlan("q2_filter_project")
+    assert(p.contains("PushedFilters: ["), "no pushed filters on the scan")
+    assert(p.contains("LessThan(l_shipdate") || p.contains("l_shipdate"),
+      "ship-date predicate not pushed")
+    // untouched wide columns must be pruned from the read schema
+    assert(!p.contains("l_extendedprice"), "read schema not pruned")
+  }
+
+  test("q3: the customer dimension joins as a broadcast hash join") {
+    val p = finalPlan("q3_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), "dim join did not broadcast")
+    assert(!p.contains("SortMergeJoin"), "unexpected sort-merge join")
+  }
+
+  test("q5: top-k runs as TakeOrderedAndProject, not a global sort") {
+    val p = finalPlan("q5_topk")
+    assert(p.contains("TakeOrderedAndProject"), "top-k planned a full sort")
+  }
+
+  test("s1: query set broadcasts; no cartesian product") {
+    val p = finalPlan("s1_ann_bruteforce")
+    assert(p.contains("Broadcast"), "query set not broadcast")
+    assert(!p.contains("CartesianProduct"), "cartesian product in ANN plan")
+  }
+
+  test("d2: ONE corpus scan (signature subtree exchange-reused)") {
+    val p = finalPlanNoBroadcast("d2_minhash_lsh")
+    assert(scanCount(p) == 1, s"expected 1 documents scan, plan:\n$p")
+    assert(p.contains("ReusedExchange"), "band exchange not reused")
+  }
+
+  test("d3: ONE corpus scan (sketch subtree exchange-reused)") {
+    val p = finalPlanNoBroadcast("d3_simhash")
+    assert(scanCount(p) == 1, s"expected 1 documents scan")
+    assert(p.contains("ReusedExchange"), "band exchange not reused")
+  }
+
+  test("t5: tf/df branches share ONE full corpus scan (reused exchange)") {
+    val p = finalPlanNoBroadcast("t5_tfidf")
+    // two scans total: the shared tf/df scan + the column-pruned
+    // count-only scalar branch (which reads no text)
+    assert(scanCount(p) <= 2, s"expected <= 2 documents scans")
+    assert(p.contains("ReusedExchange"), "tf/df exchange not reused")
+  }
+
+  test("h6: ordered merge is a two-phase aggregation, no window sort") {
+    val p = finalPlan("h6_multivalue_merge")
+    // max_by over a struct key plans as SortAggregate (struct buffer is
+    // not mutable-hash-able) — the SCALE property is the partial
+    // (map-side) phase, which bounds what shuffles to one row per
+    // (entity, item, partition); a window formulation would shuffle
+    // every event row
+    assert("(Hash|Sort)Aggregate".r.findAllIn(p).length >= 2,
+      "no map-side partial aggregation")
+    assert(!p.contains("Window"), "unexpected window in last-op-wins merge")
+  }
+
+  test("s4: codebook broadcasts; argmin is a hash aggregation") {
+    val p = finalPlan("s4_pq_encode")
+    assert(p.contains("Broadcast"), "codebook not broadcast")
+    assert(p.contains("HashAggregate"), "argmin not a hash aggregation")
+    assert(!p.contains("Window"), "unexpected window in PQ argmin")
+  }
+
+  test("q1: aggregation is two-phase (map-side partial present)") {
+    val p = finalPlan("q1_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      "no map-side partial aggregation")
+  }
+}
