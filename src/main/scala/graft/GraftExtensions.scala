@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{MinHashSig, ShingleSet, SigAgree, SimHash128, VecDot, VectorMeanAgg}
+import graft.expressions.{MinHashSig, ShingleSet, SigAgree, SimHash128, VecDot, VecL2, VectorMeanAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -50,6 +50,9 @@ object GraftExtensions {
     (new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args.head, args(1))),
+    (new FunctionIdentifier("vec_l2"),
+      new ExpressionInfo(classOf[VecL2].getName, "vec_l2"),
+      (args: Seq[Expression]) => VecL2(args.head, args(1))),
     (new FunctionIdentifier("sig_agree"),
       new ExpressionInfo(classOf[SigAgree].getName, "sig_agree"),
       (args: Seq[Expression]) => SigAgree(args.head, args(1))))

@@ -55,6 +55,7 @@ object SparkEntry {
     "b3_diff_history" -> (operators.DiffHistory.b3DiffHistory _),
     "c2_comments_stream" -> (operators.Comments.c2CommentsStream _),
     "h13_flag_lifecycle" -> (History.h13FlagLifecycle _),
+    "h14_normalize_dates" -> (History.h14NormalizeDates _),
     // Dedup family
     "d1_exact_dedup" -> (graft.dedup.Dedup.d1ExactDedup _),
     "d2_minhash_lsh" -> (graft.dedup.Dedup.d2MinhashLsh _),
@@ -495,6 +496,33 @@ object SparkEntry {
         |       WHEN value >= 100 THEN '+' ELSE '?' END AS status
         |FROM lc WHERE delta = 1
         |ORDER BY id, flag_type, requestee, granted_ts""".stripMargin,
+    "h14_normalize_dates" ->
+      """WITH r AS (
+        |  SELECT event_id,
+        |    CASE
+        |      WHEN event_id % 4 = 0 THEN strftime(ts, '%Y/%m/%d %H:%M:%S') ||
+        |        '.' || strftime(ts, '%g')
+        |      WHEN event_id % 4 = 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |      WHEN event_id % 4 = 2 THEN strftime(ts, '%Y/%m/%d')
+        |      ELSE CAST(epoch_ms(ts) AS VARCHAR) END AS raw,
+        |    (CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10) || ','
+        |      || ((CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) * 7) % 10)
+        |      || ',' || (CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 3)
+        |      AS raw_list
+        |  FROM events)
+        |SELECT event_id, raw,
+        |  CASE
+        |    WHEN regexp_matches(raw, '^\d{12,13}$') THEN CAST(raw AS BIGINT)
+        |    WHEN regexp_matches(raw, '^\d{4}[/-]\d{2}[/-]\d{2} \d{2}:\d{2}:\d{2}\.\d{3}')
+        |      THEN epoch_ms(strptime(replace(raw, '-', '/'), '%Y/%m/%d %H:%M:%S.%g'))
+        |    WHEN regexp_matches(raw, '^\d{4}[/-]\d{2}[/-]\d{2} \d{2}:\d{2}:\d{2}')
+        |      THEN epoch_ms(strptime(replace(raw, '-', '/'), '%Y/%m/%d %H:%M:%S'))
+        |    WHEN regexp_matches(raw, '^\d{4}[/-]\d{2}[/-]\d{2}')
+        |      THEN epoch_ms(strptime(replace(raw[1:10], '/', '-'), '%Y-%m-%d'))
+        |  END AS date_ms,
+        |  array_to_string(list_sort(list_transform(string_split(raw_list, ','),
+        |    x -> CAST(x AS INT))), ',') AS ints_sorted
+        |FROM r ORDER BY event_id""".stripMargin,
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
         |           FROM documents),

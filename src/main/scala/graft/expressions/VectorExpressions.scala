@@ -62,6 +62,49 @@ case class VecDot(left: Expression, right: Expression)
       l: Expression, r: Expression): VecDot = copy(left = l, right = r)
 }
 
+/** Native squared-L2 distance over two double arrays, accumulated
+  * left-to-right as (a_i - b_i)^2 — BIT-IDENTICAL to the
+  * `aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)), 0.0, _+_)`
+  * higher-order formulation (spec-asserted), so swapping it into a hot
+  * path changes no query result and no oracle. Exists because the HOF
+  * form evaluates interpreted lambdas per element — the PQ encoder
+  * runs vectors × codewords × subspaces of these. */
+case class VecL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"vec_l2 needs two array<double>, got $l, $r")
+    }
+
+  // like VecDot: a null ELEMENT nulls the whole distance
+  override def nullable: Boolean = true
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("l2Res")
+      s"""
+        |java.lang.Double $r = graft.expressions.VecHelper.l2($a, $b);
+        |if ($r == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $r.doubleValue(); }
+      """.stripMargin
+    })
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecHelper.l2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecL2 = copy(left = l, right = r)
+}
+
 /** Count of pairwise-equal slots between two long arrays (minhash
   * signature agreement). The `zip_with`+`aggregate` formulation is
   * semantically identical but evaluates interpreted lambdas per
@@ -114,6 +157,25 @@ object VecHelper {
       i += 1
     }
     agree
+  }
+
+  /** Squared L2, left-to-right; null on any null element (matches the
+    * HOF `(x - c) * (x - c)` fold bit-for-bit). */
+  def l2(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) {
+      throw new IllegalArgumentException(
+        s"vec_l2 length mismatch: $n vs ${b.numElements()}")
+    }
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getDouble(i) - b.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
   }
 
   /** Returns null when any element is null — identical to the HOF

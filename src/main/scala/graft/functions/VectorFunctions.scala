@@ -28,6 +28,19 @@ object VectorFunctions {
 
   def norm2(a: Column): Column = dot(a, a)
 
+  /** Native squared-L2 distance (whole-stage codegen); bit-identical
+    * to the `zip_with`/`aggregate` fold. */
+  def l2(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.VecL2(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
+  /** HOF squared-L2 — kept for the equivalence spec only. */
+  def l2Hof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, v) => acc + v)
+
   /** cosine(a, b) = dot / sqrt(|a|^2 * |b|^2), all float64.
     * ([[graft.expressions.VecDot]] casts float elements to double
     * in-loop — identical to transform-cast-then-multiply.) */

@@ -246,6 +246,48 @@ object History {
           "yyyy/MM/dd")).as("date_ms"))
       .orderBy("event_id")
 
+  /** H14: the reference's FULL date-field normalize
+    * (transform_bugzilla.py:104-131): a date value may arrive as epoch
+    * millis (12-13 digit number), strict "YYYY/MM/DD HH:MM:SS.mmm",
+    * strict-short "YYYY[-/]MM[-/]DD HH:MM:SS" (dashes normalized to
+    * slashes before parsing, as the reference does), or relaxed
+    * "YYYY[-/]MM[-/]DD..." (first 10 chars, date only) — detected by
+    * the same regex ladder, all converging to epoch millis. Plus the
+    * MULTI_FIELDS int-list normalize (transform_bugzilla.py:91
+    * value2intlist + sort): a comma-separated id list parsed, int-ified
+    * and sorted. Raw values are synthesized per event in all four
+    * forms so every branch of the ladder is exercised and
+    * oracle-checked. */
+  def h14NormalizeDates(s: SparkSession, d: String): DataFrame = {
+    def normalizeDate(c: org.apache.spark.sql.Column) =
+      when(c.rlike("^\\d{12,13}$"), c.cast("long"))
+        .when(c.rlike("^\\d{4}[/-]\\d{2}[/-]\\d{2} \\d{2}:\\d{2}:\\d{2}\\.\\d{3}"),
+          unix_millis(to_timestamp(translate(c, "-", "/"),
+            "yyyy/MM/dd HH:mm:ss.SSS")))
+        .when(c.rlike("^\\d{4}[/-]\\d{2}[/-]\\d{2} \\d{2}:\\d{2}:\\d{2}"),
+          unix_millis(to_timestamp(translate(c, "-", "/"),
+            "yyyy/MM/dd HH:mm:ss")))
+        .when(c.rlike("^\\d{4}[/-]\\d{2}[/-]\\d{2}"),
+          unix_millis(to_timestamp(translate(substring(c, 1, 10), "/", "-"),
+            "yyyy-MM-dd")))
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType
+      .fromDDL("k INT")).getField("k").cast("long")
+    val raw = when(col("event_id") % 4 === 0,
+        concat(date_format(col("ts"), "yyyy/MM/dd HH:mm:ss"), lit("."),
+          date_format(col("ts"), "SSS")))
+      .when(col("event_id") % 4 === 1, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+      .when(col("event_id") % 4 === 2, date_format(col("ts"), "yyyy/MM/dd"))
+      .otherwise(unix_millis(col("ts")).cast("string"))
+    val rawList = concat(k % 10, lit(","), (k * 7) % 10, lit(","), k % 3)
+    Tables.events(s, d)
+      .select(col("event_id"), raw.as("raw"), rawList.as("raw_list"))
+      .select(col("event_id"), col("raw"),
+        normalizeDate(col("raw")).as("date_ms"),
+        concat_ws(",", array_sort(transform(split(col("raw_list"), ","),
+          x => x.cast("int")))).as("ints_sorted"))
+      .orderBy("event_id")
+  }
+
   /** H11: gap-based sessionization — a new session when >30 min idle.
     * Window-prefix-sum formulation: one shuffle on user_id, no state
     * loop (streaming variant: graft.streaming.EventStream). */

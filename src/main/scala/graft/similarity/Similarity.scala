@@ -90,11 +90,12 @@ object Similarity {
       .join(broadcast(cent))
       .select(col("vec_id"), col("label"), posexplode(
         array((0 until nSub).map { j =>
-          aggregate(
-            zip_with(slice(col("emb"), j * subDim + 1, subDim),
-              slice(col("centroid"), j * subDim + 1, subDim),
-              (x, c) => (x - c) * (x - c)),
-            lit(0.0), (acc, v) => acc + v)
+          // native codegen'd squared-L2 — bit-identical to the
+          // zip_with/aggregate fold (the oracle's list_reduce mirrors
+          // the same left-to-right accumulation), but no interpreted
+          // lambdas in the vectors x codewords x subspaces hot path
+          V.l2(slice(col("emb"), j * subDim + 1, subDim),
+            slice(col("centroid"), j * subDim + 1, subDim))
         }: _*)))
       .withColumnRenamed("pos", "sub").withColumnRenamed("col", "dist")
     // argmin codeword per (vector, subspace): min_by over (dist, label)

@@ -91,6 +91,24 @@ class CodegenSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("native vec_l2 equals the HOF fold bit-for-bit") {
+    import graft.functions.{VectorFunctions => V}
+    val e = Tables.embeddings(spark, sf).limit(200)
+      .select(V.asDouble(col("embedding")).as("a"))
+      .withColumn("b", transform(col("a"), x => x * 1.5 - 0.25))
+    val rows = withStrictCodegen {
+      e.select(
+        V.l2(col("a"), col("b")).as("native"),
+        V.l2Hof(col("a"), col("b")).as("hof"),
+        V.l2(col("a"), col("a")).as("self")).collect()
+    }
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1)) // identical accumulation
+      assert(r.getDouble(2) == 0.0)
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("native sig_agree equals the HOF jaccard estimate") {
     import graft.functions.{TextFunctions => T}
     val sigs = Tables.documents(spark, sf).limit(100)
