@@ -13,7 +13,11 @@ import org.apache.spark.sql.SparkSession
   * (oracle parity), and graft's native SQL functions registered. */
 object GraftSession {
 
-  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** Default to the machine's cores (capped at 32, the target local
+    * profile) — a fixed small default silently benches a 32-core box
+    * at local[4]. */
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    math.min(32, Runtime.getRuntime.availableProcessors()).toString)
 
   def local(nThreads: String = cpus): SparkSession = {
     val s = SparkSession.builder()

@@ -63,6 +63,7 @@ object SparkEntry {
     "d4_ngram_jaccard" -> (graft.dedup.Dedup.d4NgramJaccard _),
     "d5_embedding_dedup" -> (graft.dedup.Dedup.d5EmbeddingDedup _),
     "d6_decontaminate" -> (graft.dedup.Dedup.d6Decontaminate _),
+    "d7_span_dedup" -> (graft.dedup.Dedup.d7SpanDedup _),
     // Similarity search
     "s1_ann_bruteforce" -> (graft.similarity.Similarity.s1AnnBruteForce _),
     "s2_ann_lsh" -> (graft.similarity.Similarity.s2AnnLsh _),
@@ -934,6 +935,21 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
         |LEFT JOIN shared s ON d.doc_id = s.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "d7_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(CAST(ceil(len(toks) / 16.0) AS BIGINT)),
+        |    i -> {'i': i, 'h': md5(array_to_string(toks[i*16+1 : i*16+16], ' '))}))
+        |    AS u
+        |  FROM t),
+        |spans AS (SELECT doc_id, u.i AS chunk_idx, u.h AS h FROM c),
+        |shared AS (
+        |  SELECT h, count(DISTINCT doc_id) AS n_docs FROM spans
+        |  GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT s.doc_id, s.chunk_idx, s.h, s.n_docs
+        |FROM (SELECT spans.*, shared.n_docs FROM spans JOIN shared USING (h)) s
+        |ORDER BY doc_id, chunk_idx, h""".stripMargin,
     "s1_ann_bruteforce" ->
       """SELECT q_id, rank, c_id, cos FROM (
         | SELECT q.vec_id AS q_id, c.vec_id AS c_id,

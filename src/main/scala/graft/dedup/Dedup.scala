@@ -186,6 +186,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** D7: repeated-SPAN detection — dedup below document granularity:
+    * token windows of 16 (stride 16) are hashed, and any span whose
+    * hash appears in ≥ 2 DISTINCT documents is flagged with its
+    * sharing count (the chunk-level variant of "deduplicating
+    * training data makes language models better"-style repeated-span
+    * removal — a downstream pass can drop or mask exactly those
+    * windows instead of whole near-dup documents). Scale shape: one
+    * scan → explode to spans → hash aggregate on the 32-hex span hash
+    * (high-cardinality, uniform), then a hash join back to the spans;
+    * no pairwise anything, no low-cardinality key. */
+  def d7SpanDedup(s: SparkSession, d: String): DataFrame = {
+    val w = 16
+    val toks = split(col("text"), " ")
+    val chunks = transform(
+      sequence(lit(0), ceil(size(toks).cast("double") / w).cast("long") - 1),
+      i => concat_ws(" ", slice(toks, (i * w + 1).cast("int"), lit(w))))
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        md5(col("col")).as("h"))
+    val shared = spans.groupBy("h")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    spans.join(shared, Seq("h"))
+      .select(col("doc_id"), col("chunk_idx"), col("h"), col("n_docs"))
+      .orderBy("doc_id", "chunk_idx", "h")
+  }
+
   /** D5: embedding-cosine near-dup — pairs within the same cluster
     * (label) whose cosine ≥ 0.3; float64 math to match the oracle.
     *
