@@ -228,4 +228,21 @@ class StreamAndSinkSpec extends AnyFunSuite {
       assert(source.startsWith("{") && source.endsWith("}"))
     }
   }
+
+  test("es bulk round-trips: writeBulk then readBulk recovers every doc") {
+    val out = Files.createTempDirectory("graft_bulk_rt").toString + "/bulk"
+    val docs = operators.History.h12EsDocs(spark, sf)
+      .withColumn("doc_id", col("_id")).drop("_id")
+    sources.EsSink.writeBulk(docs, "bugs", "doc_id", out)
+    val schema = docs.schema
+    val back = sources.EsSink.readBulk(spark, out, schema, "doc_id")
+    assert(back.select("_index").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("bugs"))
+    val rt = back.select(col("doc.doc_id"), col("doc.doc"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val orig = docs.select("doc_id", "doc")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rt == orig)
+    assert(rt.nonEmpty)
+  }
 }
