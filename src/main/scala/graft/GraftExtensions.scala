@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{MinHashSig, ShingleSet, SigAgree, SimHash128, VecDot, VecL2, VectorMeanAgg}
+import graft.expressions.{MinHashSig, MinHashTextSig, ShingleSet, SigAgree, SimHash128, VecDot, VecL2, VectorMeanAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -40,6 +40,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) =>
         MinHashSig(args.head, intArg(args(1), "signature width"))),
+    (new FunctionIdentifier("minhash_text"),
+      new ExpressionInfo(classOf[MinHashTextSig].getName, "minhash_text"),
+      (args: Seq[Expression]) => MinHashTextSig(args.head,
+        intArg(args(1), "shingle width"), intArg(args(2), "signature width"))),
     (new FunctionIdentifier("simhash128"),
       new ExpressionInfo(classOf[SimHash128].getName, "simhash128"),
       (args: Seq[Expression]) => SimHash128(args.head)),

@@ -39,8 +39,12 @@ object Dedup {
     val k = 32; val bands = 8
     val sigs = Tables.documents(s, d)
       .filter(col("text").isNotNull)
+      // fused shingle+minhash: same bits as
+      // minhashSignature(shingleSet(text, 5), k), one pass, no
+      // per-window allocation — the sketch stage is the d2 bottleneck
+      // (single-row-group local files scan on one task)
       .select(col("doc_id"),
-        T.minhashSignature(T.shingleSet(col("text"), 5), k).as("sig"))
+        T.minhashSignatureText(col("text"), 5, k).as("sig"))
     // The 32-long signature (256 B) rides along through the band join,
     // so verification needs no second scan of the corpus: one shuffle
     // on (band, slice), one distinct on the candidate pair.

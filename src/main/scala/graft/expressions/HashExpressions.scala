@@ -38,6 +38,8 @@ object Md5Helper {
   def digest(s: UTF8String): Array[Byte] = {
     val md = tl.get(); md.reset(); md.update(s.getBytes); md.digest()
   }
+  /** Reusable per-thread digest for fused loops. */
+  def threadDigest(): java.security.MessageDigest = tl.get()
   /** DuckDB `md5_number_lower(s)` bit pattern (as a signed long). */
   def lo64(s: UTF8String): Long = leLong(digest(s), 8)
   /** DuckDB `md5_number_upper(s)` bit pattern (as a signed long). */
@@ -81,6 +83,96 @@ object MinHashHelper {
     }
     new GenericArrayData(mins)
   }
+}
+
+/** Static loop target for [[MinHashTextSig]] codegen: the FUSED
+  * shingle+minhash — slides every n-CHAR window over the string's
+  * UTF-8 bytes (char-boundary walk, so non-ASCII text windows
+  * identically to ShingleSet), hashing each window in place with a
+  * reused digest + output buffer. No shingle set is materialized:
+  * minhash minima over the window MULTISET equal minima over the
+  * distinct set, so the result is bit-identical to
+  * minhash_sig(shingle_set(text, n), k) (spec-asserted) while
+  * skipping the per-document LinkedHashSet build and ~500 UTF8String
+  * copies. */
+object MinHashTextHelper {
+  private val outBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+
+  def sig(s: UTF8String, n: Int, k: Int): ArrayData = {
+    val bytes = s.getBytes
+    val a = MinHashParams.A
+    val b = MinHashParams.B
+    val p = MinHashParams.P
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = Md5Helper.threadDigest()
+    val out = outBuf.get()
+
+    // char start offsets (UTF-8 boundary walk)
+    val starts = new Array[Int](bytes.length + 1)
+    var nChars = 0
+    var off = 0
+    while (off < bytes.length) {
+      starts(nChars) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      nChars += 1
+    }
+    starts(nChars) = bytes.length
+
+    def upd(from: Int, len: Int): Unit = {
+      md.reset()
+      md.update(bytes, from, len)
+      md.digest(out, 0, 16)
+      // DuckDB md5_number_lower low 32 bits (digest bytes 8..11 LE)
+      val x = (out(8) & 0xffL) | ((out(9) & 0xffL) << 8) |
+        ((out(10) & 0xffL) << 16) | ((out(11) & 0xffL) << 24)
+      var j = 0
+      while (j < k) {
+        val h = (a(j) * x + b(j)) % p
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+    }
+
+    if (nChars <= n) upd(0, bytes.length)
+    else {
+      var i = 0
+      while (i <= nChars - n) {
+        upd(starts(i), starts(i + n) - starts(i))
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** Fused shingle+minhash signature over raw text — result identical
+  * to `MinHashSig(ShingleSet(text, n), k)`, one pass, zero
+  * intermediate allocation per window. The hot path for d2. */
+case class MinHashTextSig(child: Expression, n: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expressions.MinHashTextHelper.sig($s, $n, $k);")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"minhash_text needs string, got $t")
+    }
+  override def nullSafeEval(input: Any): Any =
+    MinHashTextHelper.sig(input.asInstanceOf[UTF8String], n, k)
+  override protected def withNewChildInternal(c: Expression): MinHashTextSig =
+    copy(child = c)
 }
 
 /** MinHash signature: for permutations 0..k-1, the minimum of

@@ -40,6 +40,15 @@ object TextFunctions {
       graft.expressions.MinHashSig(
         org.apache.spark.sql.graft.Bridge.expression(shingleCol), k))
 
+  /** FUSED shingle+minhash over raw text — identical output to
+    * minhashSignature(shingleSet(text, n), k) (multiset minima equal
+    * set minima), one pass over the UTF-8 bytes, no intermediate
+    * shingle array. The d2 sketch hot path. */
+  def minhashSignatureText(text: Column, n: Int, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.MinHashTextSig(
+        org.apache.spark.sql.graft.Bridge.expression(text), n, k))
+
   /** MinHash-estimated Jaccard: fraction of agreeing signature slots
     * (native tight loop — this runs once per LSH candidate pair). */
   def minhashJaccardEst(sig1: Column, sig2: Column, k: Int): Column =

@@ -91,6 +91,27 @@ class CodegenSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("fused minhash_text equals minhash_sig(shingle_set) bit-for-bit") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaa aaaa aaaa", // heavy duplicate windows (multiset = set minima)
+      "héllo wörld ünïcode", // multi-byte char boundaries
+      "日本語のテキストです",
+      "tiny",
+      "")
+    val rows = withStrictCodegen {
+      spark.createDataFrame(docs.map(Tuple1(_))).toDF("text")
+        .select(
+          T.minhashSignatureText(col("text"), 5, 16).as("fused"),
+          T.minhashSignature(T.shingleSet(col("text"), 5), 16).as("staged"))
+        .collect()
+    }
+    docs.zip(rows).foreach { case (text, r) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"fused/staged mismatch for '$text'")
+    }
+  }
+
   test("native vec_l2 equals the HOF fold bit-for-bit") {
     import graft.functions.{VectorFunctions => V}
     val e = Tables.embeddings(spark, sf).limit(200)
