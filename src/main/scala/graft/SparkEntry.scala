@@ -69,6 +69,8 @@ object SparkEntry {
     "s2_ann_lsh" -> (graft.similarity.Similarity.s2AnnLsh _),
     "s3_ivf_ann" -> (graft.similarity.Similarity.s3IvfAnn _),
     "s4_pq_encode" -> (graft.similarity.Similarity.s4PqEncode _),
+    "s5_kmeans_refine" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.s5KmeansRefine(s, d)),
     // Text analysis
     "t1_langid" -> (graft.text.TextAnalysis.t1LangId _),
     "t2_quality_score" -> (graft.text.TextAnalysis.t2QualityScore _),
@@ -709,6 +711,43 @@ object SparkEntry {
          |  $codeCols,
          |  round($errSum, 3) AS recon_err
          |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
+    },
+    "s5_kmeans_refine" -> {
+      def dist(emb: String, cen: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          s"list_transform(range(64), i -> ($emb[i + 1] - $cen[i + 1]) * " +
+          s"($emb[i + 1] - $cen[i + 1]))), (a, b) -> a + b)"
+      def assign(ctab: String, out: String) =
+        s"""$out AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${dist("e.emb", "c.centroid")}, c.cid) AS rn
+           |    FROM e CROSS JOIN $ctab c)
+           |  WHERE rn = 1)""".stripMargin
+      def recompute(atab: String, cpos: String, cout: String) =
+        s"""$cpos AS (
+           |  SELECT $atab.cid, i, avg(e.emb[i + 1]) AS c
+           |  FROM $atab JOIN e USING (vec_id) CROSS JOIN range(64) r(i)
+           |  GROUP BY 1, 2),
+           |$cout AS (SELECT cid, list(c ORDER BY i) AS centroid FROM $cpos
+           |          GROUP BY cid)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cp0 AS (
+         |  SELECT label AS cid, i, avg(emb[i + 1]) AS c
+         |  FROM e CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+         |c0 AS (SELECT cid, list(c ORDER BY i) AS centroid FROM cp0 GROUP BY cid),
+         |${assign("c0", "a1")},
+         |${recompute("a1", "cp1", "c1")},
+         |${assign("c1", "a2")},
+         |${recompute("a2", "cp2", "c2")}
+         |SELECT vec_id, cid AS cluster, round(d, 3) AS dist2 FROM (
+         |  SELECT e.vec_id, c.cid, ${dist("e.emb", "c.centroid")} AS d,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dist("e.emb", "c.centroid")}, c.cid) AS rn
+         |  FROM e CROSS JOIN c2 c)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
     },
     "t6_normalize_text" ->
       """SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_clean_chars

@@ -118,6 +118,40 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** S5: k-means refinement (Lloyd iterations) — upgrades the IVF
+    * cells from "label means" to trained centroids, the way a real
+    * IVF index is built. Deterministic init (label means, so no RNG
+    * seeding question), a FIXED number of iterations (data-dependent
+    * convergence would make the oracle unrollable only per dataset),
+    * and every step is a broadcast + hash aggregation: assignment is
+    * argmin over the broadcast centroid table (min_by — no window),
+    * recomputation is the native VectorMeanAgg. The corpus never
+    * shuffles on a low-cardinality key; per-iteration cost is one
+    * map-side pass + a k-sized aggregate. Clusters that lose all
+    * members drop out (both engines mirror this). */
+  def s5KmeansRefine(s: SparkSession, d: String, iters: Int = 2): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), V.asDouble(col("embedding")).as("emb"))
+    var cent = Tables.embeddings(s, d)
+      .groupBy(col("label").as("cid"))
+      .agg(V.vectorMean(col("embedding"), 64).as("centroid"))
+    for (_ <- 1 to iters) {
+      val assigned = vecs.join(broadcast(cent))
+        .withColumn("dist", V.l2(col("emb"), col("centroid")))
+        .groupBy("vec_id")
+        .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cid"))
+      cent = assigned.join(vecs, Seq("vec_id"))
+        .groupBy("cid")
+        .agg(V.vectorMean(col("emb"), 64).as("centroid"))
+    }
+    vecs.join(broadcast(cent))
+      .withColumn("dist", V.l2(col("emb"), col("centroid")))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"),
+        round(min(col("dist")), 3).as("dist2"))
+      .orderBy("vec_id")
+  }
+
   /** S3: IVF-style ANN — cells = label clusters with mean-vector
     * centroids; each query probes its 2 nearest centroids and searches
     * only those cells. Centroid build is a distributed position-wise
