@@ -117,8 +117,10 @@ object Dedup {
     // and pays two more joins).
     val banded = Tables.documents(s, d)
       .filter(col("text").isNotNull)
+      // fused split+distinct+simhash: same bits as
+      // simhash(tokenSet(text)), one byte walk (spec-asserted)
       .select(col("doc_id"),
-        T.knownNotNull(T.simhash(T.tokenSet(col("text")))).as("sh"))
+        T.knownNotNull(T.simhashText(col("text"))).as("sh"))
       .select(col("doc_id"), col("sh"),
         posexplode(array(bandDefs.map { case (off, w) =>
           bandVal(col("sh.lo"), col("sh.hi"), off, w)

@@ -239,6 +239,100 @@ object SimHashHelper {
   }
 }
 
+/** Static loop target for [[SimHashText]] codegen: FUSED
+  * split+distinct+simhash — walks the UTF-8 bytes once, splitting on
+  * single spaces with the exact `split(text, ' ')` semantics
+  * (consecutive/trailing separators yield empty tokens, the empty
+  * string yields one empty token), hashing each token in place and
+  * deduplicating by its full 128-bit md5 (collision-free in any
+  * practical corpus; the staged form dedups by string). Bit-identical
+  * to simhash128(array_distinct(split(text, ' '))) — spec-asserted —
+  * with no token array, no distinct pass, no UTF8String copies. */
+object SimHashTextHelper {
+  private val outBuf = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](16)
+  }
+  private def leLong(d: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (d(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  def sig128(s: UTF8String): InternalRow = {
+    val bytes = s.getBytes
+    val votes = new Array[Int](128)
+    val md = Md5Helper.threadDigest()
+    val out = outBuf.get()
+    val seen = new java.util.HashSet[(Long, Long)]()
+
+    def token(from: Int, to: Int): Unit = {
+      md.reset()
+      md.update(bytes, from, to - from)
+      md.digest(out, 0, 16)
+      val lo = leLong(out, 8)
+      val hi = leLong(out, 0)
+      if (seen.add((lo, hi))) {
+        var b = 0
+        while (b < 64) {
+          votes(b) += (((lo >>> b) & 1L).toInt << 1) - 1
+          votes(64 + b) += (((hi >>> b) & 1L).toInt << 1) - 1
+          b += 1
+        }
+      }
+    }
+
+    var start = 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) { token(start, i); start = i + 1 }
+      i += 1
+    }
+    token(start, bytes.length)
+
+    var outLo = 0L
+    var outHi = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) outLo |= (1L << b)
+      if (votes(64 + b) > 0) outHi |= (1L << b)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](outLo, outHi))
+  }
+}
+
+/** Fused split+distinct+simhash over raw text — result identical to
+  * `SimHash128(array_distinct(split(text, ' ')))`. The d3 sketch hot
+  * path. */
+case class SimHashText(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("lo", LongType, nullable = false),
+    StructField("hi", LongType, nullable = false)))
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expressions.SimHashTextHelper.sig128($s);")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"simhash_text needs string, got $t")
+    }
+  override def nullSafeEval(input: Any): Any =
+    SimHashTextHelper.sig128(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): SimHashText =
+    copy(child = c)
+}
+
 /** 128-bit SimHash over array<string> as a (lo, hi) long pair: bit i
   * set when the sum of ±1 votes from each element's md5 bit i is
   * positive (bits 0..63 from md5_number_lower, 64..127 from

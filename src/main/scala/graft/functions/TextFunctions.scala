@@ -74,6 +74,14 @@ object TextFunctions {
     array((0 until bands).map(b => slice(sig, b * rows + 1, rows)): _*)
   }
 
+  /** FUSED split+distinct+simhash over raw text — identical output to
+    * simhash(tokenSet(text)), one byte-walk, no token array. The d3
+    * sketch hot path. */
+  def simhashText(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SimHashText(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** 128-bit SimHash over a token array via the native expression:
     * struct(lo, hi) of two longs; bit i is set when the sum of
     * (+1/-1) votes from each token's md5 bit i is positive. */

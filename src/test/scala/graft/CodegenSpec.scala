@@ -112,6 +112,39 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("fused simhash_text equals simhash128(array_distinct(split))") {
+    val docs = Seq(
+      "the quick brown fox the quick brown fox", // duplicates must dedup
+      "a  b", // consecutive separators -> empty token, like split
+      "trailing ", // trailing separator -> trailing empty token
+      "héllo wörld héllo", // multi-byte
+      "") // empty string -> one empty token
+    val rows = withStrictCodegen {
+      spark.createDataFrame(docs.map(Tuple1(_))).toDF("text")
+        .select(
+          T.simhashText(col("text")).as("fused"),
+          T.simhash(T.tokenSet(col("text"))).as("staged"))
+        .collect()
+    }
+    docs.zip(rows).foreach { case (text, r) =>
+      assert(r.getStruct(0).getLong(0) == r.getStruct(1).getLong(0) &&
+        r.getStruct(0).getLong(1) == r.getStruct(1).getLong(1),
+        s"fused/staged simhash mismatch for '$text'")
+    }
+    // and on the corpus itself
+    val corpus = withStrictCodegen {
+      Tables.documents(spark, sf)
+        .select(T.simhashText(col("text")).as("fused"),
+          T.simhash(T.tokenSet(col("text"))).as("staged"))
+        .collect()
+    }
+    corpus.foreach { r =>
+      assert(r.getStruct(0).getLong(0) == r.getStruct(1).getLong(0) &&
+        r.getStruct(0).getLong(1) == r.getStruct(1).getLong(1))
+    }
+    assert(corpus.nonEmpty)
+  }
+
   test("native vec_l2 equals the HOF fold bit-for-bit") {
     import graft.functions.{VectorFunctions => V}
     val e = Tables.embeddings(spark, sf).limit(200)
