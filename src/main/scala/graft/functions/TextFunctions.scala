@@ -32,9 +32,11 @@ object TextFunctions {
       graft.expressions.ShingleSet(
         org.apache.spark.sql.graft.Bridge.expression(text), n))
 
-  /** MinHash signature via the native tight-loop expression: k seeded
-    * xxhash64 minima over the shingle set (~400× the interpreted
-    * higher-order-function formulation). */
+  /** MinHash signature via the native tight-loop expression: k
+    * md5-derived permutation minima over the shingle set (~400× the
+    * interpreted higher-order-function formulation; md5-based so the
+    * DuckDB oracle reproduces it — see
+    * [[graft.expressions.MinHashParams]]). */
   def minhashSignature(shingleCol: Column, k: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(
       graft.expressions.MinHashSig(
