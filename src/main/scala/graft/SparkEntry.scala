@@ -32,6 +32,7 @@ object SparkEntry {
     "c4_quality_resample" -> (operators.Curation.c4QualityResample _),
     "e1_embedding_quantize" -> (operators.Curation.e1EmbeddingQuantize _),
     "o1_profile" -> (operators.Curation.o1Profile _),
+    "o2_drift" -> (operators.Curation.o2Drift _),
     "n1_nested_flatten" -> (operators.Nested.n1NestedFlatten _),
     // ETL / history
     "h1_snapshot_history" -> (History.h1SnapshotHistory _),
@@ -801,6 +802,28 @@ object SparkEntry {
         | round(avg(c_acctbal),2) AS avg_bal,
         | count(DISTINCT c_nationkey) AS nations
         |FROM customer""".stripMargin,
+    "o2_drift" ->
+      """WITH b AS (
+        |  SELECT greatest(least(CAST(floor(value / 50) AS INT), 9), 0) AS bin,
+        |    ts < TIMESTAMP '2024-01-15 00:00:00' AS early
+        |  FROM events),
+        |c AS (
+        |  SELECT bin, count(CASE WHEN early THEN 1 END) AS n_early,
+        |    count(CASE WHEN NOT early THEN 1 END) AS n_late
+        |  FROM b GROUP BY bin),
+        |f AS (
+        |  SELECT s.bin, COALESCE(c.n_early, 0) AS n_early,
+        |    COALESCE(c.n_late, 0) AS n_late
+        |  FROM (SELECT CAST(unnest(range(10)) AS INT) AS bin) s
+        |  LEFT JOIN c USING (bin)),
+        |t AS (SELECT CAST(sum(n_early) AS BIGINT) AS t_early,
+        |             CAST(sum(n_late) AS BIGINT) AS t_late FROM f)
+        |SELECT bin, n_early, n_late,
+        |  round(((n_early + 1)::DOUBLE / (t_early + 10) -
+        |         (n_late + 1)::DOUBLE / (t_late + 10)) *
+        |    ln(((n_early + 1)::DOUBLE / (t_early + 10)) /
+        |       ((n_late + 1)::DOUBLE / (t_late + 10))), 4) AS psi_contrib
+        |FROM f CROSS JOIN t ORDER BY bin""".stripMargin,
     "n1_nested_flatten" ->
       """SELECT l_orderkey AS orderkey,
         | count(*) OVER (PARTITION BY l_orderkey) AS n_items,

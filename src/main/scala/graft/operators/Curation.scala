@@ -91,6 +91,44 @@ object Curation {
       .orderBy("vec_id")
   }
 
+  /** O2: distribution drift between two time windows — the data-quality
+    * check a production pipeline runs before trusting a new batch:
+    * Population Stability Index over fixed equal-width bins of `value`,
+    * early window (before the cutoff) vs late. Add-one smoothing keeps
+    * ln defined on empty bins; a generated bin spine (0..9) keeps the
+    * row set deterministic even when a bin is empty in both windows.
+    * Plan shape: one scan, conditional-count hash agg, broadcast join
+    * to the 10-row spine and the 1-row totals — nothing shuffles but
+    * 10-row frames. */
+  def o2Drift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cutoff = "2024-01-15 00:00:00"
+    val bin = greatest(least(floor(col("value") / 50).cast("int"), lit(9)),
+      lit(0))
+    val counts = graft.Tables.events(s, d)
+      .select(bin.as("bin"),
+        (col("ts") < to_timestamp(lit(cutoff))).as("early"))
+      .groupBy("bin")
+      .agg(count(when(col("early"), 1)).as("n_early"),
+        count(when(!col("early"), 1)).as("n_late"))
+    val spine = s.range(10).select(col("id").cast("int").as("bin"))
+    val full = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_early"), lit(0L)).as("n_early"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"))
+    val totals = full.agg(sum("n_early").as("t_early"),
+      sum("n_late").as("t_late"))
+    full.join(broadcast(totals))
+      .withColumn("p_early",
+        (col("n_early") + 1).cast("double") / (col("t_early") + 10))
+      .withColumn("p_late",
+        (col("n_late") + 1).cast("double") / (col("t_late") + 10))
+      .select(col("bin"), col("n_early"), col("n_late"),
+        round((col("p_early") - col("p_late")) *
+          log(col("p_early") / col("p_late")), 4).as("psi_contrib"))
+      .orderBy("bin")
+  }
+
   /** O1: dataset profile — per-column null/distinct/min/max stats in
     * ONE pass (conditional aggregation, no per-column jobs). */
   def o1Profile(s: SparkSession, d: String): DataFrame = {
