@@ -4,7 +4,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.functions._
 
 /** Dev tool: skew-join stress probe. Builds a zipf-skewed fact table
-  * (one key owns ~30% of all rows, tail uniform over 100k keys), joins
+  * (one key owns ~50% of all rows, tail uniform over 100k keys), joins
   * it to a key-dimension with broadcast DISABLED so the planner must
   * shuffle both sides — the canonical 100 TB skew hazard: one reducer
   * gets the hot key's entire partition. Runs the join twice, with
@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   *
   * Expectation (recorded in SURVEY §4a): with the split ON the
   * heaviest task stays within ~2x the median; OFF it is bounded only
-  * by the hot key's share (~30% of the data in one task).
+  * by the hot key's share (~50% of the data in one task).
   *
   * Usage: runMain graft.SkewProbe [rows]
   */

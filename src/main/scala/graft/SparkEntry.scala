@@ -217,9 +217,11 @@ object SparkEntry {
       s"list_transform(range(64), i -> $embExpr[i + 1] * ($planeList)[i + 1])), " +
       "(acc, x) -> acc + x)"
 
-  /** The m1/m2 stub payload hash in SQL: rolling (h*31 + byte) mod
-    * 1e9+7 over the ASCII payload bytes, seed 5381 — mirrors
-    * [[graft.multimodal.Multimodal.payloadHash]]. */
+  /** The m1/m2 stub payload hash in SQL: rolling (h*31 + codepoint)
+    * mod 1e9+7 over the text's Unicode codepoints, seed 5381 — DuckDB
+    * `ascii`/`length` are codepoint-based, and the native
+    * [[graft.multimodal.Multimodal.payloadHash]] walks codepoints too,
+    * so the two sides agree for non-ASCII documents as well. */
   private val payloadHashSql: String =
     """list_reduce(list_prepend(CAST(5381 AS BIGINT),
       |      list_transform(range(1, length(text) + 1),
@@ -350,10 +352,10 @@ object SparkEntry {
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "m1_multimodal_meta" ->
       s"""WITH h AS (
-         |  SELECT doc_id, source, CAST(length(text) AS INT) AS n_bytes,
+         |  SELECT doc_id, source, CAST(length(text) AS INT) AS n_chars,
          |    $payloadHashSql AS hv
          |  FROM documents)
-         |SELECT doc_id, source, n_bytes,
+         |SELECT doc_id, source, n_chars,
          |  CAST(16 + hv % 640 AS INT) AS width,
          |  CAST(16 + (hv // 640) % 480 AS INT) AS height,
          |  CAST(1 + (hv // 307200) % 32 AS INT) AS frames

@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   case class MediaIn(doc_id: Long, payload: Array[Byte], source: String,
-      n_bytes: Int)
-  case class MediaMeta(doc_id: Long, source: String, n_bytes: Int,
+      n_chars: Int)
+  case class MediaMeta(doc_id: Long, source: String, n_chars: Int,
       width: Int, height: Int, frames: Int)
 
   /** STUB decoder — deterministic fake dims from a payload hash.
@@ -33,12 +33,17 @@ object Multimodal {
   private val P = 1000000007L
 
   /** Rolling polynomial payload hash mod 1e9+7 (seed 5381, base 31
-    * over unsigned bytes) — stays positive and below 2^35, so the
-    * arithmetic is identical in DuckDB. */
-  private[multimodal] def payloadHash(payload: Array[Byte]): Long = {
+    * over UNICODE CODEPOINTS of the UTF-8 payload) — stays positive
+    * and below 2^36, so the arithmetic is identical in DuckDB, whose
+    * oracle walks `ascii(substr(text, i, 1))`, i.e. codepoints. Walking
+    * raw UTF-8 bytes here would silently diverge from the oracle on any
+    * non-ASCII document (both sides now agree for all of Unicode). */
+  private[graft] def payloadHash(payload: Array[Byte]): Long = {
+    val cps = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+      .codePoints().toArray
     var h = 5381L
     var i = 0
-    while (i < payload.length) { h = (h * 31 + (payload(i) & 0xff)) % P; i += 1 }
+    while (i < cps.length) { h = (h * 31 + cps(i)) % P; i += 1 }
     h
   }
 
@@ -64,7 +69,7 @@ object Multimodal {
     import s.implicits._
     val media = Tables.documents(s, d)
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
-        col("source"), length(col("text")).as("n_bytes"))
+        col("source"), length(col("text")).as("n_chars"))
       .as[MediaIn]
     media.mapPartitions { batch =>
       batch.flatMap { m =>
@@ -91,12 +96,12 @@ object Multimodal {
     val media: Dataset[MediaIn] = Tables.documents(s, d)
       .select(col("doc_id"),
         col("text").cast("binary").as("payload"), // stand-in media bytes
-        col("source"), length(col("text")).as("n_bytes"))
+        col("source"), length(col("text")).as("n_chars"))
       .as[MediaIn]
     media.mapPartitions { batch =>
       batch.map { m =>
         val (w, h, f) = decodeStub(m.payload)
-        MediaMeta(m.doc_id, m.source, m.n_bytes, w, h, f)
+        MediaMeta(m.doc_id, m.source, m.n_chars, w, h, f)
       }
     }.toDF().orderBy("doc_id")
   }

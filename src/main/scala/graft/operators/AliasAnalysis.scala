@@ -90,6 +90,12 @@ object AliasAnalysis {
     var converged = false
     while (round < rounds && !converged) {
       round += 1
+      // the reference's last_run applies min(minimum_diff,
+      // MINIMUM_DIFF_FINE) UNCONDITIONALLY on the final pass
+      // (alias_analysis.py:115-117) — not only after a rough fixpoint.
+      // So if we are out of rounds while rough matching is still
+      // productive, the final round still runs at the fine threshold.
+      if (round == rounds) curDiff = fine
       // fold current aliases into the per-bug multisets (first round
       // has nothing to fold — skip the join + re-aggregation). The
       // alias map is tiny by construction (bounded by distinct problem

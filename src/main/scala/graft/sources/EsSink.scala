@@ -32,27 +32,30 @@ object EsSink {
     * [[writeBulk]] and the extraction half of [[graft.etl.Replicate]]
     * (the reference's replicate.py reads batches of docs from a
     * source ES cluster; here the "cluster" is the bulk file set).
-    * Distributed line parse: action and source lines are
-    * distinguished by shape (`{"index":{...}}` prefix), re-paired by
-    * the _id the action carries — order within a partition file is
-    * producer-defined pairs, but pairing by id keeps the read correct
-    * under any file split. */
+    *
+    * Pairs action and source lines by ADJACENCY within each file —
+    * the bulk wire format's own contract (an action line is always
+    * immediately followed by its source line) — so duplicate _id
+    * values across indices, or a source doc whose first key happens to
+    * be "index", cannot mispair or duplicate rows. Each file is read
+    * whole (one row per part file) and line pairs recovered with array
+    * ops in a single narrow stage: no join, no shuffle. Per-file
+    * memory is bounded by one writer partition's output, the same
+    * bound an ES `_bulk` request body already imposes. */
   def readBulk(spark: org.apache.spark.sql.SparkSession, dir: String,
-      schema: org.apache.spark.sql.types.StructType,
-      idField: String): DataFrame = {
-    val lines = spark.read.text(dir)
-    val actions = lines
-      .filter(col("value").startsWith("""{"index":{"""))
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val files = spark.read.option("wholetext", "true").text(dir)
+    files
+      .select(filter(split(col("value"), "\n"), l => length(l) > 0).as("ls"))
+      .filter(size(col("ls")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), (size(col("ls")) / 2).cast("int") - 1),
+        i => struct(
+          element_at(col("ls"), i * 2 + 1).as("action"),
+          element_at(col("ls"), i * 2 + 2).as("source")))).as("p"))
       .select(
-        get_json_object(col("value"), "$.index._index").as("_index"),
-        get_json_object(col("value"), "$.index._id").as("_id"))
-    val sources = lines
-      .filter(!col("value").startsWith("""{"index":{"""))
-      .select(from_json(col("value"), schema).as("doc"))
-    // the writer puts the id column inside the source doc too, so the
-    // id is recoverable from either line of the pair
-    actions.join(sources,
-        actions("_id") === sources("doc").getField(idField).cast("string"))
-      .select(col("_index"), col("_id"), col("doc"))
+        get_json_object(col("p.action"), "$.index._index").as("_index"),
+        get_json_object(col("p.action"), "$.index._id").as("_id"),
+        from_json(col("p.source"), schema).as("doc"))
   }
 }

@@ -84,6 +84,22 @@ class AliasSpec extends AnyFunSuite {
       "fine pass after rough fixpoint must catch the margin-2 match")
   }
 
+  test("fine threshold applies on the last round even without a rough fixpoint") {
+    // rounds=1: the single round IS the last run, so the reference's
+    // unconditional min(minimum_diff, MINIMUM_DIFF_FINE) on the final
+    // pass (alias_analysis.py:115-117) must apply immediately — no
+    // empty rough round needed first.
+    val cc = Seq(
+      (1L, "eve@m", "eve2@m"),
+      (2L, "eve@m", "eve2@m"))
+      .toDF("bug_id", "old_value", "new_value")
+    val result = operators.AliasAnalysis.analyze(cc,
+      rounds = 1, minimumDiff = 3, minimumDiffFine = 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(result.get("eve2@m").contains("eve@m"),
+      "final round must run at the fine threshold unconditionally")
+  }
+
   test("saved aliases seed the next run and stay transitively closed") {
     val run1 = Seq(
       (1L, "a@m", "b@m"), (2L, "a@m", "b@m"), (3L, "a@m", "b@m"))

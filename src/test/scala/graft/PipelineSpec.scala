@@ -160,6 +160,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("m1 payload hash walks codepoints, so non-ASCII matches the oracle") {
+    // The DuckDB oracle hashes ascii(substr(text,i,1)) per CHARACTER
+    // (= Unicode codepoint). Walk the string independently with
+    // offsetByCodePoints and assert the native byte[]-input hash agrees
+    // — and that a raw byte-walk would NOT (i.e. this test bites).
+    val s = "héllo wörld ☃ 😀" // é ö ☃ 😀
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var expected = 5381L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      expected = (expected * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    assert(multimodal.Multimodal.payloadHash(bytes) == expected)
+    var byteWalk = 5381L
+    bytes.foreach(b => byteWalk = (byteWalk * 31 + (b & 0xff)) % 1000000007L)
+    assert(byteWalk != expected, "byte-walk must diverge on non-ASCII")
+  }
+
   test("m1 multimodal plumbing yields typed metadata for every doc") {
     val n = Tables.documents(spark, sf).count()
     val rows = multimodal.Multimodal.m1MultimodalMeta(spark, sf).collect()

@@ -235,7 +235,7 @@ class StreamAndSinkSpec extends AnyFunSuite {
       .withColumn("doc_id", col("_id")).drop("_id")
     sources.EsSink.writeBulk(docs, "bugs", "doc_id", out)
     val schema = docs.schema
-    val back = sources.EsSink.readBulk(spark, out, schema, "doc_id")
+    val back = sources.EsSink.readBulk(spark, out, schema)
     assert(back.select("_index").distinct().collect()
       .map(_.getString(0)).toSeq == Seq("bugs"))
     val rt = back.select(col("doc.doc_id"), col("doc.doc"))
@@ -244,5 +244,26 @@ class StreamAndSinkSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(rt == orig)
     assert(rt.nonEmpty)
+  }
+
+  test("readBulk adjacency pairing survives duplicate ids and tricky docs") {
+    // Two indices sharing _id=1, plus a source doc whose FIRST KEY is
+    // "index" — an id-join or prefix-classifying reader would mispair
+    // or duplicate these; adjacency pairing must not.
+    val dir = Files.createTempDirectory("graft_bulk_adj").toString
+    val bulk = Seq(
+      """{"index":{"_index":"a","_id":"1"}}""",
+      """{"index":{"k":"x","v":"doc-a1"}}""",
+      """{"index":{"_index":"b","_id":"1"}}""",
+      """{"index":{"k":"y","v":"doc-b1"}}""").mkString("", "\n", "\n")
+    Files.write(java.nio.file.Paths.get(dir, "part-00000.txt"),
+      bulk.getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "index struct<k:string,v:string>")
+    val rows = sources.EsSink.readBulk(spark, dir, schema)
+      .select(col("_index"), col("_id"), col("doc.index.v").as("v"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(rows == Set(("a", "1", "doc-a1"), ("b", "1", "doc-b1")))
   }
 }
