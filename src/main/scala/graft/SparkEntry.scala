@@ -57,6 +57,7 @@ object SparkEntry {
     "c2_comments_stream" -> (operators.Comments.c2CommentsStream _),
     "h13_flag_lifecycle" -> (History.h13FlagLifecycle _),
     "h14_normalize_dates" -> (History.h14NormalizeDates _),
+    "h15_truncation_tolerance" -> (History.h15TruncationTolerance _),
     // Dedup family
     "d1_exact_dedup" -> (graft.dedup.Dedup.d1ExactDedup _),
     "d2_minhash_lsh" -> (graft.dedup.Dedup.d2MinhashLsh _),
@@ -529,6 +530,30 @@ object SparkEntry {
         |  array_to_string(list_sort(list_transform(string_split(raw_list, ','),
         |    x -> CAST(x AS INT))), ',') AS ints_sorted
         |FROM r ORDER BY event_id""".stripMargin,
+    "h15_truncation_tolerance" ->
+      """WITH base AS (
+        |  SELECT user_id AS id, epoch_ms(ts) AS ts_ms, event_id,
+        |    (['cc','blocked','dependson','keywords'])[CAST(event_id % 4 + 1 AS INT)]
+        |      AS field,
+        |    CASE WHEN event_id % 5 = 0 THEN '?'
+        |         WHEN event_id % 5 = 1 THEN '? ?'
+        |         WHEN event_id % 5 = 2
+        |           THEN '? v' || CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+        |         ELSE 'v' || CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+        |    END AS raw
+        |  FROM events),
+        |c AS (
+        |  SELECT id, ts_ms, event_id, field,
+        |    CASE WHEN raw IN ('?', '? ?') THEN NULL
+        |         WHEN raw LIKE '? %' THEN raw[3:]
+        |         ELSE raw END AS value_clean,
+        |    CASE WHEN raw IN ('?', '? ?') OR raw LIKE '? %' THEN ts_ms END AS u_ts
+        |  FROM base)
+        |SELECT id, ts_ms, event_id, field, value_clean,
+        |  CASE WHEN max(u_ts) OVER (PARTITION BY id) IS NOT NULL
+        |        AND ts_ms < max(u_ts) OVER (PARTITION BY id)
+        |       THEN 1 ELSE 0 END AS uncertain
+        |FROM c ORDER BY id, ts_ms, event_id""".stripMargin,
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
         |           FROM documents),

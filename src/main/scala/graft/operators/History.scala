@@ -288,6 +288,59 @@ object History {
       .orderBy("event_id")
   }
 
+  /** The reference's truncation-prone multi-value fields
+    * (parse_bug_history.py:80 TRUNC_FIELDS, per Bugzilla bug 55161). */
+  val TruncFields: Seq[String] = Seq("cc", "blocked", "dependson", "keywords")
+
+  /** Truncated-value tolerance core (parse_bug_history.py:137-174):
+    * for TRUNC_FIELDS activities, a value of `?` / `? ?` is unknown —
+    * nulled out; a `? x` prefix is a possibly-truncated `x` — prefix
+    * stripped; either form marks the entity UNCERTAIN. The reference
+    * (walking backwards in time) injects a synthetic
+    * `uncertain: 1→null` activity at the FIRST uncertain row it meets
+    * — i.e. the LATEST in time — so every state strictly before that
+    * timestamp carries uncertain=1 and later states stay certain.
+    * Declaratively: uncertain = ts < max(ts | row was uncertain) per
+    * entity, one window over the same per-entity shuffle the history
+    * build already uses.
+    *
+    * Input columns: id, ts_ms, event_id, field, raw. */
+  def truncationTolerance(activity: DataFrame): DataFrame = {
+    val unk = col("raw").isin("?", "? ?")
+    val pfx = col("raw").startsWith("? ")
+    val w = Window.partitionBy("id")
+    activity
+      .withColumn("value_clean",
+        when(unk, lit(null).cast("string"))
+          .when(pfx, substring(col("raw"), 3, Int.MaxValue))
+          .otherwise(col("raw")))
+      .withColumn("unc_ts", max(when(unk || pfx, col("ts_ms"))).over(w))
+      .withColumn("uncertain",
+        when(col("unc_ts").isNotNull && col("ts_ms") < col("unc_ts"), 1)
+          .otherwise(0))
+      .drop("unc_ts")
+  }
+
+  /** H15: drives [[truncationTolerance]] from events — the raw value
+    * synthesizes every branch (`?`, `? ?`, `? v<k>`, clean) across the
+    * four TRUNC_FIELDS. */
+  def h15TruncationTolerance(s: SparkSession, d: String): DataFrame = {
+    val k = from_json(col("props"), org.apache.spark.sql.types.StructType
+      .fromDDL("k INT")).getField("k").cast("long")
+    val raw = when(col("event_id") % 5 === 0, lit("?"))
+      .when(col("event_id") % 5 === 1, lit("? ?"))
+      .when(col("event_id") % 5 === 2, concat(lit("? v"), k))
+      .otherwise(concat(lit("v"), k))
+    val field = element_at(
+      array(TruncFields.map(lit): _*), (col("event_id") % 4 + 1).cast("int"))
+    val activity = Tables.events(s, d).select(
+      col("user_id").as("id"), unix_millis(col("ts")).as("ts_ms"),
+      col("event_id"), field.as("field"), raw.as("raw"))
+    truncationTolerance(activity)
+      .select("id", "ts_ms", "event_id", "field", "value_clean", "uncertain")
+      .orderBy("id", "ts_ms", "event_id")
+  }
+
   /** H11: gap-based sessionization — a new session when >30 min idle.
     * Window-prefix-sum formulation: one shuffle on user_id, no state
     * loop (streaming variant: graft.streaming.EventStream). */

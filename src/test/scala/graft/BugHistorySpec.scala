@@ -104,4 +104,30 @@ class BugHistorySpec extends AnyFunSuite {
     assert(atts(2) == List(("10", "false")))    // t=300: live, not obsolete
     assert(atts(3) == List(("10", "true")))     // t=400: flipped
   }
+
+  test("truncation tolerance cleans ?-values and marks the uncertain past") {
+    // entity 1: a "? a" prefix at t=10, a bare "?" at t=30 — the
+    // LATEST uncertain row (t=30) is the cutoff: strictly-earlier rows
+    // are uncertain=1, t=30 itself and later stay 0 (the reference's
+    // injected uncertain 1→null activity, parse_bug_history.py:160-174).
+    // entity 2: all clean — never uncertain.
+    val activity = Seq(
+      (1L, 10L, 1L, "cc", "? a"),
+      (1L, 20L, 2L, "cc", "x"),
+      (1L, 30L, 3L, "keywords", "?"),
+      (1L, 40L, 4L, "keywords", "y"),
+      (2L, 10L, 5L, "blocked", "? ?"),
+      (2L, 15L, 6L, "blocked", "z"))
+      .toDF("id", "ts_ms", "event_id", "field", "raw")
+    val out = operators.History.truncationTolerance(activity)
+      .select("id", "event_id", "value_clean", "uncertain")
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.getString(2)), r.getInt(3))).toMap
+    assert(out(1L) == (Some("a"), 1))    // prefix stripped, before cutoff
+    assert(out(2L) == (Some("x"), 1))    // clean value, still uncertain past
+    assert(out(3L) == (None, 0))         // "?" nulled, AT cutoff → certain
+    assert(out(4L) == (Some("y"), 0))    // after cutoff
+    assert(out(5L) == (None, 0))         // "? ?" nulled; t=10 IS the cutoff
+    assert(out(6L) == (Some("z"), 0))    // after entity 2's cutoff
+  }
 }
