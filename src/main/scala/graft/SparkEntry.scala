@@ -58,6 +58,7 @@ object SparkEntry {
     "h13_flag_lifecycle" -> (History.h13FlagLifecycle _),
     "h14_normalize_dates" -> (History.h14NormalizeDates _),
     "h15_truncation_tolerance" -> (History.h15TruncationTolerance _),
+    "b4_consistency_report" -> (operators.Consistency.b4ConsistencyReport _),
     // Dedup family
     "d1_exact_dedup" -> (graft.dedup.Dedup.d1ExactDedup _),
     "d2_minhash_lsh" -> (graft.dedup.Dedup.d2MinhashLsh _),
@@ -554,6 +555,71 @@ object SparkEntry {
         |        AND ts_ms < max(u_ts) OVER (PARTITION BY id)
         |       THEN 1 ELSE 0 END AS uncertain
         |FROM c ORDER BY id, ts_ms, event_id""".stripMargin,
+    "b4_consistency_report" -> {
+      val kmk = operators.Consistency.KnownMissingKeywords
+        .map(q => s"'$q'").mkString(", ")
+      s"""WITH ev AS (
+         |  SELECT user_id AS id, epoch_ms(ts) AS ts_ms, event_id,
+         |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+         |  FROM events),
+         |ops AS (
+         |  SELECT id, ts_ms, event_id,
+         |    (['cc','keywords','blocked','dependson'])[CAST(k % 4 + 1 AS INT)]
+         |      AS field,
+         |    CASE WHEN (k + event_id) % 3 = 0 THEN 'remove' ELSE 'add' END AS op,
+         |    (['dogfood','beta1','i2','i3','i4','i5'])[CAST(k % 6 + 1 AS INT)]
+         |      AS item
+         |  FROM ev WHERE event_id % 2 = 0),
+         |mv0 AS (
+         |  SELECT *, lag(op) OVER (PARTITION BY id, field, item
+         |    ORDER BY ts_ms, event_id) AS prev_op
+         |  FROM ops),
+         |mv AS (
+         |  SELECT id, ts_ms, event_id, field, kind, item AS detail FROM (
+         |    SELECT *, CASE
+         |      WHEN op = 'add' AND prev_op = 'add' THEN 'redundant_add'
+         |      WHEN op = 'remove' AND prev_op = 'remove' THEN 'remove_absent'
+         |    END AS kind FROM mv0)
+         |  WHERE kind IS NOT NULL
+         |    AND field <> 'cc'
+         |    AND NOT (kind = 'remove_absent' AND field IN ('blocked', 'dependson'))
+         |    AND NOT (field = 'keywords' AND item IN ($kmk))),
+         |chg0 AS (
+         |  SELECT id, ts_ms, event_id, k,
+         |    (['status','cf_blocking_b2g','cf_last_resolved'])
+         |      [CAST(k % 3 + 1 AS INT)] AS field
+         |  FROM ev WHERE event_id % 2 = 1),
+         |chg1 AS (
+         |  SELECT *, CASE
+         |      WHEN field = 'cf_blocking_b2g'
+         |        THEN (['1.5','2.0'])[CAST(k % 2 + 1 AS INT)]
+         |      WHEN field = 'cf_last_resolved' THEN 'r' || (k % 3)
+         |      ELSE 'v' || (k % 4) END AS new_value
+         |  FROM chg0),
+         |chg2 AS (
+         |  SELECT *, lag(new_value) OVER (PARTITION BY id, field
+         |    ORDER BY ts_ms, event_id) AS prev_new
+         |  FROM chg1),
+         |chg AS (
+         |  SELECT id, ts_ms, event_id, field, prev_new,
+         |    CASE WHEN event_id % 7 = 0 THEN CASE
+         |        WHEN field = 'cf_blocking_b2g'
+         |          THEN (['2.0','9.9'])[CAST(k % 2 + 1 AS INT)]
+         |        WHEN field = 'cf_last_resolved' THEN 'r9'
+         |        ELSE 'v9' END
+         |      ELSE coalesce(prev_new, new_value) END AS old_value
+         |  FROM chg2),
+         |sv AS (
+         |  SELECT id, ts_ms, event_id, field, 'inconsistent_change' AS kind,
+         |    prev_new || ' != ' || old_value AS detail
+         |  FROM chg
+         |  WHERE prev_new IS NOT NULL AND prev_new <> old_value
+         |    AND field NOT IN ('cf_last_resolved', 'cf_crash_signature')
+         |    AND NOT (field = 'cf_blocking_b2g' AND prev_new = '1.5'
+         |             AND old_value IN ('2.0')))
+         |SELECT * FROM (SELECT * FROM mv UNION ALL SELECT * FROM sv)
+         |ORDER BY event_id""".stripMargin
+    },
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
         |           FROM documents),
