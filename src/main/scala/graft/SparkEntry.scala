@@ -30,6 +30,7 @@ object SparkEntry {
     "c1_curation" -> (operators.Curation.c1Curation _),
     "c3_sample_split" -> (operators.Curation.c3SampleSplit _),
     "c4_quality_resample" -> (operators.Curation.c4QualityResample _),
+    "c5_mixture_balance" -> (operators.Curation.c5MixtureBalance _),
     "e1_embedding_quantize" -> (operators.Curation.e1EmbeddingQuantize _),
     "o1_profile" -> (operators.Curation.o1Profile _),
     "o2_drift" -> (operators.Curation.o2Drift _),
@@ -59,6 +60,8 @@ object SparkEntry {
     "h14_normalize_dates" -> (History.h14NormalizeDates _),
     "h15_truncation_tolerance" -> (History.h15TruncationTolerance _),
     "b4_consistency_report" -> (operators.Consistency.b4ConsistencyReport _),
+    "t10_line_filter" -> ((s: SparkSession, d: String) =>
+      graft.text.TextAnalysis.t10LineFilter(s, d)),
     // Dedup family
     "d1_exact_dedup" -> (graft.dedup.Dedup.d1ExactDedup _),
     "d2_minhash_lsh" -> (graft.dedup.Dedup.d2MinhashLsh _),
@@ -71,6 +74,7 @@ object SparkEntry {
     "s1_ann_bruteforce" -> (graft.similarity.Similarity.s1AnnBruteForce _),
     "s2_ann_lsh" -> (graft.similarity.Similarity.s2AnnLsh _),
     "s3_ivf_ann" -> (graft.similarity.Similarity.s3IvfAnn _),
+    "s6_ann_recall" -> (graft.similarity.Similarity.s6AnnRecall _),
     "s4_pq_encode" -> (graft.similarity.Similarity.s4PqEncode _),
     "s5_kmeans_refine" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s5KmeansRefine(s, d)),
@@ -230,6 +234,51 @@ object SparkEntry {
       |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
       |      (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
 
+  /** s1's exact brute-force oracle — also the baseline side of s6. */
+  private lazy val s1AnnSql: String =
+    """SELECT q_id, rank, c_id, cos FROM (
+      | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+      |  round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 3) AS cos,
+      |  CAST(row_number() OVER (PARTITION BY q.vec_id
+      |   ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 3) DESC,
+      |            c.vec_id ASC) AS BIGINT) AS rank
+      | FROM embeddings q CROSS JOIN embeddings c
+      | WHERE q.vec_id < 10 AND c.vec_id >= 10)
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** s2's LSH oracle (bucketing replayed from the driver-folded plane
+    * literals) — also the approximate side of s6. */
+  private lazy val s2AnnSql: String = {
+    val planes = (0 until 4).map(j =>
+      doubleList(graft.functions.VectorFunctions.planeValues(j, 64)))
+    val dots = (0 until 4).map(j =>
+      s"${seqDot("emb", planes(j))} AS d$j").mkString(",\n    ")
+    val bucket = (0 until 4).map(j =>
+      s"CASE WHEN d$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |bkt AS (
+       |  SELECT vec_id, emb, $bucket AS bucket FROM (
+       |    SELECT vec_id, emb,
+       |    $dots
+       |    FROM e)),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS b0
+       |      FROM bkt WHERE vec_id < 10),
+       |qp AS (SELECT q_id, q_emb, unnest(
+       |    [b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
+       |  FROM q),
+       |c AS (SELECT vec_id AS c_id, emb AS c_emb, bucket
+       |      FROM bkt WHERE vec_id >= 10)
+       |SELECT q_id, rank, c_id, cos FROM (
+       |  SELECT q_id, c_id,
+       |    round(list_cosine_similarity(q_emb, c_emb), 3) AS cos,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY round(list_cosine_similarity(q_emb, c_emb), 3) DESC,
+       |               c_id ASC) AS BIGINT) AS rank
+       |  FROM c JOIN qp USING (bucket))
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** DuckDB oracle SQL per query (same parquet tables, same column
     * aliases, same deterministic ORDER BY, floats rounded identically). */
   def oracleSql: Map[String, String] = Map(
@@ -297,36 +346,18 @@ object SparkEntry {
         |      AS hamming
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
         |WHERE hamming <= 10 ORDER BY id1, id2""".stripMargin,
-    "s2_ann_lsh" -> {
-      val planes = (0 until 4).map(j =>
-        doubleList(graft.functions.VectorFunctions.planeValues(j, 64)))
-      val dots = (0 until 4).map(j =>
-        s"${seqDot("emb", planes(j))} AS d$j").mkString(",\n    ")
-      val bucket = (0 until 4).map(j =>
-        s"CASE WHEN d$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |bkt AS (
-         |  SELECT vec_id, emb, $bucket AS bucket FROM (
-         |    SELECT vec_id, emb,
-         |    $dots
-         |    FROM e)),
-         |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS b0
-         |      FROM bkt WHERE vec_id < 10),
-         |qp AS (SELECT q_id, q_emb, unnest(
-         |    [b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
-         |  FROM q),
-         |c AS (SELECT vec_id AS c_id, emb AS c_emb, bucket
-         |      FROM bkt WHERE vec_id >= 10)
-         |SELECT q_id, rank, c_id, cos FROM (
-         |  SELECT q_id, c_id,
-         |    round(list_cosine_similarity(q_emb, c_emb), 3) AS cos,
-         |    CAST(row_number() OVER (PARTITION BY q_id
-         |      ORDER BY round(list_cosine_similarity(q_emb, c_emb), 3) DESC,
-         |               c_id ASC) AS BIGINT) AS rank
-         |  FROM c JOIN qp USING (bucket))
-         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
-    },
+    "s2_ann_lsh" -> s2AnnSql,
+    "s6_ann_recall" ->
+      s"""WITH exact AS (SELECT q_id, c_id FROM ($s1AnnSql)),
+         |approx AS (SELECT q_id, c_id FROM ($s2AnnSql)),
+         |hits AS (
+         |  SELECT e.q_id, count(*) AS hits FROM exact e
+         |  JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+         |  GROUP BY e.q_id),
+         |kk AS (SELECT q_id, count(*) AS k FROM exact GROUP BY q_id)
+         |SELECT kk.q_id, kk.k, coalesce(h.hits, CAST(0 AS BIGINT)) AS hits,
+         |  coalesce(h.hits, 0)::DOUBLE / kk.k AS recall
+         |FROM kk LEFT JOIN hits h USING (q_id) ORDER BY q_id""".stripMargin,
     "s3_ivf_ann" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -620,6 +651,23 @@ object SparkEntry {
          |SELECT * FROM (SELECT * FROM mv UNION ALL SELECT * FROM sv)
          |ORDER BY event_id""".stripMargin
     },
+    "t10_line_filter" ->
+      """WITH l AS (
+        |  SELECT doc_id, string_split(text, ' line ') AS lines FROM documents),
+        |k AS (
+        |  SELECT doc_id, len(lines) AS n_lines,
+        |    list_filter(lines, x ->
+        |      len(list_filter(string_split(x, ' '), w -> w <> '')) >= 5
+        |      AND NOT list_has_any(
+        |        list_filter(string_split(x, ' '), w -> w <> ''), ['dup'])
+        |      AND (list_filter(string_split(x, ' '), w -> w <> ''))[-1]
+        |        IN ('value', 'table', 'fast', 'scan', 'key', 'row', 'data',
+        |            'join', 'hash', 'order', 'column', 'group')) AS kept
+        |  FROM l)
+        |SELECT doc_id, n_lines, len(kept) AS n_kept,
+        |  coalesce(array_to_string(kept, ' | '), '') AS text_clean,
+        |  len(kept) >= 2 AS keep
+        |FROM k ORDER BY doc_id""".stripMargin,
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
         |           FROM documents),
@@ -777,6 +825,15 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, round(w, 4) AS weight, u, u < w AS sampled
         |FROM s ORDER BY doc_id""".stripMargin,
+    "c5_mixture_balance" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        |m AS (SELECT min(cnt) AS min_cnt FROM c),
+        |r AS (SELECT source, CAST(min_cnt AS DOUBLE) / cnt AS rate
+        |      FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.source, round(r.rate, 4) AS rate,
+        |  ((d.doc_id * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0
+        |    < r.rate AS sampled
+        |FROM documents d JOIN r USING (source) ORDER BY doc_id""".stripMargin,
     "s4_pq_encode" -> {
       val sq = "(e.emb[j.j*8 + i + 1] - c.centroid[j.j*8 + i + 1])"
       val codeCols = (0 until 8).map(j =>
@@ -1105,16 +1162,7 @@ object SparkEntry {
         |SELECT s.doc_id, s.chunk_idx, s.h, s.n_docs
         |FROM (SELECT spans.*, shared.n_docs FROM spans JOIN shared USING (h)) s
         |ORDER BY doc_id, chunk_idx, h""".stripMargin,
-    "s1_ann_bruteforce" ->
-      """SELECT q_id, rank, c_id, cos FROM (
-        | SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |  round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 3) AS cos,
-        |  CAST(row_number() OVER (PARTITION BY q.vec_id
-        |   ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 3) DESC,
-        |            c.vec_id ASC) AS BIGINT) AS rank
-        | FROM embeddings q CROSS JOIN embeddings c
-        | WHERE q.vec_id < 10 AND c.vec_id >= 10)
-        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "s1_ann_bruteforce" -> s1AnnSql,
     "t2_quality_score" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

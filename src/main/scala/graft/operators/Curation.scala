@@ -73,6 +73,33 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** C5: source-mixture balancing — downsample over-represented
+    * sources so the kept corpus matches a target mixture (uniform
+    * here; the standard pretraining-mix rebalance). Without
+    * upsampling, the largest achievable balanced corpus keeps
+    * min(count_s) docs per source, so rate_s = min(count) / count_s.
+    * The per-source rates come from a |sources|-row aggregate
+    * broadcast back onto the corpus; acceptance is the same
+    * engine-portable multiplicative-hash coin as c3/c4 — the corpus
+    * itself never shuffles, making this a scan + broadcast-join at
+    * 100 TB. The accept test compares unrounded doubles (one exact
+    * small-int division) computed identically in both engines. */
+  def c5MixtureBalance(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+    val minCnt = counts.agg(min("cnt").as("min_cnt"))
+    val rates = counts.crossJoin(broadcast(minCnt))
+      .select(col("source"),
+        (col("min_cnt").cast("double") / col("cnt")).as("rate"))
+    val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 10000)
+      .cast("double") / 10000.0
+    docs.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"),
+        round(col("rate"), 4).as("rate"),
+        (u < col("rate")).as("sampled"))
+      .orderBy("doc_id")
+  }
+
   /** E1: symmetric int8 embedding quantization — per-vector scale =
     * max|x|/127, elements round to [-127, 127]. Cuts ANN storage and
     * bandwidth 4×; the spec bounds the dequantization error. */

