@@ -70,6 +70,8 @@ object SparkEntry {
     "d5_embedding_dedup" -> (graft.dedup.Dedup.d5EmbeddingDedup _),
     "d6_decontaminate" -> (graft.dedup.Dedup.d6Decontaminate _),
     "d7_span_dedup" -> (graft.dedup.Dedup.d7SpanDedup _),
+    "d8_dup_clusters" -> ((s: SparkSession, d: String) =>
+      graft.dedup.Dedup.d8DupClusters(s, d)),
     // Similarity search
     "s1_ann_bruteforce" -> (graft.similarity.Similarity.s1AnnBruteForce _),
     "s2_ann_lsh" -> (graft.similarity.Similarity.s2AnnLsh _),
@@ -279,18 +281,14 @@ object SparkEntry {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
-  /** DuckDB oracle SQL per query (same parquet tables, same column
-    * aliases, same deterministic ORDER BY, floats rounded identically). */
-  def oracleSql: Map[String, String] = Map(
-    // ---- md5-based sketches: the SAME mixing arithmetic as the native
-    // expressions (md5_number_lower/upper ≡ Md5Helper, permutation
-    // constants interpolated from MinHashParams) ----
-    "d2_minhash_lsh" -> {
-      val a = graft.expressions.MinHashParams.A.take(32)
-        .mkString("[", ", ", "]")
-      val b = graft.expressions.MinHashParams.B.take(32)
-        .mkString("[", ", ", "]")
-      s"""WITH sh AS (
+  /** d2's MinHash-LSH oracle (md5-based permutations interpolated from
+    * MinHashParams) — also the edge set of d8's clustering oracle. */
+  private lazy val d2MinhashSql: String = {
+    val a = graft.expressions.MinHashParams.A.take(32)
+      .mkString("[", ", ", "]")
+    val b = graft.expressions.MinHashParams.B.take(32)
+      .mkString("[", ", ", "]")
+    s"""WITH sh AS (
          |  SELECT doc_id, unnest(CASE WHEN length(text) <= 5 THEN [text]
          |    ELSE list_distinct(list_transform(range(1, length(text) - 3),
          |      i -> substr(text, CAST(i AS INT), 5))) END) AS shingle
@@ -315,6 +313,35 @@ object SparkEntry {
          |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
          |SELECT id1, id2, max(jac) AS jaccard_est FROM cand WHERE jac >= 0.5
          |GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin
+  }
+
+  /** DuckDB oracle SQL per query (same parquet tables, same column
+    * aliases, same deterministic ORDER BY, floats rounded identically). */
+  def oracleSql: Map[String, String] = Map(
+    // ---- md5-based sketches: the SAME mixing arithmetic as the native
+    // expressions (md5_number_lower/upper ≡ Md5Helper, permutation
+    // constants interpolated from MinHashParams) ----
+    "d2_minhash_lsh" -> d2MinhashSql,
+    "d8_dup_clusters" -> {
+      // min-label propagation unrolled to the same 4 rounds the
+      // engine runs (spec proves 4 rounds converge on this corpus)
+      val rounds = (1 to 4).map { i =>
+        s"""l$i AS (
+           |  SELECT l.id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+           |  FROM l${i - 1} l
+           |  LEFT JOIN e ON e.u = l.id
+           |  LEFT JOIN l${i - 1} n ON n.id = e.v
+           |  GROUP BY l.id, l.lbl)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (SELECT id1, id2 FROM ($d2MinhashSql)),
+         |e AS (SELECT id1 AS u, id2 AS v FROM pairs
+         |      UNION ALL SELECT id2, id1 FROM pairs),
+         |l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM e),
+         |$rounds
+         |SELECT d.doc_id, coalesce(l4.lbl, d.doc_id) AS cluster,
+         |  l4.lbl IS NOT NULL AS in_dup_set
+         |FROM documents d LEFT JOIN l4 ON l4.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
     "d3_simhash" ->
       """WITH t AS (

@@ -269,4 +269,56 @@ object Dedup {
       .filter(col("cos") >= 0.3)
       .orderBy("id1", "id2")
   }
+
+  /** Connected components by iterative min-label propagation:
+    * lbl₀(v) = v; lblₖ₊₁(v) = min(lblₖ(v), min over neighbors
+    * lblₖ(u)). Converges once every vertex holds its component's
+    * minimum id — rounds needed = the graph's eccentricity from each
+    * component's min, and near-dup clusters are near-cliques (LSH
+    * produces most pairs directly), so a handful of rounds closes
+    * them; the spec proves convergence against a driver union-find.
+    * Each round is one shuffle of the VERTEX frame (pairs ≪ corpus);
+    * one eager localCheckpoint per round stops lineage doubling, the
+    * same measured pattern as AliasAnalysis. For adversarial
+    * diameters (million-hop chains) the published alternating
+    * large-star/small-star contraction (Kiveris et al. 2014,
+    * "Connected Components in MapReduce") drops in: same per-round
+    * join shape, O(log²·) rounds guaranteed. */
+  def connectedComponents(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    val e = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+    var labels = e.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    for (_ <- 1 to rounds) {
+      val nbr = e
+        .join(labels.select(col("id").as("v"), col("lbl").as("nlbl")),
+          Seq("v"))
+        .groupBy(col("u").as("id")).agg(min("nlbl").as("min_n"))
+      labels = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("min_n"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** D8: duplicate-cluster assignment — pairs are not actionable at
+    * 100 TB (keeping "one of each pair" over-deletes across chains);
+    * dedup needs per-document CLUSTER ids. Edges = the d2 MinHash-LSH
+    * pairs; components give each near-dup group its minimum doc_id as
+    * the canonical representative; the full corpus then maps
+    * doc → cluster (its own id when unpaired) via one broadcast-sized
+    * left join — the corpus itself never shuffles. */
+  def d8DupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = d2MinhashLsh(s, d)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val labels = connectedComponents(pairs, rounds = 4)
+    Tables.documents(s, d)
+      .join(labels.select(col("id").as("doc_id"), col("lbl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster"),
+        col("lbl").isNotNull.as("in_dup_set"))
+      .orderBy("doc_id")
+  }
 }

@@ -160,6 +160,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d8 clusters equal driver union-find components (4 rounds converge)") {
+    val pairs = dedup.Dedup.d2MinhashLsh(spark, sf).select("id1", "id2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // union-find that always keeps the smaller root ⇒ root = component min
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(v => v -> find(v)).toMap
+    dedup.Dedup.d8DupClusters(spark, sf).collect().foreach { r =>
+      val (id, cl, in) = (r.getLong(0), r.getLong(1), r.getBoolean(2))
+      expected.get(id) match {
+        case Some(root) => assert(in && cl == root, s"doc $id")
+        case None => assert(!in && cl == id, s"doc $id")
+      }
+    }
+  }
+
   test("s6 recall@k equals a driver-side set intersection of s1 and s2") {
     val exact = similarity.Similarity.s1AnnBruteForce(spark, sf)
       .select("q_id", "c_id").collect()
