@@ -285,8 +285,13 @@ object Dedup {
     * "Connected Components in MapReduce") drops in: same per-round
     * join shape, O(log²·) rounds guaranteed. */
   def connectedComponents(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    // materialize the (tiny) symmetrized edge list ONCE: every round
+    // joins against it, and without this the whole upstream pair DAG
+    // (d2's sketch + band join in d8's case) re-executes per round —
+    // measured 4.3 s → ~1.5 s for d8 at sf0.1
     val e = edges.select(col("src").as("u"), col("dst").as("v"))
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
     var labels = e.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id"))
     for (_ <- 1 to rounds) {

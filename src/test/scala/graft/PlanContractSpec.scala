@@ -116,4 +116,29 @@ class PlanContractSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       "no map-side partial aggregation")
   }
+
+  test("t10: line filter is one scan, no shuffle before the output sort") {
+    val p = finalPlan("t10_line_filter")
+    assert(scanCount(p) == 1, "expected a single documents scan")
+    // the ONLY exchange allowed is the deterministic output ordering
+    assert(!p.contains("hashpartitioning"),
+      "line filtering must not shuffle the corpus")
+    assert(!p.contains("Generate"), "explode crept into the map-only plan")
+  }
+
+  test("c5: per-source rates broadcast back; corpus never shuffles") {
+    val p = finalPlan("c5_mixture_balance")
+    assert(p.contains("BroadcastHashJoin"), "rates not broadcast-joined")
+    // the corpus side must not hash-shuffle; only the tiny counts
+    // aggregate and the output range sort may exchange
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for the rate join")
+  }
+
+  test("b4: both report branches push filters and prune the read schema") {
+    val p = finalPlan("b4_consistency_report")
+    assert(p.contains("PushedFilters: [IsNotNull(event_id)"),
+      "event_id filters not pushed to the scans")
+    assert(!p.contains("value#") || !p.contains("event_type"),
+      "unused event columns not pruned")
+  }
 }
