@@ -62,6 +62,8 @@ object SparkEntry {
     "b4_consistency_report" -> (operators.Consistency.b4ConsistencyReport _),
     "t10_line_filter" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t10LineFilter(s, d)),
+    "t11_perplexity" -> ((s: SparkSession, d: String) =>
+      graft.text.TextAnalysis.t11Perplexity(s, d)),
     // Dedup family
     "d1_exact_dedup" -> (graft.dedup.Dedup.d1ExactDedup _),
     "d2_minhash_lsh" -> (graft.dedup.Dedup.d2MinhashLsh _),
@@ -695,6 +697,26 @@ object SparkEntry {
         |  coalesce(array_to_string(kept, ' | '), '') AS text_clean,
         |  len(kept) >= 2 AS keep
         |FROM k ORDER BY doc_id""".stripMargin,
+    "t11_perplexity" ->
+      """WITH tf0 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tfg AS (SELECT doc_id, term, count(*) AS tf FROM tf0
+        |        WHERE term <> '' GROUP BY 1, 2),
+        |cnt AS (SELECT term, sum(tf) AS cnt FROM tfg GROUP BY 1),
+        |tot AS (SELECT sum(tf) AS total FROM tfg),
+        |parts AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    list(tf::DOUBLE * ln(cnt::DOUBLE / total::DOUBLE)
+        |         ORDER BY term) AS wlls
+        |  FROM tfg JOIN cnt USING (term) CROSS JOIN tot GROUP BY doc_id),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |    round(exp(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE), wlls),
+        |      (a, b) -> a + b) / n_tokens), 4) AS ppl
+        |  FROM parts)
+        |SELECT doc_id, n_tokens, ppl, ppl <= 30.1 AS keep
+        |FROM p ORDER BY doc_id""".stripMargin,
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
         |           FROM documents),

@@ -209,6 +209,43 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** T11: unigram-LM perplexity scoring — the CCNet-style quality
+    * filter (Wenzek et al. 2019 train a KenLM and keep the
+    * low-perplexity head/middle of each language; the web-scale
+    * pipeline's main quality knob). The LM here is the corpus's own
+    * unigram distribution: ppl(doc) = exp(−Σ tf·ln p(term) / Σ tf).
+    * Plan shape is t5's: one (doc,term) tf aggregation feeds the term
+    * totals, the corpus total (a 1-row broadcast), and the scoring
+    * join — shuffles on term, never on raw text, scaling to
+    * billion-term vocabularies where a broadcast dictionary dies.
+    * The per-doc log-sum folds over a TERM-SORTED list, so both
+    * engines add the same doubles in the same order — summation
+    * order is the one float nondeterminism rounding cannot paper
+    * over (partial-agg order varies run to run). */
+  def t11Perplexity(s: SparkSession, d: String, maxPpl: Double = 30.1)
+      : DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val total = tf.agg(sum("tf").as("total"))
+    tf.join(cnt, "term").crossJoin(broadcast(total))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf").cast("double") *
+          log(col("cnt").cast("double") / col("total"))).as("wll"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_tokens"),
+        array_sort(collect_list(struct(col("term"), col("wll"))))
+          .as("parts"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(exp(-aggregate(col("parts"), lit(0.0),
+          (a, p) => a + p.getField("wll")) / col("n_tokens")), 4)
+          .as("ppl"))
+      .withColumn("keep", col("ppl") <= maxPpl)
+      .orderBy("doc_id")
+  }
+
   /** T10: C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): keep
     * a line only if it (a) has at least `minWords` words, (b) contains
     * no blocklisted boilerplate token (C4 drops "javascript"/cookie

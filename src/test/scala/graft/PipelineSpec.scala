@@ -160,6 +160,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t11 perplexity matches a driver-side unigram LM replay") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).split(" ").filter(_.nonEmpty))
+    val cnt = docs.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val total = cnt.values.sum.toDouble
+    val expected = docs.map { case (id, toks) =>
+      val tf = toks.groupBy(identity).view.mapValues(_.length).toMap
+      // same term-sorted fold order as the engine and the oracle
+      val sll = tf.toSeq.sortBy(_._1)
+        .foldLeft(0.0) { case (a, (t, f)) =>
+          a + f.toDouble * math.log(cnt(t) / total) }
+      id -> BigDecimal(math.exp(-sll / toks.length))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = text.TextAnalysis.t11Perplexity(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (ppl, keep)) =>
+      assert(math.abs(ppl - expected(id)) < 5e-4, s"doc $id")
+      assert(keep == ppl <= 30.1)
+    }
+  }
+
   test("d8 clusters equal driver union-find components (4 rounds converge)") {
     val pairs = dedup.Dedup.d2MinhashLsh(spark, sf).select("id1", "id2")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
