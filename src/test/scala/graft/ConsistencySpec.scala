@@ -66,4 +66,21 @@ class ConsistencySpec extends AnyFunSuite {
       (2L, "v2 != v9"),
       (8L, "2.1 != 9.9")))
   }
+
+  test("report is invariant to input row order and partitioning") {
+    // the property a cluster actually exercises: results must not
+    // depend on which partition a row lands in or arrival order
+    val ops = (1 to 200).map { i =>
+      (i % 7L, i % 50L, i.toLong, if (i % 3 == 0) "keywords" else "blocked",
+        if (i % 2 == 0) "add" else "remove", s"i${i % 5}")
+    }.toDF("id", "ts_ms", "event_id", "field", "op", "item")
+    def collectSet(df: org.apache.spark.sql.DataFrame) =
+      operators.Consistency.multiValueProblems(df)
+        .collect().map(_.toString).toSet
+    val base = collectSet(ops)
+    assert(base == collectSet(ops.repartition(13)))
+    assert(base == collectSet(ops.orderBy(org.apache.spark.sql.functions
+      .rand(42))))
+    assert(base.nonEmpty)
+  }
 }
