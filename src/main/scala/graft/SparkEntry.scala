@@ -52,6 +52,7 @@ object SparkEntry {
     "b1_bug_history" -> (operators.HistoryDriver.b1BugHistory _),
     "p1_privacy_screen" -> (operators.Screening.p1PrivacyScreen _),
     "p2_field_screen" -> (operators.Screening.p2FieldScreen _),
+    "p3_privacy_delete" -> (operators.Screening.p3PrivacyDelete _),
     "a1_alias_analysis" -> (operators.HistoryDriver.a1AliasAnalysis _),
     "b2_nested_history" -> (operators.HistoryDriver.b2NestedHistory _),
     "b3_diff_history" -> (operators.DiffHistory.b3DiffHistory _),
@@ -1128,6 +1129,25 @@ object SparkEntry {
         | CASE WHEN source IN ('src1','src3') THEN NULL ELSE lang END AS lang,
         | n_chars, source IN ('src1','src3') AS screened
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "p3_privacy_delete" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type
+        |  FROM events),
+        |latest AS (
+        |  SELECT user_id, event_type AS latest_type FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms DESC, event_id DESC) AS rn FROM ev)
+        |  WHERE rn = 1),
+        |nowp AS (SELECT user_id FROM latest WHERE latest_type = 'error'),
+        |everp AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'error'),
+        |del AS (
+        |  SELECT DISTINCT 'delete' AS kind, user_id || '_' || ts_ms AS id
+        |  FROM ev WHERE user_id IN (SELECT user_id FROM nowp)),
+        |ref AS (
+        |  SELECT 'refresh' AS kind, CAST(user_id AS VARCHAR) AS id
+        |  FROM everp WHERE user_id NOT IN (SELECT user_id FROM nowp))
+        |SELECT * FROM (SELECT * FROM del UNION ALL SELECT * FROM ref)
+        |ORDER BY kind, id""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS rep_id, count(*) AS n
         |FROM documents GROUP BY md5(text) ORDER BY rep_id""".stripMargin,

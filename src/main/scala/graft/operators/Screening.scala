@@ -55,4 +55,45 @@ object Screening {
         col("n_chars"), inGroup.as("screened"))
       .orderBy("doc_id")
   }
+
+  /** P3: privacy DELETION propagation — screening alone is not enough:
+    * documents already published before an entity turned private must
+    * be removed from the index, and entities that went public again
+    * must be re-extracted (reference: bz_etl.py:179-189 "Ensure the
+    * following private bugs are deleted" → delete_record on both
+    * output indexes; :192-209 possible_public_bugs → delete + refresh
+    * re-ETL list).
+    *
+    * Mapping: an entity whose LATEST event is 'error' is now private —
+    * every version document it ever published (the h12 `_id` space,
+    * user_ts) becomes a DELETE action. An entity that had an 'error'
+    * event but whose latest state is no longer private went public
+    * again — it lands on the REFRESH list for re-extraction. Shape:
+    * one row_number window for latest state, a semi join for the
+    * delete fan-out, an anti join for the refresh set — all on the
+    * entity-id clustering; AQE broadcasts the private set when small.
+    * [[graft.sources.EsSink.writeDeletes]] turns the delete rows into
+    * bulk wire actions. */
+  def p3PrivacyDelete(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("user_id"),
+      unix_millis(col("ts")).as("ts_ms"), col("event_id"),
+      col("event_type"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    val latest = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("latest_type"))
+    val nowPrivate = latest.filter(col("latest_type") === "error")
+      .select("user_id")
+    val everPrivate = ev.filter(col("event_type") === "error")
+      .select("user_id").distinct()
+    val deletes = ev.join(nowPrivate, Seq("user_id"), "left_semi")
+      .select(lit("delete").as("kind"),
+        concat(col("user_id"), lit("_"), col("ts_ms")).as("id"))
+      .distinct()
+    val refresh = everPrivate.join(nowPrivate, Seq("user_id"), "left_anti")
+      .select(lit("refresh").as("kind"),
+        col("user_id").cast("string").as("id"))
+    deletes.unionByName(refresh).orderBy("kind", "id")
+  }
 }

@@ -27,6 +27,17 @@ object EsSink {
       .write.mode(SaveMode.Overwrite).text(outDir)
   }
 
+  /** Write DELETE actions in bulk wire format — the privacy-deletion
+    * half of the Load stage (bz_etl.py:188 delete_record): one
+    * `{"delete":{...}}` action line per row, no source line. Same
+    * distributed file-per-partition shape as [[writeBulk]]. */
+  def writeDeletes(df: DataFrame, index: String, idCol: String,
+      outDir: String): Unit =
+    df.select(concat(
+        lit(s"""{"delete":{"_index":"$index","_id":""""),
+        col(idCol).cast("string"), lit("\"}}")).as("value"))
+      .write.mode(SaveMode.Overwrite).text(outDir)
+
   /** Read an ES bulk ndjson directory back into (_index, _id, doc)
     * rows with `doc` parsed against `schema` — the inverse of
     * [[writeBulk]] and the extraction half of [[graft.etl.Replicate]]

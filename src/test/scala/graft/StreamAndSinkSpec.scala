@@ -246,6 +246,43 @@ class StreamAndSinkSpec extends AnyFunSuite {
     assert(rt.nonEmpty)
   }
 
+  test("writeDeletes emits delete-only bulk actions") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_bulk_del").toString + "/del"
+    sources.EsSink.writeDeletes(
+      Seq("7_100", "7_200").toDF("id"), "bugs", "id", out)
+    val lines = spark.read.text(out).collect().map(_.getString(0)).sorted
+    assert(lines.toSeq == Seq(
+      """{"delete":{"_index":"bugs","_id":"7_100"}}""",
+      """{"delete":{"_index":"bugs","_id":"7_200"}}"""))
+  }
+
+  test("p3: now-private entities delete their docs; re-public ones refresh") {
+    // user 1: click then error  -> now private: delete BOTH version docs
+    // user 2: error then purchase -> public again: refresh, no deletes
+    // user 3: click only -> untouched
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_p3").toString
+    // ts written as raw INT64 nanos — the same shape ProbeGen emits
+    // and Tables.events normalizes (div 1000 → timestamp_micros)
+    val t10 = 1704103200000L; val t11 = 1704106800000L
+    Seq(
+      (1L, t10 * 1000000L, 1L, "click"),
+      (1L, t11 * 1000000L, 2L, "error"),
+      (2L, t10 * 1000000L, 3L, "error"),
+      (2L, t11 * 1000000L, 4L, "purchase"),
+      (3L, t10 * 1000000L, 5L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("value", org.apache.spark.sql.functions.lit(0.0))
+      .withColumn("props", org.apache.spark.sql.functions.lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = operators.Screening.p3PrivacyDelete(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(
+      ("delete", s"1_$t10"), ("delete", s"1_$t11"), ("refresh", "2")))
+  }
+
   test("readBulk adjacency pairing survives duplicate ids and tricky docs") {
     // Two indices sharing _id=1, plus a source doc whose FIRST KEY is
     // "index" — an id-join or prefix-classifying reader would mispair
