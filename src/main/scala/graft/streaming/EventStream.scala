@@ -156,6 +156,55 @@ object EventStream {
       }
   }
 
+  case class PrivacyState(published: Seq[String], priv: Boolean)
+  case class PrivacyAction(user_id: Long, kind: String, id: String)
+
+  /** Streaming privacy-deletion propagation — batch
+    * [[graft.operators.Screening.p3PrivacyDelete]] run continuously
+    * (bz_etl.py:179-209): while an entity is public its emitted
+    * version ids accumulate in state; the moment an 'error' event
+    * flips it private, one DELETE action per published id is emitted
+    * (the index must forget it) and the published set clears; when it
+    * goes public again a REFRESH action asks for re-extraction.
+    * Events arriving while private publish nothing — screening
+    * upstream drops them — so there is nothing to delete later.
+    * State is the published-id list, bounded by versions emitted
+    * since the last privacy flip; a production deployment would
+    * evict long-idle entities via timeout and re-derive the published
+    * set from the index on revival (the same index-is-truth contract
+    * as EsIndexManager). */
+  def privacyDeletes(events: Dataset[EvFull]): Dataset[PrivacyAction] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PrivacyState, PrivacyAction](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EvFull],
+            state: GroupState[PrivacyState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(PrivacyState(Nil, priv = false))
+          val out = Seq.newBuilder[PrivacyAction]
+          sorted.foreach { e =>
+            if (e.event_type == "error") {
+              if (!st.priv) {
+                st.published.foreach(id =>
+                  out += PrivacyAction(uid, "delete", id))
+                st = PrivacyState(Nil, priv = true)
+              }
+            } else {
+              if (st.priv) {
+                out += PrivacyAction(uid, "refresh", uid.toString)
+                st = st.copy(priv = false)
+              }
+              st = st.copy(published =
+                st.published :+ s"${uid}_${e.ts.getTime}")
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long)
   case class SessionState(lastMs: Long, sessionNo: Long)
   case class SessionOut(user_id: Long, event_id: Long, ts_ms: Long,

@@ -246,6 +246,42 @@ class StreamAndSinkSpec extends AnyFunSuite {
     assert(rt.nonEmpty)
   }
 
+  test("streaming privacy deletes: no now-private entity keeps a live doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(h: Int) = new java.sql.Timestamp(1704067200000L + h * 3600000L)
+    val ms = MemoryStream[streaming.EventStream.EvFull]
+    val q = streaming.EventStream.privacyDeletes(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_p3s")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    import streaming.EventStream.EvFull
+    // user 1 publishes two versions then turns private (across batches)
+    // user 2 turns private then comes back public (refresh + republish)
+    // user 3 stays public
+    ms.addData(
+      EvFull(1L, ts(0), 1L, "click", 0.0),
+      EvFull(2L, ts(1), 1L, "purchase", 0.0),
+      EvFull(3L, ts(0), 2L, "error", 0.0),
+      EvFull(4L, ts(0), 3L, "click", 0.0))
+    q.processAllAvailable()
+    ms.addData(
+      EvFull(5L, ts(2), 1L, "error", 0.0),
+      EvFull(6L, ts(1), 2L, "purchase", 0.0))
+    q.processAllAvailable(); q.stop()
+    val acts = spark.table("graft_p3s").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val t0 = ts(0).getTime; val t1 = ts(1).getTime
+    assert(acts == Set(
+      (1L, "delete", s"1_$t0"), (1L, "delete", s"1_$t1"),
+      (2L, "refresh", "2")))
+    // the correctness property batch p3 enforces, streamed: an entity
+    // whose latest state is private has no published-undeleted id
+    val deleted = acts.filter(_._2 == "delete").map(_._3)
+    assert(Set(s"1_$t0", s"1_$t1").subsetOf(deleted))
+  }
+
   test("writeDeletes emits delete-only bulk actions") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_bulk_del").toString + "/del"
