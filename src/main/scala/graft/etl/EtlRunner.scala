@@ -70,4 +70,29 @@ object EtlRunner {
     (RunReport(mode, stats.getLong(0), stats.getLong(1), newHighWater),
       versions)
   }
+
+  /** [[run]] with the reference's privacy flow in front of it
+    * (bz_etl.py:179-189 runs the private-bug deletion BEFORE the
+    * re-ETL): entities in `nowPrivate` are excluded from both inputs
+    * (never published), and every version document they WOULD have
+    * published is written as a bulk DELETE action next to the run's
+    * output — so an index that loaded earlier runs forgets them. The
+    * delete-id space is recomputed from the full inputs, matching the
+    * reference's conservative "ensure deleted" stance (it deletes by
+    * bug id whether or not the doc is still indexed). */
+  def runWithPrivacy(spark: SparkSession, current: DataFrame,
+      activity: DataFrame, singleFields: Seq[String],
+      multiFields: Seq[String], stateDir: String, bulkOutDir: String,
+      nowPrivate: DataFrame): (RunReport, DataFrame) = {
+    val privVersions = BugHistory.reconstruct(
+      current.join(nowPrivate, Seq("id"), "left_semi"),
+      activity.join(nowPrivate, Seq("id"), "left_semi"),
+      singleFields, multiFields)
+    EsSink.writeDeletes(privVersions.select(col("snapshot_id")),
+      "snapshots", "snapshot_id", s"${bulkOutDir}_deletes")
+    run(spark,
+      current.join(nowPrivate, Seq("id"), "left_anti"),
+      activity.join(nowPrivate, Seq("id"), "left_anti"),
+      singleFields, multiFields, stateDir, bulkOutDir)
+  }
 }

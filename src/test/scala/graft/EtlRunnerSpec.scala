@@ -62,4 +62,23 @@ class EtlRunnerSpec extends AnyFunSuite {
     // high-water mark advanced
     assert(etl.EtlRunner.readState(stateDir, "last_run_time").contains(950L))
   }
+
+  test("privacy-aware run excludes private entities and writes their deletes") {
+    val stateDir = Files.createTempDirectory("graft_etl_ps").toString
+    val out = Files.createTempDirectory("graft_etl_pout").toString + "/run"
+    val nowPrivate = Seq(1L).toDF("id")
+    val (r, v) = etl.EtlRunner.runWithPrivacy(spark, mkCurrent(1000),
+      mkActivity(1000), Seq("status"), Seq("cc"), stateDir, out, nowPrivate)
+    // entity 1 never published
+    assert(r.entities == 2)
+    assert(!v.select("id").distinct().collect().map(_.getLong(0)).contains(1L))
+    val bulk = spark.read.text(out).collect().map(_.getString(0))
+    assert(!bulk.exists(_.contains(""""id":1,""")))
+    // ... and every version doc it WOULD have published is a delete action
+    val dels = spark.read.text(s"${out}_deletes").collect()
+      .map(_.getString(0)).sorted
+    assert(dels.nonEmpty && dels.forall(_.startsWith("""{"delete":{""")))
+    // entity 1 has versions at t=100/200/300/900 → 4 delete ids 1_*
+    assert(dels.count(_.contains(""""_id":"1_""")) == 4)
+  }
 }
