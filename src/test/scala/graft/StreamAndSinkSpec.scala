@@ -246,6 +246,31 @@ class StreamAndSinkSpec extends AnyFunSuite {
     assert(rt.nonEmpty)
   }
 
+  test("day-partitioned layout: window reads prune, day rewrites are surgical") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_part").toString + "/snaps"
+    val day = 24L * 3600 * 1000
+    val base = 1704067200000L // 2024-01-01 00:00 UTC
+    val rows = Seq(
+      (1L, base + 1, "a"), (2L, base + day + 2, "b"),
+      (3L, base + 2 * day + 3, "c"))
+      .toDF("id", "valid_from", "status")
+    sources.Partitioned.writeByDay(rows, "valid_from", path)
+    // window read: only 2024-01-02 — pruned at planning time
+    val win = sources.Partitioned.readDays(spark, path,
+      "2024-01-02", "2024-01-02")
+    assert(win.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    win.queryExecution.executedPlan.execute().count()
+    assert(sources.Partitioned.partitionPruned(win), "no partition pruning")
+    // dynamic overwrite: rewriting day 2 must leave days 1 and 3 intact
+    sources.Partitioned.writeByDay(
+      Seq((20L, base + day + 5, "b2")).toDF("id", "valid_from", "status"),
+      "valid_from", path)
+    val all = sources.Partitioned.read(spark, path)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(all == Set(1L, 20L, 3L))
+  }
+
   test("streaming privacy deletes: no now-private entity keeps a live doc") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
