@@ -207,4 +207,74 @@ object VecHelper {
     }
     java.lang.Double.valueOf(acc)
   }
+
+  /** Left-to-right sum of one DOUBLE field over an array of structs;
+    * null on a null element or null field — identical to the HOF
+    * `aggregate(arr, 0.0, (a, p) => a + p.getField(f))` fold
+    * bit-for-bit (null poisons the running sum). */
+  def structFieldSum(arr: ArrayData, idx: Int,
+      numFields: Int): java.lang.Double = {
+    var acc = 0.0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val st = arr.getStruct(i, numFields)
+      if (st.isNullAt(idx)) return null
+      acc += st.getDouble(idx)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+/** Native left-to-right sum of one double field over an
+  * array<struct> — the per-document log-likelihood accumulation in
+  * t11's perplexity (fold over a term-SORTED struct list, so summation
+  * order is engine-identical). The interpreted `aggregate` HOF runs a
+  * lambda closure per element per row and dominated t11 at the 30×
+  * probe (21.7 s); this expression is the same arithmetic in one tight
+  * loop inside whole-stage codegen. Equivalence with the HOF fold is
+  * spec-asserted bit-for-bit. */
+case class StructFieldSum(child: Expression, fieldName: String)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private lazy val (idx, numFields) = child.dataType match {
+    case ArrayType(st: StructType, _) => (st.fieldIndex(fieldName), st.length)
+    case _ => (-1, -1)
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(st: StructType, _)
+          if st.fieldNames.contains(fieldName) &&
+            st(st.fieldIndex(fieldName)).dataType == DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"struct_field_sum needs array<struct<...$fieldName:double...>>, got $t")
+    }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("sfsRes")
+      s"""
+        |java.lang.Double $r =
+        |  graft.expressions.VecHelper.structFieldSum($a, $idx, $numFields);
+        |if ($r == null) { ${ev.isNull} = true; }
+        |else { ${ev.value} = $r.doubleValue(); }
+      """.stripMargin
+    })
+
+  override def nullSafeEval(a: Any): Any =
+    VecHelper.structFieldSum(a.asInstanceOf[ArrayData], idx, numFields)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): StructFieldSum = copy(child = newChild)
 }

@@ -26,6 +26,20 @@ object VectorFunctions {
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Native left-to-right sum of one double field over an
+    * array<struct> ([[graft.expressions.StructFieldSum]]) — t11's
+    * per-document log-likelihood fold without an interpreted lambda
+    * per element. */
+  def structFieldSum(arr: Column, field: String): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.StructFieldSum(
+        org.apache.spark.sql.graft.Bridge.expression(arr), field))
+
+  /** The interpreted-HOF form of [[structFieldSum]] — equivalence
+    * spec only. */
+  def structFieldSumHof(arr: Column, field: String): Column =
+    aggregate(arr, lit(0.0), (acc, p) => acc + p.getField(field))
+
   def norm2(a: Column): Column = dot(a, a)
 
   /** Native squared-L2 distance (whole-stage codegen); bit-identical

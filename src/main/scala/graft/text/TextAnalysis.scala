@@ -239,8 +239,11 @@ object TextAnalysis {
         array_sort(collect_list(struct(col("term"), col("wll"))))
           .as("parts"))
       .select(col("doc_id"), col("n_tokens"),
-        round(exp(-aggregate(col("parts"), lit(0.0),
-          (a, p) => a + p.getField("wll")) / col("n_tokens")), 4)
+        // native fold (StructFieldSum): same left-to-right arithmetic
+        // as the aggregate HOF, no interpreted lambda per term — the
+        // 30x probe put the HOF fold at 21.7 s for this stage
+        round(exp(-graft.functions.VectorFunctions
+          .structFieldSum(col("parts"), "wll") / col("n_tokens")), 4)
           .as("ppl"))
       .withColumn("keep", col("ppl") <= maxPpl)
       .orderBy("doc_id")

@@ -213,4 +213,32 @@ class CodegenSpec extends AnyFunSuite {
       assert(sql == V.planeValues(j, 64).toSeq, s"plane $j mismatch")
     }
   }
+
+  test("native struct_field_sum equals the HOF fold bit-for-bit") {
+    import spark.implicits._
+    import graft.functions.{VectorFunctions => V}
+    // t11's real shape: per-doc term-sorted (term, wll) structs
+    val parts = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("w"))
+      .withColumn("w", log(col("w") + 1.5))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("term"), col("w"))))
+        .as("parts"))
+    val rows = parts.select(
+      V.structFieldSum(col("parts"), "w").as("native"),
+      V.structFieldSumHof(col("parts"), "w").as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+    // null field poisons the sum, like the HOF
+    val withNull = Seq((Seq(("a", Some(1.0)), ("b", None)))).toDF("parts")
+      .select(V.structFieldSum(col("parts"),
+        "_2").cast("string").as("native"))
+      .collect().head
+    assert(withNull.isNullAt(0))
+  }
 }
