@@ -27,6 +27,7 @@ object SparkEntry {
     "q12_scalar_subquery" -> (Relational.q12ScalarSubquery _),
     "q13_percentiles" -> (Relational.q13Percentiles _),
     "q14_asof_join" -> (operators.AsOf.q14AsofJoin _),
+    "q15_grouping_sets" -> (Relational.q15GroupingSets _),
     "c1_curation" -> (operators.Curation.c1Curation _),
     "c3_sample_split" -> (operators.Curation.c3SampleSplit _),
     "c4_quality_resample" -> (operators.Curation.c4QualityResample _),
@@ -34,6 +35,7 @@ object SparkEntry {
     "e1_embedding_quantize" -> (operators.Curation.e1EmbeddingQuantize _),
     "o1_profile" -> (operators.Curation.o1Profile _),
     "o2_drift" -> (operators.Curation.o2Drift _),
+    "o3_expectations" -> (operators.Curation.o3Expectations _),
     "n1_nested_flatten" -> (operators.Nested.n1NestedFlatten _),
     // ETL / history
     "h1_snapshot_history" -> (History.h1SnapshotHistory _),
@@ -804,6 +806,15 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name) ORDER BY r, n""".stripMargin,
+    "q15_grouping_sets" ->
+      """SELECT CASE WHEN GROUPING(r_name)=1 THEN 'ALL' ELSE r_name END AS r,
+        | CASE WHEN GROUPING(n_name)=1 THEN 'ALL' ELSE n_name END AS n,
+        | CAST(grouping_id(r_name, n_name) AS BIGINT) AS gid,
+        | count(*) AS n_cust, round(sum(c_acctbal),2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        |ORDER BY gid, r, n""".stripMargin,
     "q11_conditional_pivot" ->
       """SELECT user_id,
         | count(CASE WHEN event_type='click' THEN 1 END) AS n_click,
@@ -1024,6 +1035,25 @@ object SparkEntry {
         |    ln(((n_early + 1)::DOUBLE / (t_early + 10)) /
         |       ((n_late + 1)::DOUBLE / (t_late + 10))), 4) AS psi_contrib
         |FROM f CROSS JOIN t ORDER BY bin""".stripMargin,
+    "o3_expectations" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n, count(c_name) AS n_name,
+        |    count(DISTINCT c_custkey) AS n_key, min(c_acctbal) AS min_bal
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'completeness' AS "check", 'c_name' AS "column",
+        |    round(n_name::DOUBLE / n, 4) AS observed, 1.0 AS threshold,
+        |    n_name = n AS pass FROM a
+        |  UNION ALL
+        |  SELECT 'uniqueness', 'c_custkey', round(n_key::DOUBLE / n, 4),
+        |    1.0, n_key = n FROM a
+        |  UNION ALL
+        |  SELECT 'min_bound', 'c_acctbal', round(min_bal, 4), -1000.0,
+        |    min_bal >= -1000.0 FROM a
+        |  UNION ALL
+        |  SELECT 'nonneg_bound', 'c_acctbal', round(min_bal, 4), 0.0,
+        |    min_bal >= 0.0 FROM a)
+        |ORDER BY "check", "column"""".stripMargin,
     "n1_nested_flatten" ->
       """SELECT l_orderkey AS orderkey,
         | count(*) OVER (PARTITION BY l_orderkey) AS n_items,

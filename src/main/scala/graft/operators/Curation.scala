@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{VectorFunctions => V}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -116,6 +116,44 @@ object Curation {
         aggregate(col("q"), lit(0L), (acc, v) => acc + abs(v)).as("l1_q"),
         element_at(col("q"), 1).cast("long").as("q0"))
       .orderBy("vec_id")
+  }
+
+  /** O3: declarative data-quality EXPECTATIONS — the Deequ pattern
+    * (Schelter et al. 2018, "Automating Large-Scale Data Quality
+    * Verification"): a set of per-column constraints (completeness,
+    * uniqueness, value bounds) verified in ONE aggregation pass over
+    * the table, emitting one row per constraint with the observed
+    * metric and its verdict. The scan cost is a single map-side-
+    * combinable aggregate regardless of how many constraints ride it
+    * — the shape that lets a 100 TB pipeline gate every batch on
+    * quality without a second read. The nonneg_bound check fails by
+    * design on this data (negative balances exist at every scale):
+    * a verification report that cannot show a failure proves
+    * nothing. */
+  def o3Expectations(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.customer(s, d).agg(
+      count(lit(1)).as("n"),
+      count(col("c_name")).as("n_name"),
+      countDistinct(col("c_custkey")).as("n_key"),
+      min("c_acctbal").as("min_bal"))
+    def check(name: String, column: String, observed: Column,
+        threshold: Double, pass: Column) =
+      struct(lit(name).as("check"), lit(column).as("column"),
+        observed.as("observed"), lit(threshold).as("threshold"),
+        pass.as("pass"))
+    val checks = array(
+      check("completeness", "c_name",
+        round(col("n_name").cast("double") / col("n"), 4), 1.0,
+        col("n_name") === col("n")),
+      check("uniqueness", "c_custkey",
+        round(col("n_key").cast("double") / col("n"), 4), 1.0,
+        col("n_key") === col("n")),
+      check("min_bound", "c_acctbal",
+        round(col("min_bal"), 4), -1000.0, col("min_bal") >= -1000.0),
+      check("nonneg_bound", "c_acctbal",
+        round(col("min_bal"), 4), 0.0, col("min_bal") >= 0.0))
+    agg.select(explode(checks).as("c")).select(col("c.*"))
+      .orderBy("check", "column")
   }
 
   /** O2: distribution drift between two time windows — the data-quality

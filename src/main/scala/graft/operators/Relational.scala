@@ -137,6 +137,28 @@ object Relational {
         |GROUP BY ROLLUP(r_name, n_name) ORDER BY r, n""".stripMargin)
   }
 
+  /** Q15: explicit GROUPING SETS — the general form rollup/cube are
+    * sugar for: an arbitrary set list, each expanded once from ONE
+    * scan (Catalyst's Expand node), with grouping_id disambiguating
+    * the aggregation level. The (region), (nation), () sets here are
+    * NOT a rollup prefix chain, so this exercises the planner path
+    * q10 cannot. */
+  def q15GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "c_acctbal")
+      .createOrReplaceTempView("graft_q15_base")
+    s.sql(
+      """SELECT CASE WHEN grouping(r_name) = 1 THEN 'ALL' ELSE r_name END AS r,
+        | CASE WHEN grouping(n_name) = 1 THEN 'ALL' ELSE n_name END AS n,
+        | CAST(grouping_id(r_name, n_name) AS BIGINT) AS gid,
+        | count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM graft_q15_base
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        |ORDER BY gid, r, n""".stripMargin)
+  }
+
   /** Q11: pivot via conditional aggregation (count-if per event type). */
   def q11ConditionalPivot(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
