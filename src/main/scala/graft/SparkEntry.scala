@@ -100,6 +100,8 @@ object SparkEntry {
     "m1_multimodal_meta" -> (graft.multimodal.Multimodal.m1MultimodalMeta _),
     "m2_frame_sample" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.m2FrameSample(s, d)),
+    "m3_feature_extract" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.m3FeatureExtract(s, d)),
   )
 
   /** Shared CTE chain reproducing HistoryDriver's event→activity
@@ -441,6 +443,17 @@ object SparkEntry {
          |    AS INT) AS frame_h,
          |  ((hv * 131) % 1000000007 + doc_id * 977 + f) % 1000000007 AS frame_hash
          |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+    "m3_feature_extract" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $payloadHashSql AS hv FROM documents),
+         |f AS (
+         |  SELECT doc_id, list_transform(range(8),
+         |    j -> (hv * (((j + 1) * 2654435761) % 1000000007))
+         |         % 1000000007) AS fs
+         |  FROM h)
+         |SELECT doc_id, CAST(8 AS INT) AS dim, fs[1] AS e0, fs[8] AS e7,
+         |  list_reduce(fs, (a, b) -> a + b) AS l1
+         |FROM f ORDER BY doc_id""".stripMargin,
     "b1_bug_history" -> (bugHistoryCte +
       """dummy AS (SELECT 1)
         |SELECT v.id, v.ts AS valid_from, v.expires_on, v.version,

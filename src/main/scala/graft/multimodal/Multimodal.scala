@@ -88,6 +88,36 @@ object Multimodal {
     }.toDF().orderBy("doc_id", "frame_idx")
   }
 
+  case class MediaFeat(doc_id: Long, dim: Int, e0: Long, e7: Long,
+      l1: Long)
+
+  /** M3: FEATURE EXTRACTION — the remaining multimodal verb (decode =
+    * m1, resize + frame-sample = m2): each payload maps to a fixed-dim
+    * feature vector, batched per partition exactly as a real vision
+    * encoder would run (one model instance per partition, streaming
+    * batches, row in → vector out, no driver involvement). The encoder
+    * is STUBBED deterministically: feature j = (h · ((j+1)·K mod P))
+    * mod P over the payload hash — integer arithmetic both engines
+    * share, so the whole path hash-checks (a real encoder drops in by
+    * replacing the per-element formula only). Emits two probe
+    * coordinates + the exact L1 mass of the 8-dim vector. */
+  def m3FeatureExtract(s: SparkSession, d: String, dim: Int = 8)
+      : DataFrame = {
+    import s.implicits._
+    val K = 2654435761L
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("source"), length(col("text")).as("n_chars"))
+      .as[MediaIn]
+    media.mapPartitions { batch =>
+      batch.map { m =>
+        val h = payloadHash(m.payload)
+        val feats = Array.tabulate(dim)(j => (h * (((j + 1) * K) % P)) % P)
+        MediaFeat(m.doc_id, dim, feats(0), feats(dim - 1), feats.sum)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
   /** M1: binary ingest → batched partition decode → typed metadata.
     * `mapPartitions` is the Scala analogue of `mapInPandas`: one
     * decoder per partition, streaming batches, no per-row setup. */

@@ -318,6 +318,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(byteWalk != expected, "byte-walk must diverge on non-ASCII")
   }
 
+  test("m3 feature extraction is deterministic and covers every doc") {
+    val n = Tables.documents(spark, sf).count()
+    val a = multimodal.Multimodal.m3FeatureExtract(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val b = multimodal.Multimodal.m3FeatureExtract(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(a.length == n && a.sameElements(b))
+    a.foreach { case (_, e0, e7, l1) =>
+      assert(e0 >= 0 && e7 >= 0 && l1 >= e0 + e7)
+    }
+  }
+
   test("m1 multimodal plumbing yields typed metadata for every doc") {
     val n = Tables.documents(spark, sf).count()
     val rows = multimodal.Multimodal.m1MultimodalMeta(spark, sf).collect()
