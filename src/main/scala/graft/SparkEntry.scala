@@ -28,6 +28,7 @@ object SparkEntry {
     "q13_percentiles" -> (Relational.q13Percentiles _),
     "q14_asof_join" -> (operators.AsOf.q14AsofJoin _),
     "q15_grouping_sets" -> (Relational.q15GroupingSets _),
+    "q16_interval_join" -> (operators.AsOf.q16IntervalJoin _),
     "c1_curation" -> (operators.Curation.c1Curation _),
     "c3_sample_split" -> (operators.Curation.c3SampleSplit _),
     "c4_quality_resample" -> (operators.Curation.c4QualityResample _),
@@ -77,6 +78,7 @@ object SparkEntry {
     "d7_span_dedup" -> (graft.dedup.Dedup.d7SpanDedup _),
     "d8_dup_clusters" -> ((s: SparkSession, d: String) =>
       graft.dedup.Dedup.d8DupClusters(s, d)),
+    "d9_incremental_dedup" -> (graft.dedup.Dedup.d9IncrementalDedup _),
     // Similarity search
     "s1_ann_bruteforce" -> (graft.similarity.Similarity.s1AnnBruteForce _),
     "s2_ann_lsh" -> (graft.similarity.Similarity.s2AnnLsh _),
@@ -290,37 +292,43 @@ object SparkEntry {
 
   /** d2's MinHash-LSH oracle (md5-based permutations interpolated from
     * MinHashParams) — also the edge set of d8's clustering oracle. */
-  private lazy val d2MinhashSql: String = {
+  /** Shared minhash sketch CTE chain (through `band`) — the oracle
+    * twin of Dedup.mhBands, reused by d2 (self-join) and d9
+    * (batch-vs-corpus). */
+  private lazy val minhashBandCte: String = {
     val a = graft.expressions.MinHashParams.A.take(32)
       .mkString("[", ", ", "]")
     val b = graft.expressions.MinHashParams.B.take(32)
       .mkString("[", ", ", "]")
-    s"""WITH sh AS (
-         |  SELECT doc_id, unnest(CASE WHEN length(text) <= 5 THEN [text]
-         |    ELSE list_distinct(list_transform(range(1, length(text) - 3),
-         |      i -> substr(text, CAST(i AS INT), 5))) END) AS shingle
-         |  FROM documents WHERE text IS NOT NULL),
-         |hx AS (
-         |  SELECT doc_id,
-         |    CAST(md5_number_lower(shingle) % 4294967296 AS BIGINT) AS x
-         |  FROM sh),
-         |mh AS (
-         |  SELECT doc_id, j, min((A[j + 1] * x + B[j + 1]) % 2147483647) AS h
-         |  FROM hx CROSS JOIN range(32) r(j)
-         |  CROSS JOIN (SELECT $a AS A, $b AS B) p
-         |  GROUP BY 1, 2),
-         |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
-         |band AS (
-         |  SELECT doc_id, sig, b AS band, sig[b * 4 + 1 : b * 4 + 4] AS bv
-         |  FROM sig CROSS JOIN range(8) r(b)),
-         |cand AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
-         |    len(list_filter(range(32), i -> a.sig[i + 1] = b.sig[i + 1])) / 32.0 AS jac
-         |  FROM band a JOIN band b
-         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
-         |SELECT id1, id2, max(jac) AS jaccard_est FROM cand WHERE jac >= 0.5
-         |GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin
+    s"""sh AS (
+       |  SELECT doc_id, unnest(CASE WHEN length(text) <= 5 THEN [text]
+       |    ELSE list_distinct(list_transform(range(1, length(text) - 3),
+       |      i -> substr(text, CAST(i AS INT), 5))) END) AS shingle
+       |  FROM documents WHERE text IS NOT NULL),
+       |hx AS (
+       |  SELECT doc_id,
+       |    CAST(md5_number_lower(shingle) % 4294967296 AS BIGINT) AS x
+       |  FROM sh),
+       |mh AS (
+       |  SELECT doc_id, j, min((A[j + 1] * x + B[j + 1]) % 2147483647) AS h
+       |  FROM hx CROSS JOIN range(32) r(j)
+       |  CROSS JOIN (SELECT $a AS A, $b AS B) p
+       |  GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+       |band AS (
+       |  SELECT doc_id, sig, b AS band, sig[b * 4 + 1 : b * 4 + 4] AS bv
+       |  FROM sig CROSS JOIN range(8) r(b))""".stripMargin
   }
+
+  private lazy val d2MinhashSql: String =
+    s"""WITH $minhashBandCte,
+       |cand AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    len(list_filter(range(32), i -> a.sig[i + 1] = b.sig[i + 1])) / 32.0 AS jac
+       |  FROM band a JOIN band b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, max(jac) AS jaccard_est FROM cand WHERE jac >= 0.5
+       |GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin
 
   /** DuckDB oracle SQL per query (same parquet tables, same column
     * aliases, same deterministic ORDER BY, floats rounded identically). */
@@ -329,6 +337,27 @@ object SparkEntry {
     // expressions (md5_number_lower/upper ≡ Md5Helper, permutation
     // constants interpolated from MinHashParams) ----
     "d2_minhash_lsh" -> d2MinhashSql,
+    "d9_incremental_dedup" ->
+      s"""WITH $minhashBandCte,
+         |hits AS (
+         |  SELECT n.doc_id AS doc_id, c.doc_id AS match_id,
+         |    max(len(list_filter(range(32),
+         |      i -> n.sig[i + 1] = c.sig[i + 1])) / 32.0) AS jac
+         |  FROM band n JOIN band c ON n.band = c.band AND n.bv = c.bv
+         |  WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |  GROUP BY 1, 2
+         |  HAVING max(len(list_filter(range(32),
+         |    i -> n.sig[i + 1] = c.sig[i + 1])) / 32.0) >= 0.5),
+         |best AS (
+         |  SELECT doc_id, match_id, jac,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY jac DESC, match_id) AS rk
+         |  FROM hits)
+         |SELECT d.doc_id, b.match_id, b.jac AS jaccard_est,
+         |  b.match_id IS NOT NULL AS is_dup
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "d8_dup_clusters" -> {
       // min-label propagation unrolled to the same 4 rounds the
       // engine runs (spec proves 4 rounds converge on this corpus)
@@ -856,6 +885,28 @@ object SparkEntry {
         | ON e.user_id = s.s_user AND s.signup_ms <= epoch_ms(e.ts)
         |WHERE e.event_type <> 'signup'
         |ORDER BY e.event_id""".stripMargin,
+    "q16_interval_join" ->
+      """WITH st0 AS (
+        |  SELECT user_id AS s_user, epoch_ms(ts) AS valid_from,
+        |    max_by(event_type, event_id) AS state
+        |  FROM events WHERE event_type IN ('signup', 'purchase')
+        |  GROUP BY 1, 2),
+        |st AS (
+        |  SELECT s_user, state, valid_from,
+        |    CAST(row_number() OVER (PARTITION BY s_user ORDER BY valid_from)
+        |      AS BIGINT) AS state_version,
+        |    coalesce(lead(valid_from) OVER (PARTITION BY s_user
+        |      ORDER BY valid_from), 9999999999000) AS valid_to
+        |  FROM st0),
+        |f AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+        |  WHERE event_type NOT IN ('signup', 'purchase'))
+        |SELECT f.event_id, f.user_id, f.ts_ms, s.state, s.state_version,
+        |  s.valid_from, s.valid_to
+        |FROM f LEFT JOIN st s
+        |  ON f.user_id = s.s_user
+        |  AND f.ts_ms >= s.valid_from AND f.ts_ms < s.valid_to
+        |ORDER BY f.event_id""".stripMargin,
     "c1_curation" ->
       """WITH sc AS (SELECT source, doc_id,
         |  round(n_chars * (1.0 - abs(0.3 -

@@ -35,26 +35,39 @@ object Dedup {
     * The signature hash is md5-derived ([[graft.expressions.MinHashSig]]),
     * so the whole pipeline — sketch included — is hash-checked against
     * the DuckDB oracle (md5_number_lower + the same permutations). */
-  def d2MinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val k = 32; val bands = 8
-    val sigs = Tables.documents(s, d)
-      .filter(col("text").isNotNull)
+  /** MinHash parameters shared by d2 (self-join dedup) and d9
+    * (incremental batch-vs-store dedup). */
+  val MhK = 32; val MhBands = 8
+
+  /** Banded minhash signatures: one row per (doc, band) carrying the
+    * full signature — the shared sketch of d2/d9 and the schema of the
+    * persisted band STORE in the incremental flow. `bkey` is a scalar
+    * determined by (band, bh): the store buckets on it (bucketed scans
+    * are planner-disabled for array-typed keys) and the batch join
+    * includes it, so the store side reads co-located with no
+    * exchange. */
+  private[graft] def mhBands(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
       // fused shingle+minhash: same bits as
       // minhashSignature(shingleSet(text, 5), k), one pass, no
       // per-window allocation — the sketch stage is the d2 bottleneck
       // (single-row-group local files scan on one task)
       .select(col("doc_id"),
-        T.minhashSignatureText(col("text"), 5, k).as("sig"))
+        T.minhashSignatureText(col("text"), 5, MhK).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        posexplode(T.bandSlices(col("sig"), MhK, MhBands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      .withColumn("bkey", xxhash64(col("band"), col("bh")))
+
+  def d2MinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val k = MhK
     // The 32-long signature (256 B) rides along through the band join,
     // so verification needs no second scan of the corpus: one shuffle
     // on (band, slice), one distinct on the candidate pair.
     // Self-join on the SAME plan via dataset aliases so both sides
     // canonicalize identically and the shuffle exchange is reused
     // (one signature/band computation, not two).
-    val banded = sigs
-      .select(col("doc_id"), col("sig"),
-        posexplode(T.bandSlices(col("sig"), k, bands)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+    val banded = mhBands(Tables.documents(s, d))
     // The Jaccard estimate is a pure function of the pair, so it is
     // computed inside the join projection (identical value for every
     // band a pair collides in) and the duplicate-collision dedup
@@ -325,5 +338,56 @@ object Dedup {
         coalesce(col("lbl"), col("doc_id")).as("cluster"),
         col("lbl").isNotNull.as("in_dup_set"))
       .orderBy("doc_id")
+  }
+
+  /** The arriving-batch half of incremental dedup: band-join the new
+    * batch's sketches against a corpus band store (inline or read back
+    * from a persisted bucketed table), verify by estimated Jaccard,
+    * keep each batch doc's best corpus match (highest estimate,
+    * lowest id on ties). `batchIds` is the batch universe, so docs
+    * with no match still get a row (is_dup = false). */
+  def incrementalMatch(batchBands: DataFrame, storeBands: DataFrame,
+      batchIds: DataFrame): DataFrame = {
+    val hits = batchBands.as("n")
+      .join(storeBands.as("c"),
+        col("n.bkey") === col("c.bkey") &&
+          col("n.band") === col("c.band") && col("n.bh") === col("c.bh"))
+      .select(col("n.doc_id").as("doc_id"), col("c.doc_id").as("match_id"),
+        T.minhashJaccardEst(col("n.sig"), col("c.sig"), MhK).as("jac"))
+      // the estimate is identical in every colliding band, so
+      // filter-before-dedup ≡ dedup-then-filter — and it prunes the
+      // pair shuffle map-side, same as d2
+      .filter(col("jac") >= 0.5)
+      .groupBy("doc_id", "match_id").agg(max("jac").as("jac"))
+    val best = hits.withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("jac").desc, col("match_id").asc)))
+      .filter(col("rk") === 1)
+    batchIds.join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("match_id"),
+        col("jac").as("jaccard_est"),
+        col("match_id").isNotNull.as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** D9: INCREMENTAL near-dup — dedup an arriving batch against the
+    * already-ingested corpus without re-sketching or re-shuffling it.
+    * At 100 TB dedup cannot be a periodic full self-join; the workable
+    * cadence is: corpus band signatures are persisted ONCE at ingest
+    * as a bucketed sketch store ([[graft.sources.Bucketed]] on the
+    * band-hash key), each new batch sketches only itself and
+    * bucket-joins the store, so per-batch cost is
+    * O(batch + collisions) — independent of corpus text size, and the
+    * store side of the join plans NO exchange (spec-proven). Batch
+    * stand-in: doc_id % 10 == 0. The query form computes the store
+    * inline (the oracle re-derives the same sketches); the
+    * IncrementalDedupSpec drives the persisted-store path and proves
+    * it returns the identical frame. */
+  def d9IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    incrementalMatch(
+      mhBands(docs.filter(col("doc_id") % 10 === 0)),
+      mhBands(docs.filter(col("doc_id") % 10 =!= 0)),
+      docs.filter(col("doc_id") % 10 === 0).select("doc_id"))
   }
 }

@@ -31,6 +31,34 @@ class AsOfSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("q16 interval join equals the literal range-join formulation") {
+    // the as-of re-expression rests on intervals tiling time per
+    // entity; this proves it against the naive ts >= from AND ts < to
+    // join (which Spark would execute as a per-key nested loop)
+    val got = operators.AsOf.q16IntervalJoin(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val states = ev.filter(col("event_type").isin("signup", "purchase"))
+      .groupBy(col("user_id").as("s_user"),
+        unix_millis(col("ts")).as("valid_from"))
+      .agg(max_by(col("event_type"), col("event_id")).as("state"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("s_user").orderBy("valid_from")
+    val versions = states
+      .withColumn("state_version", row_number().over(w).cast("long"))
+      .withColumn("valid_to", coalesce(lead("valid_from", 1).over(w),
+        lit(operators.History.MaxTimestamp)))
+    val expected = ev.filter(!col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .join(versions, col("user_id") === col("s_user") &&
+        col("ts_ms") >= col("valid_from") && col("ts_ms") < col("valid_to"),
+        "left")
+      .select("event_id", "user_id", "ts_ms", "state", "state_version",
+        "valid_from", "valid_to")
+    assert(got.count() > 0)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("left rows with no prior right row get nulls; ties on time match") {
     val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"),
       (3L, 10L, "d"))

@@ -1,0 +1,80 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.sources.Bucketed
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** D9 incremental dedup: the persisted-sketch-store path (the 100 TB
+  * cadence — corpus sketched once at ingest, batches join the store)
+  * must return the same frame as the inline query form, with no
+  * exchange on the store side of the band join; and its matches must
+  * agree with d2's full self-join restricted to batch-vs-corpus
+  * pairs. */
+class IncrementalDedupSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def docs = Tables.documents(spark, sf)
+  private def isBatch = col("doc_id") % 10 === 0
+
+  test("persisted bucketed band store reproduces the inline result") {
+    val store = Dedup.mhBands(docs.filter(!isBatch))
+    Bucketed.write(store, "mh_band_store", "bkey", 8)
+    val viaStore = Dedup.incrementalMatch(
+      Dedup.mhBands(docs.filter(isBatch)),
+      Bucketed.read(spark, "mh_band_store"),
+      docs.filter(isBatch).select("doc_id"))
+    val inline = Dedup.d9IncrementalDedup(spark, sf)
+    assert(viaStore.exceptAll(inline).isEmpty &&
+      inline.exceptAll(viaStore).isEmpty)
+    assert(inline.count() > 0)
+  }
+
+  test("store side of the band join plans NO exchange (bucket-join)") {
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val fromStore = Bucketed.read(spark, "mh_band_store")
+      val j = Dedup.mhBands(docs.filter(isBatch)).as("n")
+        .join(fromStore.as("c"),
+          col("n.bkey") === col("c.bkey") &&
+            col("n.band") === col("c.band") && col("n.bh") === col("c.bh"))
+        .select(col("n.doc_id"), col("c.doc_id").as("match_id"))
+      j.queryExecution.executedPlan.execute().count()
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // exactly one shuffle: the arriving batch re-partitions to the
+      // store's bucketing; the store itself reads co-located
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+        s"store side shuffled:\n$plan")
+    } finally {
+      prev.foreach(spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevA.foreach(spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+      if (prev.isEmpty) spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      if (prevA.isEmpty) spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("d9 matches agree with d2's self-join restricted to mixed pairs") {
+    val d2 = SparkEntry.queries("d2_minhash_lsh")(spark, sf)
+      .filter((col("id1") % 10 === 0) =!= (col("id2") % 10 === 0))
+      .select(
+        when(col("id1") % 10 === 0, col("id1")).otherwise(col("id2"))
+          .as("doc_id"),
+        when(col("id1") % 10 === 0, col("id2")).otherwise(col("id1"))
+          .as("match_id"),
+        col("jaccard_est"))
+    val expected = d2
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("jaccard_est").desc, col("match_id").asc)))
+      .filter(col("rk") === 1).drop("rk")
+    val got = Dedup.d9IncrementalDedup(spark, sf)
+      .filter(col("is_dup")).drop("is_dup")
+    assert(got.exceptAll(expected).isEmpty &&
+      expected.exceptAll(got).isEmpty)
+  }
+}

@@ -141,4 +141,12 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("value#") || !p.contains("event_type"),
       "unused event columns not pruned")
   }
+
+  test("q16: interval containment runs as the as-of merge scan, " +
+      "never a nested-loop range join") {
+    val p = finalPlan("q16_interval_join")
+    assert(p.contains("AsOfJoin"), "as-of operator not planned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      "range join degenerated to a nested loop")
+  }
 }
