@@ -68,6 +68,8 @@ object SparkEntry {
       graft.text.TextAnalysis.t10LineFilter(s, d)),
     "t11_perplexity" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t11Perplexity(s, d)),
+    "t12_bm25" -> ((s: SparkSession, d: String) =>
+      graft.text.TextAnalysis.t12Bm25(s, d)),
     // Dedup family
     "d1_exact_dedup" -> (graft.dedup.Dedup.d1ExactDedup _),
     "d2_minhash_lsh" -> (graft.dedup.Dedup.d2MinhashLsh _),
@@ -762,6 +764,42 @@ object SparkEntry {
         |  FROM parts)
         |SELECT doc_id, n_tokens, ppl, ppl <= 30.1 AS keep
         |FROM p ORDER BY doc_id""".stripMargin,
+    "t12_bm25" ->
+      """WITH tf0 AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tf0
+        |       WHERE term <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n,
+        |  CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+        |    AS DOUBLE) / count(*) AS avgdl
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |qt AS (
+        |  SELECT doc_id AS query_id,
+        |    unnest(list_distinct(string_split(text, ' '))) AS term
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |      (tf::DOUBLE * 2.2) /
+        |      (tf::DOUBLE + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl))
+        |      AS w
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+        |sc AS (
+        |  SELECT q.query_id, w.doc_id,
+        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(w ORDER BY term)), (a, x) -> a + x), 4) AS score
+        |  FROM w JOIN (SELECT query_id, term FROM qt WHERE term <> '') q
+        |    USING (term)
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+        |  FROM sc)
+        |SELECT query_id, rk, doc_id, score FROM rk WHERE rk <= 5
+        |ORDER BY query_id, rk""".stripMargin,
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
         |           FROM documents),

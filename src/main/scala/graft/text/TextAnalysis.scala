@@ -249,6 +249,65 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** T12: BM25 top-k retrieval — the ranking function behind corpus
+    * search (Robertson & Zaragoza 2009: idf · tf·(k1+1) /
+    * (tf + k1·(1−b+b·dl/avgdl))), the retrieval verb a training-data
+    * pipeline needs for targeted curation and decontamination lookups.
+    * Queries are the d6 eval stand-in docs (doc_id % 97 == 0); their
+    * distinct tokens search the remaining corpus.
+    *
+    * Scale shape is t5/t11's: ONE (doc,term) tf aggregation feeds doc
+    * length, document frequency, and the scoring join (exchange
+    * reuse — the corpus is scanned once and never broadcast); the
+    * query term list is the only broadcast side. Per-(query,doc)
+    * scores fold a term-sorted struct list through the native
+    * StructFieldSum, so both engines add identical doubles in
+    * identical order — BM25's sum is float-order-sensitive and
+    * partial-agg order is not deterministic. */
+  def t12Bm25(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val isQuery = col("doc_id") % 97 === 0
+    val docs = Tables.documents(s, d)
+    val tf = docs.filter(!isQuery)
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // count(tf >= 1) keeps this branch's partial aggregate canonically
+    // equal to tf's so the exchange is reused (see t5)
+    val df = tf.groupBy("term").agg(count(when(col("tf") >= 1, 1)).as("df"))
+    val stats = docs.filter(!isQuery).agg(
+      count(lit(1)).as("n"),
+      (sum(size(filter(T.tokens(col("text")), t => t =!= "")))
+        .cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = docs.filter(isQuery)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(T.tokens(col("text")))).as("term"))
+      .filter(col("term") =!= "")
+    val w = tf.join(df, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"),
+        (log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)) *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl").cast("double") / col("avgdl")))).as("w"))
+    w.join(broadcast(qterms), "term")
+      .groupBy("query_id", "doc_id")
+      .agg(array_sort(collect_list(struct(col("term"), col("w"))))
+        .as("parts"))
+      .select(col("query_id"), col("doc_id"),
+        round(graft.functions.VectorFunctions
+          .structFieldSum(col("parts"), "w"), 4).as("score"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "doc_id", "score")
+      .orderBy("query_id", "rk")
+  }
+
   /** T10: C4-style LINE-level cleaning (Raffel et al. 2020 §2.2): keep
     * a line only if it (a) has at least `minWords` words, (b) contains
     * no blocklisted boilerplate token (C4 drops "javascript"/cookie

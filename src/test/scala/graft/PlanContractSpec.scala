@@ -142,6 +142,15 @@ class PlanContractSpec extends AnyFunSuite {
       "unused event columns not pruned")
   }
 
+  test("t12: tf aggregate exchange-reused; query terms broadcast") {
+    val p = finalPlanNoBroadcast("t12_bm25")
+    assert(p.contains("ReusedExchange"),
+      "tf subtree not shared between dl/df/scoring branches")
+    // the query-term side must broadcast even with auto-broadcast off
+    // (explicit broadcast() hint on qterms)
+    assert(p.contains("BroadcastHashJoin"), "query terms not broadcast")
+  }
+
   test("q16: interval containment runs as the as-of merge scan, " +
       "never a nested-loop range join") {
     val p = finalPlan("q16_interval_join")
