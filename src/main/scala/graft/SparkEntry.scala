@@ -81,6 +81,7 @@ object SparkEntry {
     "d8_dup_clusters" -> ((s: SparkSession, d: String) =>
       graft.dedup.Dedup.d8DupClusters(s, d)),
     "d9_incremental_dedup" -> (graft.dedup.Dedup.d9IncrementalDedup _),
+    "d10_cc_stars" -> (graft.dedup.Dedup.d10CcStars _),
     // Similarity search
     "s1_ann_bruteforce" -> (graft.similarity.Similarity.s1AnnBruteForce _),
     "s2_ann_lsh" -> (graft.similarity.Similarity.s2AnnLsh _),
@@ -381,6 +382,24 @@ object SparkEntry {
          |FROM documents d LEFT JOIN l4 ON l4.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
+    "d10_cc_stars" ->
+      // round-free oracle: recursive-CTE transitive closure over the
+      // symmetrized d2 pair graph; component label = min reachable id.
+      // The engine's star contraction runs to an exact fixpoint, so no
+      // round-count assumption links the two formulations.
+      s"""WITH RECURSIVE pairs AS (SELECT id1, id2 FROM ($d2MinhashSql)),
+         |e AS (SELECT id1 AS u, id2 AS v FROM pairs
+         |      UNION SELECT id2, id1 FROM pairs),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |lbl AS (SELECT u AS id, least(u, min(v)) AS lbl
+         |        FROM reach GROUP BY u)
+         |SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster,
+         |  l.lbl IS NOT NULL AS in_dup_set
+         |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "d3_simhash" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok

@@ -340,6 +340,85 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al. 2014, "Connected Components in
+    * MapReduce and Beyond") run to an EXACT edge-set fixpoint — the
+    * adversarial-diameter drop-in named in [[connectedComponents]]'s
+    * doc: min-label propagation needs diameter-many shuffles (a
+    * million-hop chain = a million rounds), the star contraction
+    * provably converges in O(log² n) rounds on ANY graph shape.
+    *
+    * large-star: every node points its strictly-larger neighbors at
+    * its minimum neighbor-or-self; small-star: points its
+    * smaller-or-equal neighbors there. Both are one hash aggregation
+    * (per-node min) joined back to the edge frame — no neighbor
+    * lists are ever materialized, so a hub node of any degree costs
+    * its edge rows, not a collected array. At the fixpoint the edge
+    * set IS the component map {(v, component-min)}. The driver only
+    * probes a per-round count for convergence (the same
+    * action-per-round pattern as AliasAnalysis); maxRounds bounds a
+    * pathological input. Returns (id, lbl) like
+    * [[connectedComponents]]. */
+  def connectedComponentsStars(edges: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var done = false
+    var round = 0
+    while (!done && round < maxRounds) {
+      // large-star over the symmetrized neighborhood
+      val nbr = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val minN = nbr.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = nbr.filter(col("v") > col("u"))
+        .join(minN, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star over the to-smaller orientation (u > v by canon)
+      val minS = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(minS, "u")
+        .select(
+          // every smaller neighbor v and u itself point at m
+          explode(array(struct(col("v").as("a"), col("m").as("b")),
+            struct(col("u").as("a"), col("m").as("b")))).as("p"))
+        .select(greatest(col("p.a"), col("p.b")).as("u"),
+          least(col("p.a"), col("p.b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      // fixpoint: the canonical edge set stopped changing
+      done = small.count() == e.count() &&
+        small.exceptAll(e).isEmpty
+      e = small
+      round += 1
+    }
+    val roots = e.select(col("v").as("id")).distinct()
+      .join(e.select(col("u").as("id")).distinct(), Seq("id"), "left_anti")
+    e.select(col("u").as("id"), col("v").as("lbl"))
+      .union(roots.select(col("id"), col("id").as("lbl")))
+  }
+
+  /** D10: duplicate-cluster assignment via the star contraction —
+    * identical output contract to d8 (doc → cluster, component min as
+    * canonical id) with the O(log² n)-round engine, exact-fixpoint
+    * run. The oracle is round-free: a recursive-CTE transitive
+    * closure over the same d2 pair graph. */
+  def d10CcStars(s: SparkSession, d: String): DataFrame = {
+    val pairs = d2MinhashLsh(s, d)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val labels = connectedComponentsStars(pairs)
+    Tables.documents(s, d)
+      .join(labels.select(col("id").as("doc_id"), col("lbl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster"),
+        col("lbl").isNotNull.as("in_dup_set"))
+      .orderBy("doc_id")
+  }
+
   /** The arriving-batch half of incremental dedup: band-join the new
     * batch's sketches against a corpus band store (inline or read back
     * from a persisted bucketed table), verify by estimated Jaccard,

@@ -207,6 +207,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("star contraction ≡ union-find on random graphs, repartition-proof") {
+    val rnd = new scala.util.Random(13)
+    val raw = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    raw.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = raw.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v)).toMap
+    import spark.implicits._
+    val got = dedup.Dedup.connectedComponentsStars(
+      raw.toDF("src", "dst").repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("star contraction closes a 1000-hop chain in O(log²) rounds " +
+      "(the case fixed-round propagation cannot)") {
+    import spark.implicits._
+    // path 0-1-2-...-1000: diameter 1000, so min-label propagation
+    // would need 1000 rounds; the star contraction's maxRounds=30
+    // default must suffice (Kiveris et al. prove O(log² n))
+    val path = (0L until 1000L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = dedup.Dedup.connectedComponentsStars(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 1001)
+    assert(labels.values.forall(_ == 0L), "chain not fully contracted")
+  }
+
+  test("d10 equals d8 on the real corpus (both component-min labelings)") {
+    val a = dedup.Dedup.d8DupClusters(spark, sf).collect().toSeq
+    val b = dedup.Dedup.d10CcStars(spark, sf).collect().toSeq
+    assert(a.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))) ==
+      b.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))))
+  }
+
   test("d8 clusters equal driver union-find components (4 rounds converge)") {
     val pairs = dedup.Dedup.d2MinhashLsh(spark, sf).select("id1", "id2")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
