@@ -58,6 +58,42 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming incremental dedup ≡ the sequential batch cadence") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sdedup").toString
+    val (storePath, matchRoot) = (s"$root/store", s"$root/matches")
+    // three arrival waves of the real corpus, split by doc_id mod 3
+    val waves = (0 to 2).map(i =>
+      docs.filter(col("doc_id") % 3 === i)
+        .select("doc_id", "text").as[(Long, String)].collect().toSeq)
+    val ms = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingDedup.run(
+        ms.toDF().toDF("doc_id", "text"), storePath, matchRoot)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+      .start()
+    waves.foreach { w => ms.addData(w); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.read.parquet(s"$matchRoot/batch_*")
+      .select("doc_id", "match_id", "jaccard_est").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch-mode fold: wave i matches against the union of waves 0..i-1
+    val expected = (1 to 2).flatMap { i =>
+      val prior = (0 until i).map(j => docs.filter(col("doc_id") % 3 === j))
+        .reduce(_ unionAll _)
+      val wave = docs.filter(col("doc_id") % 3 === i)
+      Dedup.incrementalMatch(Dedup.mhBands(wave), Dedup.mhBands(prior),
+          wave.select("doc_id"))
+        .filter(col("is_dup"))
+        .select("doc_id", "match_id", "jaccard_est").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty, "fixture produced no cross-wave dups")
+  }
+
   test("d9 matches agree with d2's self-join restricted to mixed pairs") {
     val d2 = SparkEntry.queries("d2_minhash_lsh")(spark, sf)
       .filter((col("id1") % 10 === 0) =!= (col("id2") % 10 === 0))
