@@ -34,6 +34,8 @@ object SparkEntry {
     "c4_quality_resample" -> (operators.Curation.c4QualityResample _),
     "c5_mixture_balance" -> (operators.Curation.c5MixtureBalance _),
     "e1_embedding_quantize" -> (operators.Curation.e1EmbeddingQuantize _),
+    "e2_matryoshka_truncate" -> ((s: SparkSession, d: String) =>
+      operators.Curation.e2MatryoshkaTruncate(s, d)),
     "o1_profile" -> (operators.Curation.o1Profile _),
     "o2_drift" -> (operators.Curation.o2Drift _),
     "o3_expectations" -> (operators.Curation.o3Expectations _),
@@ -1127,6 +1129,20 @@ object SparkEntry {
         | CAST(list_sum(list_transform(emb, x -> abs(CAST(floor(x/scale + 0.5) AS INT)))) AS BIGINT) AS l1_q,
         | CAST(CAST(floor(emb[1]/scale + 0.5) AS INT) AS BIGINT) AS q0
         |FROM s ORDER BY vec_id""".stripMargin,
+    "e2_matryoshka_truncate" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |t AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(emb[1:16], x -> x * x)), (a, b) -> a + b) AS ss_k,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(emb, x -> x * x)), (a, b) -> a + b) AS ss_all,
+        |    emb[1] AS x0
+        |  FROM s)
+        |SELECT vec_id, round(ss_k / ss_all, 6) AS energy,
+        |  round(x0 / sqrt(ss_k), 6) AS r0
+        |FROM t ORDER BY vec_id""".stripMargin,
     "o1_profile" ->
       """SELECT count(*) AS rows, count(c_name) AS name_nonnull,
         | count(DISTINCT c_mktsegment) AS segments,

@@ -118,6 +118,27 @@ object Curation {
       .orderBy("vec_id")
   }
 
+  /** E2: Matryoshka-style embedding TRUNCATION (Kusupati et al. 2022:
+    * MRL-trained vectors keep most of their energy in a prefix, so
+    * ANN shortlists can run on the first k dims at a fraction of the
+    * memory). Per vector: energy retained by the 16-dim prefix
+    * (Σx²[1..16] / Σx²[1..64]) and the first renormalized coordinate
+    * — the scalar digests that pin the truncate+renormalize math
+    * without hashing a float array. Pure map stage, no shuffle; both
+    * sums fold left-to-right so the engines add identically. */
+  def e2MatryoshkaTruncate(s: SparkSession, d: String,
+      k: Int = 16): DataFrame = {
+    val emb = V.asDouble(col("embedding"))
+    def ss(v: Column) = aggregate(v, lit(0.0), (a, x) => a + x * x)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), ss(slice(emb, 1, k)).as("ss_k"),
+        ss(emb).as("ss_all"), element_at(emb, 1).as("x0"))
+      .select(col("vec_id"),
+        round(col("ss_k") / col("ss_all"), 6).as("energy"),
+        round(col("x0") / sqrt(col("ss_k")), 6).as("r0"))
+      .orderBy("vec_id")
+  }
+
   /** O3: declarative data-quality EXPECTATIONS — the Deequ pattern
     * (Schelter et al. 2018, "Automating Large-Scale Data Quality
     * Verification"): a set of per-column constraints (completeness,
