@@ -46,4 +46,42 @@ object Partitioned {
     ex.contains("PartitionFilters: [") &&
       !ex.contains("PartitionFilters: []")
   }
+
+  /** Compact the small files an incremental cadence accumulates: every
+    * micro-run appends/rewrites its slice of a day, and after enough
+    * runs a hot day holds thousands of KB-sized files — at 100 TB the
+    * NameNode/listing and per-file open costs dominate reads long
+    * before the bytes do. Compaction rewrites ONLY the named days
+    * (dynamic partition overwrite — untouched days keep their files
+    * byte-identical) down to `filesPerDay` files each, chosen as
+    * ceil(day bytes / target file size) upstream. Rows survive
+    * verbatim; the day's directory is replaced atomically by the same
+    * idempotent contract as [[writeByDay]]. */
+  def compactDays(s: SparkSession, path: String, days: Seq[String],
+      filesPerDay: Int = 1): Unit = {
+    val data = read(s, path).filter(col("dt").isin(days: _*))
+    // repartition on (dt, deterministic row salt) so each rewritten
+    // day lands as (at most) filesPerDay files — dt alone would put a
+    // whole day in one task regardless of the target
+    val slice = data
+      .withColumn("_salt",
+        pmod(hash(data.columns.map(col): _*), lit(filesPerDay)))
+      .repartition(filesPerDay * days.size, col("dt"), col("_salt"))
+      .drop("_salt")
+    slice.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dt")
+      .parquet(path)
+  }
+
+  /** Parquet data files under one day's partition directory. */
+  def dayFiles(path: String, day: String): Seq[java.nio.file.Path] = {
+    val dir = java.nio.file.Paths.get(path, s"dt=$day")
+    if (!java.nio.file.Files.exists(dir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    }
+  }
 }

@@ -271,6 +271,37 @@ class StreamAndSinkSpec extends AnyFunSuite {
     assert(all == Set(1L, 20L, 3L))
   }
 
+  test("day compaction: rows survive, target file count, other days untouched") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_compact").toString + "/snaps"
+    val day = 24L * 3600 * 1000
+    val base = 1704067200000L // 2024-01-01 00:00 UTC
+    // a hot day fragmented into many files (the incremental cadence's
+    // debris) plus a quiet neighbor day
+    val hot = (0 until 200)
+      .map(i => (i.toLong, base + i, s"v$i")).toDF("id", "valid_from", "status")
+      .repartition(16)
+    val quiet = Seq((1000L, base + day + 1, "q"))
+      .toDF("id", "valid_from", "status")
+    sources.Partitioned.writeByDay(hot.unionAll(quiet), "valid_from", path)
+    assert(sources.Partitioned.dayFiles(path, "2024-01-01").size > 8,
+      "fixture not fragmented")
+    val quietBefore = sources.Partitioned.dayFiles(path, "2024-01-02")
+      .map(p => (p.getFileName.toString, java.nio.file.Files.size(p)))
+    val before = sources.Partitioned.read(spark, path)
+      .select("id", "valid_from", "status", "dt").collect().toSet
+    sources.Partitioned.compactDays(spark, path, Seq("2024-01-01"))
+    assert(sources.Partitioned.dayFiles(path, "2024-01-01").size == 1,
+      "hot day not compacted to one file")
+    // the quiet day's files are byte-identical — never rewritten
+    val quietAfter = sources.Partitioned.dayFiles(path, "2024-01-02")
+      .map(p => (p.getFileName.toString, java.nio.file.Files.size(p)))
+    assert(quietAfter == quietBefore)
+    val after = sources.Partitioned.read(spark, path)
+      .select("id", "valid_from", "status", "dt").collect().toSet
+    assert(after == before)
+  }
+
   test("streaming privacy deletes: no now-private entity keeps a live doc") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
