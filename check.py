@@ -3,7 +3,7 @@
 parquet dumps against the DuckDB oracle SQL. Usage:
   python3 check.py [sfdir] [outdir]
 """
-import json, sys, glob, os
+import json, sys, glob, os, gc
 import duckdb
 import pandas as pd
 
@@ -11,6 +11,9 @@ sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 
 con = duckdb.connect()
+# bound the allocator: at sf0.1 with 80+ oracle bodies one connection
+# otherwise accumulates past the box and dies mid-run
+con.sql("SET memory_limit='24GB'")
 for p in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(p).replace(".parquet", "")
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
@@ -21,6 +24,7 @@ for name in sorted(os.listdir(outdir)):
     path = os.path.join(outdir, name)
     if not os.path.isdir(path):
         continue
+    gc.collect()
     got = con.sql(f"SELECT * FROM '{path}/*.parquet'").df()
     if name not in oracle:
         print(f"{name:24s} rows-only: {len(got)} rows " +

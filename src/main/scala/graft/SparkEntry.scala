@@ -320,7 +320,7 @@ object SparkEntry {
        |  CROSS JOIN (SELECT $a AS A, $b AS B) p
        |  GROUP BY 1, 2),
        |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
-       |band AS (
+       |band AS MATERIALIZED (
        |  SELECT doc_id, sig, b AS band, sig[b * 4 + 1 : b * 4 + 4] AS bv
        |  FROM sig CROSS JOIN range(8) r(b))""".stripMargin
   }
@@ -367,17 +367,20 @@ object SparkEntry {
       // min-label propagation unrolled to the same 4 rounds the
       // engine runs (spec proves 4 rounds converge on this corpus)
       val rounds = (1 to 4).map { i =>
-        s"""l$i AS (
+        // MATERIALIZED: each round reads l{i-1} twice; inlined, the
+        // chain re-evaluates the full minhash body exponentially and
+        // OOMs DuckDB at sf0.1
+        s"""l$i AS MATERIALIZED (
            |  SELECT l.id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
            |  FROM l${i - 1} l
            |  LEFT JOIN e ON e.u = l.id
            |  LEFT JOIN l${i - 1} n ON n.id = e.v
            |  GROUP BY l.id, l.lbl)""".stripMargin
       }.mkString(",\n")
-      s"""WITH pairs AS (SELECT id1, id2 FROM ($d2MinhashSql)),
-         |e AS (SELECT id1 AS u, id2 AS v FROM pairs
+      s"""WITH pairs AS MATERIALIZED (SELECT id1, id2 FROM ($d2MinhashSql)),
+         |e AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM pairs
          |      UNION ALL SELECT id2, id1 FROM pairs),
-         |l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM e),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM e),
          |$rounds
          |SELECT d.doc_id, coalesce(l4.lbl, d.doc_id) AS cluster,
          |  l4.lbl IS NOT NULL AS in_dup_set
@@ -389,8 +392,8 @@ object SparkEntry {
       // symmetrized d2 pair graph; component label = min reachable id.
       // The engine's star contraction runs to an exact fixpoint, so no
       // round-count assumption links the two formulations.
-      s"""WITH RECURSIVE pairs AS (SELECT id1, id2 FROM ($d2MinhashSql)),
-         |e AS (SELECT id1 AS u, id2 AS v FROM pairs
+      s"""WITH RECURSIVE pairs AS MATERIALIZED (SELECT id1, id2 FROM ($d2MinhashSql)),
+         |e AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM pairs
          |      UNION SELECT id2, id1 FROM pairs),
          |reach(u, v) AS (
          |  SELECT u, v FROM e
