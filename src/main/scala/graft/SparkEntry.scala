@@ -813,8 +813,8 @@ object SparkEntry {
         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
         |sc AS (
         |  SELECT q.query_id, w.doc_id,
-        |    round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-        |      list(w ORDER BY term)), (a, x) -> a + x), 4) AS score
+        |    round(CAST(sum(CAST(floor(w * 1048576.0 + 0.5) AS BIGINT))
+        |      AS DOUBLE) / 1048576.0, 4) AS score
         |  FROM w JOIN (SELECT query_id, term FROM qt WHERE term <> '') q
         |    USING (term)
         |  GROUP BY 1, 2),

@@ -259,11 +259,15 @@ object TextAnalysis {
     * Scale shape is t5/t11's: ONE (doc,term) tf aggregation feeds doc
     * length, document frequency, and the scoring join (exchange
     * reuse — the corpus is scanned once and never broadcast); the
-    * query term list is the only broadcast side. Per-(query,doc)
-    * scores fold a term-sorted struct list through the native
-    * StructFieldSum, so both engines add identical doubles in
-    * identical order — BM25's sum is float-order-sensitive and
-    * partial-agg order is not deterministic. */
+    * query term list is the only broadcast side. BM25's float sum is
+    * order-sensitive and partial-agg order is nondeterministic, so
+    * per-term weights are quantized to 2^20 fixed point and summed as
+    * LONGS — associative, exact, order-free — then scaled back
+    * (t11's sorted-list fold solves the same problem, but it needs an
+    * ObjectHashAggregate collect_list; the integer sum keeps this
+    * aggregation inside whole-stage codegen, which matters here
+    * because matched (query,doc,term) triples are the one frame that
+    * can dwarf the corpus when queries share vocabulary). */
   def t12Bm25(s: SparkSession, d: String, k: Int = 5): DataFrame = {
     val k1 = 1.2; val b = 0.75
     val isQuery = col("doc_id") % 97 === 0
@@ -294,12 +298,14 @@ object TextAnalysis {
             lit(k1) * (lit(1.0 - b) +
               lit(b) * col("dl").cast("double") / col("avgdl")))).as("w"))
     w.join(broadcast(qterms), "term")
+      // floor(x+0.5), not round(): no round-half tie for the engines
+      // to disagree on (same rule as e1)
+      .withColumn("wq",
+        floor(col("w") * lit(1048576.0) + lit(0.5)).cast("long"))
       .groupBy("query_id", "doc_id")
-      .agg(array_sort(collect_list(struct(col("term"), col("w"))))
-        .as("parts"))
+      .agg(sum("wq").as("wq_sum"))
       .select(col("query_id"), col("doc_id"),
-        round(graft.functions.VectorFunctions
-          .structFieldSum(col("parts"), "w"), 4).as("score"))
+        round(col("wq_sum").cast("double") / lit(1048576.0), 4).as("score"))
       .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
           .orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
