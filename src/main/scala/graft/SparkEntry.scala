@@ -717,14 +717,15 @@ object SparkEntry {
          |    AND NOT (field = 'keywords' AND item IN ($kmk))),
          |chg0 AS (
          |  SELECT id, ts_ms, event_id, k,
-         |    (['status','cf_blocking_b2g','cf_last_resolved'])
-         |      [CAST(k % 3 + 1 AS INT)] AS field
+         |    (['status','cf_blocking_b2g','cf_last_resolved','qa_contact'])
+         |      [CAST(k % 4 + 1 AS INT)] AS field
          |  FROM ev WHERE event_id % 2 = 1),
          |chg1 AS (
          |  SELECT *, CASE
          |      WHEN field = 'cf_blocking_b2g'
          |        THEN (['1.5','2.0'])[CAST(k % 2 + 1 AS INT)]
          |      WHEN field = 'cf_last_resolved' THEN 'r' || (k % 3)
+         |      WHEN field = 'qa_contact' THEN 'u' || (k % 20) || '@x.com'
          |      ELSE 'v' || (k % 4) END AS new_value
          |  FROM chg0),
          |chg2 AS (
@@ -737,6 +738,7 @@ object SparkEntry {
          |        WHEN field = 'cf_blocking_b2g'
          |          THEN (['2.0','9.9'])[CAST(k % 2 + 1 AS INT)]
          |        WHEN field = 'cf_last_resolved' THEN 'r9'
+         |        WHEN field = 'qa_contact' THEN CAST(k % 20 AS VARCHAR)
          |        ELSE 'v9' END
          |      ELSE coalesce(prev_new, new_value) END AS old_value
          |  FROM chg2),
@@ -746,6 +748,8 @@ object SparkEntry {
          |  FROM chg
          |  WHERE prev_new IS NOT NULL AND prev_new <> old_value
          |    AND field NOT IN ('cf_last_resolved', 'cf_crash_signature')
+         |    AND field NOT IN ('cc', 'assigned_to', 'modified_by',
+         |                      'created_by', 'qa_contact', 'bug_mentor')
          |    AND NOT (field = 'cf_blocking_b2g' AND prev_new = '1.5'
          |             AND old_value IN ('2.0')))
          |SELECT * FROM (SELECT * FROM mv UNION ALL SELECT * FROM sv)

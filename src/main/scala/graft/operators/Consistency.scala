@@ -49,6 +49,17 @@ object Consistency {
   val KnownInconsistentFields: Seq[String] =
     Seq("cf_last_resolved", "cf_crash_signature")
 
+  /** parse_bug_history.py:94 EMAIL_FIELDS. Chain mismatches on these
+    * are NEVER reported: every branch of the :422-431 check passes —
+    * pre-1999-05-27 the qa_contact field held a NUMBER not the email
+    * (is_integer + modified_ts <= 927814152000), empties pass, and the
+    * remainder is presumed alias churn the analyzer must not guess at
+    * ("WE CAN NOT ASSUME WE FOUND AN ALIAS WITH JUST A SINGLE
+    * MISMATCH" — the add_alias call is commented out). */
+  val EmailFields: Seq[String] = Seq(
+    "cc", "assigned_to", "modified_by", "created_by", "qa_contact",
+    "bug_mentor")
+
   /** parse_bug_history.py:89 FIELDS_CHANGED — field → (logged value →
     * allowed successor states Bugzilla rewrote to without history). */
   val FieldsChanged: Map[String, Map[String, Seq[String]]] =
@@ -103,6 +114,7 @@ object Consistency {
       .filter(col("prev_new").isNotNull &&
         col("prev_new") =!= col("old_value"))
       .filter(!col("field").isin(KnownInconsistentFields: _*))
+      .filter(!col("field").isin(EmailFields: _*))
       .filter(!tolerated)
       .select(col("id"), col("ts_ms"), col("event_id"), col("field"),
         lit("inconsistent_change").as("kind"),
@@ -117,7 +129,10 @@ object Consistency {
     * single-value chains that are consistent by construction
     * (old = lag(new)) except every 7th event, whose old_value is
     * perturbed — to the FIELDS_CHANGED-allowed successor for half the
-    * cf_blocking_b2g rows, to a flat contradiction otherwise. */
+    * cf_blocking_b2g rows, to a flat contradiction otherwise. The
+    * qa_contact chain carries emails whose perturbation is the
+    * pre-1999 INTEGER profile-id form — real mismatches that must be
+    * swallowed by the EMAIL_FIELDS tolerance. */
   def b4ConsistencyReport(s: SparkSession, d: String): DataFrame = {
     val k = from_json(col("props"), org.apache.spark.sql.types.StructType
       .fromDDL("k INT")).getField("k").cast("long")
@@ -139,15 +154,20 @@ object Consistency {
         element_at(array(lit("1.5"), lit("2.0")), (col("k") % 2 + 1).cast("int")))
       .when(col("field") === "cf_last_resolved",
         concat(lit("r"), col("k") % 3))
+      .when(col("field") === "qa_contact",
+        concat(lit("u"), col("k") % 20, lit("@x.com")))
       .otherwise(concat(lit("v"), col("k") % 4))
     val perturbed = when(col("field") === "cf_blocking_b2g",
         element_at(array(lit("2.0"), lit("9.9")), (col("k") % 2 + 1).cast("int")))
       .when(col("field") === "cf_last_resolved", lit("r9"))
+      // the pre-1999 numeric qa_contact form: a bare profile id
+      .when(col("field") === "qa_contact", (col("k") % 20).cast("string"))
       .otherwise(lit("v9"))
     val chg = ev.filter(col("event_id") % 2 === 1).select(
         col("id"), col("ts_ms"), col("event_id"), col("k"),
         element_at(array(lit("status"), lit("cf_blocking_b2g"),
-          lit("cf_last_resolved")), (col("k") % 3 + 1).cast("int")).as("field"))
+          lit("cf_last_resolved"), lit("qa_contact")),
+          (col("k") % 4 + 1).cast("int")).as("field"))
       .withColumn("new_value", newVal)
       .withColumn("old_value",
         when(col("event_id") % 7 === 0, perturbed)

@@ -57,7 +57,13 @@ class ConsistencySpec extends AnyFunSuite {
       (2L, 10L, 6L, "cf_blocking_b2g", "1.0", "1.5"),
       (2L, 20L, 7L, "cf_blocking_b2g", "2.0", "2.1"),
       // cf_blocking_b2g: 2.1 → observed 9.9 NOT in the allowed list
-      (2L, 30L, 8L, "cf_blocking_b2g", "9.9", "3.0"))
+      (2L, 30L, 8L, "cf_blocking_b2g", "9.9", "3.0"),
+      // qa_contact: email → pre-1999 integer profile-id mismatch,
+      // and a plain alias-churn mismatch — EMAIL_FIELDS swallows both
+      // (parse_bug_history.py:422-431: every branch passes)
+      (3L, 10L, 9L, "qa_contact", "x", "u7@x.com"),
+      (3L, 20L, 10L, "qa_contact", "7", "u8@x.com"),
+      (3L, 30L, 11L, "qa_contact", "u9@y.org", "u8@x.com"))
       .toDF("id", "ts_ms", "event_id", "field", "old_value", "new_value")
     val out = operators.Consistency.singleValueProblems(chg)
       .select("event_id", "detail").collect()
