@@ -26,6 +26,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // allow co-partitioning on a SUBSET of the join keys: a table
+      // bucketed on a scalar key (the d9 sketch store, entity-bucketed
+      // history) can then feed a wider equi-join with zero exchange on
+      // the stored side — with all-keys required (the default) Spark
+      // reshuffles both sides and the bucketing buys nothing
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
