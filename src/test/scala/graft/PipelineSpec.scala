@@ -207,6 +207,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("t12/d9/q16 are invariant to shuffle parallelism") {
+    // the determinism contract a cluster exercises: rank tie-breaks,
+    // fixed-point sums, and as-of matches must not depend on how many
+    // partitions the shuffles land in
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def snap(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.toString).toSeq
+    try {
+      val base = Seq("t12_bm25", "d9_incremental_dedup",
+        "q16_interval_join").map(n => n -> snap(n)).toMap
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      base.foreach { case (n, rows) =>
+        assert(snap(n) == rows, s"$n changed under 7 shuffle partitions")
+        assert(rows.nonEmpty)
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("star contraction ≡ union-find on random graphs, repartition-proof") {
     val rnd = new scala.util.Random(13)
     val raw = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
