@@ -39,6 +39,8 @@ object SparkEntry {
     "o1_profile" -> (operators.Curation.o1Profile _),
     "o2_drift" -> (operators.Curation.o2Drift _),
     "o3_expectations" -> (operators.Curation.o3Expectations _),
+    "o4_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      operators.Curation.o4HeavyHitters(s, d)),
     "n1_nested_flatten" -> (operators.Nested.n1NestedFlatten _),
     // ETL / history
     "h1_snapshot_history" -> (History.h1SnapshotHistory _),
@@ -1157,6 +1159,21 @@ object SparkEntry {
         | round(avg(c_acctbal),2) AS avg_bal,
         | count(DISTINCT c_nationkey) AS nations
         |FROM customer""".stripMargin,
+    "o4_heavy_hitters" ->
+      """WITH tf AS (
+        |  SELECT source, term, count(*) AS cnt FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  WHERE term <> '' GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(cnt) AS total FROM tf GROUP BY 1),
+        |rk AS (
+        |  SELECT tf.source, term, cnt,
+        |    round(cnt::DOUBLE / total, 6) AS share,
+        |    CAST(row_number() OVER (PARTITION BY tf.source
+        |      ORDER BY cnt DESC, term) AS BIGINT) AS rk
+        |  FROM tf JOIN tot ON tf.source = tot.source)
+        |SELECT source, rk, term, cnt, share FROM rk WHERE rk <= 5
+        |ORDER BY source, rk""".stripMargin,
     "o2_drift" ->
       """WITH b AS (
         |  SELECT greatest(least(CAST(floor(value / 50) AS INT), 9), 0) AS bin,

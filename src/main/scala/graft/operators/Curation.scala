@@ -139,6 +139,36 @@ object Curation {
       .orderBy("vec_id")
   }
 
+  /** O4: per-source HEAVY HITTERS — the exact top-k most frequent
+    * terms per corpus source with their share of the source's tokens
+    * (the vocabulary/boilerplate report quality pipelines run before
+    * choosing filter rules; MassiveText's repetition analysis is the
+    * per-document cousin, t8). Exact, not sketched: one explode scan
+    * into a (source, term) hash aggregate with map-side combine —
+    * high-cardinality, uniform key — whose exchange is REUSED by the
+    * per-source totals (t5's count(cnt >= 1)-style branch alignment,
+    * here sum over the same grouped frame), then WindowGroupLimit
+    * prunes to k rows per source before the final rank. At 100 TB the
+    * only full-volume stage is the first aggregate; everything after
+    * runs on |vocab| rows. */
+  def o4HeavyHitters(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+    val totals = tf.groupBy("source").agg(sum("cnt").as("total"))
+    tf.join(totals, "source")
+      .withColumn("share",
+        round(col("cnt").cast("double") / col("total"), 6))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("cnt").desc, col("term").asc)).cast("long"))
+      .filter(col("rk") <= k)
+      .select("source", "rk", "term", "cnt", "share")
+      .orderBy("source", "rk")
+  }
+
   /** O3: declarative data-quality EXPECTATIONS — the Deequ pattern
     * (Schelter et al. 2018, "Automating Large-Scale Data Quality
     * Verification"): a set of per-column constraints (completeness,

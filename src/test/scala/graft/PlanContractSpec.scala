@@ -151,6 +151,14 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "query terms not broadcast")
   }
 
+  test("o4: term-count exchange reused by the per-source totals") {
+    val p = finalPlanNoBroadcast("o4_heavy_hitters")
+    assert(p.contains("ReusedExchange"),
+      "per-source totals re-scanned the corpus instead of reusing tf")
+    assert(p.contains("WindowGroupLimit"),
+      "top-k not pruned before the rank window")
+  }
+
   test("q16: interval containment runs as the as-of merge scan, " +
       "never a nested-loop range join") {
     val p = finalPlan("q16_interval_join")
