@@ -92,6 +92,7 @@ object SparkEntry {
     "s3_ivf_ann" -> (graft.similarity.Similarity.s3IvfAnn _),
     "s6_ann_recall" -> (graft.similarity.Similarity.s6AnnRecall _),
     "s4_pq_encode" -> (graft.similarity.Similarity.s4PqEncode _),
+    "s7_two_stage" -> (graft.similarity.Similarity.s7TwoStage _),
     "s5_kmeans_refine" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s5KmeansRefine(s, d)),
     // Text analysis
@@ -1027,6 +1028,54 @@ object SparkEntry {
         |  ((d.doc_id * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0
         |    < r.rate AS sampled
         |FROM documents d JOIN r USING (source) ORDER BY doc_id""".stripMargin,
+    "s7_two_stage" -> {
+      val sq = "(e.emb[j.j*8 + i + 1] - c.centroid[j.j*8 + i + 1])"
+      val sqSum = s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(8), i -> $sq * $sq)),
+         |      (a, b) -> a + b)""".stripMargin
+      val adistSum = (0 until 8).map(j =>
+        s"max(CASE WHEN codes.sub = $j THEN qd END)").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cpos AS (
+         |  SELECT label, i, avg(emb[i + 1]) AS c
+         |  FROM e CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+         |cent AS MATERIALIZED (SELECT label, list(c ORDER BY i) AS centroid
+         |  FROM cpos GROUP BY label),
+         |cdist AS (
+         |  SELECT e.vec_id AS c_id, c.label, j.j AS sub, $sqSum AS dist
+         |  FROM e CROSS JOIN cent c CROSS JOIN range(8) j(j)
+         |  WHERE e.vec_id >= 10),
+         |codes AS MATERIALIZED (
+         |  SELECT c_id, sub, label AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY c_id, sub
+         |      ORDER BY dist, label) AS rn FROM cdist)
+         |  WHERE rn = 1),
+         |qd AS MATERIALIZED (
+         |  SELECT e.vec_id AS q_id, c.label, j.j AS sub, $sqSum AS qd
+         |  FROM e CROSS JOIN cent c CROSS JOIN range(8) j(j)
+         |  WHERE e.vec_id < 10),
+         |approx AS (
+         |  SELECT q_id, c_id, round($adistSum, 3) AS adist
+         |  FROM codes JOIN qd ON codes.sub = qd.sub AND codes.code = qd.label
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT q_id, c_id, adist, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY adist, c_id) AS srank FROM approx),
+         |rr AS (
+         |  SELECT s.q_id, s.c_id, s.adist,
+         |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+         |      c.embedding::DOUBLE[]), 3) AS cos
+         |  FROM (SELECT * FROM short WHERE srank <= 20) s
+         |  JOIN embeddings q ON q.vec_id = s.q_id
+         |  JOIN embeddings c ON c.vec_id = s.c_id),
+         |fin AS (
+         |  SELECT q_id, c_id, cos, adist,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, c_id) AS BIGINT) AS rank FROM rr)
+         |SELECT q_id, rank, c_id, cos, adist FROM fin
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
     "s4_pq_encode" -> {
       val sq = "(e.emb[j.j*8 + i + 1] - c.centroid[j.j*8 + i + 1])"
       val codeCols = (0 until 8).map(j =>
