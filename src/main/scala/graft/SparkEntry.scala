@@ -33,6 +33,7 @@ object SparkEntry {
     "c3_sample_split" -> (operators.Curation.c3SampleSplit _),
     "c4_quality_resample" -> (operators.Curation.c4QualityResample _),
     "c5_mixture_balance" -> (operators.Curation.c5MixtureBalance _),
+    "c6_curriculum_order" -> (operators.Curation.c6CurriculumOrder _),
     "e1_embedding_quantize" -> (operators.Curation.e1EmbeddingQuantize _),
     "e2_matryoshka_truncate" -> ((s: SparkSession, d: String) =>
       operators.Curation.e2MatryoshkaTruncate(s, d)),
@@ -1187,6 +1188,21 @@ object SparkEntry {
         | CAST(list_sum(list_transform(emb, x -> abs(CAST(floor(x/scale + 0.5) AS INT)))) AS BIGINT) AS l1_q,
         | CAST(CAST(floor(emb[1]/scale + 0.5) AS INT) AS BIGINT) AS q0
         |FROM s ORDER BY vec_id""".stripMargin,
+    "c6_curriculum_order" ->
+      // the oracle IS the naive global window the distributed
+      // prefix-sum formulation must reproduce exactly
+      """WITH sc AS (
+        |  SELECT doc_id,
+        |    floor(n_chars * (1.0 - abs(0.3 -
+        |      (len(list_filter(string_split(text, ' '),
+        |        x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE /
+        |       len(string_split(text, ' ')))))
+        |      * 10000.0 + 0.5) / 10000.0 AS score
+        |  FROM documents)
+        |SELECT doc_id, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+        |    AS global_idx
+        |FROM sc ORDER BY global_idx""".stripMargin,
     "e2_matryoshka_truncate" ->
       """WITH s AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

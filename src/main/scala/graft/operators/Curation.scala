@@ -139,6 +139,49 @@ object Curation {
       .orderBy("vec_id")
   }
 
+  /** C6: CURRICULUM ordering — assign every document its index in the
+    * global quality order (easy/high-quality first is the standard
+    * curriculum; the index is what a packing/sharding stage consumes).
+    * A naive `row_number() OVER (ORDER BY score)` funnels the corpus
+    * through ONE partition — the classic global-sort scale killer.
+    * The distributed recipe: (1) quantize the score to a coarse
+    * BUCKET (floor — order-consistent with the score), (2) count per
+    * bucket and prefix-sum the counts on the bucket frame (the only
+    * single-partition window, |buckets| rows, corpus-size-
+    * independent), (3) broadcast the offsets back and rank WITHIN
+    * each bucket — bounded partitions — so
+    * global_idx = bucket offset + within-bucket rank. Total order =
+    * (score desc, doc_id) exactly, proven against the naive window
+    * by the oracle and spec. */
+  def c6CurriculumOrder(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = Tables.documents(s, d)
+      .withColumn("stop_ratio",
+        size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in", "is")))
+          .cast("double") / size(toks))
+      // floor(x·10⁴+0.5)/10⁴, not round(): Spark rounds the double's
+      // exact binary expansion (BigDecimal HALF_UP), DuckDB rounds the
+      // scaled double — they disagree by 1 ulp exactly at half
+      // boundaries, and a global ordering surfaces every row
+      .withColumn("score",
+        floor(col("n_chars") * (lit(1.0) - abs(lit(0.3) - col("stop_ratio")))
+          * lit(10000.0) + lit(0.5)) / lit(10000.0))
+      .select(col("doc_id"), col("score"))
+      .withColumn("bucket", floor(col("score")).cast("long"))
+    val prefix = scored.groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum("n").over(
+        Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "off")
+    scored.join(broadcast(prefix), "bucket")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("bucket")
+          .orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("score"),
+        (col("off") + col("rk")).cast("long").as("global_idx"))
+      .orderBy("global_idx")
+  }
+
   /** O4: per-source HEAVY HITTERS — the exact top-k most frequent
     * terms per corpus source with their share of the source's tokens
     * (the vocabulary/boilerplate report quality pipelines run before

@@ -216,7 +216,8 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     try {
       val base = Seq("t12_bm25", "d9_incremental_dedup",
-        "q16_interval_join").map(n => n -> snap(n)).toMap
+        "q16_interval_join", "c6_curriculum_order")
+        .map(n => n -> snap(n)).toMap
       spark.conf.set("spark.sql.shuffle.partitions", "7")
       base.foreach { case (n, rows) =>
         assert(snap(n) == rows, s"$n changed under 7 shuffle partitions")

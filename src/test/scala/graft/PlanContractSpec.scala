@@ -159,6 +159,16 @@ class PlanContractSpec extends AnyFunSuite {
       "top-k not pruned before the rank window")
   }
 
+  test("c6: only the bucket-count frame goes single-partition; the " +
+      "corpus ranks inside bucket partitions") {
+    val p = finalPlan("c6_curriculum_order")
+    assert("Exchange SinglePartition".r.findAllIn(p).length == 1,
+      "expected exactly one single-partition exchange (the tiny " +
+        "prefix-sum frame)")
+    assert(p.contains("Exchange hashpartitioning(bucket"),
+      "corpus rank window not partitioned by bucket")
+  }
+
   test("q16: interval containment runs as the as-of merge scan, " +
       "never a nested-loop range join") {
     val p = finalPlan("q16_interval_join")
