@@ -32,6 +32,17 @@ object Partitioned {
 
   def read(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
 
+  /** Read with parquet schema MERGING: an incremental store's schema
+    * evolves (the reference's Bugzilla field set grew for two
+    * decades — new flags, new cf_* fields), so days written before a
+    * column existed must surface it as nulls instead of failing or
+    * silently dropping it (plain parquet reads take one footer's
+    * schema). Costs a footer read per file at planning time — pair
+    * with [[compactDays]] so that stays proportional to days, not
+    * micro-batches. */
+  def readEvolved(s: SparkSession, path: String): DataFrame =
+    s.read.option("mergeSchema", "true").parquet(path)
+
   /** A day-window read: the `dt` predicate is a pure partition filter
     * — Spark prunes directories at planning time, opening no file
     * outside [fromDay, toDay]. */

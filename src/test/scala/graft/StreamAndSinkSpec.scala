@@ -271,6 +271,33 @@ class StreamAndSinkSpec extends AnyFunSuite {
     assert(all == Set(1L, 20L, 3L))
   }
 
+  test("schema evolution: days written before a column existed read as nulls") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_evolve").toString + "/snaps"
+    val day = 24L * 3600 * 1000
+    val base = 1704067200000L
+    // day 1 written before status_reason existed
+    sources.Partitioned.writeByDay(
+      Seq((1L, base + 1, "open")).toDF("id", "valid_from", "status"),
+      "valid_from", path)
+    // day 2 carries the evolved schema
+    sources.Partitioned.writeByDay(
+      Seq((2L, base + day + 1, "closed", "fixed"))
+        .toDF("id", "valid_from", "status", "status_reason"),
+      "valid_from", path)
+    val all = sources.Partitioned.readEvolved(spark, path)
+      .select("id", "status", "status_reason").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      .toSet
+    assert(all == Set((1L, "open", None), (2L, "closed", Some("fixed"))))
+    // pruned day-window reads still work on the merged schema
+    val win = sources.Partitioned.readEvolved(spark, path)
+      .filter(col("dt") === "2024-01-02")
+    assert(win.count() == 1)
+    win.queryExecution.executedPlan.execute().count()
+    assert(sources.Partitioned.partitionPruned(win))
+  }
+
   test("day compaction: rows survive, target file count, other days untouched") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_compact").toString + "/snaps"
