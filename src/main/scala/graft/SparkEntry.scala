@@ -34,6 +34,8 @@ object SparkEntry {
     "c4_quality_resample" -> (operators.Curation.c4QualityResample _),
     "c5_mixture_balance" -> (operators.Curation.c5MixtureBalance _),
     "c6_curriculum_order" -> (operators.Curation.c6CurriculumOrder _),
+    "x1_curation_pipeline" ->
+      (operators.CurationPipeline.x1CurationPipeline _),
     "e1_embedding_quantize" -> (operators.Curation.e1EmbeddingQuantize _),
     "e2_matryoshka_truncate" -> ((s: SparkSession, d: String) =>
       operators.Curation.e2MatryoshkaTruncate(s, d)),
@@ -304,7 +306,7 @@ object SparkEntry {
   /** Shared minhash sketch CTE chain (through `band`) — the oracle
     * twin of Dedup.mhBands, reused by d2 (self-join) and d9
     * (batch-vs-corpus). */
-  private lazy val minhashBandCte: String = {
+  private def minhashBandCte(from: String = "documents"): String = {
     val a = graft.expressions.MinHashParams.A.take(32)
       .mkString("[", ", ", "]")
     val b = graft.expressions.MinHashParams.B.take(32)
@@ -313,7 +315,7 @@ object SparkEntry {
        |  SELECT doc_id, unnest(CASE WHEN length(text) <= 5 THEN [text]
        |    ELSE list_distinct(list_transform(range(1, length(text) - 3),
        |      i -> substr(text, CAST(i AS INT), 5))) END) AS shingle
-       |  FROM documents WHERE text IS NOT NULL),
+       |  FROM $from WHERE text IS NOT NULL),
        |hx AS (
        |  SELECT doc_id,
        |    CAST(md5_number_lower(shingle) % 4294967296 AS BIGINT) AS x
@@ -330,7 +332,7 @@ object SparkEntry {
   }
 
   private lazy val d2MinhashSql: String =
-    s"""WITH $minhashBandCte,
+    s"""WITH ${minhashBandCte()},
        |cand AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
        |    len(list_filter(range(32), i -> a.sig[i + 1] = b.sig[i + 1])) / 32.0 AS jac
@@ -346,8 +348,77 @@ object SparkEntry {
     // expressions (md5_number_lower/upper ≡ Md5Helper, permutation
     // constants interpolated from MinHashParams) ----
     "d2_minhash_lsh" -> d2MinhashSql,
+    "x1_curation_pipeline" -> {
+      // full pipeline re-derivation: quality gate → exact dedup →
+      // minhash pairs ON THE SURVIVORS → 4-round label propagation →
+      // decontamination vs the raw-corpus eval grams → split counts
+      val rounds = (1 to 4).map { i =>
+        s"""l$i AS MATERIALIZED (
+           |  SELECT l.id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+           |  FROM l${i - 1} l
+           |  LEFT JOIN e ON e.u = l.id
+           |  LEFT JOIN l${i - 1} n ON n.id = e.v
+           |  GROUP BY l.id, l.lbl)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT * FROM documents
+         |  WHERE doc_id % 97 <> 0 AND text IS NOT NULL AND n_chars >= 100),
+         |ex AS MATERIALIZED (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, row_number() OVER (
+         |      PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q)
+         |  WHERE rn = 1),
+         |${minhashBandCte("ex")},
+         |cand AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    len(list_filter(range(32), i -> a.sig[i + 1] = b.sig[i + 1])) / 32.0 AS jac
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |pairs AS MATERIALIZED (
+         |  SELECT id1, id2 FROM cand WHERE jac >= 0.5 GROUP BY id1, id2),
+         |e AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM pairs
+         |      UNION ALL SELECT id2, id1 FROM pairs),
+         |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM e),
+         |$rounds,
+         |nd AS MATERIALIZED (
+         |  SELECT ex.doc_id, ex.text FROM ex
+         |  LEFT JOIN l4 ON l4.id = ex.doc_id
+         |  WHERE l4.lbl IS NULL OR l4.lbl = ex.doc_id),
+         |g AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, len(string_split(text,' ')) - 2),
+         |      i -> array_to_string(string_split(text,' ')[i+1:i+3], ' ')) AS grams
+         |  FROM documents),
+         |bench AS MATERIALIZED (
+         |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+         |cont AS (
+         |  SELECT doc_id FROM (
+         |    SELECT nd.doc_id, unnest(
+         |      list_transform(range(0, len(string_split(nd.text,' ')) - 2),
+         |        i -> array_to_string(string_split(nd.text,' ')[i+1:i+3], ' ')))
+         |      AS gram
+         |    FROM nd) t
+         |  JOIN bench USING (gram)
+         |  GROUP BY doc_id HAVING count(DISTINCT gram) >= 3),
+         |clean AS MATERIALIZED (
+         |  SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |splits AS (
+         |  SELECT 'split_' || CASE WHEN b < 80 THEN 'train'
+         |    WHEN b < 90 THEN 'val' ELSE 'test' END AS stage,
+         |    count(*) AS rows
+         |  FROM (SELECT (doc_id * 2654435761) % 4294967296 % 100 AS b
+         |        FROM clean) GROUP BY 1)
+         |SELECT stage, rows FROM (
+         |  SELECT 'raw' AS stage, count(*) AS rows FROM documents
+         |  UNION ALL SELECT 'quality', count(*) FROM q
+         |  UNION ALL SELECT 'exact_dedup', count(*) FROM ex
+         |  UNION ALL SELECT 'near_dup', count(*) FROM nd
+         |  UNION ALL SELECT 'decontam', count(*) FROM clean
+         |  UNION ALL SELECT stage, rows FROM splits)
+         |ORDER BY stage""".stripMargin
+    },
     "d9_incremental_dedup" ->
-      s"""WITH $minhashBandCte,
+      s"""WITH ${minhashBandCte()},
          |hits AS (
          |  SELECT n.doc_id AS doc_id, c.doc_id AS match_id,
          |    max(len(list_filter(range(32),

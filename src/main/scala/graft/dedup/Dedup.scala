@@ -59,7 +59,12 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
       .withColumn("bkey", xxhash64(col("band"), col("bh")))
 
-  def d2MinhashLsh(s: SparkSession, d: String): DataFrame = {
+  def d2MinhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashPairs(Tables.documents(s, d)).orderBy("id1", "id2")
+
+  /** The d2 pair body over an arbitrary documents frame (composable —
+    * the curation pipeline runs it on exact-dedup survivors). */
+  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
     val k = MhK
     // The 32-long signature (256 B) rides along through the band join,
     // so verification needs no second scan of the corpus: one shuffle
@@ -67,7 +72,7 @@ object Dedup {
     // Self-join on the SAME plan via dataset aliases so both sides
     // canonicalize identically and the shuffle exchange is reused
     // (one signature/band computation, not two).
-    val banded = mhBands(Tables.documents(s, d))
+    val banded = mhBands(docs)
     // The Jaccard estimate is a pure function of the pair, so it is
     // computed inside the join projection (identical value for every
     // band a pair collides in) and the duplicate-collision dedup
@@ -87,7 +92,6 @@ object Dedup {
       .filter(col("jac") >= 0.5)
       .groupBy("id1", "id2")
       .agg(max("jac").as("jaccard_est"))
-      .orderBy("id1", "id2")
   }
 
   /** D3: SimHash near-dup — 128-bit simhash (md5-vote based, so the
@@ -179,16 +183,19 @@ object Dedup {
     * tiny next to the corpus) and the corpus side is one scan +
     * explode + broadcast semi-ish join — no shuffle of the corpus at
     * any size. Deterministic benchmark stand-in: doc_id % 97 == 0. */
+  /** Word n-grams of a text column; empty for texts shorter than n
+    * grams (explicit step: sequence(0, negative, 1) is EMPTY where
+    * the step-less form would count downward). */
+  private[graft] def wordGrams(c: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column = {
+    val toks = T.tokens(c)
+    transform(sequence(lit(0), size(toks) - n, lit(1)),
+      i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))
+  }
+
   def d6Decontaminate(s: SparkSession, d: String): DataFrame = {
     val n = 3
-    def grams(c: org.apache.spark.sql.Column) = {
-      val toks = T.tokens(c)
-      // explicit step: sequence(0, negative, 1) is EMPTY (a doc
-      // shorter than n grams has none), where the step-less form
-      // would count downward
-      transform(sequence(lit(0), size(toks) - n, lit(1)),
-        i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))
-    }
+    def grams(c: org.apache.spark.sql.Column) = wordGrams(c, n)
     val docs = Tables.documents(s, d)
     val benchGrams = docs.filter(col("doc_id") % 97 === 0)
       .select(explode(grams(col("text"))).as("gram")).distinct()
@@ -328,7 +335,7 @@ object Dedup {
     * doc → cluster (its own id when unpaired) via one broadcast-sized
     * left join — the corpus itself never shuffles. */
   def d8DupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = d2MinhashLsh(s, d)
+    val pairs = minhashPairs(Tables.documents(s, d))
       .select(col("id1").as("src"), col("id2").as("dst"))
     val labels = connectedComponents(pairs, rounds = 4)
     Tables.documents(s, d)
@@ -407,7 +414,7 @@ object Dedup {
     * run. The oracle is round-free: a recursive-CTE transitive
     * closure over the same d2 pair graph. */
   def d10CcStars(s: SparkSession, d: String): DataFrame = {
-    val pairs = d2MinhashLsh(s, d)
+    val pairs = minhashPairs(Tables.documents(s, d))
       .select(col("id1").as("src"), col("id2").as("dst"))
     val labels = connectedComponentsStars(pairs)
     Tables.documents(s, d)

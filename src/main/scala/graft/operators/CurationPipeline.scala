@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.Tables
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** X1: the END-TO-END corpus curation pipeline — the reference's ETL
+  * chains extract → history → normalize → load; a training-data
+  * pipeline chains holdout → quality gate → exact dedup → near-dup
+  * clustering → decontamination → split. This operator runs the whole
+  * chain by COMPOSING the family operators (each stage consumes the
+  * previous stage's survivors, which is precisely what the
+  * standalone queries cannot show) and reports per-stage row
+  * accounting as data — the acceptance sheet a data-engineering run
+  * signs off on.
+  *
+  * Scale shape: every stage keeps its own family's plan (hash-agg
+  * exact dedup, banded minhash pairs + label propagation on survivors,
+  * broadcast eval-gram set, pure-map split); the report unions
+  * one-row aggregates, so no stage ever funnels rows to the driver.
+  */
+object CurationPipeline {
+
+  /** Survivor frames per stage (exposed for the spec). */
+  private[graft] def stages(s: SparkSession, d: String)
+      : Seq[(String, DataFrame)] = {
+    val raw = Tables.documents(s, d)
+    // eval holdout (the d6 benchmark stand-in) + minimal quality gate
+    val quality = raw.filter(col("doc_id") % 97 =!= 0 &&
+      col("text").isNotNull && col("n_chars") >= 100)
+    // exact dedup: keep the minimum doc_id per content hash (d1)
+    val exact = quality
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(md5(col("text"))).orderBy("doc_id")))
+      .filter(col("rn") === 1).drop("rn")
+    // near-dup: d2 pairs over the exact survivors, components (d8's
+    // 4-round propagation), keep cluster canonicals + unpaired docs
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashPairs(exact)
+        .select(col("id1").as("src"), col("id2").as("dst")), rounds = 4)
+    val nearDup = exact
+      .join(labels.select(col("id").as("doc_id"), col("lbl")),
+        Seq("doc_id"), "left")
+      .filter(col("lbl").isNull || col("lbl") === col("doc_id"))
+      .drop("lbl")
+    // decontamination: drop survivors sharing >= 3 distinct 3-grams
+    // with the eval holdout (d6; eval grams from the RAW corpus)
+    val benchGrams = raw.filter(col("doc_id") % 97 === 0)
+      .select(explode(Dedup.wordGrams(col("text"), 3)).as("gram"))
+      .distinct()
+    val contaminated = nearDup
+      .select(col("doc_id"), explode(Dedup.wordGrams(col("text"), 3))
+        .as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("doc_id").agg(countDistinct("gram").as("n_shared"))
+      .filter(col("n_shared") >= 3)
+    val clean = nearDup.join(contaminated.select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    Seq("raw" -> raw, "quality" -> quality, "exact_dedup" -> exact,
+      "near_dup" -> nearDup, "decontam" -> clean)
+  }
+
+  /** The curated corpus with its split assignment (c3's deterministic
+    * multiplicative-hash buckets). */
+  def curated(s: SparkSession, d: String): DataFrame = {
+    val clean = stages(s, d).last._2
+    val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100
+    clean.select(col("doc_id"), col("source"),
+      when(bucket < 80, "train").when(bucket < 90, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** The per-stage accounting report: one row per pipeline stage plus
+    * one per final split. */
+  def x1CurationPipeline(s: SparkSession, d: String): DataFrame = {
+    val stageCounts = stages(s, d).map { case (name, df) =>
+      df.agg(count(lit(1)).as("rows")).withColumn("stage", lit(name))
+    }
+    val splitCounts = curated(s, d).groupBy("split")
+      .agg(count(lit(1)).as("rows"))
+      .select(concat(lit("split_"), col("split")).as("stage"), col("rows"))
+    stageCounts.map(_.select("stage", "rows")).reduce(_ unionAll _)
+      .unionAll(splitCounts)
+      .orderBy("stage")
+  }
+}

@@ -207,6 +207,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("x1 pipeline: stages nest, report balances, splits partition") {
+    val st = operators.CurationPipeline.stages(spark, sf)
+      .map { case (n, df) => n ->
+        df.select("doc_id").collect().map(_.getLong(0)).toSet }
+    val byName = st.toMap
+    // each stage's survivors are a subset of the previous stage's
+    st.map(_._2).sliding(2).foreach { case Seq(prev, cur) =>
+      assert(cur.subsetOf(prev))
+    }
+    assert(byName("decontam").nonEmpty)
+    // the pipeline as a whole must genuinely curate (individual inner
+    // stages may drop nothing at sf0.001 — e.g. no contaminated doc
+    // among the near-dup survivors)
+    assert(byName("decontam").size < byName("raw").size)
+    assert(byName("quality").size < byName("raw").size)
+    val report = SparkEntry.queries("x1_curation_pipeline")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    st.foreach { case (n, ids) => assert(report(n) == ids.size) }
+    // the three splits partition the decontaminated survivors
+    assert(report("split_train") + report("split_val") +
+      report("split_test") == report("decontam"))
+  }
+
   test("t12/d9/q16 are invariant to shuffle parallelism") {
     // the determinism contract a cluster exercises: rank tie-breaks,
     // fixed-point sums, and as-of matches must not depend on how many
