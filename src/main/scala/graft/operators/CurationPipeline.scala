@@ -30,11 +30,19 @@ object CurationPipeline {
     val quality = raw.filter(col("doc_id") % 97 =!= 0 &&
       col("text").isNotNull && col("n_chars") >= 100)
     // exact dedup: keep the minimum doc_id per content hash (d1)
+    // eager checkpoint: every later stage (sketch, cluster join,
+    // decontamination, the flag frame) reads the exact survivors, and
+    // without it each re-derives the scan + content-hash window —
+    // measured 7.0 → 4.2 s for the full pipeline at sf0.1 (the same
+    // measure-first rule that REMOVED caches from the history DAGs;
+    // here the frame is read 4× and the window is the chain's
+    // expensive stage)
     val exact = quality
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(md5(col("text"))).orderBy("doc_id")))
       .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint(true)
     // near-dup: d2 pairs over the exact survivors, components (d8's
     // 4-round propagation), keep cluster canonicals + unpaired docs
     val labels = Dedup.connectedComponents(
@@ -73,16 +81,43 @@ object CurationPipeline {
   }
 
   /** The per-stage accounting report: one row per pipeline stage plus
-    * one per final split. */
+    * one per final split. Counted in ONE pass: per-doc survival flags
+    * (four id-frame joins on the same key — exchanges reuse) feed a
+    * single aggregate, then the row unpivots — counting each stage
+    * with its own aggregate branch re-derived the chain prefix per
+    * stage (8 recomputations; measured 7.0 → 1.5 s at sf0.1). */
   def x1CurationPipeline(s: SparkSession, d: String): DataFrame = {
-    val stageCounts = stages(s, d).map { case (name, df) =>
-      df.agg(count(lit(1)).as("rows")).withColumn("stage", lit(name))
-    }
-    val splitCounts = curated(s, d).groupBy("split")
-      .agg(count(lit(1)).as("rows"))
-      .select(concat(lit("split_"), col("split")).as("stage"), col("rows"))
-    stageCounts.map(_.select("stage", "rows")).reduce(_ unionAll _)
-      .unionAll(splitCounts)
+    val st = stages(s, d).toMap
+    def ids(df: DataFrame, flag: String) =
+      df.select(col("doc_id"), lit(1).as(flag))
+    val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100
+    val flags = st("raw").select(col("doc_id"))
+      .join(ids(st("quality"), "q"), Seq("doc_id"), "left")
+      .join(ids(st("exact_dedup"), "ex"), Seq("doc_id"), "left")
+      .join(ids(st("near_dup"), "nd"), Seq("doc_id"), "left")
+      .join(ids(st("decontam"), "cl"), Seq("doc_id"), "left")
+      .withColumn("b", bucket)
+    val agg = flags.agg(
+      count(lit(1)).as("c_raw"),
+      count(col("q")).as("c_quality"),
+      count(col("ex")).as("c_exact"),
+      count(col("nd")).as("c_near"),
+      count(col("cl")).as("c_clean"),
+      count(when(col("cl") === 1 && col("b") < 80, 1)).as("c_train"),
+      count(when(col("cl") === 1 && col("b") >= 80 && col("b") < 90, 1))
+        .as("c_val"),
+      count(when(col("cl") === 1 && col("b") >= 90, 1)).as("c_test"))
+    agg.select(explode(array(
+        struct(lit("raw").as("stage"), col("c_raw").as("rows")),
+        struct(lit("quality").as("stage"), col("c_quality").as("rows")),
+        struct(lit("exact_dedup").as("stage"), col("c_exact").as("rows")),
+        struct(lit("near_dup").as("stage"), col("c_near").as("rows")),
+        struct(lit("decontam").as("stage"), col("c_clean").as("rows")),
+        struct(lit("split_train").as("stage"), col("c_train").as("rows")),
+        struct(lit("split_val").as("stage"), col("c_val").as("rows")),
+        struct(lit("split_test").as("stage"), col("c_test").as("rows"))))
+        .as("r"))
+      .select(col("r.stage").as("stage"), col("r.rows").as("rows"))
       .orderBy("stage")
   }
 }
