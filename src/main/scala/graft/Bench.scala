@@ -38,6 +38,11 @@ object Bench {
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""medians":$med,"warmups":$warmups,"iters":$iters,"sf":"$sfDir"}""")
+    // Totals-only duplicate LAST: a tail-truncating log capture (the
+    // driver keeps ~2 kB) always retains the headline numbers even
+    // when the per-query map above is cut mid-line.
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -362,10 +362,14 @@ object Dedup {
     * lists are ever materialized, so a hub node of any degree costs
     * its edge rows, not a collected array. At the fixpoint the edge
     * set IS the component map {(v, component-min)}. The driver only
-    * probes a per-round count for convergence (the same
-    * action-per-round pattern as AliasAnalysis); maxRounds bounds a
-    * pathological input. Returns (id, lbl) like
-    * [[connectedComponents]]. */
+    * probes a per-round DIGEST for convergence — one aggregate action
+    * producing (count, xor of per-edge hashes): the edge set is
+    * distinct, so equal digests round-over-round mean "no edge added
+    * or removed" up to an xxhash64 xor collision, and a final
+    * exceptAll double-check runs ONCE on digest match (belt and
+    * braces, not per round — the r4 three-job probe was d10's whole
+    * latency story). maxRounds bounds a pathological input. Returns
+    * (id, lbl) like [[connectedComponents]]. */
   def connectedComponentsStars(edges: DataFrame,
       maxRounds: Int = 30): DataFrame = {
     var e = edges
@@ -373,6 +377,15 @@ object Dedup {
         least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
+    // order-free edge-set digest in ONE action: (count, xor of
+    // xxhash64(u, v)); bit_xor (not sum) so the fold can't overflow
+    // under ANSI arithmetic
+    def digest(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
+        .head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var eDigest = digest(e)
     var done = false
     var round = 0
     while (!done && round < maxRounds) {
@@ -396,10 +409,12 @@ object Dedup {
           least(col("p.a"), col("p.b")).as("v"))
         .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
-      // fixpoint: the canonical edge set stopped changing
-      done = small.count() == e.count() &&
-        small.exceptAll(e).isEmpty
+      // fixpoint: the canonical edge set stopped changing — digest
+      // compare first (one job), exact exceptAll only on digest match
+      val smallDigest = digest(small)
+      done = smallDigest == eDigest && small.exceptAll(e).isEmpty
       e = small
+      eDigest = smallDigest
       round += 1
     }
     val roots = e.select(col("v").as("id")).distinct()
@@ -437,7 +452,11 @@ object Dedup {
     val hits = batchBands.as("n")
       .join(storeBands.as("c"),
         col("n.bkey") === col("c.bkey") &&
-          col("n.band") === col("c.band") && col("n.bh") === col("c.bh"))
+          col("n.band") === col("c.band") && col("n.bh") === col("c.bh") &&
+          // a doc must never match itself: a store that (wrongly or
+          // transiently) contains the batch's own sketches would
+          // otherwise report every doc as its own dup at jac = 1.0
+          col("n.doc_id") =!= col("c.doc_id"))
       .select(col("n.doc_id").as("doc_id"), col("c.doc_id").as("match_id"),
         T.minhashJaccardEst(col("n.sig"), col("c.sig"), MhK).as("jac"))
       // the estimate is identical in every colliding band, so

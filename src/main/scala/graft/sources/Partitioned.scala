@@ -70,7 +70,13 @@ object Partitioned {
     * idempotent contract as [[writeByDay]]. */
   def compactDays(s: SparkSession, path: String, days: Seq[String],
       filesPerDay: Int = 1): Unit = {
-    val data = read(s, path).filter(col("dt").isin(days: _*))
+    // merged-schema read, NOT read(): in an evolved store (days written
+    // before a column existed next to days written after) a plain read
+    // takes one footer's schema — compacting an evolved day through it
+    // would silently DROP the late-added column from the rewritten
+    // files. The merged schema preserves every column; pre-column days
+    // compact with nulls there, same as readEvolved serves them.
+    val data = readEvolved(s, path).filter(col("dt").isin(days: _*))
     // repartition on (dt, deterministic row salt) so each rewritten
     // day lands as (at most) filesPerDay files — dt alone would put a
     // whole day in one task regardless of the target

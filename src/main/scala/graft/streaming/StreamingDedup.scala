@@ -7,44 +7,66 @@ import org.apache.spark.sql.functions._
 /** Continuous incremental dedup — [[graft.dedup.Dedup.d9IncrementalDedup]]
   * run as a stream: each arriving micro-batch of documents is sketched,
   * band-joined against the persisted sketch STORE (its matches land in
-  * a per-batch output directory), and then appends its own band
-  * signatures to the store — so every batch dedups against everything
+  * a per-batch output directory), and then writes its own band
+  * signatures into the store — so every batch dedups against everything
   * ingested before it without ever re-reading corpus text. This is the
   * ingest-time cadence a 100 TB pipeline actually runs: the store only
   * grows by sketch rows (‰ of text volume), and per-batch cost is
   * O(batch + collisions) regardless of corpus size.
   *
-  * Per-batch output directories are keyed by batch id, so a replayed
-  * micro-batch overwrites its own matches idempotently (same pattern
-  * as [[EventStream.esSinkQuery]]); the store append is the one
-  * at-least-once step a replay can duplicate — duplicate sketch rows
-  * only repeat candidates, and the match aggregation dedups them, so
-  * results stay correct (documented trade-off; exactly-once needs a
-  * transactional table format underneath).
+  * EVERY per-batch write is idempotent under at-least-once replay:
+  * matches land in `matchRoot/batch_N` (overwrite), and the store is
+  * laid out as `storePath/batch_N` subdirectories written with
+  * overwrite — a replayed batch rewrites its own store slice instead
+  * of appending a duplicate, and the match join reads ONLY store
+  * slices with id < N, so a replay never band-joins against its own
+  * first-attempt sketches (which would self-match every replayed doc
+  * at jac = 1.0). [[Dedup.incrementalMatch]] additionally filters
+  * doc_id = match_id pairs as belt and braces.
   */
 object StreamingDedup {
 
-  /** Matches of one batch frame against the store at `storePath`
+  /** Store slices holding batches strictly BEFORE `batchId` — replay
+    * safety: a re-run batch must not see its own first attempt. */
+  private[graft] def priorBatchDirs(storePath: String,
+      batchId: Long): Seq[String] = {
+    val root = new java.io.File(storePath)
+    if (!root.exists) Seq.empty
+    else root.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+      .filter(_.getName.stripPrefix("batch_").toLong < batchId)
+      .map(_.getPath)
+  }
+
+  /** Matches of one batch frame against the pre-`batchId` store slices
     * (empty store ⇒ all rows is_dup = false). */
-  private[streaming] def matchBatch(batch: DataFrame,
-      storePath: String): (DataFrame, DataFrame) = {
+  private[graft] def matchBatch(batch: DataFrame, storePath: String,
+      batchId: Long): (DataFrame, DataFrame) = {
     val s = batch.sparkSession
-    // bands are used twice (match + append): checkpoint so the sketch
-    // computes once per batch
+    // bands are used twice (match + store write): checkpoint so the
+    // sketch computes once per batch
     val bands = Dedup.mhBands(batch).localCheckpoint(true)
-    val store =
-      if (new java.io.File(storePath).exists) s.read.parquet(storePath)
-      else bands.limit(0)
+    val dirs = priorBatchDirs(storePath, batchId)
+    val store = if (dirs.isEmpty) bands.limit(0)
+      else s.read.parquet(dirs: _*)
     (Dedup.incrementalMatch(bands, store, batch.select("doc_id")), bands)
+  }
+
+  /** One micro-batch, end to end: match against prior slices, write
+    * this batch's matches and store slice (both overwrite-idempotent).
+    * Exposed for the replay spec. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+      storePath: String, matchRoot: String): Unit = {
+    val (matches, bands) = matchBatch(batch, storePath, batchId)
+    matches.filter(col("is_dup"))
+      .write.mode("overwrite").parquet(s"$matchRoot/batch_$batchId")
+    bands.write.mode("overwrite").parquet(s"$storePath/batch_$batchId")
   }
 
   /** Streaming query: `docs` must have (doc_id, text). */
   def run(docs: DataFrame, storePath: String, matchRoot: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      val (matches, bands) = matchBatch(batch.toDF(), storePath)
-      matches.filter(col("is_dup"))
-        .write.mode("overwrite").parquet(s"$matchRoot/batch_$batchId")
-      bands.write.mode("append").parquet(storePath)
+      processBatch(batch.toDF(), batchId, storePath, matchRoot)
     }
 }

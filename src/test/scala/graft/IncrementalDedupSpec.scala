@@ -94,6 +94,30 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "fixture produced no cross-wave dups")
   }
 
+  test("replayed micro-batch is idempotent: no self-matches, same output") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sdedup_replay").toString
+    val (storePath, matchRoot) = (s"$root/store", s"$root/matches")
+    val b0 = docs.filter(col("doc_id") % 3 === 0).select("doc_id", "text")
+    val b1 = docs.filter(col("doc_id") % 3 === 1).select("doc_id", "text")
+    graft.streaming.StreamingDedup.processBatch(b0, 0, storePath, matchRoot)
+    graft.streaming.StreamingDedup.processBatch(b1, 1, storePath, matchRoot)
+    def readAll() = spark.read.parquet(s"$matchRoot/batch_*")
+      .select("doc_id", "match_id", "jaccard_est").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val first = readAll()
+    // at-least-once replay of batch 1: its own first-attempt store
+    // slice exists on disk, but the match must not see it
+    graft.streaming.StreamingDedup.processBatch(b1, 1, storePath, matchRoot)
+    val replayed = readAll()
+    assert(replayed == first, "replay changed the match output")
+    assert(!replayed.exists(m => m._1 == m._2), "self-match leaked in")
+    // store still holds exactly one slice per batch
+    assert(graft.streaming.StreamingDedup
+      .priorBatchDirs(storePath, Long.MaxValue).size == 2)
+    assert(first.nonEmpty, "fixture produced no cross-batch dups")
+  }
+
   test("d9 matches agree with d2's self-join restricted to mixed pairs") {
     val d2 = SparkEntry.queries("d2_minhash_lsh")(spark, sf)
       .filter((col("id1") % 10 === 0) =!= (col("id2") % 10 === 0))

@@ -329,6 +329,33 @@ class StreamAndSinkSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("compacting an evolved-schema day keeps the late-added column") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_compact_ev").toString + "/snaps"
+    val day = 24L * 3600 * 1000
+    val base = 1704067200000L
+    // day 1 pre-dates status_reason; day 2 carries it, fragmented
+    sources.Partitioned.writeByDay(
+      Seq((1L, base + 1, "open")).toDF("id", "valid_from", "status"),
+      "valid_from", path)
+    sources.Partitioned.writeByDay(
+      (0 until 50).map(i => (100L + i, base + day + i, "closed", s"r$i"))
+        .toDF("id", "valid_from", "status", "status_reason").repartition(8),
+      "valid_from", path)
+    val before = sources.Partitioned.readEvolved(spark, path)
+      .select("id", "status", "status_reason").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    // compact the EVOLVED day in a store whose first footer (day 1)
+    // lacks the column — a plain-read compaction would drop it
+    sources.Partitioned.compactDays(spark, path, Seq("2024-01-02"))
+    assert(sources.Partitioned.dayFiles(path, "2024-01-02").size == 1)
+    val after = sources.Partitioned.readEvolved(spark, path)
+      .select("id", "status", "status_reason").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSet
+    assert(after == before, "late-added column lost in compaction")
+    assert(after.exists(_._3.isDefined), "fixture lost its evolved values")
+  }
+
   test("streaming privacy deletes: no now-private entity keeps a live doc") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
