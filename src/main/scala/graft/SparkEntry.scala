@@ -138,7 +138,22 @@ object SparkEntry {
       |    CASE WHEN event_type='error' THEN 'k'||k ELSE '' END AS old_value,
       |    CASE WHEN event_type='click' THEN 'k'||k ELSE '' END AS new_value
       |  FROM ev WHERE event_type IN ('click','error')),
-      |activity AS (SELECT * FROM status_chg UNION ALL SELECT * FROM cc_chg),
+      |spur AS (
+      |  SELECT id, ts, event_id, 'sum'||k||'_u'||id AS summary FROM ev
+      |  WHERE event_type='purchase'),
+      |sum_chg AS (
+      |  SELECT id, ts, 'summary' AS field, old_full AS old_value,
+      |    summary AS new_value
+      |  FROM (SELECT id, ts, summary, lag(summary) OVER (PARTITION BY id
+      |          ORDER BY ts, event_id) AS old_full FROM spur)
+      |  WHERE old_full IS NOT NULL AND old_full <> summary),
+      |cur_sum AS (
+      |  SELECT id, summary FROM (
+      |    SELECT id, summary, row_number() OVER (PARTITION BY id
+      |      ORDER BY ts DESC, event_id DESC) AS prn FROM spur)
+      |  WHERE prn = 1),
+      |activity AS (SELECT * FROM status_chg UNION ALL SELECT * FROM cc_chg
+      |  UNION ALL SELECT * FROM sum_chg),
       |cur AS (
       |  SELECT id, min(ts) AS created_ts,
       |    max(CASE WHEN rn=1 THEN event_type END) AS status,
@@ -155,7 +170,7 @@ object SparkEntry {
       |    CAST(row_number() OVER (PARTITION BY id ORDER BY ts) AS BIGINT) AS version
       |  FROM timeline),
       |chg AS (SELECT id, field, ts, old_value, new_value FROM activity
-      |        WHERE field IN ('status','owner')),
+      |        WHERE field IN ('status','owner','summary')),
       |init_log AS (
       |  SELECT id, field, -9223372036854775808 AS ts, old_value AS value FROM (
       |    SELECT *, row_number() OVER (PARTITION BY id, field ORDER BY ts, new_value) AS rn
@@ -163,8 +178,10 @@ object SparkEntry {
       |  WHERE rn = 1),
       |init_cur AS (
       |  SELECT c.id, f.field, -9223372036854775808 AS ts,
-      |    CASE f.field WHEN 'status' THEN c.status WHEN 'owner' THEN c.owner END AS value
-      |  FROM cur c CROSS JOIN (VALUES ('status'),('owner')) f(field)
+      |    CASE f.field WHEN 'status' THEN c.status WHEN 'owner' THEN c.owner
+      |      WHEN 'summary' THEN cs.summary END AS value
+      |  FROM cur c LEFT JOIN cur_sum cs ON cs.id = c.id
+      |  CROSS JOIN (VALUES ('status'),('owner'),('summary')) f(field)
       |  WHERE NOT EXISTS (SELECT 1 FROM chg WHERE chg.id=c.id AND chg.field=f.field)),
       |segments AS (
       |  SELECT id, field, ts, new_value AS value FROM chg
@@ -173,7 +190,8 @@ object SparkEntry {
       |  SELECT id, field, ts, value, 0 AS kind FROM segments
       |  UNION ALL
       |  SELECT v.id, f.field, v.ts, NULL AS value, 1 AS kind
-      |  FROM versions v CROSS JOIN (VALUES ('status'),('owner')) f(field)),
+      |  FROM versions v
+      |  CROSS JOIN (VALUES ('status'),('owner'),('summary')) f(field)),
       |states AS (
       |  SELECT * FROM (
       |    SELECT id, field, ts, kind,
@@ -185,7 +203,8 @@ object SparkEntry {
       |sv AS (
       |  SELECT id, ts,
       |    max(CASE WHEN field='status' THEN state END) AS status,
-      |    max(CASE WHEN field='owner' THEN state END) AS owner
+      |    max(CASE WHEN field='owner' THEN state END) AS owner,
+      |    max(CASE WHEN field='summary' THEN state END) AS summary
       |  FROM states GROUP BY id, ts),
       |mev AS (
       |  SELECT * FROM (
@@ -587,7 +606,7 @@ object SparkEntry {
     "b1_bug_history" -> (bugHistoryCte +
       """dummy AS (SELECT 1)
         |SELECT v.id, v.ts AS valid_from, v.expires_on, v.version,
-        |  sv.status, sv.owner, COALESCE(ccv.cc, '') AS cc,
+        |  sv.status, sv.owner, sv.summary, COALESCE(ccv.cc, '') AS cc,
         |  COALESCE(chn.n, 0) AS n_changes
         |FROM versions v
         |LEFT JOIN sv ON v.id=sv.id AND v.ts=sv.ts
@@ -1271,8 +1290,8 @@ object SparkEntry {
         |      * 10000.0 + 0.5) / 10000.0 AS score
         |  FROM documents)
         |SELECT doc_id, score,
-        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
-        |    AS global_idx
+        |  CAST(row_number() OVER (ORDER BY score DESC NULLS LAST, doc_id)
+        |    AS BIGINT) AS global_idx
         |FROM sc ORDER BY global_idx""".stripMargin,
     "e2_matryoshka_truncate" ->
       """WITH s AS (
@@ -1478,17 +1497,27 @@ object SparkEntry {
     "d1_exact_dedup" ->
       """SELECT min(doc_id) AS rep_id, count(*) AS n
         |FROM documents GROUP BY md5(text) ORDER BY rep_id""".stripMargin,
+    // d4's oracle replicates the BANDED candidate generation (the d2
+    // minhash band CTE), then the exact token-set Jaccard on candidate
+    // pairs — the hash check pins the query's actual banded semantics,
+    // not an all-pairs claim; the banded-vs-all-pairs recall bound
+    // lives in PipelineSpec.
     "d4_ngram_jaccard" ->
-      """SELECT id1, id2, jac FROM (
-        | SELECT a.doc_id AS id1, b.doc_id AS id2,
-        |  round(len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE /
-        |        len(list_distinct(list_concat(a.toks, b.toks))), 3) AS jac
-        | FROM (SELECT doc_id, source, floor(n_chars/100) AS bkt,
-        |        list_distinct(string_split(text, ' ')) AS toks FROM documents) a
-        | JOIN (SELECT doc_id, source, floor(n_chars/100) AS bkt,
-        |        list_distinct(string_split(text, ' ')) AS toks FROM documents) b
-        |  ON a.source = b.source AND a.bkt = b.bkt AND a.doc_id < b.doc_id)
-        |WHERE jac >= 0.7 ORDER BY id1, id2""".stripMargin,
+      s"""WITH ${minhashBandCte()},
+         |cand AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |tk AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+         |  FROM documents WHERE text IS NOT NULL)
+         |SELECT id1, id2, jac FROM (
+         |  SELECT id1, id2,
+         |    round(len(list_filter(t1.toks, x -> list_contains(t2.toks, x)))::DOUBLE /
+         |          len(list_distinct(list_concat(t1.toks, t2.toks))), 3) AS jac
+         |  FROM cand JOIN tk t1 ON t1.doc_id = id1 JOIN tk t2 ON t2.doc_id = id2)
+         |WHERE jac >= 0.7 ORDER BY id1, id2""".stripMargin,
     // d5's oracle replicates the BANDED candidate generation itself
     // (plane literals interpolated from VectorFunctions.planeValues,
     // same sequential dot order), so the hash check is an exact check

@@ -155,22 +155,41 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
-  /** D4: n-gram (token-set) Jaccard over (source, size-bucket)
-    * candidates — the SQL-checkable cousin of D2. */
+  /** D4: EXACT token-set Jaccard verification — the SQL-checkable
+    * exact cousin of D2's estimate. Candidates come from the d2
+    * MinHash BAND key ((band, bh): high-cardinality, uniform), not
+    * from an attribute bucket: the earlier (source, size-bucket) key
+    * had BOUNDED cardinality, so each bucket's population — and the
+    * self-join's pair count — grew quadratically with the corpus.
+    * Banded generation keeps per-bucket population ~corpus/2^bits,
+    * and only (band, bh, id) triples enter the candidate shuffle; the
+    * token arrays are fetched back by id for deduped candidate pairs
+    * only (d5's slim-pair shape). Recall transfers from d2's
+    * OR-construction: token Jaccard ≥ 0.7 implies shingle Jaccard far
+    * above the 0.5 design point, where the 8-band×4-row catch
+    * probability is ≥ 1-(1-0.7⁴)⁸ ≈ 0.89 at exactly 0.7 and →1
+    * rapidly above it (exact on the test corpora — PipelineSpec
+    * asserts banded ≡ all-pairs at this threshold). */
   def d4NgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"),
-      floor(col("n_chars") / 100).as("bkt"), T.tokenSet(col("text")).as("toks"))
-    val a = docs.select(col("source"), col("bkt"),
-      col("doc_id").as("id1"), col("toks").as("t1"))
-    val b = docs.select(col("source"), col("bkt"),
-      col("doc_id").as("id2"), col("toks").as("t2"))
-    a.join(b, Seq("source", "bkt"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("jac", round(
+    val docs = Tables.documents(s, d)
+    val banded = mhBands(docs).select("doc_id", "band", "bh")
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val toks = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), T.tokenSet(col("text")).as("toks"))
+    cand
+      .join(toks.select(col("doc_id").as("id1"), col("toks").as("t1")),
+        Seq("id1"))
+      .join(toks.select(col("doc_id").as("id2"), col("toks").as("t2")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"), round(
         size(array_intersect(col("t1"), col("t2"))).cast("double") /
-          size(array_union(col("t1"), col("t2"))), 3))
+          size(array_union(col("t1"), col("t2"))), 3).as("jac"))
       .filter(col("jac") >= 0.7)
-      .select("id1", "id2", "jac")
       .orderBy("id1", "id2")
   }
 

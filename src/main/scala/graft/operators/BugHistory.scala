@@ -52,9 +52,23 @@ object BugHistory {
     *                 `modified_by`, `field`, `old_value`, `new_value`
     *                 (multi-value changes: comma-separated item lists,
     *                 like bugs_activity)
+    * @param longFields single-value fields whose values Bugzilla
+    *                 SPLITS ACROSS MULTIPLE activity records in one
+    *                 timestamp hunk (the bugs_activity column width
+    *                 limit; reference: parse_bug_history.py:1189
+    *                 LongField, use site :395-399, LONG_FIELDS
+    *                 transform_bugzilla.py:26). Fragments of the same
+    *                 (id, field, ts) hunk are concatenated in record
+    *                 order BEFORE the replay — the declarative twin of
+    *                 the reference's backward-walk promise chaining
+    *                 (next_value.timestamp == timestamp ⇒ append) —
+    *                 and the hunk counts as ONE change. Record order
+    *                 comes from an optional `seq` column on the
+    *                 activity (absent ⇒ single-fragment hunks only).
     */
   def reconstruct(current: DataFrame, activity: DataFrame,
-      singleFields: Seq[String], multiFields: Seq[String]): DataFrame = {
+      singleFields: Seq[String], multiFields: Seq[String],
+      longFields: Seq[String] = Nil): DataFrame = {
     val NEG = Long.MinValue
 
     // The raw activity feeds four consumers (timeline, single-field
@@ -64,7 +78,31 @@ object BugHistory {
     // was 2-5x slower than recompute — these subtrees are codegen'd
     // scans+windows, and a cache boundary costs an eager
     // materialization job plus AQE losing sight of the child stats.
-    val act = activity
+    val actCols = Seq("id", "ts", "modified_by", "field",
+      "old_value", "new_value")
+    val act = if (longFields.isEmpty) activity else {
+      // LongField reassembly: same-(id, field, ts) fragments merge
+      // into one change row, old/new values concatenated in `seq`
+      // order (the reference chains old_value promises walking
+      // backwards; forwards, the split new_value concatenates the
+      // same way). One hash aggregation over the long-field rows
+      // only — keyed (id, field, ts), no wider shuffle than the
+      // segment stage already pays.
+      val seqCol = if (activity.columns.contains("seq")) col("seq")
+        else lit(0L)
+      val base = activity.withColumn("_seq", seqCol.cast("long"))
+      def joined(c: String) = concat_ws("", transform(
+        array_sort(collect_list(struct(col("_seq").as("s"),
+          col(c).as("v")))), x => x.getField("v")))
+      val merged = base.filter(col("field").isin(longFields: _*))
+        .groupBy("id", "field", "ts")
+        .agg(min_by(col("modified_by"), col("_seq")).as("modified_by"),
+          joined("old_value").as("old_value"),
+          joined("new_value").as("new_value"))
+      base.filter(!col("field").isin(longFields: _*))
+        .select(actCols.map(col): _*)
+        .union(merged.select(actCols.map(col): _*))
+    }
 
     // ---- version timeline ------------------------------------------------
     val timeline = act.select(col("id"), col("ts"))

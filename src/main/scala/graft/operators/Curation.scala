@@ -144,18 +144,31 @@ object Curation {
     * curriculum; the index is what a packing/sharding stage consumes).
     * A naive `row_number() OVER (ORDER BY score)` funnels the corpus
     * through ONE partition — the classic global-sort scale killer.
-    * The distributed recipe: (1) quantize the score to a coarse
-    * BUCKET (floor — order-consistent with the score), (2) count per
-    * bucket and prefix-sum the counts on the bucket frame (the only
-    * single-partition window, |buckets| rows, corpus-size-
-    * independent), (3) broadcast the offsets back and rank WITHIN
-    * each bucket — bounded partitions — so
+    * The distributed recipe: (1) assign each row a BUCKET that is
+    * order-consistent with the total order, with POPULATIONS BOUNDED
+    * BY CONSTRUCTION (below), (2) count per bucket and prefix-sum the
+    * counts on the bucket frame (the only single-partition window,
+    * |buckets| rows, corpus-size-independent), (3) broadcast the
+    * offsets back and rank WITHIN each bucket, so
     * global_idx = bucket offset + within-bucket rank. Total order =
-    * (score desc, doc_id) exactly, proven against the naive window
-    * by the oracle and spec. */
-  def c6CurriculumOrder(s: SparkSession, d: String): DataFrame = {
+    * (score desc NULLS LAST, doc_id) exactly, proven against the
+    * naive window by the oracle and spec.
+    *
+    * Bucket spine (the r4 floor(score) bucket was data-blind — a
+    * clamped/skewed score put the corpus in one bucket and re-created
+    * the global window): boundaries come from approx_percentile over
+    * the score, so each inter-boundary range holds ~1/nb of the
+    * corpus REGARDLESS of the score distribution; a score value
+    * heavier than a full bucket (where no score split can help) is
+    * isolated into its own bucket and SUB-SPLIT by doc_id quantiles —
+    * order-consistent because ties are broken by doc_id ascending.
+    * Both spines are tiny driver-side literals (two aggregate probes
+    * of |distinct-heavy-scores|+1 rows — the EtlRunner-style 1-row
+    * action pattern), and the bucket assignment itself is a pure
+    * codegen'd map: no join, no shuffle beyond the rank window's. */
+  private[graft] def curriculumScored(s: SparkSession, d: String): DataFrame = {
     val toks = split(col("text"), " ")
-    val scored = Tables.documents(s, d)
+    Tables.documents(s, d)
       .withColumn("stop_ratio",
         size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in", "is")))
           .cast("double") / size(toks))
@@ -167,20 +180,92 @@ object Curation {
         floor(col("n_chars") * (lit(1.0) - abs(lit(0.3) - col("stop_ratio")))
           * lit(10000.0) + lit(0.5)) / lit(10000.0))
       .select(col("doc_id"), col("score"))
-      .withColumn("bucket", floor(col("score")).cast("long"))
-    val prefix = scored.groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Bucket assignment for [[curriculumIndex]]: (doc_id, score,
+    * bucket, sub) where (bucket, sub) ascending is consistent with
+    * (score desc NULLS LAST, doc_id asc) and populations are bounded
+    * ~2·corpus/nb under ANY score distribution. Exposed for the skew
+    * spec. */
+  private[graft] def curriculumBuckets(scored: DataFrame,
+      nb: Int): DataFrame = {
+    val nonNull = scored.filter(col("score").isNotNull)
+    // score boundaries: nb-quantiles; heavy scores (population > mean
+    // bucket size) can't be split by any score boundary — isolate and
+    // sub-split them by doc_id quantiles instead. Both probes return
+    // tiny frames (nb-1 doubles; |heavy| rows, |heavy| <= nb).
+    val probe = nonNull.agg(
+      approx_percentile(col("score"),
+        typedLit((1 until nb).map(_.toDouble / nb).toArray), lit(10000))
+        .as("bounds"),
+      count(lit(1)).as("n")).head()
+    val bounds0 = Option(probe.getSeq[Double](0)).getOrElse(Seq.empty)
+    val total = probe.getLong(1)
+    val cap = math.max(1L, total / nb)
+    val heavy = nonNull.groupBy("score").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > cap)
+      .agg(collect_list(struct(col("score"), col("cnt"))))
+      .head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    // heavy scores join the boundary set so each gets an isolated
+    // bucket: counting 2 per strictly-greater boundary and 1 per
+    // equal boundary makes "equal to a boundary" its own bucket value
+    val bounds = (bounds0 ++ heavy.map(_._1)).distinct.sorted
+    val bArr = typedLit(bounds.toArray)
+    val bucket = when(col("score").isNull, lit(2 * bounds.size + 1))
+      .otherwise(
+        size(filter(bArr, b => b > col("score"))) * 2 +
+          size(filter(bArr, b => b === col("score"))))
+    // doc_id sub-quantiles per heavy score (ties break by doc_id asc,
+    // so a doc_id split inside one score value is order-consistent)
+    val subSpine: Map[Double, Seq[Long]] = {
+      import scored.sparkSession.implicits._
+      if (heavy.isEmpty) Map.empty
+      else nonNull.join(broadcast(
+          heavy.map(_._1).toDF("score")), Seq("score"))
+        .groupBy("score")
+        .agg(approx_percentile(col("doc_id"),
+          typedLit((1 until nb).map(_.toDouble / nb).toArray), lit(10000))
+          .as("qs"))
+        .collect()
+        .map(r => r.getDouble(0) ->
+          r.getSeq[Long](1).distinct.sorted.toSeq).toMap
+    }
+    // heavy-score sub-splits sized to the cap: keep every k-th
+    // quantile so each sub-bucket holds ~cap rows
+    val sub = heavy.foldLeft(lit(0): Column) { case (acc, (hs, cnt)) =>
+      val k = math.max(1, (nb * cap / math.max(1L, cnt)).toInt)
+      val qs = subSpine.getOrElse(hs, Seq.empty)
+        .zipWithIndex.collect { case (q, i) if (i + 1) % k == 0 => q }
+      if (qs.isEmpty) acc
+      else when(col("score") === hs,
+        size(filter(typedLit(qs.toArray), q => q < col("doc_id"))))
+        .otherwise(acc)
+    }
+    scored.select(col("doc_id"), col("score"),
+      bucket.cast("long").as("bucket"), sub.cast("long").as("sub"))
+  }
+
+  /** Global (score desc NULLS LAST, doc_id) index via the bounded
+    * bucket spine — see [[c6CurriculumOrder]]. */
+  private[graft] def curriculumIndex(scored: DataFrame, nb: Int): DataFrame = {
+    val bucketed = curriculumBuckets(scored, nb)
+    val prefix = bucketed.groupBy("bucket", "sub").agg(count(lit(1)).as("n"))
       .withColumn("off", coalesce(sum("n").over(
-        Window.orderBy(col("bucket").desc)
+        Window.orderBy(col("bucket").asc, col("sub").asc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("bucket", "off")
-    scored.join(broadcast(prefix), "bucket")
+      .select("bucket", "sub", "off")
+    bucketed.join(broadcast(prefix), Seq("bucket", "sub"))
       .withColumn("rk", row_number().over(
-        Window.partitionBy("bucket")
-          .orderBy(col("score").desc, col("doc_id").asc)))
+        Window.partitionBy("bucket", "sub")
+          .orderBy(col("score").desc_nulls_last, col("doc_id").asc)))
       .select(col("doc_id"), col("score"),
         (col("off") + col("rk")).cast("long").as("global_idx"))
       .orderBy("global_idx")
   }
+
+  def c6CurriculumOrder(s: SparkSession, d: String): DataFrame =
+    curriculumIndex(curriculumScored(s, d), nb = 32)
 
   /** O4: per-source HEAVY HITTERS — the exact top-k most frequent
     * terms per corpus source with their share of the source's tokens

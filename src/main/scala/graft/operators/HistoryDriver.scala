@@ -133,18 +133,49 @@ object HistoryDriver {
           .otherwise(lit("")).as("old_value"),
         when(col("event_type") === "click", concat(lit("k"), col("k")))
           .otherwise(lit("")).as("new_value"))
+    // summary: the LONG field — each purchase rewrites it, and the
+    // change arrives SPLIT ACROSS TWO activity records in the same
+    // timestamp hunk (Bugzilla's bugs_activity column-width split;
+    // parse_bug_history.py:1189), reassembled by reconstruct's
+    // longFields pass. seq carries the record order.
+    val wP = Window.partitionBy("id").orderBy("ts", "event_id")
+    val summaryOf = concat(lit("sum"), col("k"), lit("_u"), col("id"))
+    val sumChanges = ev.filter(col("event_type") === "purchase")
+      .withColumn("summary", summaryOf)
+      .withColumn("old_full", lag("summary", 1).over(wP))
+      .filter(col("old_full").isNotNull && col("old_full") =!= col("summary"))
+      .select(col("id"), col("ts"), concat(lit("u"), col("id")).as("modified_by"),
+        lit("summary").as("field"),
+        posexplode(array(
+          struct(substring(col("old_full"), 1, 4).as("ov"),
+            substring(col("summary"), 1, 4).as("nv")),
+          struct(substring(col("old_full"), 5, 1000).as("ov"),
+            substring(col("summary"), 5, 1000).as("nv")))))
+      .select(col("id"), col("ts"), col("modified_by"), col("field"),
+        col("col.ov").as("old_value"), col("col.nv").as("new_value"),
+        col("pos").cast("long").as("seq"))
     val activity = statusChanges.union(ccChanges)
+      .withColumn("seq", lit(0L))
+      .union(sumChanges)
 
+    val curSummary = ev.filter(col("event_type") === "purchase")
+      .groupBy("id")
+      .agg(max_by(summaryOf, struct(col("ts"), col("event_id")))
+        .as("summary"))
     val current = ev.groupBy("id")
       .agg(min("ts").as("created_ts"),
         max_by(col("event_type"), struct(col("ts"), col("event_id")))
           .as("status"))
       .withColumn("owner", concat(lit("u"), col("id")))
       .withColumn("cc", array().cast("array<string>"))
+      .join(curSummary, Seq("id"), "left")
 
-    BugHistory.reconstruct(current, activity, Seq("status", "owner"), Seq("cc"))
+    BugHistory.reconstruct(current, activity,
+        Seq("status", "owner", "summary"), Seq("cc"),
+        longFields = Seq("summary"))
       .select(col("id"), col("valid_from"), col("expires_on"), col("version"),
-        col("status"), col("owner"), concat_ws(",", col("cc")).as("cc"),
+        col("status"), col("owner"), col("summary"),
+        concat_ws(",", col("cc")).as("cc"),
         size(coalesce(col("changes"), array())).cast("long").as("n_changes"))
       .orderBy("id", "version")
   }

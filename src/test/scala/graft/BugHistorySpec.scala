@@ -130,4 +130,37 @@ class BugHistorySpec extends AnyFunSuite {
     assert(out(5L) == (None, 0))         // "? ?" nulled; t=10 IS the cutoff
     assert(out(6L) == (Some("z"), 0))    // after entity 2's cutoff
   }
+
+  test("LongField: same-ts fragments reassemble in record order as ONE change") {
+    // the Bugzilla column-width split (parse_bug_history.py:1189):
+    // the t=200 desc change arrives as THREE activity records in one
+    // timestamp hunk; old state "AAABBBCC" and new state "XXYYZ" are
+    // each split across the records in seq order
+    val current = Seq((1L, 0L, "XXYYZ")).toDF("id", "created_ts", "desc")
+    val activity = Seq(
+      (1L, 100L, "u1", "desc", "S0", "AAABBBCC", 0L),
+      (1L, 200L, "u1", "desc", "AAA", "XX", 0L),
+      (1L, 200L, "u1", "desc", "BBB", "YY", 1L),
+      (1L, 200L, "u1", "desc", "CC", "Z", 2L))
+      .toDF("id", "ts", "modified_by", "field", "old_value", "new_value",
+        "seq")
+    val out = operators.BugHistory.reconstruct(current, activity,
+        Seq("desc"), Nil, longFields = Seq("desc"))
+      .orderBy("version").collect()
+    assert(out.map(_.getAs[Long]("valid_from")).toSeq == Seq(0L, 100L, 200L))
+    // states: init = earliest change's (whole) old_value, then the
+    // reassembled values; the hunk replays as one concatenated change
+    assert(out.map(_.getAs[String]("desc")).toSeq ==
+      Seq("S0", "AAABBBCC", "XXYYZ"))
+    val hunk = out(2).getAs[collection.Seq[Row]]("changes")
+    assert(hunk.length == 1, "fragment hunk must count as ONE change")
+    assert((hunk.head.getString(0), hunk.head.getString(1),
+      hunk.head.getString(2)) == ("desc", "AAABBBCC", "XXYYZ"))
+    // without the longFields declaration the fragments would replay as
+    // three separate (wrong) changes — guard the default path is intact
+    val naive = operators.BugHistory.reconstruct(current, activity,
+      Seq("desc"), Nil)
+    assert(naive.filter($"valid_from" === 200L)
+      .head.getAs[collection.Seq[Row]]("changes").length == 3)
+  }
 }

@@ -34,6 +34,49 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH missed ${missed.size} of ${truth.size} high-sim pairs")
   }
 
+  test("d4 banded recall: finds the d2-design-range pairs passing the " +
+      "exact 0.7 token filter") {
+    import graft.functions.{TextFunctions => T}
+    // The candidate generator is d2's shingle-minhash banding, so its
+    // recall guarantee is stated in SHINGLE similarity (the d2 design
+    // point): among pairs with true shingle jaccard >= 0.8 — where the
+    // 8x4 OR-construction catches >= 1-(1-0.41)^8 ≈ 98.5% — every pair
+    // that also passes the exact token filter must surface (same 10%
+    // tolerance as the d2 recall spec). NOTE the fixture makes
+    // unrestricted token-jaccard>=0.7 nearly vacuous (43% of ALL pairs
+    // qualify — tiny shared vocabulary), so all-pairs truth on the
+    // VERIFY metric is no recall target: the operator's contract is
+    // candidates-by-shingle-similarity, verification-by-token-overlap.
+    val docs = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_distinct(T.shingles(col("text"), 5)).as("sh"),
+        T.tokenSet(col("text")).as("t"))
+    val truth = docs.select(col("doc_id").as("id1"), col("sh").as("s1"),
+        col("t").as("t1"))
+      .crossJoin(docs.select(col("doc_id").as("id2"), col("sh").as("s2"),
+        col("t").as("t2")))
+      .filter(col("id1") < col("id2"))
+      .withColumn("shj",
+        size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2"))))
+      .filter(col("shj") >= 0.8)
+      .withColumn("jac",
+        round(size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          size(array_union(col("t1"), col("t2"))), 3))
+      .filter(col("jac") >= 0.7)
+      .select("id1", "id2", "jac").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = dedup.Dedup.d4NgramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val missed = truth -- got
+    assert(missed.size <= math.max(1, truth.size / 10),
+      s"banded candidates missed ${missed.size} of ${truth.size} " +
+        s"design-range pairs, e.g. ${missed.take(5)}")
+    assert(truth.nonEmpty && got.nonEmpty,
+      "fixture produced no design-range pairs")
+  }
+
   test("d3 simhash pairs have low hamming distance") {
     dedup.Dedup.d3Simhash(spark, sf).collect().foreach { r =>
       assert(r.getInt(2) <= 10)
@@ -228,6 +271,43 @@ class PipelineSpec extends AnyFunSuite {
     // the three splits partition the decontaminated survivors
     assert(report("split_train") + report("split_val") +
       report("split_test") == report("decontam"))
+  }
+
+  test("c6 bucket populations stay bounded under near-constant scores") {
+    import spark.implicits._
+    // 90% of docs share ONE score value (a clamped quality model), the
+    // rest spread: the r4 floor(score) spine put 90% in one rank
+    // window; the quantile spine must hold every (bucket, sub)
+    // population near the mean
+    val n = 2000
+    val scored = (1 to n).map { i =>
+      (i.toLong, if (i % 10 == 0) 100.0 + i else 5.0)
+    }.toDF("doc_id", "score")
+    val nb = 32
+    val pops = operators.Curation.curriculumBuckets(scored, nb)
+      .groupBy("bucket", "sub").count().collect().map(_.getLong(2))
+    val mean = n.toDouble / nb
+    assert(pops.max <= 2 * mean + 1,
+      s"max bucket ${pops.max} exceeds 2x mean $mean (${pops.length} buckets)")
+    // and the index still equals the naive global window exactly
+    val got = operators.Curation.curriculumIndex(scored, nb)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val naive = scored.withColumn("gi", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc_nulls_last, col("doc_id").asc))
+        .cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == naive)
+  }
+
+  test("c6 keeps null-score documents, ranked last by doc_id") {
+    import spark.implicits._
+    val scored = Seq((1L, Some(9.0)), (2L, None), (3L, Some(4.0)),
+      (4L, None), (5L, Some(9.0))).toDF("doc_id", "score")
+    val got = operators.Curation.curriculumIndex(scored, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // (9.0: 1, 5), (4.0: 3), then nulls by doc_id: 2, 4
+    assert(got == Map(1L -> 1L, 5L -> 2L, 3L -> 3L, 2L -> 4L, 4L -> 5L))
   }
 
   test("t12/d9/q16 are invariant to shuffle parallelism") {

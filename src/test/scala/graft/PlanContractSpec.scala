@@ -169,6 +169,22 @@ class PlanContractSpec extends AnyFunSuite {
       "corpus rank window not partitioned by bucket")
   }
 
+  test("d4: candidates generated on the minhash band key, one sketch " +
+      "scan, no bounded-cardinality self-join") {
+    val p = finalPlanNoBroadcast("d4_ngram_jaccard")
+    // the candidate shuffle must be keyed by the high-cardinality
+    // (band, bh) pair — a (source, size-bucket) key would show here
+    assert(p.contains("hashpartitioning(band"),
+      "candidate join not keyed on the minhash band")
+    assert(!p.contains("hashpartitioning(source"),
+      "bounded-cardinality (source, bkt) key resurfaced")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), "candidate join degenerated")
+    // both sides of the band self-join share ONE sketch computation
+    assert(p.contains("ReusedExchange"),
+      "band self-join computed the sketch twice")
+  }
+
   test("q16: interval containment runs as the as-of merge scan, " +
       "never a nested-loop range join") {
     val p = finalPlan("q16_interval_join")
