@@ -89,6 +89,7 @@ object SparkEntry {
       graft.dedup.Dedup.d8DupClusters(s, d)),
     "d9_incremental_dedup" -> (graft.dedup.Dedup.d9IncrementalDedup _),
     "d10_cc_stars" -> (graft.dedup.Dedup.d10CcStars _),
+    "d11_cluster_maintain" -> (graft.dedup.Dedup.d11ClusterMaintain _),
     // Similarity search
     "s1_ann_bruteforce" -> (graft.similarity.Similarity.s1AnnBruteForce _),
     "s2_ann_lsh" -> (graft.similarity.Similarity.s2AnnLsh _),
@@ -350,6 +351,26 @@ object SparkEntry {
        |  FROM sig CROSS JOIN range(8) r(b))""".stripMargin
   }
 
+  /** Exact-components oracle shared by d10 and d11: round-free
+    * recursive-CTE transitive closure over the symmetrized d2 pair
+    * graph; component label = min reachable id. The engines run to
+    * exact fixpoints (star contraction; incremental merge), so no
+    * round-count assumption links the formulations. */
+  private lazy val ccExactSql: String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (SELECT id1, id2 FROM ($d2MinhashSql)),
+       |e AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM pairs
+       |      UNION SELECT id2, id1 FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM e
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+       |lbl AS (SELECT u AS id, least(u, min(v)) AS lbl
+       |        FROM reach GROUP BY u)
+       |SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster,
+       |  l.lbl IS NOT NULL AS in_dup_set
+       |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   private lazy val d2MinhashSql: String =
     s"""WITH ${minhashBandCte()},
        |cand AS (
@@ -481,24 +502,12 @@ object SparkEntry {
          |FROM documents d LEFT JOIN l4 ON l4.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
     },
-    "d10_cc_stars" ->
-      // round-free oracle: recursive-CTE transitive closure over the
-      // symmetrized d2 pair graph; component label = min reachable id.
-      // The engine's star contraction runs to an exact fixpoint, so no
-      // round-count assumption links the two formulations.
-      s"""WITH RECURSIVE pairs AS MATERIALIZED (SELECT id1, id2 FROM ($d2MinhashSql)),
-         |e AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM pairs
-         |      UNION SELECT id2, id1 FROM pairs),
-         |reach(u, v) AS (
-         |  SELECT u, v FROM e
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
-         |lbl AS (SELECT u AS id, least(u, min(v)) AS lbl
-         |        FROM reach GROUP BY u)
-         |SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster,
-         |  l.lbl IS NOT NULL AS in_dup_set
-         |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+    "d10_cc_stars" -> ccExactSql,
+    // d11 maintains the map incrementally (batch folded into a
+    // persisted corpus map); the oracle recomputes the SAME exact
+    // components from scratch — the strongest possible check that the
+    // incremental fold loses nothing.
+    "d11_cluster_maintain" -> ccExactSql,
     "d3_simhash" ->
       """WITH t AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok

@@ -64,15 +64,15 @@ object Dedup {
 
   /** The d2 pair body over an arbitrary documents frame (composable —
     * the curation pipeline runs it on exact-dedup survivors). */
-  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
+  private[graft] def minhashPairs(docs: DataFrame): DataFrame =
+    pairsFromBands(mhBands(docs))
+
+  /** d2's band self-join over an ALREADY-BANDED frame — callers that
+    * reuse one sketch for several joins (d11 folds the corpus bands
+    * into pairs AND a store-side band join) checkpoint the bands once
+    * and feed them here. */
+  private[graft] def pairsFromBands(banded: DataFrame): DataFrame = {
     val k = MhK
-    // The 32-long signature (256 B) rides along through the band join,
-    // so verification needs no second scan of the corpus: one shuffle
-    // on (band, slice), one distinct on the candidate pair.
-    // Self-join on the SAME plan via dataset aliases so both sides
-    // canonicalize identically and the shuffle exchange is reused
-    // (one signature/band computation, not two).
-    val banded = mhBands(docs)
     // The Jaccard estimate is a pure function of the pair, so it is
     // computed inside the join projection (identical value for every
     // band a pair collides in) and the duplicate-collision dedup
@@ -513,5 +513,108 @@ object Dedup {
       mhBands(docs.filter(col("doc_id") % 10 === 0)),
       mhBands(docs.filter(col("doc_id") % 10 =!= 0)),
       docs.filter(col("doc_id") % 10 === 0).select("doc_id"))
+  }
+
+  /** ALL store matches ≥ the d2 threshold for an arriving batch —
+    * unlike [[incrementalMatch]]'s best-match-per-doc report, cluster
+    * maintenance needs EVERY qualifying edge: a batch doc adjacent to
+    * two different corpus clusters is precisely what merges them, and
+    * keeping only its best match would silently drop the bridge.
+    * Same join shape (store side bucket-co-located, estimate filtered
+    * before the pair shuffle). */
+  private[graft] def incrementalEdges(batchBands: DataFrame,
+      storeBands: DataFrame): DataFrame =
+    batchBands.as("n")
+      .join(storeBands.as("c"),
+        col("n.bkey") === col("c.bkey") &&
+          col("n.band") === col("c.band") && col("n.bh") === col("c.bh") &&
+          col("n.doc_id") =!= col("c.doc_id"))
+      .select(col("n.doc_id").as("src"), col("c.doc_id").as("dst"),
+        T.minhashJaccardEst(col("n.sig"), col("c.sig"), MhK).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .select("src", "dst").distinct()
+
+  /** D11 core: fold a batch's new edges into a PERSISTED doc→cluster
+    * map WITHOUT recomputing components for the corpus. The corpus
+    * endpoints of the new edges are PROJECTED to their cluster labels
+    * (one hash join against the map), so the merge graph's vertices
+    * are {batch ids} ∪ {labels of touched clusters} — batch-sized,
+    * not corpus-sized; contracting each existing cluster to its label
+    * preserves connectivity, so exact components of the merge graph
+    * are exact components of the full graph. The star contraction
+    * then runs to fixpoint on that small graph, and the corpus map
+    * updates via ONE hash join on cluster id (a cluster label is the
+    * component MIN doc id, so the merged component's label is again
+    * the global min). Per-batch cost: O(batch + touched clusters) —
+    * the composition that makes the d9 ingest cadence end-to-end
+    * actionable at 100 TB.
+    *
+    * @param clusterMap (doc_id, cluster) for every already-ingested doc
+    * @param newEdges   (src, dst) over batch ∪ corpus ids — the
+    *                   store matches plus intra-batch pairs
+    * @param batchIds   (doc_id) of the arriving batch
+    * @return the updated full map (corpus ∪ batch) */
+  def mergeClusters(clusterMap: DataFrame, newEdges: DataFrame,
+      batchIds: DataFrame): DataFrame = {
+    val proj = newEdges
+      .join(clusterMap.select(col("doc_id").as("src"),
+        col("cluster").as("c1")), Seq("src"), "left")
+      .join(clusterMap.select(col("doc_id").as("dst"),
+        col("cluster").as("c2")), Seq("dst"), "left")
+      .select(coalesce(col("c1"), col("src")).as("src"),
+        coalesce(col("c2"), col("dst")).as("dst"))
+    val comp = connectedComponentsStars(proj)
+    val relabeled = clusterMap
+      .join(comp.select(col("id").as("cluster"), col("lbl")),
+        Seq("cluster"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("cluster")).as("cluster"))
+    val batchRows = batchIds
+      .join(comp.select(col("id").as("doc_id"), col("lbl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+    relabeled.union(batchRows)
+  }
+
+  /** D11: INCREMENTAL cluster maintenance — d9's arrival cadence
+    * composed with d8/d10's cluster semantics. The corpus (doc_id %
+    * 10 != 0) holds a cluster map built once; the arriving batch
+    * band-joins the sketch store for cross edges, self-joins for
+    * intra-batch pairs, and [[mergeClusters]] folds both into the map.
+    * The result is EXACTLY the d10 full-corpus component map (the
+    * oracle recomputes it from scratch via transitive closure) — but
+    * per batch the engine never touches corpus text or corpus-internal
+    * pairs again. */
+  def d11ClusterMaintain(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    // one sketch per side, shared by every downstream join
+    val cb = mhBands(corpus).localCheckpoint(true)
+    val bb = mhBands(batch).localCheckpoint(true)
+    val corpusPairs = pairsFromBands(cb)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val corpusLbl = connectedComponentsStars(corpusPairs)
+    val corpusMap = corpus.select("doc_id")
+      .join(corpusLbl.select(col("id").as("doc_id"), col("lbl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"),
+        col("lbl").isNotNull.as("was_dup"))
+    val newEdges = incrementalEdges(bb, cb)
+      .union(pairsFromBands(bb)
+        .select(col("id1").as("src"), col("id2").as("dst")))
+      .localCheckpoint(true)
+    val merged = mergeClusters(corpusMap.select("doc_id", "cluster"),
+      newEdges, batch.select("doc_id"))
+    // in_dup_set = the doc is an endpoint of ANY pair (old or new) —
+    // the same contract as d8/d10's "appears in the pair graph"
+    val ends = newEdges.select(col("src").as("doc_id"))
+      .union(newEdges.select(col("dst").as("doc_id"))).distinct()
+      .withColumn("e", lit(true))
+    merged.join(ends, Seq("doc_id"), "left")
+      .join(corpusMap.select("doc_id", "was_dup"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("cluster"),
+        (coalesce(col("e"), lit(false)) ||
+          coalesce(col("was_dup"), lit(false))).as("in_dup_set"))
+      .orderBy("doc_id")
   }
 }

@@ -118,6 +118,47 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(first.nonEmpty, "fixture produced no cross-batch dups")
   }
 
+  test("d11: three incremental waves fold to the one-shot cluster map") {
+    // arrival waves by doc_id % 3; after the last fold the maintained
+    // map must equal exact components over the FULL corpus — no merge
+    // lost across wave boundaries (incl. clusters bridged by a later
+    // wave's doc)
+    def wave(i: Int) = docs.filter(col("doc_id") % 3 === i)
+      .select("doc_id", "text")
+    def mapOver(d: org.apache.spark.sql.DataFrame,
+        lbl: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id")
+        .join(lbl.select(col("id").as("doc_id"), col("lbl")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster"))
+    var map = mapOver(wave(0),
+      Dedup.connectedComponentsStars(
+        Dedup.minhashPairs(wave(0))
+          .select(col("id1").as("src"), col("id2").as("dst"))))
+    for (i <- 1 to 2) {
+      val prior = (0 until i).map(wave).reduce(_ unionAll _)
+      val edges = Dedup.incrementalEdges(
+          Dedup.mhBands(wave(i)), Dedup.mhBands(prior))
+        .union(Dedup.minhashPairs(wave(i))
+          .select(col("id1").as("src"), col("id2").as("dst")))
+      map = Dedup.mergeClusters(map, edges, wave(i).select("doc_id"))
+        .localCheckpoint(true)
+    }
+    val folded = map.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = mapOver(docs,
+      Dedup.connectedComponentsStars(
+        Dedup.minhashPairs(docs.select("doc_id", "text"))
+          .select(col("id1").as("src"), col("id2").as("dst"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(folded == oneShot)
+    // the fixture must actually exercise a cross-wave merge: some
+    // cluster must span docs from different waves
+    val spanning = folded.groupBy(_._2).values
+      .exists(g => g.map(_._1 % 3).toSet.size > 1)
+    assert(spanning, "no cluster spans waves — fixture too weak")
+  }
+
   test("d9 matches agree with d2's self-join restricted to mixed pairs") {
     val d2 = SparkEntry.queries("d2_minhash_lsh")(spark, sf)
       .filter((col("id1") % 10 === 0) =!= (col("id2") % 10 === 0))
