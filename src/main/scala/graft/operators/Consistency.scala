@@ -134,6 +134,16 @@ object Consistency {
     * pre-1999 INTEGER profile-id form — real mismatches that must be
     * swallowed by the EMAIL_FIELDS tolerance. */
   def b4ConsistencyReport(s: SparkSession, d: String): DataFrame = {
+    val (ops, chg) = shapedActivity(s, d)
+    multiValueProblems(ops).unionByName(singleValueProblems(chg))
+      .orderBy("event_id")
+  }
+
+  /** The synthesized (ops, chg) activity frames b4 runs on — exposed
+    * so the streaming monitor spec can replay the SAME activity and
+    * compare against the batch report. */
+  private[graft] def shapedActivity(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val k = from_json(col("props"), org.apache.spark.sql.types.StructType
       .fromDDL("k INT")).getField("k").cast("long")
     val ev = Tables.events(s, d).select(
@@ -175,7 +185,6 @@ object Consistency {
             col("new_value"))))
       .drop("k")
 
-    multiValueProblems(ops).unionByName(singleValueProblems(chg))
-      .orderBy("event_id")
+    (ops, chg)
   }
 }

@@ -329,6 +329,58 @@ class StreamAndSinkSpec extends AnyFunSuite {
     assert(after == before)
   }
 
+  test("streaming consistency monitor ≡ batch b4 on the replayed activity") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import streaming.ConsistencyMonitor
+    import ConsistencyMonitor.{MvOp, SvChg}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val batch = SparkEntry.queries("b4_consistency_report")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getString(5))).toSet
+    val (opsDf, chgDf) = operators.Consistency.shapedActivity(spark, sf)
+    // three chronological arrival waves (the activity log is
+    // append-only, so real arrival respects event-time order)
+    def chunks[T](xs: Seq[T]) = {
+      val n = xs.size
+      Seq(xs.slice(0, n / 3), xs.slice(n / 3, 2 * n / 3), xs.slice(2 * n / 3, n))
+    }
+    val opRows = opsDf.collect().map(r => MvOp(r.getAs[Long]("id"),
+        new java.sql.Timestamp(r.getAs[Long]("ts_ms")),
+        r.getAs[Long]("event_id"), r.getAs[String]("field"),
+        r.getAs[String]("op"), r.getAs[String]("item")))
+      .sortBy(o => (o.ts.getTime, o.event_id)).toSeq
+    val chgRows = chgDf.collect().map(r => SvChg(r.getAs[Long]("id"),
+        new java.sql.Timestamp(r.getAs[Long]("ts_ms")),
+        r.getAs[Long]("event_id"), r.getAs[String]("field"),
+        r.getAs[String]("old_value"), r.getAs[String]("new_value")))
+      .sortBy(c => (c.ts.getTime, c.event_id)).toSeq
+    val msOps = MemoryStream[MvOp]
+    val q1 = ConsistencyMonitor.multiValueProblems(msOps.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_cmon_mv")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    chunks(opRows).foreach { w => msOps.addData(w); q1.processAllAvailable() }
+    q1.stop()
+    val msChg = MemoryStream[SvChg]
+    val q2 = ConsistencyMonitor.singleValueProblems(msChg.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_cmon_sv")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    chunks(chgRows).foreach { w => msChg.addData(w); q2.processAllAvailable() }
+    q2.stop()
+    val streamed = (spark.table("graft_cmon_mv") unionByName
+        spark.table("graft_cmon_sv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4), r.getString(5))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "fixture produced no problems")
+    // problems must span waves, or the fold proved nothing
+    val waveOf = opRows.map(_.event_id).zipWithIndex.toMap
+    assert(streamed.size > streamed.count(t =>
+      waveOf.getOrElse(t._3, 0) < opRows.size / 3), "single-wave only")
+  }
+
   test("compacting an evolved-schema day keeps the late-added column") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_compact_ev").toString + "/snaps"
