@@ -413,10 +413,14 @@ object Dedup {
         .union(e.select(col("v").as("u"), col("u").as("v")))
       val minN = nbr.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // NOT distinct'd: duplicate (u, v) rows only fan the small-star
+      // join out by their multiplicity (bounded by band-collision
+      // dups), while a dedup here costs one more full exchange per
+      // round; small-star's own distinct canonicalizes the output
       val large = nbr.filter(col("v") > col("u"))
         .join(minN, "u")
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
       // small-star over the to-smaller orientation (u > v by canon)
       val minS = large.groupBy("u").agg(min("v").as("m"))
       val small = large.join(minS, "u")
@@ -588,7 +592,12 @@ object Dedup {
     val docs = Tables.documents(s, d)
     val batch = docs.filter(col("doc_id") % 10 === 0)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    // one sketch per side, shared by every downstream join
+    // one sketch per side, materialized once: the corpus bands feed
+    // BOTH the pair self-join and the cross-edge join (in production
+    // this frame IS the persisted band store), the batch bands feed
+    // cross + intra — measured faster than recompute here, unlike the
+    // history DAGs where caching lost (the band frame is the product
+    // of an explode, not a cheap codegen'd scan)
     val cb = mhBands(corpus).localCheckpoint(true)
     val bb = mhBands(batch).localCheckpoint(true)
     val corpusPairs = pairsFromBands(cb)

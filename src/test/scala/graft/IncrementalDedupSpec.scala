@@ -118,6 +118,37 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(first.nonEmpty, "fixture produced no cross-batch dups")
   }
 
+  test("d11 production cadence: persisted band store + cluster map fold " +
+      "reproduces the inline result") {
+    val corpus = docs.filter(!isBatch)
+    val batch = docs.filter(isBatch)
+    // persist both stores the way an ingest pipeline would: bucketed
+    // band sketches (the d9 store) and the doc->cluster map
+    Bucketed.write(Dedup.mhBands(corpus), "d11_band_store", "bkey", 8)
+    val mapDir = java.nio.file.Files
+      .createTempDirectory("graft_d11_map").toString
+    val corpusPairs = Dedup.minhashPairs(corpus)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    corpus.select("doc_id")
+      .join(Dedup.connectedComponentsStars(corpusPairs)
+        .select(col("id").as("doc_id"), col("lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"))
+      .write.mode("overwrite").parquet(mapDir)
+    // the batch folds in reading ONLY the two stores + its own text
+    val bb = Dedup.mhBands(batch)
+    val edges = Dedup.incrementalEdges(bb, Bucketed.read(spark, "d11_band_store"))
+      .union(Dedup.minhashPairs(batch)
+        .select(col("id1").as("src"), col("id2").as("dst")))
+    val folded = Dedup.mergeClusters(spark.read.parquet(mapDir), edges,
+        batch.select("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Dedup.d11ClusterMaintain(spark, sf)
+      .select("doc_id", "cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(folded == inline)
+    assert(folded.nonEmpty)
+  }
+
   test("d11: three incremental waves fold to the one-shot cluster map") {
     // arrival waves by doc_id % 3; after the last fold the maintained
     // map must equal exact components over the FULL corpus — no merge
