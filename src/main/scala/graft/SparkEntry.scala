@@ -27,6 +27,7 @@ object SparkEntry {
     "q12_scalar_subquery" -> (Relational.q12ScalarSubquery _),
     "q13_percentiles" -> (Relational.q13Percentiles _),
     "q14_asof_join" -> (operators.AsOf.q14AsofJoin _),
+    "h16_temporal_align" -> (operators.AsOf.h16TemporalAlign _),
     "q15_grouping_sets" -> (Relational.q15GroupingSets _),
     "q16_interval_join" -> (operators.AsOf.q16IntervalJoin _),
     "c1_curation" -> (operators.Curation.c1Curation _),
@@ -1054,6 +1055,51 @@ object SparkEntry {
         | ON e.user_id = s.s_user AND s.signup_ms <= epoch_ms(e.ts)
         |WHERE e.event_type <> 'signup'
         |ORDER BY e.event_id""".stripMargin,
+    "h16_temporal_align" ->
+      """WITH ev AS (
+        |  SELECT user_id AS id, epoch_ms(ts) AS ts, event_id, event_type,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+        |  FROM events),
+        |lchg AS (
+        |  SELECT id, ts AS valid_from, event_type AS status FROM (
+        |    SELECT id, ts, event_type, lag(event_type) OVER (
+        |      PARTITION BY id ORDER BY ts, event_id) AS prev FROM ev)
+        |  WHERE prev IS NULL OR prev <> event_type),
+        |lscd AS (
+        |  SELECT id, valid_from, COALESCE(lead(valid_from) OVER (
+        |      PARTITION BY id ORDER BY valid_from), 9999999999000)
+        |    AS expires_on, status
+        |  FROM lchg),
+        |rchg AS (
+        |  SELECT id, ts AS valid_from, grp FROM (
+        |    SELECT id, ts, 'g' || (k % 3) AS grp, lag('g' || (k % 3)) OVER (
+        |      PARTITION BY id ORDER BY ts, event_id) AS prev
+        |    FROM ev WHERE event_type = 'purchase')
+        |  WHERE prev IS NULL OR prev <> grp),
+        |rscd AS (
+        |  SELECT id, valid_from, COALESCE(lead(valid_from) OVER (
+        |      PARTITION BY id ORDER BY valid_from), 9999999999000)
+        |    AS expires_on, grp
+        |  FROM rchg),
+        |spine AS (
+        |  SELECT DISTINCT id, ts FROM (
+        |    SELECT id, valid_from AS ts FROM lscd
+        |    UNION ALL SELECT id, expires_on FROM lscd
+        |      WHERE expires_on <> 9999999999000
+        |    UNION ALL SELECT id, valid_from FROM rscd
+        |    UNION ALL SELECT id, expires_on FROM rscd
+        |      WHERE expires_on <> 9999999999000)),
+        |seg AS (
+        |  SELECT id, ts AS valid_from, COALESCE(lead(ts) OVER (
+        |      PARTITION BY id ORDER BY ts), 9999999999000) AS expires_on
+        |  FROM spine)
+        |SELECT s.id, s.valid_from, s.expires_on, l.status, r.grp
+        |FROM seg s
+        |LEFT JOIN lscd l ON l.id = s.id
+        |  AND s.valid_from >= l.valid_from AND s.valid_from < l.expires_on
+        |LEFT JOIN rscd r ON r.id = s.id
+        |  AND s.valid_from >= r.valid_from AND s.valid_from < r.expires_on
+        |ORDER BY s.id, s.valid_from""".stripMargin,
     "q16_interval_join" ->
       """WITH st0 AS (
         |  SELECT user_id AS s_user, epoch_ms(ts) AS valid_from,

@@ -73,6 +73,83 @@ object AsOf {
       .orderBy("event_id")
   }
 
+  /** H16 core: temporal ALIGN — the point-in-time join of two SCD-2
+    * version tables sharing an entity key `id`: the output is the
+    * intersection REFINEMENT of both interval sets, one row per
+    * combined validity segment carrying each side's state live over
+    * that segment (null where a side has no coverage — before its
+    * first version, or inside a gap). The naive formulation
+    * (`l JOIN r ON id AND overlap`) is a per-entity nested loop,
+    * quadratic in version churn; this recipe is linear: (1) the
+    * boundary SPINE = union of both sides' valid_from and finite
+    * expires_on per id (expiry boundaries matter for GAPPED inputs —
+    * a segment must split where coverage ends), (2) each spine
+    * segment as-of joins each side via the native [[join]] merge
+    * scan — one shuffle per side on the entity key, (3) an expiry
+    * mask nulls a side whose matched interval ended at or before the
+    * segment start. Reference cousin: [[BugHistory.nestSubEntities]]
+    * nests the aligned sub-entity INTO the parent version; align
+    * keeps the flat relational form downstream joins want.
+    *
+    * Inputs: (id, valid_from, expires_on, payload...), epoch-ms
+    * longs, intervals [valid_from, expires_on) unique per (id, ts). */
+  def temporalAlign(left: DataFrame, right: DataFrame,
+      lPayload: Seq[String], rPayload: Seq[String]): DataFrame = {
+    val max = History.MaxTimestamp
+    def bounds(df: DataFrame) =
+      df.select(col("id"), col("valid_from").as("ts"))
+        .union(df.filter(col("expires_on") =!= max)
+          .select(col("id"), col("expires_on").as("ts")))
+    val spine = bounds(left).union(bounds(right)).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("ts")
+    val seg = spine
+      .withColumn("expires_on",
+        coalesce(lead("ts", 1).over(w), lit(max)))
+      .withColumnRenamed("ts", "valid_from")
+    val l = left.select(Seq(col("id").as("l_id"),
+      col("valid_from").as("l_from"), col("expires_on").as("l_to")) ++
+      lPayload.map(col): _*)
+    val r = right.select(Seq(col("id").as("r_id"),
+      col("valid_from").as("r_from"), col("expires_on").as("r_to")) ++
+      rPayload.map(col): _*)
+    val joined = join(
+      join(seg, l, Seq("id"), Seq("l_id"), "valid_from", "l_from"),
+      r, Seq("id"), Seq("r_id"), "valid_from", "r_from")
+    val lLive = col("l_from").isNotNull && col("valid_from") < col("l_to")
+    val rLive = col("r_from").isNotNull && col("valid_from") < col("r_to")
+    joined.select(Seq(col("id"), col("valid_from"), col("expires_on")) ++
+      lPayload.map(c => when(lLive, col(c)).as(c)) ++
+      rPayload.map(c => when(rLive, col(c)).as(c)): _*)
+  }
+
+  /** H16 driver: align the per-user STATUS history (consecutive-dedup
+    * over event types — h4's segmenting) with the per-user purchase
+    * GROUP history (consecutive-dedup over k-derived groups, purchases
+    * only, so users without purchases and the span before a user's
+    * first purchase exercise the null-coverage side). */
+  def h16TemporalAlign(s: SparkSession, d: String): DataFrame = {
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("ts", "event_id")
+    val wV = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("valid_from")
+    val ev = Tables.events(s, d).select(col("user_id").as("id"),
+      unix_millis(col("ts")).as("ts"), col("event_id"), col("event_type"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType
+        .fromDDL("k INT")).getField("k").cast("long").as("k"))
+    def scd(src: DataFrame, valueCol: String) = src
+      .withColumn("prev", lag(valueCol, 1).over(wU))
+      .filter(col("prev").isNull || col("prev") =!= col(valueCol))
+      .select(col("id"), col("ts").as("valid_from"), col(valueCol))
+      .withColumn("expires_on", coalesce(lead("valid_from", 1).over(wV),
+        lit(History.MaxTimestamp)))
+    val leftScd = scd(ev.withColumn("status", col("event_type")), "status")
+    val rightScd = scd(ev.filter(col("event_type") === "purchase")
+      .withColumn("grp", concat(lit("g"), col("k") % 3)), "grp")
+    temporalAlign(leftScd, rightScd, Seq("status"), Seq("grp"))
+      .orderBy("id", "valid_from")
+  }
+
   /** Q14: every non-signup event joined as-of to the user's latest
     * prior signup (oracle: DuckDB's native ASOF LEFT JOIN). */
   def q14AsofJoin(s: SparkSession, d: String): DataFrame = {

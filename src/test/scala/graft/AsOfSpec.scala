@@ -95,4 +95,26 @@ class AsOfSpec extends AnyFunSuite {
       assert(got == best, s"k=$k t=$t")
     }
   }
+
+  test("temporalAlign refines intervals, masks gaps and missing coverage") {
+    import spark.implicits._
+    val MAX = operators.History.MaxTimestamp
+    // left has a GAP [20,30); right starts late and ends early — every
+    // masking branch fires
+    val left = Seq((1L, 10L, 20L, "A"), (1L, 30L, MAX, "B"))
+      .toDF("id", "valid_from", "expires_on", "status")
+    val right = Seq((1L, 15L, 35L, "X"))
+      .toDF("id", "valid_from", "expires_on", "grp")
+    val out = operators.AsOf.temporalAlign(left, right,
+        Seq("status"), Seq("grp"))
+      .orderBy("valid_from").collect()
+      .map(r => (r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.getString(4)))).toSeq
+    assert(out == Seq(
+      (10L, 15L, Some("A"), None),
+      (15L, 20L, Some("A"), Some("X")),
+      (20L, 30L, None, Some("X")),
+      (30L, 35L, Some("B"), Some("X")),
+      (35L, MAX, Some("B"), None)))
+  }
 }

@@ -329,6 +329,48 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("mergeClusters ≡ union-find on random graphs folded in waves") {
+    import spark.implicits._
+    for (seed <- Seq(7, 41, 101)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40
+      val raw = Seq.fill(80)((rnd.nextLong(n), rnd.nextLong(n)))
+        .filter(e => e._1 != e._2).distinct
+      // driver union-find over ALL edges = the one-shot truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      raw.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // nodes arrive in 3 waves (by id range); an edge arrives with
+      // its LATER endpoint — exactly the incremental-dedup shape
+      // (store matches + intra-batch pairs)
+      def waveOf(v: Long) = (v * 3 / n).toInt
+      def nodesIn(w: Int) = (0L until n).filter(v => waveOf(v) == w)
+      def edgesAt(w: Int) = raw.filter { case (a, b) =>
+        math.max(waveOf(a), waveOf(b)) == w }
+      var map = {
+        val lbl = dedup.Dedup.connectedComponentsStars(
+          edgesAt(0).toDF("src", "dst"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        nodesIn(0).map(v => (v, lbl.getOrElse(v, v))).toDF("doc_id", "cluster")
+      }
+      for (w <- 1 to 2) {
+        val e = edgesAt(w)
+        map = dedup.Dedup.mergeClusters(map,
+          (if (e.isEmpty) Seq((-1L, -2L)).take(0) else e).toDF("src", "dst"),
+          nodesIn(w).toDF("doc_id")).localCheckpoint(true)
+      }
+      val got = map.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = (0L until n).map(v => v -> find(v)).toMap
+      assert(got == expected, s"seed $seed diverged")
+    }
+  }
+
   test("star contraction ≡ union-find on random graphs, repartition-proof") {
     val rnd = new scala.util.Random(13)
     val raw = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
