@@ -91,6 +91,7 @@ object SparkEntry {
     "d9_incremental_dedup" -> (graft.dedup.Dedup.d9IncrementalDedup _),
     "d10_cc_stars" -> (graft.dedup.Dedup.d10CcStars _),
     "d11_cluster_maintain" -> (graft.dedup.Dedup.d11ClusterMaintain _),
+    "d12_semdedup" -> (graft.dedup.Dedup.d12SemDedup _),
     // Similarity search
     "s1_ann_bruteforce" -> (graft.similarity.Similarity.s1AnnBruteForce _),
     "s2_ann_lsh" -> (graft.similarity.Similarity.s2AnnLsh _),
@@ -371,6 +372,40 @@ object SparkEntry {
        |  l.lbl IS NOT NULL AS in_dup_set
        |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** d5's banded-pair oracle body (plane literals interpolated from
+    * VectorFunctions.planeValues, same sequential dot order) — the
+    * hash check pins the query's actual LSH semantics, and d12 closes
+    * the same graph transitively. Plane table unrolled into VALUES:
+    * indexing a nested list literal from inside the dot-product
+    * lambda makes DuckDB re-materialize the whole 32x64 literal per
+    * element (measured: minutes); as a joined column reference the
+    * same arithmetic is milliseconds. */
+  private lazy val d5PairsSql: String = {
+    val planeRows = (for (b <- 0 until 32; j <- 0 until 3) yield
+      s"($b, ${1L << j}, " +
+        doubleList(graft.functions.VectorFunctions.planeValues(1000 + b * 3 + j, 64)) +
+        ")").mkString(",\n    ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+       |pt(b, w, plane) AS (VALUES
+       |    $planeRows),
+       |sg AS (
+       |  SELECT vec_id, label, b,
+       |    CAST(sum(CASE WHEN ${seqDot("emb", "plane")} > 0
+       |      THEN w ELSE 0 END) AS BIGINT) AS sig
+       |  FROM e CROSS JOIN pt GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM sg a JOIN sg b ON a.label = b.label AND a.b = b.b
+       |    AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, cos FROM (
+       |  SELECT id1, id2,
+       |    round(list_cosine_similarity(e1.emb, e2.emb), 3) AS cos
+       |  FROM cand JOIN e e1 ON e1.vec_id = id1 JOIN e e2 ON e2.vec_id = id2)
+       |WHERE cos >= 0.3""".stripMargin
+  }
 
   private lazy val d2MinhashSql: String =
     s"""WITH ${minhashBandCte()},
@@ -1579,36 +1614,23 @@ object SparkEntry {
     // of the query's actual LSH semantics — not an all-pairs claim
     // that only holds when recall happens to be 1.0 on this corpus.
     // The recall-vs-all-pairs bound lives in the PipelineSpec instead.
-    "d5_embedding_dedup" -> {
-      // plane id = 1000 + band*3 + j, unrolled into a (band, weight,
-      // plane) TABLE — indexing a nested list literal from inside the
-      // dot-product lambda makes DuckDB re-materialize the whole
-      // 32x64 literal per element (measured: minutes); as a joined
-      // column reference the same arithmetic is milliseconds.
-      val planeRows = (for (b <- 0 until 32; j <- 0 until 3) yield
-        s"($b, ${1L << j}, " +
-          doubleList(graft.functions.VectorFunctions.planeValues(1000 + b * 3 + j, 64)) +
-          ")").mkString(",\n    ")
-      s"""WITH e AS (
-         |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-         |pt(b, w, plane) AS (VALUES
-         |    $planeRows),
-         |sg AS (
-         |  SELECT vec_id, label, b,
-         |    CAST(sum(CASE WHEN ${seqDot("emb", "plane")} > 0
-         |      THEN w ELSE 0 END) AS BIGINT) AS sig
-         |  FROM e CROSS JOIN pt GROUP BY 1, 2, 3),
-         |cand AS (
-         |  SELECT a.vec_id AS id1, b.vec_id AS id2
-         |  FROM sg a JOIN sg b ON a.label = b.label AND a.b = b.b
-         |    AND a.sig = b.sig AND a.vec_id < b.vec_id
-         |  GROUP BY 1, 2)
-         |SELECT id1, id2, cos FROM (
-         |  SELECT id1, id2,
-         |    round(list_cosine_similarity(e1.emb, e2.emb), 3) AS cos
-         |  FROM cand JOIN e e1 ON e1.vec_id = id1 JOIN e e2 ON e2.vec_id = id2)
-         |WHERE cos >= 0.3 ORDER BY id1, id2""".stripMargin
-    },
+    "d5_embedding_dedup" -> s"$d5PairsSql ORDER BY id1, id2",
+    // d12 = exact components over the SAME banded pair graph: the
+    // oracle closes it transitively and keeps each group's min id.
+    "d12_semdedup" ->
+      s"""WITH RECURSIVE p0 AS MATERIALIZED (SELECT id1, id2 FROM ($d5PairsSql)),
+         |e AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM p0
+         |      UNION SELECT id2, id1 FROM p0),
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |lbl AS (SELECT u AS id, least(u, min(v)) AS lbl
+         |        FROM reach GROUP BY u)
+         |SELECT x.vec_id, coalesce(l.lbl, x.vec_id) AS grp,
+         |  (l.lbl IS NULL OR l.lbl = x.vec_id) AS keep
+         |FROM embeddings x LEFT JOIN lbl l ON l.id = x.vec_id
+         |ORDER BY x.vec_id""".stripMargin,
     "d6_decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id,

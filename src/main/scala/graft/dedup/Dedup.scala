@@ -272,7 +272,12 @@ object Dedup {
     * 1-(1-p³)³² ≥ 0.9995 per pair (p = 1-θ/π ≥ 0.597); the spec
     * verifies EXACT equality with the all-pairs formulation on the
     * test corpora (fixed seed ⇒ deterministic). */
-  def d5EmbeddingDedup(s: SparkSession, d: String): DataFrame = {
+  def d5EmbeddingDedup(s: SparkSession, d: String): DataFrame =
+    embeddingPairs(s, d).orderBy("id1", "id2")
+
+  /** d5's pair body without the output sort — also the edge set of
+    * d12's epsilon-grouping. */
+  private[graft] def embeddingPairs(s: SparkSession, d: String): DataFrame = {
     val bands = 32; val r = 3; val dim = 64; val seedBase = 1000
     // Slim candidate generation: only (label, band, sig, vec_id) enters
     // the band self-join — the 64-dim vectors do NOT ride the ×bands
@@ -306,7 +311,31 @@ object Dedup {
         round(V.dot(col("e1"), col("e2")) /
           sqrt(col("n1") * col("n2")), 3).as("cos"))
       .filter(col("cos") >= 0.3)
-      .orderBy("id1", "id2")
+  }
+
+  /** D12: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication") — doc-level
+    * SEMANTIC dedup: embeddings are grouped into epsilon-clusters
+    * (cosine ≥ the d5 threshold, transitively closed — components over
+    * the banded d5 pair graph, so candidate generation stays
+    * bucketed), and exactly ONE representative per group is kept (the
+    * minimum vec_id — deterministic; the paper keeps low-centroid-
+    * similarity points, a policy swap on the same grouping). Output:
+    * every vector with its group id and the keep decision — the frame
+    * a curation pipeline anti-joins against. Plan: d5's slim banded
+    * pairs + star-contraction components + one left join; the corpus
+    * of vectors never shuffles. */
+  def d12SemDedup(s: SparkSession, d: String): DataFrame = {
+    val pairs = embeddingPairs(s, d)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val labels = connectedComponentsStars(pairs)
+    Tables.embeddings(s, d).select(col("vec_id"))
+      .join(labels.select(col("id").as("vec_id"), col("lbl")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lbl"), col("vec_id")).as("grp"),
+        (col("lbl").isNull || col("lbl") === col("vec_id")).as("keep"))
+      .orderBy("vec_id")
   }
 
   /** Connected components by iterative min-label propagation:
