@@ -74,6 +74,8 @@ object SparkEntry {
     "b4_consistency_report" -> (operators.Consistency.b4ConsistencyReport _),
     "t10_line_filter" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t10LineFilter(s, d)),
+    "t13_boilerplate" -> ((s: SparkSession, d: String) =>
+      graft.text.TextAnalysis.t13Boilerplate(s, d)),
     "t11_perplexity" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t11Perplexity(s, d)),
     "t12_bm25" -> ((s: SparkSession, d: String) =>
@@ -911,6 +913,18 @@ object SparkEntry {
         |  coalesce(array_to_string(kept, ' | '), '') AS text_clean,
         |  len(kept) >= 2 AS keep
         |FROM k ORDER BY doc_id""".stripMargin,
+    "t13_boilerplate" ->
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, len(string_split(text, ' ')) - 2),
+        |    i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' '))))
+        |    AS gram
+        |  FROM documents WHERE text IS NOT NULL),
+        |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+        |t AS (SELECT count(*) AS total FROM documents WHERE text IS NOT NULL)
+        |SELECT gram, df, round(df::DOUBLE / total, 6) AS share
+        |FROM df CROSS JOIN t
+        |ORDER BY df DESC, gram LIMIT 20""".stripMargin,
     "t11_perplexity" ->
       """WITH tf0 AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -346,4 +346,31 @@ object TextAnalysis {
         (size(col("kept")) >= minLines).as("keep"))
       .orderBy("doc_id")
   }
+
+  /** T13: BOILERPLATE n-gram mining — the corpus-level report that
+    * FEEDS a line filter's blocklist (t10 consumes such a list; C4
+    * curated its boilerplate rules from exactly this signal): the
+    * top-k word n-grams by DOCUMENT frequency with their share of
+    * documents. High-df n-grams across unrelated documents are
+    * navigation chrome, license headers, cookie banners — the
+    * repeated-content signal at corpus granularity (t8 measures it
+    * within a document, d7 at span level). Plan: one scan → per-doc
+    * DISTINCT grams (array HOF, so a gram repeated inside one doc
+    * counts once — df, not tf) → explode into a high-cardinality
+    * hash aggregate with map-side combine → global top-k as
+    * TakeOrdered (no full-vocab window); only the k-row frame ranks.
+    * At 100 TB the only full-volume stage is the aggregate. */
+  def t13Boilerplate(s: SparkSession, d: String, n: Int = 3,
+      k: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val grams = docs.select(col("doc_id"),
+        explode(array_distinct(graft.dedup.Dedup.wordGrams(col("text"), n)))
+          .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("total"))
+    grams.crossJoin(broadcast(total))
+      .select(col("gram"), col("df"),
+        round(col("df").cast("double") / col("total"), 6).as("share"))
+      .orderBy(col("df").desc, col("gram")).limit(k)
+  }
 }

@@ -190,6 +190,49 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(spanning, "no cluster spans waves — fixture too weak")
   }
 
+  test("streaming cluster maintenance: fold ≡ one-shot, small batch " +
+      "rewrites few map partitions, replay converges") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sclusters").toString
+    val nb = 64
+    val big = docs.filter(col("doc_id") % 30 =!= 2).select("doc_id", "text")
+    val small = docs.filter(col("doc_id") % 30 === 2).select("doc_id", "text")
+    graft.streaming.StreamingClusters.processBatch(big, 0, root, nb)
+    def snap(): Map[String, Seq[(String, Long)]] = {
+      val mapDir = new java.io.File(s"$root/map")
+      mapDir.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("pb=")).map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.length())).toSeq.sorted
+      }.toMap
+    }
+    val before = snap()
+    graft.streaming.StreamingClusters.processBatch(small, 1, root, nb)
+    val after = snap()
+    val unchanged = before.keys.filter(k => after.get(k).contains(before(k)))
+    assert(unchanged.size * 2 >= before.size,
+      s"a ~3% batch rewrote ${before.size - unchanged.size} of " +
+        s"${before.size} map partitions — not surgical")
+    def readMap() = spark.read.parquet(s"$root/map")
+      .select("doc_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = readMap()
+    val oneShot = {
+      val lbl = Dedup.connectedComponentsStars(
+        Dedup.minhashPairs(docs.select("doc_id", "text"))
+          .select(col("id1").as("src"), col("id2").as("dst")))
+      docs.select("doc_id")
+        .join(lbl.select(col("id").as("doc_id"), col("lbl")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(got == oneShot)
+    // at-least-once replay of the small batch over the updated map
+    graft.streaming.StreamingClusters.processBatch(small, 1, root, nb)
+    assert(readMap() == oneShot, "replay diverged from the merged map")
+  }
+
   test("d9 matches agree with d2's self-join restricted to mixed pairs") {
     val d2 = SparkEntry.queries("d2_minhash_lsh")(spark, sf)
       .filter((col("id1") % 10 === 0) =!= (col("id2") % 10 === 0))
