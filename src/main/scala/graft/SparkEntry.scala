@@ -35,6 +35,7 @@ object SparkEntry {
     "c4_quality_resample" -> (operators.Curation.c4QualityResample _),
     "c5_mixture_balance" -> (operators.Curation.c5MixtureBalance _),
     "c6_curriculum_order" -> (operators.Curation.c6CurriculumOrder _),
+    "c7_global_shuffle" -> (operators.Curation.c7GlobalShuffle _),
     "x1_curation_pipeline" ->
       (operators.CurationPipeline.x1CurationPipeline _),
     "e1_embedding_quantize" -> (operators.Curation.e1EmbeddingQuantize _),
@@ -1382,6 +1383,13 @@ object SparkEntry {
         | CAST(list_sum(list_transform(emb, x -> abs(CAST(floor(x/scale + 0.5) AS INT)))) AS BIGINT) AS l1_q,
         | CAST(CAST(floor(emb[1]/scale + 0.5) AS INT) AS BIGINT) AS q0
         |FROM s ORDER BY vec_id""".stripMargin,
+    "c7_global_shuffle" ->
+      """WITH sc AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS k
+        |  FROM documents)
+        |SELECT doc_id, CAST(k AS BIGINT) AS shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS pos
+        |FROM sc ORDER BY pos""".stripMargin,
     "c6_curriculum_order" ->
       // the oracle IS the naive global window the distributed
       // prefix-sum formulation must reproduce exactly

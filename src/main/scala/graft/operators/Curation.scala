@@ -209,13 +209,24 @@ object Curation {
       .map(r => (r.getDouble(0), r.getLong(1)))
     // heavy scores join the boundary set so each gets an isolated
     // bucket: counting 2 per strictly-greater boundary and 1 per
-    // equal boundary makes "equal to a boundary" its own bucket value
+    // equal boundary makes "equal to a boundary" its own bucket value.
+    // The count unrolls into a DESCENDING CASE chain instead of array
+    // HOFs over a literal spine: higher-order functions are
+    // CodegenFallback and would split the scan stage's whole-stage
+    // codegen — this projection runs on every corpus row.
     val bounds = (bounds0 ++ heavy.map(_._1)).distinct.sorted
-    val bArr = typedLit(bounds.toArray)
-    val bucket = when(col("score").isNull, lit(2 * bounds.size + 1))
-      .otherwise(
-        size(filter(bArr, b => b > col("score"))) * 2 +
-          size(filter(bArr, b => b === col("score"))))
+    val bucket = {
+      val desc = bounds.reverse
+      val chain = desc.zipWithIndex.foldLeft(null: Column) {
+        case (acc, (b, i)) =>
+          val step =
+            if (acc == null) when(col("score") > b, 2 * i)
+            else acc.when(col("score") > b, 2 * i)
+          step.when(col("score") === b, 2 * i + 1)
+      }
+      when(col("score").isNull, lit(2 * bounds.size + 1)).otherwise(
+        if (chain == null) lit(0) else chain.otherwise(2 * bounds.size))
+    }
     // doc_id sub-quantiles per heavy score (ties break by doc_id asc,
     // so a doc_id split inside one score value is order-consistent)
     val subSpine: Map[Double, Seq[Long]] = {
@@ -232,15 +243,22 @@ object Curation {
           r.getSeq[Long](1).distinct.sorted.toSeq).toMap
     }
     // heavy-score sub-splits sized to the cap: keep every k-th
-    // quantile so each sub-bucket holds ~cap rows
+    // quantile so each sub-bucket holds ~cap rows; the quantile count
+    // unrolls into a CASE chain for the same codegen reason as above
     val sub = heavy.foldLeft(lit(0): Column) { case (acc, (hs, cnt)) =>
       val k = math.max(1, (nb * cap / math.max(1L, cnt)).toInt)
       val qs = subSpine.getOrElse(hs, Seq.empty)
         .zipWithIndex.collect { case (q, i) if (i + 1) % k == 0 => q }
       if (qs.isEmpty) acc
-      else when(col("score") === hs,
-        size(filter(typedLit(qs.toArray), q => q < col("doc_id"))))
-        .otherwise(acc)
+      else {
+        // #{q < doc_id} over ascending qs, as a descending chain
+        val nLess = qs.reverse.zipWithIndex.foldLeft(null: Column) {
+          case (a, (q, i)) =>
+            if (a == null) when(col("doc_id") > q, qs.size - i)
+            else a.when(col("doc_id") > q, qs.size - i)
+        }.otherwise(0)
+        when(col("score") === hs, nLess).otherwise(acc)
+      }
     }
     scored.select(col("doc_id"), col("score"),
       bucket.cast("long").as("bucket"), sub.cast("long").as("sub"))
@@ -266,6 +284,25 @@ object Curation {
 
   def c6CurriculumOrder(s: SparkSession, d: String): DataFrame =
     curriculumIndex(curriculumScored(s, d), nb = 32)
+
+  /** C7: deterministic GLOBAL SHUFFLE — the training-order shuffle a
+    * pretraining pipeline runs between curation and packing (t7):
+    * every document gets its position in a pseudorandom but fully
+    * reproducible permutation. The "random" key is the same
+    * engine-portable multiplicative hash as c3/c4/c5 (no RNG state,
+    * invariant to partitioning and arrival order), and the global
+    * rank reuses [[curriculumIndex]]'s bounded bucket spine — so the
+    * permutation is computed WITHOUT a single-partition sort at any
+    * scale. Oracle: the naive global window over the same key. */
+  def c7GlobalShuffle(s: SparkSession, d: String): DataFrame = {
+    val key = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), key.cast("double").as("score"))
+    curriculumIndex(scored, nb = 32)
+      .select(col("doc_id"), col("score").cast("long").as("shuffle_key"),
+        col("global_idx").as("pos"))
+      .orderBy("pos")
+  }
 
   /** O4: per-source HEAVY HITTERS — the exact top-k most frequent
     * terms per corpus source with their share of the source's tokens

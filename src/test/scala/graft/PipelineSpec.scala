@@ -320,7 +320,7 @@ class PipelineSpec extends AnyFunSuite {
     try {
       val base = Seq("t12_bm25", "d9_incremental_dedup",
         "q16_interval_join", "c6_curriculum_order", "d4_ngram_jaccard",
-        "d11_cluster_maintain", "h16_temporal_align")
+        "d11_cluster_maintain", "h16_temporal_align", "c7_global_shuffle")
         .map(n => n -> snap(n)).toMap
       spark.conf.set("spark.sql.shuffle.partitions", "7")
       base.foreach { case (n, rows) =>
