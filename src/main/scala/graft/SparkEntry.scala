@@ -121,6 +121,8 @@ object SparkEntry {
       graft.multimodal.Multimodal.m2FrameSample(s, d)),
     "m3_feature_extract" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.m3FeatureExtract(s, d)),
+    "m4_crossmodal_gate" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.m4CrossModalGate(s, d)),
   )
 
   /** Shared CTE chain reproducing HistoryDriver's event→activity
@@ -640,6 +642,30 @@ object SparkEntry {
          |    AS INT) AS frame_h,
          |  ((hv * 131) % 1000000007 + doc_id * 977 + f) % 1000000007 AS frame_hash
          |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
+    "m4_crossmodal_gate" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, $payloadHashSql AS hv FROM documents),
+         |tf AS (
+         |  SELECT doc_id, list_transform(range(8),
+         |    j -> CAST((hv * (((j + 1) * 2654435761) % 1000000007))
+         |         % 1000000007 AS DOUBLE)) AS tf
+         |  FROM h),
+         |e AS (
+         |  SELECT vec_id AS doc_id, (embedding::DOUBLE[])[1:8] AS ef
+         |  FROM embeddings),
+         |sc AS (
+         |  SELECT tf.doc_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(8), i -> tf.tf[i+1] * e.ef[i+1])),
+         |      (a, b) -> a + b) AS dot,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(tf.tf, x -> x * x)), (a, b) -> a + b) AS nt,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(e.ef, x -> x * x)), (a, b) -> a + b) AS ne
+         |  FROM tf JOIN e USING (doc_id))
+         |SELECT doc_id, round(dot / sqrt(nt * ne), 6) AS clip_score,
+         |  dot >= 0 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
     "m3_feature_extract" ->
       s"""WITH h AS (
          |  SELECT doc_id, $payloadHashSql AS hv FROM documents),

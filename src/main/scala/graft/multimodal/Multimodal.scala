@@ -118,6 +118,48 @@ object Multimodal {
     }.toDF().orderBy("doc_id")
   }
 
+  case class TextFeat(doc_id: Long, tf: Array[Double])
+
+  /** M4: CROSS-MODAL pair gating — the CLIP-score filter (Radford et
+    * al. 2021; LAION's curation gate): each document's TEXT embedding
+    * is scored against its paired media embedding and the pair is kept
+    * only when they agree (cosine ≥ 0). The text encoder is the same
+    * per-partition stub as m3 (a real encoder swaps in behind the
+    * identical batched shape); the media side is the embeddings table
+    * — so the operator's real substance is the cross-TABLE hash join
+    * of a text corpus against a vector store by id and the
+    * deterministic scoring fold, both of which survive a real encoder
+    * unchanged. Plan: two pruned scans, one equi-join on the id, pure
+    * map scoring — no shuffle beyond the join. */
+  def m4CrossModalGate(s: SparkSession, d: String, dim: Int = 8)
+      : DataFrame = {
+    import s.implicits._
+    import graft.functions.{VectorFunctions => V}
+    val K = 2654435761L
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("source"), length(col("text")).as("n_chars"))
+      .as[MediaIn]
+    val tfeat = media.mapPartitions { batch =>
+      batch.map { m =>
+        val h = payloadHash(m.payload)
+        TextFeat(m.doc_id,
+          Array.tabulate(dim)(j => ((h * (((j + 1) * K) % P)) % P).toDouble))
+      }
+    }.toDF()
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id").as("doc_id"),
+        slice(V.asDouble(col("embedding")), 1, dim).as("ef"))
+    tfeat.join(emb, Seq("doc_id"))
+      .select(col("doc_id"),
+        V.dot(col("tf"), col("ef")).as("dot"),
+        V.norm2(col("tf")).as("nt"), V.norm2(col("ef")).as("ne"))
+      .select(col("doc_id"),
+        round(col("dot") / sqrt(col("nt") * col("ne")), 6).as("clip_score"),
+        (col("dot") >= 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** M1: binary ingest → batched partition decode → typed metadata.
     * `mapPartitions` is the Scala analogue of `mapInPandas`: one
     * decoder per partition, streaming batches, no per-row setup. */

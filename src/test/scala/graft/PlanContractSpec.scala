@@ -192,4 +192,13 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
       "range join degenerated to a nested loop")
   }
+
+  test("h16: both alignment sides run as as-of merge scans, " +
+      "never a nested-loop overlap join") {
+    val p = finalPlan("h16_temporal_align")
+    assert("AsOfJoin".r.findAllIn(p).length >= 2,
+      "temporal align did not plan both as-of scans")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
+      "interval alignment degenerated to a nested loop")
+  }
 }
