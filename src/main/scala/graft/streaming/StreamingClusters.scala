@@ -56,7 +56,7 @@ object StreamingClusters {
       .select(coalesce(col("c1"), col("src")).as("src"),
         coalesce(col("c2"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
-    val comp = Dedup.connectedComponentsStars(proj).localCheckpoint(true)
+    val comp = Dedup.connectedComponentsAdaptive(proj).localCheckpoint(true)
     // corpus rows whose cluster label changes (their pb may move)
     val changed = oldMap
       .join(comp.filter(col("lbl") =!= col("id"))

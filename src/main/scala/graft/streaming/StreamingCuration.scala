@@ -63,7 +63,7 @@ object StreamingCuration {
       if (bdirs.isEmpty) exact.limit(0).select("doc_id")
       else Dedup.incrementalEdges(bands, s.read.parquet(bdirs: _*))
         .select(col("src").as("doc_id")).distinct()
-    val labels = Dedup.connectedComponentsStars(
+    val labels = Dedup.connectedComponentsAdaptive(
       Dedup.pairsFromBands(bands)
         .select(col("id1").as("src"), col("id2").as("dst")))
     val kept = exact

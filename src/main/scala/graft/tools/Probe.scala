@@ -1,0 +1,91 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.{GraftSession, Tables}
+
+/** Scratch profiling harness (not part of the driver contract):
+  * times stages of the heavy component queries to locate latency. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    val cpusStr = GraftSession.cpus
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def time[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    // warm the JVM/codegen paths once
+    Tables.documents(spark, d).count()
+    Tables.embeddings(spark, d).count()
+
+    // instrumented copy of connectedComponentsStars: per-round wall
+    def starsInstr(edges: org.apache.spark.sql.DataFrame): Unit = {
+      var e = edges
+        .select(greatest(col("src"), col("dst")).as("u"),
+          least(col("src"), col("dst")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      def digest(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
+          .head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      var eDigest = digest(e)
+      println(s"[probe]   initial edges: ${eDigest._1}")
+      var done = false; var round = 0
+      while (!done && round < 30) {
+        val t0 = System.nanoTime()
+        val nbr = e.select(col("u"), col("v"))
+          .union(e.select(col("v").as("u"), col("u").as("v")))
+        val minN = nbr.groupBy("u").agg(min("v").as("mn"))
+          .select(col("u"), least(col("mn"), col("u")).as("m"))
+        val large = nbr.filter(col("v") > col("u"))
+          .join(minN, "u")
+          .select(col("v").as("u"), col("m").as("v"))
+          .filter(col("u") =!= col("v"))
+        val minS = large.groupBy("u").agg(min("v").as("m"))
+        val small = large.join(minS, "u")
+          .select(explode(array(struct(col("v").as("a"), col("m").as("b")),
+            struct(col("u").as("a"), col("m").as("b")))).as("p"))
+          .select(greatest(col("p.a"), col("p.b")).as("u"),
+            least(col("p.a"), col("p.b")).as("v"))
+          .filter(col("u") =!= col("v")).distinct()
+          .localCheckpoint(true)
+        val smallDigest = digest(small)
+        done = smallDigest == eDigest && small.exceptAll(e).isEmpty
+        e = small; eDigest = smallDigest; round += 1
+        println(f"[probe]   round $round: ${smallDigest._1} edges, " +
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s, done=$done")
+      }
+    }
+    val ep = time("d5 embeddingPairs count") {
+      val p = graft.dedup.Dedup.embeddingPairs(spark, d)
+        .select(col("id1").as("src"), col("id2").as("dst"))
+        .localCheckpoint(true)
+      p.count()
+      p
+    }
+    time("d12 stars on emb pairs")(starsInstr(ep))
+    val mp = time("d2 minhashPairs count") {
+      val p = graft.dedup.Dedup
+        .minhashPairs(Tables.documents(spark, d))
+        .select(col("id1").as("src"), col("id2").as("dst"))
+        .localCheckpoint(true)
+      p.count()
+      p
+    }
+    time("d10 stars on mh pairs")(starsInstr(mp))
+    time("adaptive on emb pairs") {
+      graft.dedup.Dedup.connectedComponentsAdaptive(ep).count()
+    }
+    time("adaptive on mh pairs") {
+      graft.dedup.Dedup.connectedComponentsAdaptive(mp).count()
+    }
+    time("full d12") { graft.dedup.Dedup.d12SemDedup(spark, d).count() }
+    time("full d11") { graft.dedup.Dedup.d11ClusterMaintain(spark, d).count() }
+    time("full d8") { graft.dedup.Dedup.d8DupClusters(spark, d).count() }
+    time("full d10") { graft.dedup.Dedup.d10CcStars(spark, d).count() }
+    spark.stop()
+  }
+}

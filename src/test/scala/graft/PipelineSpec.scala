@@ -394,6 +394,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("adaptive components: single-stage union-find path ≡ star " +
+      "contraction on random graphs AND on a long chain") {
+    import spark.implicits._
+    // random graphs across several seeds (multi-component, dup edges,
+    // self-loop-adjacent shapes)
+    for (seed <- Seq(3, 17, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val raw = Seq.fill(80)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+      val exp = dedup.Dedup.connectedComponentsStars(raw.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = dedup.Dedup.connectedComponentsAdaptive(
+        raw.toDF("src", "dst").repartition(5))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exp, s"seed $seed diverged")
+    }
+    // a 500-hop chain: exact on high-diameter graphs too (the shape
+    // fixed-round propagation gets wrong)
+    val chain = (0L until 500L).map(i => (i, i + 1)).toDF("src", "dst")
+    val labels = dedup.Dedup.connectedComponentsAdaptive(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 501 && labels.values.forall(_ == 0L))
+    // threshold crossing: forcing the cutoff below the edge count must
+    // route to the star engine and still agree
+    val viaStars = dedup.Dedup.connectedComponentsAdaptive(
+      chain, smallGraphEdges = 10L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStars == labels, "large-graph fallback diverged")
+  }
+
   test("star contraction closes a 1000-hop chain in O(log²) rounds " +
       "(the case fixed-round propagation cannot)") {
     import spark.implicits._
