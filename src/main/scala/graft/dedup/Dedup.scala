@@ -202,24 +202,32 @@ object Dedup {
     * tiny next to the corpus) and the corpus side is one scan +
     * explode + broadcast semi-ish join — no shuffle of the corpus at
     * any size. Deterministic benchmark stand-in: doc_id % 97 == 0. */
-  /** Word n-grams of a text column; empty for texts shorter than n
-    * grams (explicit step: sequence(0, negative, 1) is EMPTY where
-    * the step-less form would count downward). */
-  private[graft] def wordGrams(c: org.apache.spark.sql.Column,
-      n: Int): org.apache.spark.sql.Column = {
-    val toks = T.tokens(c)
+  /** Word n-grams over an ALREADY-MATERIALIZED tokens column; empty
+    * for texts shorter than n grams (explicit step: sequence(0,
+    * negative, 1) is EMPTY where the step-less form would count
+    * downward).
+    *
+    * `toks` must be a projected attribute (`.select(T.tokens(...)
+    * .as("toks"))` first), NOT an inline tokenize expression: higher-
+    * order functions run interpreted with no subexpression
+    * elimination, so a subtree spliced into the lambda body is
+    * re-evaluated per ELEMENT per use — an inline tokens(text) here
+    * re-tokenized every document ~3x per gram (measured 5.2 s → 0.75 s
+    * on the t13 aggregate at sf0.1). */
+  private[graft] def wordGrams(toks: org.apache.spark.sql.Column,
+      n: Int): org.apache.spark.sql.Column =
     transform(sequence(lit(0), size(toks) - n, lit(1)),
       i => concat_ws(" ", (1 to n).map(j => element_at(toks, i + j)): _*))
-  }
 
   def d6Decontaminate(s: SparkSession, d: String): DataFrame = {
     val n = 3
-    def grams(c: org.apache.spark.sql.Column) = wordGrams(c, n)
     val docs = Tables.documents(s, d)
-    val benchGrams = docs.filter(col("doc_id") % 97 === 0)
-      .select(explode(grams(col("text"))).as("gram")).distinct()
-    val shared = docs.filter(col("doc_id") % 97 =!= 0)
-      .select(col("doc_id"), explode(grams(col("text"))).as("gram"))
+    def grams(side: DataFrame) = side
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(wordGrams(col("toks"), n)).as("gram"))
+    val benchGrams = grams(docs.filter(col("doc_id") % 97 === 0))
+      .select("gram").distinct()
+    val shared = grams(docs.filter(col("doc_id") % 97 =!= 0))
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy("doc_id")
       .agg(countDistinct("gram").as("n_shared"))
@@ -243,11 +251,14 @@ object Dedup {
     * no pairwise anything, no low-cardinality key. */
   def d7SpanDedup(s: SparkSession, d: String): DataFrame = {
     val w = 16
-    val toks = split(col("text"), " ")
+    // toks projected before the lambda — see [[wordGrams]]: a spliced
+    // split() would re-split the text once per chunk
+    val toks = col("toks")
     val chunks = transform(
       sequence(lit(0), ceil(size(toks).cast("double") / w).cast("long") - 1),
       i => concat_ws(" ", slice(toks, (i * w + 1).cast("int"), lit(w))))
     val spans = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), posexplode(chunks))
       .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
         md5(col("col")).as("h"))

@@ -56,10 +56,13 @@ object CurationPipeline {
     // decontamination: drop survivors sharing >= 3 distinct 3-grams
     // with the eval holdout (d6; eval grams from the RAW corpus)
     val benchGrams = raw.filter(col("doc_id") % 97 === 0)
-      .select(explode(Dedup.wordGrams(col("text"), 3)).as("gram"))
+      .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(explode(Dedup.wordGrams(col("toks"), 3)).as("gram"))
       .distinct()
     val contaminated = nearDup
-      .select(col("doc_id"), explode(Dedup.wordGrams(col("text"), 3))
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(Dedup.wordGrams(col("toks"), 3))
         .as("gram"))
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy("doc_id").agg(countDistinct("gram").as("n_shared"))

@@ -115,12 +115,14 @@ object TextAnalysis {
     * duplicate line/paragraph/n-gram fractions). Pure map stage;
     * `keep` applies an illustrative threshold pair. */
   def t8Repetition(s: SparkSession, d: String): DataFrame = {
-    val toks = T.tokens(col("text"))
+    // toks materialized before the lambda — see Dedup.wordGrams
+    val toks = col("toks")
     val n = size(toks)
     val grams = transform(sequence(lit(0), n - 3),
       i => concat_ws(" ", element_at(toks, i + 1),
         element_at(toks, i + 2), element_at(toks, i + 3)))
     Tables.documents(s, d)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         round(lit(1.0) - size(array_distinct(toks)).cast("double") / n, 4)
           .as("dup_tok_frac"),
@@ -363,8 +365,10 @@ object TextAnalysis {
   def t13Boilerplate(s: SparkSession, d: String, n: Int = 3,
       k: Int = 20): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-    val grams = docs.select(col("doc_id"),
-        explode(array_distinct(graft.dedup.Dedup.wordGrams(col("text"), n)))
+    val grams = docs
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(graft.dedup.Dedup.wordGrams(col("toks"), n)))
           .as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("df"))
     val total = docs.agg(count(lit(1)).as("total"))

@@ -19,6 +19,39 @@ object Probe {
     Tables.documents(spark, d).count()
     Tables.embeddings(spark, d).count()
 
+    if (sys.env.get("PROBE_T13").contains("1")) {
+      import graft.functions.{TextFunctions => T}
+      val docs = Tables.documents(spark, d).filter(col("text").isNotNull)
+      time("t13 tokens only") {
+        docs.select(explode(T.tokens(col("text"))).as("t"))
+          .groupBy("t").count().count()
+      }
+      val grams3 = {
+        val toks = T.tokens(col("text"))
+        transform(sequence(lit(0), size(toks) - 3, lit(1)),
+          i => concat_ws(" ", (1 to 3).map(j => element_at(toks, i + j)): _*))
+      }
+      time("t13 grams explode+agg") {
+        docs.select(col("doc_id"),
+            explode(array_distinct(grams3)).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("df")).count()
+      }
+      time("t13 full") {
+        graft.text.TextAnalysis.t13Boilerplate(spark, d).count()
+      }
+      time("t13 full again") {
+        graft.text.TextAnalysis.t13Boilerplate(spark, d).count()
+      }
+      time("grams with materialized toks") {
+        docs.select(col("doc_id"), T.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), explode(array_distinct(
+            transform(sequence(lit(0), size(col("toks")) - 3, lit(1)),
+              i => concat_ws(" ", (1 to 3).map(j =>
+                element_at(col("toks"), i + j)): _*)))).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("df")).count()
+      }
+      spark.stop(); return
+    }
     // instrumented copy of connectedComponentsStars: per-round wall
     def starsInstr(edges: org.apache.spark.sql.DataFrame): Unit = {
       var e = edges
