@@ -301,10 +301,16 @@ object Dedup {
       .select(col("label"), col("vec_id"),
         V.asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", V.norm2(col("emb")))
+    // embd materialized before the 96 dot nodes: asDouble is an
+    // interpreted transform, and as a shared SUBTREE (not an
+    // attribute) it would re-cast the vector once per plane per row —
+    // see wordGrams for the general rule
     val banded = Tables.embeddings(s, d)
       .select(col("label"), col("vec_id"),
+        V.asDouble(col("embedding")).as("embd"))
+      .select(col("label"), col("vec_id"),
         posexplode(array((0 until bands).map { b =>
-          V.signSig(V.asDouble(col("embedding")), seedBase + b * r, r, dim)
+          V.signSig(col("embd"), seedBase + b * r, r, dim)
         }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
     val pairs = banded.as("a")

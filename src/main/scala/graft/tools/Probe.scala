@@ -92,6 +92,47 @@ object Probe {
           f"${(System.nanoTime() - t0) / 1e9}%.2f s, done=$done")
       }
     }
+    import graft.functions.{VectorFunctions => V2}
+    val emb0 = Tables.embeddings(spark, d)
+    time("emb banded sigs only") {
+      emb0.select(col("label"), col("vec_id"),
+          V2.asDouble(col("embedding")).as("embd"))
+        .select(col("label"), col("vec_id"),
+          posexplode(array((0 until 32).map { b =>
+            V2.signSig(col("embd"), 1000 + b * 3, 3, 64)
+          }: _*)))
+        .agg(count(lit(1))).collect()
+    }
+    time("emb banded sigs again") {
+      emb0.select(col("label"), col("vec_id"),
+          V2.asDouble(col("embedding")).as("embd"))
+        .select(col("label"), col("vec_id"),
+          posexplode(array((0 until 32).map { b =>
+            V2.signSig(col("embd"), 1000 + b * 3, 3, 64)
+          }: _*)))
+        .agg(count(lit(1))).collect()
+    }
+    time("d5 warm1") { graft.dedup.Dedup.d5EmbeddingDedup(spark, d).count() }
+    time("d5 warm2") { graft.dedup.Dedup.d5EmbeddingDedup(spark, d).count() }
+    time("d3 warm1") { graft.dedup.Dedup.d3Simhash(spark, d).count() }
+    time("d3 warm2") { graft.dedup.Dedup.d3Simhash(spark, d).count() }
+    import graft.functions.{TextFunctions => TF}
+    val docs0 = Tables.documents(spark, d).filter(col("text").isNotNull)
+    time("d3 sketch only") {
+      docs0.select(col("doc_id"),
+        TF.simhashText(col("text")).as("sh")).agg(count(lit(1))).collect()
+    }
+    time("d3 sketch again") {
+      docs0.select(col("doc_id"),
+        TF.simhashText(col("text")).as("sh")).agg(count(lit(1))).collect()
+    }
+    val d3df = graft.dedup.Dedup.d3Simhash(spark, d)
+    val plan = d3df.queryExecution.executedPlan.toString
+    println("[probe] d3 SimhashText nodes in plan: " +
+      "simhash_text".r.findAllIn(plan.toLowerCase).length)
+    println("[probe] d3 exchanges: " + "Exchange".r.findAllIn(plan).length +
+      " reused: " + "ReusedExchange".r.findAllIn(plan).length)
+    d3df.explain("formatted")
     val ep = time("d5 embeddingPairs count") {
       val p = graft.dedup.Dedup.embeddingPairs(spark, d)
         .select(col("id1").as("src"), col("id2").as("dst"))
