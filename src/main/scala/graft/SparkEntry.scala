@@ -36,6 +36,8 @@ object SparkEntry {
     "c5_mixture_balance" -> (operators.Curation.c5MixtureBalance _),
     "c6_curriculum_order" -> (operators.Curation.c6CurriculumOrder _),
     "c7_global_shuffle" -> (operators.Curation.c7GlobalShuffle _),
+    "c8_dsir" -> ((s: SparkSession, d: String) =>
+      operators.Curation.c8Dsir(s, d)),
     "x1_curation_pipeline" ->
       (operators.CurationPipeline.x1CurationPipeline _),
     "e1_embedding_quantize" -> (operators.Curation.e1EmbeddingQuantize _),
@@ -1416,6 +1418,38 @@ object SparkEntry {
         |SELECT doc_id, CAST(k AS BIGINT) AS shuffle_key,
         |  CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS pos
         |FROM sc ORDER BY pos""".stripMargin,
+    "c8_dsir" ->
+      """WITH tk AS (
+        |  SELECT doc_id, doc_id % 97 = 0 AS is_t,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |feats AS (
+        |  SELECT doc_id, is_t,
+        |    unnest(toks || list_transform(range(0, len(toks) - 1),
+        |      i -> toks[i+1] || ' ' || toks[i+2])) AS f
+        |  FROM tk),
+        |bf AS (
+        |  SELECT doc_id, is_t,
+        |    CAST(md5_number_lower(f) & 1023 AS BIGINT) AS b,
+        |    count(*) AS tf
+        |  FROM feats GROUP BY 1, 2, 3),
+        |cnt AS (
+        |  SELECT b,
+        |    sum(CASE WHEN is_t THEN tf ELSE 0 END) AS ct,
+        |    sum(CASE WHEN NOT is_t THEN tf ELSE 0 END) AS cr
+        |  FROM bf GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM cnt),
+        |lam AS (
+        |  SELECT b, CAST(floor(ln(((ct + 0.5) / (tt + 512.0)) /
+        |    ((cr + 0.5) / (tr + 512.0))) * 1048576.0 + 0.5) AS BIGINT) AS q
+        |  FROM cnt CROSS JOIN tot),
+        |w AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_feats,
+        |    CAST(sum(tf * q) AS BIGINT) AS wq
+        |  FROM bf JOIN lam USING (b) WHERE NOT is_t GROUP BY 1)
+        |SELECT doc_id, n_feats, round(wq / 1048576.0, 4) AS logratio,
+        |  wq > 0 AS keep
+        |FROM w ORDER BY doc_id""".stripMargin,
     "c6_curriculum_order" ->
       // the oracle IS the naive global window the distributed
       // prefix-sum formulation must reproduce exactly

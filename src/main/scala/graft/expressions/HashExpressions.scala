@@ -424,3 +424,32 @@ object ShingleHelper {
     new GenericArrayData(out)
   }
 }
+
+/** DuckDB-identical `md5_number_lower` bit pattern of a string, as a
+  * signed long — the cross-engine scalar hash for FEATURE BUCKETING
+  * (c8's hashed n-gram features): `md5lo64(s) & (B-1)` equals
+  * DuckDB's `md5_number_lower(s) & (B-1)` for power-of-two B, because
+  * a bitwise AND reads the low bits identically under both signs. */
+case class Md5Lo64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.expressions.Md5Helper.lo64($s);")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"md5lo64 needs string, got $t")
+    }
+  override def nullSafeEval(input: Any): Any =
+    Md5Helper.lo64(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(c: Expression): Md5Lo64 =
+    copy(child = c)
+}

@@ -92,6 +92,14 @@ object TextFunctions {
       graft.expressions.SimHash128(
         org.apache.spark.sql.graft.Bridge.expression(tokenCol)))
 
+  /** DuckDB-identical md5_number_lower of a string as a signed long
+    * (cross-engine feature-bucket hash; AND with a power-of-two mask
+    * for a bucket id that matches the oracle bit-for-bit). */
+  def md5Lo64(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Md5Lo64(
+        org.apache.spark.sql.graft.Bridge.expression(text)))
+
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

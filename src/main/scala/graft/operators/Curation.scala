@@ -423,4 +423,66 @@ object Curation {
       round(avg("c_acctbal"), 2).as("avg_bal"),
       countDistinct(col("c_nationkey")).as("nations"))
   }
+
+  /** C8: DSIR importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-like its HASHED N-GRAM features are —
+    * w(d) = Σ_b tf(d,b) · ln(p_target(b) / p_raw(b)) over B=1024
+    * md5-hashed buckets of unigrams+bigrams, with add-1/2 smoothing.
+    * The target is the held-out eval slice (doc_id % 97 == 0, d6's
+    * stand-in); `keep` = the paper's resampling acceptance reduced to
+    * its deterministic core (w > 0: the doc is likelier under the
+    * target distribution).
+    *
+    * Scale shape: ONE corpus scan builds the (doc, is_target, bucket,
+    * tf) frame; its aggregate exchange is REUSED by both consumers —
+    * the B-row bucket-distribution aggregate and the per-doc weight
+    * sum (t5's shared-tf-exchange pattern). The λ table is B rows and
+    * BROADCASTS. Per-bucket log-ratios are quantized to 2^20 fixed
+    * point (t12's trick), so the per-doc sum is an order-free exact
+    * long — associative, stays in whole-stage codegen, and matches
+    * the oracle bit-for-bit. No stage touches more than |corpus|
+    * feature rows; nothing is quadratic in anything. */
+  def c8Dsir(s: SparkSession, d: String, buckets: Int = 1024): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val mask = buckets - 1
+    require((buckets & mask) == 0, "buckets must be a power of two")
+    // features: unigrams + bigrams over the materialized token array
+    // (tokens projected before the gram lambda — see Dedup.wordGrams)
+    // is_t rides as an AGGREGATE output (max over the group), not a
+    // grouping key: a grouping-key predicate would push below the
+    // aggregate into the scan, splitting the shared subtree into two
+    // corpus scans (canonical inequality kills exchange reuse); a
+    // predicate on an aggregate result cannot push, so the weights
+    // branch's raw-only filter stays ABOVE the one shared exchange.
+    val bf = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), (col("doc_id") % 97 === 0).as("is_t"),
+        T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("is_t"),
+        explode(concat(col("toks"),
+          graft.dedup.Dedup.wordGrams(col("toks"), 2))).as("f"))
+      .select(col("doc_id"), col("is_t"),
+        T.md5Lo64(col("f")).bitwiseAND(lit(mask.toLong)).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(count(lit(1)).as("tf"), max(col("is_t")).as("is_t"))
+    val cnt = bf.groupBy("b").agg(
+      sum(when(col("is_t"), col("tf")).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), col("tf")).otherwise(0L)).as("cr"))
+    val tot = cnt.agg(sum("ct").as("tt"), sum("cr").as("tr"))
+    val half = buckets / 2.0
+    val lam = cnt.crossJoin(broadcast(tot))
+      .select(col("b"), floor(
+        log((col("ct") + 0.5) / (col("tt") + half) /
+          ((col("cr") + 0.5) / (col("tr") + half))) * 1048576.0 + 0.5)
+        .cast("long").as("q"))
+    bf.filter(!col("is_t"))
+      .join(broadcast(lam), Seq("b"))
+      .groupBy("doc_id").agg(sum("tf").as("n_feats"),
+        sum(col("tf") * col("q")).as("wq"))
+      .select(col("doc_id"), col("n_feats"),
+        round(col("wq") / 1048576.0, 4).as("logratio"),
+        (col("wq") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
 }

@@ -193,6 +193,13 @@ class PlanContractSpec extends AnyFunSuite {
       "range join degenerated to a nested loop")
   }
 
+  test("c8: ONE corpus feature scan — the (doc, bucket, tf) aggregate " +
+      "exchange feeds both the bucket distribution and the weights") {
+    val p = finalPlanNoBroadcast("c8_dsir")
+    assert(scanCount(p) == 1, s"expected 1 documents scan:\n$p")
+    assert(p.contains("ReusedExchange"), "bf exchange not reused")
+  }
+
   test("h16: both alignment sides run as as-of merge scans, " +
       "never a nested-loop overlap join") {
     val p = finalPlan("h16_temporal_align")
