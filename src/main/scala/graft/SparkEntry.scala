@@ -97,6 +97,8 @@ object SparkEntry {
     "d10_cc_stars" -> (graft.dedup.Dedup.d10CcStars _),
     "d11_cluster_maintain" -> (graft.dedup.Dedup.d11ClusterMaintain _),
     "d12_semdedup" -> (graft.dedup.Dedup.d12SemDedup _),
+    "d13_containment" -> ((s: SparkSession, d: String) =>
+      graft.dedup.Dedup.d13ContainmentJoin(s, d)),
     // Similarity search
     "s1_ann_bruteforce" -> (graft.similarity.Similarity.s1AnnBruteForce _),
     "s2_ann_lsh" -> (graft.similarity.Similarity.s2AnnLsh _),
@@ -1713,6 +1715,56 @@ object SparkEntry {
          |  (l.lbl IS NULL OR l.lbl = x.vec_id) AS keep
          |FROM embeddings x LEFT JOIN lbl l ON l.id = x.vec_id
          |ORDER BY x.vec_id""".stripMargin,
+    // d13's oracle mirrors the prefix-filter candidate generation
+    // (exact-recall: smaller side's rarest-⌊(1-t)n⌋+1 prefix must hit
+    // the partner's postings); the ≡-all-pairs bound is the
+    // PipelineSpec's job, same split as d4/d5. The prefix fraction is
+    // interpolated from the SAME Scala double the engine folds.
+    "d13_containment" ->
+      s"""WITH dt AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents WHERE text IS NOT NULL),
+         |dfreq AS (SELECT tok, count(*) AS df FROM dt GROUP BY 1),
+         |keyed AS (
+         |  SELECT doc_id, source, printf('%012d', df) || '|' || tok AS k
+         |  FROM dt JOIN dfreq USING (tok)),
+         |sorted AS (
+         |  SELECT doc_id, source, list_sort(list(k)) AS ks
+         |  FROM keyed GROUP BY doc_id, source),
+         |pre AS (
+         |  SELECT doc_id, source,
+         |    unnest(ks[1:CAST(floor(${1.0 - 0.9} * len(ks)) + 1 AS BIGINT)]) AS k
+         |  FROM sorted),
+         |cand AS (
+         |  SELECT DISTINCT least(p.doc_id, q.doc_id) AS id1,
+         |    greatest(p.doc_id, q.doc_id) AS id2
+         |  FROM pre p JOIN keyed q ON p.k = q.k AND p.source = q.source
+         |  WHERE p.doc_id <> q.doc_id),
+         |sets AS (
+         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+         |  FROM documents WHERE text IS NOT NULL),
+         |v AS (
+         |  SELECT id1, id2, len(a.ts) AS n1, len(b.ts) AS n2,
+         |    round(len(list_intersect(a.ts, b.ts))::DOUBLE /
+         |      least(len(a.ts), len(b.ts)), 3) AS containment
+         |  FROM cand JOIN sets a ON a.doc_id = cand.id1
+         |  JOIN sets b ON b.doc_id = cand.id2
+         |  WHERE round(len(list_intersect(a.ts, b.ts))::DOUBLE /
+         |      least(len(a.ts), len(b.ts)), 3) >= 0.9),
+         |ori AS (
+         |  SELECT CASE WHEN n1 < n2 OR (n1 = n2 AND id1 > id2)
+         |    THEN id1 ELSE id2 END AS doc_id,
+         |  CASE WHEN n1 < n2 OR (n1 = n2 AND id1 > id2)
+         |    THEN id2 ELSE id1 END AS container_id,
+         |  containment FROM v),
+         |best AS (
+         |  SELECT doc_id, container_id, containment,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY containment DESC, container_id ASC) AS rk
+         |  FROM ori)
+         |SELECT doc_id, container_id, containment FROM best
+         |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "d6_decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id,

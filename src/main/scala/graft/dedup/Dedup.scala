@@ -193,6 +193,102 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** D13: CONTAINMENT join — near-SUBSET detection: pairs where the
+    * smaller token set is ≥ 90% contained in the larger (C(A,B) =
+    * |A∩B| / min(|A|,|B|)), the truncation/quote/wrapper-page dup
+    * mode SYMMETRIC measures miss by construction: a 10-token doc
+    * inside a 100-token doc has containment 1.0 but Jaccard 0.1, so
+    * d2's minhash bands (recall curve centered on Jaccard 0.5)
+    * provably under-recall it — this operator needs a DIFFERENT
+    * candidate theory, not a threshold tweak.
+    *
+    * Candidates come from PREFIX FILTERING (Chaudhuri et al. 2006;
+    * Xiao et al. 2011 PPJoin), which is EXACT for containment: order
+    * every doc's tokens by ascending global document frequency
+    * (rarest first, ties by token); if C(A,B) ≥ t with |A| ≤ |B|,
+    * then A has at most ⌊(1-t)·|A|⌋ tokens outside B, so among A's
+    * first ⌊(1-t)·|A|⌋+1 ordered tokens at least one lies in B —
+    * probing the full inverted index with ONLY the small prefix
+    * cannot lose a qualifying pair (spec: prefix candidates ≡
+    * all-pairs on the corpus, plus the subset case bands miss).
+    *
+    * Scale shape: df aggregate + df-ordered per-doc token list (one
+    * collect+sort per doc, linear), prefix explode is ~(1-t)·|doc|
+    * tokens per doc, and the candidate join keys on (df|token) —
+    * rarest-first prefixes make the hot postings lists the SHORT
+    * ones, the published frequency-ordering trick that bounds join
+    * fan-out. Verification fetches token sets back by id for deduped
+    * candidates only (d4's slim-pair shape). No all-pairs stage at
+    * any size. */
+  def d13ContainmentJoin(s: SparkSession, d: String,
+      t: Double = 0.9): DataFrame =
+    containmentBest(Tables.documents(s, d), t)
+
+  /** The d13 body over an arbitrary (doc_id, source, text) frame —
+    * composable, and the spec feeds it the synthetic subset fixtures
+    * minhash banding provably misses. */
+  private[graft] def containmentBest(docsIn: DataFrame,
+      t: Double): DataFrame = {
+    val docs = docsIn.filter(col("text").isNotNull)
+    // scoped WITHIN source (d5's within-label precedent): the
+    // truncation/wrapper dup mode lives inside a crawl/domain, and the
+    // scope bounds within-bucket population the same way d5's label
+    // does — the candidate key is (source, rare-token), never a
+    // corpus-wide token alone
+    val dt = docs.select(col("doc_id"), col("source"),
+      explode(T.tokenSet(col("text"))).as("tok"))
+    val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
+    // sort key encodes (df, tok) as one string: identical lexicographic
+    // semantics in both engines, and the candidate join can key on it
+    // directly (same tok ⟺ same key, df is global)
+    val keyed = dt.join(dfreq, "tok")
+      .select(col("doc_id"), col("source"),
+        concat(lpad(col("df").cast("string"), 12, "0"), lit("|"),
+          col("tok")).as("k"))
+    val sorted = keyed.groupBy("doc_id", "source")
+      .agg(sort_array(collect_list(col("k"))).as("ks"))
+    val prefix = sorted
+      .select(col("doc_id"), col("source"), explode(slice(col("ks"), lit(1),
+        (floor(lit(1.0 - t) * size(col("ks"))) + 1).cast("int"))).as("k"))
+    val cand = prefix.as("p").join(keyed.as("q"),
+        col("p.k") === col("q.k") && col("p.source") === col("q.source") &&
+          col("p.doc_id") =!= col("q.doc_id"))
+      .select(least(col("p.doc_id"), col("q.doc_id")).as("id1"),
+        greatest(col("p.doc_id"), col("q.doc_id")).as("id2"))
+      .distinct()
+    val sets = docs.select(col("doc_id"), T.tokenSet(col("text")).as("ts"))
+    val pairs = cand
+      .join(sets.select(col("doc_id").as("id1"), col("ts").as("t1")),
+        Seq("id1"))
+      .join(sets.select(col("doc_id").as("id2"), col("ts").as("t2")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"),
+        size(col("t1")).as("n1"), size(col("t2")).as("n2"),
+        round(
+          size(array_intersect(col("t1"), col("t2"))).cast("double") /
+            least(size(col("t1")), size(col("t2"))), 3).as("containment"))
+      .filter(col("containment") >= t)
+    // report the ACTIONABLE frame, not the (fixture-quadratic) pair
+    // list: per CONTAINED doc (the smaller set; ties by larger id),
+    // its best container (max containment, then min id) — the row a
+    // dedup pass drops. Output is ≤ one row per doc at any scale.
+    val oriented = pairs.select(
+      when(col("n1") < col("n2") ||
+        (col("n1") === col("n2") && col("id1") > col("id2")), col("id1"))
+        .otherwise(col("id2")).as("doc_id"),
+      when(col("n1") < col("n2") ||
+        (col("n1") === col("n2") && col("id1") > col("id2")), col("id2"))
+        .otherwise(col("id1")).as("container_id"),
+      col("containment"))
+    oriented
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(col("containment").desc, col("container_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("container_id"), col("containment"))
+      .orderBy("doc_id")
+  }
+
   /** D6: benchmark decontamination — flag training documents that
     * overlap an evaluation set by shared word n-grams, the standard
     * pretraining hygiene step (GPT-3's appendix uses 13-gram overlap;

@@ -100,6 +100,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(found.nonEmpty)
   }
 
+  test("d13 prefix filtering is EXACT: equals the all-pairs " +
+      "within-source containment truth") {
+    import graft.functions.{TextFunctions => T}
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"), T.tokenSet(col("text")).as("ts"))
+    val truth = docs.select(col("doc_id").as("id1"),
+        col("source").as("s1"), col("ts").as("t1"))
+      .crossJoin(docs.select(col("doc_id").as("id2"),
+        col("source").as("s2"), col("ts").as("t2")))
+      .filter(col("id1") < col("id2") && col("s1") === col("s2"))
+      .select(col("id1"), col("id2"),
+        size(col("t1")).as("n1"), size(col("t2")).as("n2"),
+        round(size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          least(size(col("t1")), size(col("t2"))), 3).as("containment"))
+      .filter(col("containment") >= 0.9)
+      .select(
+        when(col("n1") < col("n2") ||
+          (col("n1") === col("n2") && col("id1") > col("id2")), col("id1"))
+          .otherwise(col("id2")).as("doc_id"),
+        when(col("n1") < col("n2") ||
+          (col("n1") === col("n2") && col("id1") > col("id2")), col("id2"))
+          .otherwise(col("id1")).as("container_id"),
+        col("containment"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("containment").desc, col("container_id").asc)))
+      .filter(col("rk") === 1).drop("rk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = dedup.Dedup.d13ContainmentJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == truth,
+      s"missed ${(truth -- got).size} / extra ${(got -- truth).size}")
+    assert(got.nonEmpty)
+  }
+
+  test("d13 catches the asymmetric subset pair minhash banding misses") {
+    import spark.implicits._
+    // A = 10 rare tokens, B = A plus 90 fillers: containment 1.0 but
+    // token jaccard 0.1 and shingle jaccard ~0.1 — far below d2's 0.5
+    // design point, so the band generator is EXPECTED to miss it while
+    // the prefix filter must find it.
+    val aToks = (0 until 10).map(i => s"rare$i")
+    val bToks = aToks ++ (0 until 90).map(i => s"filler$i")
+    val docs = Seq(
+      (1L, "s", aToks.mkString(" ")),
+      (2L, "s", bToks.mkString(" ")),
+      (3L, "s", (0 until 50).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = dedup.Dedup.containmentBest(docs, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)),
+      s"expected the contained doc 1 -> container 2, got ${got.toSeq}")
+    // and the minhash band generator indeed does not pair them (the
+    // reason d13 exists as a separate operator)
+    val banded = dedup.Dedup.minhashPairs(docs).collect()
+    assert(!banded.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "fixture no longer demonstrates the band miss — adjust sizes")
+  }
+
   test("d5 banded LSH output equals the all-pairs within-label formulation") {
     import graft.functions.{VectorFunctions => V}
     val e = Tables.embeddings(spark, sf)
