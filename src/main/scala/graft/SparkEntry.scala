@@ -106,6 +106,8 @@ object SparkEntry {
     "s6_ann_recall" -> (graft.similarity.Similarity.s6AnnRecall _),
     "s4_pq_encode" -> (graft.similarity.Similarity.s4PqEncode _),
     "s7_two_stage" -> (graft.similarity.Similarity.s7TwoStage _),
+    "s8_mmr_diversify" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.s8MmrDiversify(s, d)),
     "s5_kmeans_refine" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s5KmeansRefine(s, d)),
     // Text analysis
@@ -298,6 +300,64 @@ object SparkEntry {
       | FROM embeddings q CROSS JOIN embeddings c
       | WHERE q.vec_id < 10 AND c.vec_id >= 10)
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** s8's oracle: the same greedy MMR unrolled as m SQL rounds over
+    * the s1 shortlist — integer thousandth-quantized rel/sims (the
+    * floor(x·1000+0.5) house rounding), exact integer scores, c_id
+    * tie-break. Shared CTEs are MATERIALIZED: the round chain
+    * references each selall twice and DuckDB inlining would re-derive
+    * the shortlist exponentially (the d8 gotcha). */
+  private lazy val s8MmrSql: String = {
+    val m = 5
+    val lcs = "list_cosine_similarity"
+    val rounds = (2 to m).map { r =>
+      s"""pool$r AS MATERIALIZED (
+         |  SELECT sh.q_id, sh.c_id, sh.reli FROM short sh
+         |  LEFT JOIN selall${r - 1} s ON sh.q_id = s.q_id AND sh.c_id = s.c_id
+         |  WHERE s.c_id IS NULL),
+         |sc$r AS MATERIALIZED (
+         |  SELECT p.q_id, p.c_id, 700 * p.reli - 300 * max(ms.simi) AS si
+         |  FROM pool$r p
+         |  JOIN sims ms ON ms.q_id = p.q_id AND ms.i = p.c_id
+         |  JOIN selall${r - 1} s ON s.q_id = ms.q_id AND s.c_id = ms.j
+         |  GROUP BY p.q_id, p.c_id, p.reli),
+         |sel$r AS MATERIALIZED (
+         |  SELECT q_id, c_id, CAST($r AS BIGINT) AS sel_rank, si FROM (
+         |    SELECT q_id, c_id, si, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY si DESC, c_id ASC) AS rk FROM sc$r)
+         |  WHERE rk = 1),
+         |selall$r AS MATERIALIZED (
+         |  SELECT * FROM selall${r - 1} UNION ALL SELECT * FROM sel$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH short AS MATERIALIZED (
+       |  SELECT q_id, c_id, reli, c_emb FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       |      CAST(floor(round($lcs(q.embedding::DOUBLE[],
+       |        c.embedding::DOUBLE[]), 3) * 1000 + 0.5) AS BIGINT) AS reli,
+       |      c.embedding::DOUBLE[] AS c_emb,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round($lcs(q.embedding::DOUBLE[],
+       |          c.embedding::DOUBLE[]), 3) DESC, c.vec_id ASC) AS rank
+       |    FROM embeddings q CROSS JOIN embeddings c
+       |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+       |  WHERE rank <= 10),
+       |sims AS MATERIALIZED (
+       |  SELECT a.q_id, a.c_id AS i, b.c_id AS j,
+       |    CAST(floor($lcs(a.c_emb, b.c_emb) * 1000 + 0.5) AS BIGINT) AS simi
+       |  FROM short a JOIN short b
+       |    ON a.q_id = b.q_id AND a.c_id <> b.c_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT q_id, c_id, CAST(1 AS BIGINT) AS sel_rank,
+       |    700 * reli AS si FROM (
+       |    SELECT q_id, c_id, reli, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY reli DESC, c_id ASC) AS rk FROM short)
+       |  WHERE rk = 1),
+       |selall1 AS MATERIALIZED (SELECT * FROM sel1),
+       |$rounds
+       |SELECT q_id, sel_rank, c_id, si / 1000000.0 AS score
+       |FROM selall$m ORDER BY q_id, sel_rank""".stripMargin
+  }
 
   /** s2's LSH oracle (bucketing replayed from the driver-folded plane
     * literals) — also the approximate side of s6. */
@@ -1799,6 +1859,7 @@ object SparkEntry {
         |FROM (SELECT spans.*, shared.n_docs FROM spans JOIN shared USING (h)) s
         |ORDER BY doc_id, chunk_idx, h""".stripMargin,
     "s1_ann_bruteforce" -> s1AnnSql,
+    "s8_mmr_diversify" -> s8MmrSql,
     "t2_quality_score" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

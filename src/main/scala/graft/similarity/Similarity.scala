@@ -259,6 +259,71 @@ object Similarity {
     * work lives inside s1/s2 with their broadcast shapes. recall is
     * an exact n/k fraction (both engines compute it in float64 from
     * small ints — no rounding needed). */
+  case class MmrCand(q_id: Long, c_id: Long, reli: Long, emb: Array[Double])
+  case class MmrPick(q_id: Long, sel_rank: Long, c_id: Long, score: Double)
+
+  /** S8: MMR-DIVERSIFIED retrieval (Carbonell & Goldstein 1998,
+    * "maximal marginal relevance") — the de-duplicating re-rank a
+    * curation pipeline runs over an ANN shortlist so the m examples
+    * it keeps per query aren't m copies of the same neighborhood:
+    * greedily pick argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c,s).
+    *
+    * Scale shape: the corpus-sized work is the SHORTLIST (s1's
+    * broadcast brute force here; any ANN variant drops in); MMR then
+    * touches only K rows per query — one shuffle of the shortlist by
+    * q_id and a K²-sim greedy fold INSIDE each group. The fold is
+    * inherently sequential-greedy (each pick conditions the next), so
+    * a `flatMapGroups` is the honest implementation — the same
+    * justification as the multimodal codec, not a missed Catalyst
+    * formulation. Determinism across engines: rel and pairwise sims
+    * quantize to integer thousandths with floor(x·1000 + 0.5) (the
+    * house half-tie-free rounding), the MMR score is the exact
+    * integer 700·rel − 300·maxsim, and ties break on c_id — the
+    * oracle unrolls the same m rounds in SQL. */
+  def s8MmrDiversify(s: SparkSession, d: String, kShort: Int = 10,
+      m: Int = 5): DataFrame = {
+    import s.implicits._
+    val short = corpus(s, d).join(broadcast(queries(s, d)))
+      .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= kShort)
+      .select(col("q_id"), col("c_id"),
+        floor(col("cos3") * 1000 + 0.5).cast("long").as("reli"),
+        V.asDouble(col("c_emb")).as("emb"))
+      .as[MmrCand]
+    short.groupByKey(_.q_id).flatMapGroups { (q, it) =>
+      val cands = it.toArray.sortBy(c => (-c.reli, c.c_id))
+      def simi(a: Array[Double], b: Array[Double]): Long = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+        }
+        math.floor(dot / math.sqrt(na * nb) * 1000 + 0.5).toLong
+      }
+      val selected = scala.collection.mutable.ArrayBuffer[MmrCand]()
+      val out = scala.collection.mutable.ArrayBuffer[MmrPick]()
+      var rank = 1L
+      while (rank <= m && selected.size < cands.length) {
+        var best: MmrCand = null
+        var bestScore = Long.MinValue
+        for (c <- cands if !selected.exists(_.c_id == c.c_id)) {
+          val maxSim =
+            if (selected.isEmpty) 0L
+            else selected.map(p => simi(c.emb, p.emb)).max
+          val score = 700L * c.reli - 300L * maxSim
+          if (score > bestScore ||
+              (score == bestScore && c.c_id < best.c_id)) {
+            best = c; bestScore = score
+          }
+        }
+        selected += best
+        out += MmrPick(q, rank, best.c_id, bestScore / 1000000.0)
+        rank += 1
+      }
+      out
+    }.toDF().orderBy("q_id", "sel_rank")
+  }
+
   def s6AnnRecall(s: SparkSession, d: String): DataFrame = {
     val exact = s1AnnBruteForce(s, d).select(col("q_id"), col("c_id"))
     val approx = s2AnnLsh(s, d).select(col("q_id"), col("c_id"))

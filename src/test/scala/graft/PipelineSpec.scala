@@ -199,6 +199,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(agree >= s3top.length / 2, s"IVF top-1 agreement too low: $agree/${s3top.length}")
   }
 
+  test("s8 MMR picks are a diversity-improving re-rank of the " +
+      "shortlist: first pick = top-1, and mean pairwise sim of the " +
+      "picked set never exceeds plain top-5's") {
+    import graft.functions.{VectorFunctions => V}
+    val bf = similarity.Similarity.s1AnnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mmr = similarity.Similarity.s8MmrDiversify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(mmr.nonEmpty && mmr.groupBy(_._1).forall(_._2.length == 5))
+    // rank-1 of MMR is the relevance argmax = brute force top-1
+    val top1 = bf.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    mmr.filter(_._2 == 1L).foreach { case (q, _, c) =>
+      assert(top1(q) == c, s"q=$q first MMR pick is not top-1")
+    }
+    // diversity: avg pairwise cosine within picked set <= within top-5
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), V.asDouble(col("embedding")).as("e"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i) }
+      d / math.sqrt(na * nb)
+    }
+    def meanPairSim(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- i + 1 until ids.size)
+        yield cos(emb(ids(i)), emb(ids(j)))
+      ps.sum / ps.size
+    }
+    for (q <- mmr.map(_._1).distinct) {
+      val m5 = meanPairSim(mmr.filter(_._1 == q).map(_._3).toSeq)
+      val t5 = meanPairSim(bf.filter(_._1 == q).map(_._3).toSeq)
+      assert(m5 <= t5 + 1e-9, s"q=$q MMR set less diverse: $m5 > $t5")
+    }
+  }
+
   test("s2 multi-probe recall@5 vs brute force beats a third") {
     // this corpus's true top-5 neighbors sit at cos <= 0.48, where a
     // 4-plane signature agrees fully with prob ~0.16 and within one
