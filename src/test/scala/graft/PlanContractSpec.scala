@@ -200,6 +200,30 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("ReusedExchange"), "bf exchange not reused")
   }
 
+  test("d13: candidate and verification stages are hash joins with " +
+      "WindowGroupLimit pruning — no cartesian anywhere") {
+    val p = finalPlan("d13_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "containment join degenerated to a cross product")
+    assert(p.contains("WindowGroupLimit"),
+      "best-container rank not pruned before the full window")
+    // per-doc token lists build through a hash-based object aggregate,
+    // never a sort aggregate
+    assert(!p.contains("SortAggregate"), "collect_list fell to sort agg")
+  }
+
+  test("s8: shortlist prunes to K rows per query BEFORE the single " +
+      "group shuffle; corpus itself never hash-shuffles") {
+    val p = finalPlan("s8_mmr_diversify")
+    assert(p.contains("WindowGroupLimit"), "shortlist not group-limited")
+    assert(p.contains("MapGroups"), "greedy fold not a grouped map")
+    // only the shortlist's q_id exchange and the output ordering range
+    // exchange may shuffle — the corpus reaches the join via broadcast
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 2, s"unexpected corpus shuffle:\n$p")
+  }
+
   test("h16: both alignment sides run as as-of merge scans, " +
       "never a nested-loop overlap join") {
     val p = finalPlan("h16_temporal_align")
