@@ -15,6 +15,22 @@ object Probe {
       println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    // generic mode: PROBE_QUERIES=name1,name2 times each registered
+    // query (cold, then warm) on SPARK_GRAFT_SF_DIR
+    sys.env.get("PROBE_QUERIES").foreach { qs =>
+      Tables.documents(spark, d).count()
+      Tables.embeddings(spark, d).count()
+      qs.split(",").foreach { name =>
+        time(s"$name cold") {
+          graft.SparkEntry.queries(name)(spark, d).count()
+        }
+        time(s"$name warm") {
+          graft.SparkEntry.queries(name)(spark, d).count()
+        }
+      }
+      spark.stop(); return
+    }
+
     // warm the JVM/codegen paths once
     Tables.documents(spark, d).count()
     Tables.embeddings(spark, d).count()
