@@ -48,6 +48,7 @@ object SparkEntry {
     "o3_expectations" -> (operators.Curation.o3Expectations _),
     "o4_heavy_hitters" -> ((s: SparkSession, d: String) =>
       operators.Curation.o4HeavyHitters(s, d)),
+    "o5_source_report" -> (operators.Curation.o5SourceReport _),
     "n1_nested_flatten" -> (operators.Nested.n1NestedFlatten _),
     // ETL / history
     "h1_snapshot_history" -> (History.h1SnapshotHistory _),
@@ -583,30 +584,12 @@ object SparkEntry {
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
          |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
-    "d8_dup_clusters" -> {
-      // min-label propagation unrolled to the same 4 rounds the
-      // engine runs (spec proves 4 rounds converge on this corpus)
-      val rounds = (1 to 4).map { i =>
-        // MATERIALIZED: each round reads l{i-1} twice; inlined, the
-        // chain re-evaluates the full minhash body exponentially and
-        // OOMs DuckDB at sf0.1
-        s"""l$i AS MATERIALIZED (
-           |  SELECT l.id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
-           |  FROM l${i - 1} l
-           |  LEFT JOIN e ON e.u = l.id
-           |  LEFT JOIN l${i - 1} n ON n.id = e.v
-           |  GROUP BY l.id, l.lbl)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH pairs AS MATERIALIZED (SELECT id1, id2 FROM ($d2MinhashSql)),
-         |e AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM pairs
-         |      UNION ALL SELECT id2, id1 FROM pairs),
-         |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM e),
-         |$rounds
-         |SELECT d.doc_id, coalesce(l4.lbl, d.doc_id) AS cluster,
-         |  l4.lbl IS NOT NULL AS in_dup_set
-         |FROM documents d LEFT JOIN l4 ON l4.id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin
-    },
+    // d8 now runs EXACT components (the adaptive union-find /
+    // star-contraction entry), so its oracle is the same transitive
+    // closure as d10/d11 — the former 4-round unrolled propagation
+    // oracle encoded the old engine's fixed-round semantics and
+    // diverged at sf0.1 where 4 rounds had not converged.
+    "d8_dup_clusters" -> ccExactSql,
     "d10_cc_stars" -> ccExactSql,
     // d11 maintains the map incrementally (batch folded into a
     // persisted corpus map); the oracle recomputes the SAME exact
@@ -1548,6 +1531,25 @@ object SparkEntry {
         | round(avg(c_acctbal),2) AS avg_bal,
         | count(DISTINCT c_nationkey) AS nations
         |FROM customer""".stripMargin,
+    "o5_source_report" ->
+      """WITH p AS (
+        |  SELECT source, lang, md5(text) AS h,
+        |    CAST(length(text) AS BIGINT) AS len,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','of','and','to','in','is'], x)))
+        |      AS BIGINT) AS n_stop,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+        |      AS BIGINT) AS n_punct
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT h) AS n_distinct_texts,
+        |  round(sum(len)::DOUBLE / count(*), 2) AS avg_len,
+        |  round(sum(n_stop)::DOUBLE / sum(n_toks), 6) AS stop_share,
+        |  round(sum(n_punct)::DOUBLE / sum(len), 6) AS punct_share,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
     "o4_heavy_hitters" ->
       """WITH tf AS (
         |  SELECT source, term, count(*) AS cnt FROM (

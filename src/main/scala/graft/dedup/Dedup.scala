@@ -256,7 +256,11 @@ object Dedup {
       .select(least(col("p.doc_id"), col("q.doc_id")).as("id1"),
         greatest(col("p.doc_id"), col("q.doc_id")).as("id2"))
       .distinct()
-    val sets = docs.select(col("doc_id"), T.tokenSet(col("text")).as("ts"))
+    // verify on the ALREADY-BUILT sorted key arrays: k = df|tok is a
+    // bijection of the token, so |∩| and sizes over ks equal those
+    // over the raw token sets — no second corpus tokenization, two
+    // fewer scans
+    val sets = sorted.select(col("doc_id"), col("ks").as("ts"))
     val pairs = cand
       .join(sets.select(col("doc_id").as("id1"), col("ts").as("t1")),
         Seq("id1"))

@@ -424,6 +424,48 @@ object Curation {
       countDistinct(col("c_nationkey")).as("nations"))
   }
 
+  /** O5: per-SOURCE dataset report — the "dataset card" aggregate a
+    * curation run publishes per corpus slice: volume, exact distinct
+    * text count (dup pressure), length/stopword/punctuation profile,
+    * language spread. Determinism without ordered folds: every ratio
+    * is derived from EXACT INTEGER bases (char counts, token counts,
+    * stopword hits, punct hits summed as longs — associative), so the
+    * division happens once per source on identical operands in both
+    * engines. One corpus scan into one \|sources\|-row aggregate with
+    * map-side partials; nothing else shuffles. */
+  def o5SourceReport(s: SparkSession, d: String): DataFrame = {
+    val toks = col("toks")
+    val stopArr = array(graft.text.TextAnalysis.stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .filter(col("text").isNotNull)
+      .select(col("source"), col("lang"), col("text"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("source"), col("lang"),
+        md5(col("text")).as("h"),
+        length(col("text")).cast("long").as("len"),
+        size(toks).cast("long").as("n_toks"),
+        size(filter(toks, t => array_contains(stopArr, t)))
+          .cast("long").as("n_stop"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .cast("long").as("n_punct"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct_texts"),
+        sum("len").as("sum_len"), sum("n_toks").as("sum_toks"),
+        sum("n_stop").as("sum_stop"), sum("n_punct").as("sum_punct"),
+        countDistinct(col("lang")).as("n_langs"))
+      .select(col("source"), col("n_docs"), col("n_distinct_texts"),
+        round(col("sum_len").cast("double") / col("n_docs"), 2)
+          .as("avg_len"),
+        round(col("sum_stop").cast("double") / col("sum_toks"), 6)
+          .as("stop_share"),
+        round(col("sum_punct").cast("double") / col("sum_len"), 6)
+          .as("punct_share"),
+        col("n_langs"))
+      .orderBy("source")
+  }
+
   /** C8: DSIR importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every raw
     * document by how target-like its HASHED N-GRAM features are —

@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[graft] val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Marker profiles per language for the n-gram/stopword heuristic.
     * (Synthetic corpus: profiles are small, deterministic sets.) */
