@@ -80,6 +80,8 @@ object SparkEntry {
       graft.text.TextAnalysis.t10LineFilter(s, d)),
     "t13_boilerplate" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t13Boilerplate(s, d)),
+    "t14_bpe_merges" -> ((s: SparkSession, d: String) =>
+      graft.text.TextAnalysis.t14BpeMerges(s, d)),
     "t11_perplexity" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t11Perplexity(s, d)),
     "t12_bm25" -> ((s: SparkSession, d: String) =>
@@ -999,6 +1001,48 @@ object SparkEntry {
         |SELECT gram, df, round(df::DOUBLE / total, 6) AS share
         |FROM df CROSS JOIN t
         |ORDER BY df DESC, gram LIMIT 20""".stripMargin,
+    // t14: the 3 BPE rounds replayed — pair counts, deterministic
+    // top-1, and the SAME greedy left-to-right non-overlap fold
+    // (list_reduce over singleton lists with a prepended empty
+    // accumulator ≡ Spark's aggregate lambda). MATERIALIZED per
+    // round: each tN feeds both the next counts and the next fold.
+    "t14_bpe_merges" -> {
+      val fold =
+        """list_reduce(
+          |    list_prepend(CAST([] AS VARCHAR[]),
+          |      list_transform(toks, t -> [t])),
+          |    (acc, x) -> CASE
+          |      WHEN len(acc) > 0 AND acc[-1] = l AND x[1] = r
+          |      THEN acc[1:len(acc)-1] || [l || r]
+          |      ELSE acc || x END)""".stripMargin
+      def pc(i: Int) =
+        s"""pc$i AS MATERIALIZED (
+           |  SELECT p.l AS l, p.r AS r, count(*) AS freq FROM (
+           |    SELECT unnest(list_transform(range(0, len(toks) - 1),
+           |      i -> {'l': toks[i+1], 'r': toks[i+2]})) AS p FROM t${i - 1})
+           |  GROUP BY 1, 2),
+           |r$i AS MATERIALIZED (
+           |  SELECT l, r, freq FROM pc$i
+           |  ORDER BY freq DESC, l, r LIMIT 1)""".stripMargin
+      def tn(i: Int) =
+        s"""t$i AS MATERIALIZED (
+           |  SELECT $fold AS toks
+           |  FROM t${i - 1} CROSS JOIN r$i)""".stripMargin
+      s"""WITH t0 AS MATERIALIZED (
+         |  SELECT string_split(text, ' ') AS toks FROM documents
+         |  WHERE text IS NOT NULL),
+         |${pc(1)},
+         |${tn(1)},
+         |${pc(2)},
+         |${tn(2)},
+         |${pc(3)}
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, l AS "left", r AS "right",
+         |    freq FROM r1
+         |  UNION ALL SELECT 2, l, r, freq FROM r2
+         |  UNION ALL SELECT 3, l, r, freq FROM r3)
+         |ORDER BY round""".stripMargin
+    },
     "t11_perplexity" ->
       """WITH tf0 AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -453,3 +453,60 @@ case class Md5Lo64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Md5Lo64 =
     copy(child = c)
 }
+
+/** Static loop target for [[BpeMergeApply]] codegen. */
+object BpeHelper {
+  def merge(toks: ArrayData, l: UTF8String, r: UTF8String): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Any](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      if (m > 0 && l.equals(out(m - 1)) && t != null && t.equals(r))
+        out(m - 1) = UTF8String.concat(l, r)
+      else { out(m) = t; m += 1 }
+      i += 1
+    }
+    if (m == n) new GenericArrayData(out)
+    else new GenericArrayData(java.util.Arrays.copyOf(
+      out.asInstanceOf[Array[AnyRef]], m))
+  }
+}
+
+/** Greedy LEFT-TO-RIGHT non-overlapping BPE pair merge: every
+  * adjacent (l, r) in `toks` becomes the single token l||r; the
+  * merged token cannot chain as the left of another merge in the
+  * same pass (it no longer equals l). Bit-identical to the
+  * interpreted `aggregate` fold (spec-asserted) and to DuckDB's
+  * `list_reduce` formulation in the t14 oracle — one tight loop, one
+  * output array, no per-element accumulator copies (the HOF fold
+  * reallocates the accumulator per token: O(n²) copies per doc). */
+case class BpeMergeApply(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = first.dataType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(StringType, _), StringType, StringType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"bpe_merge_apply needs (array<string>, string, string), got $t")
+    }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, l, r) =>
+      s"${ev.value} = graft.expressions.BpeHelper.merge($a, $l, $r);")
+
+  override def nullSafeEval(a: Any, l: Any, r: Any): Any =
+    BpeHelper.merge(a.asInstanceOf[ArrayData],
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): BpeMergeApply = copy(f, s, t)
+}

@@ -92,6 +92,16 @@ object TextFunctions {
       graft.expressions.SimHash128(
         org.apache.spark.sql.graft.Bridge.expression(tokenCol)))
 
+  /** Native greedy left-to-right non-overlap BPE pair merge (t14's
+    * per-round apply step); ≡ the interpreted aggregate fold,
+    * spec-asserted. */
+  def bpeMergeApply(toks: Column, l: Column, r: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.BpeMergeApply(
+        org.apache.spark.sql.graft.Bridge.expression(toks),
+        org.apache.spark.sql.graft.Bridge.expression(l),
+        org.apache.spark.sql.graft.Bridge.expression(r)))
+
   /** DuckDB-identical md5_number_lower of a string as a signed long
     * (cross-engine feature-bucket hash; AND with a power-of-two mask
     * for a bucket id that matches the oracle bit-for-bit). */

@@ -378,4 +378,77 @@ object TextAnalysis {
         round(col("df").cast("double") / col("total"), 6).as("share"))
       .orderBy(col("df").desc, col("gram")).limit(k)
   }
+
+  /** T14: BPE MERGE-RULE MINING — the core loop of tokenizer training
+    * (Sennrich et al. 2016), distributed: per round, count adjacent
+    * token pairs over the whole corpus (one hash aggregate with
+    * map-side combine), take the most frequent pair (freq desc, then
+    * lexicographic — deterministic), and apply it everywhere as a
+    * greedy LEFT-TO-RIGHT non-overlapping merge before the next
+    * round. The merge is a pure map: the single winning rule rides a
+    * broadcast cross join, and the fold's "replace the last element
+    * when it equals `left` and the current equals `right`" is
+    * non-overlapping by construction (the merged token no longer
+    * equals `left`). k rounds = k corpus aggregates — the honest
+    * distributed formulation of the k-pass training loop (single-node
+    * trainers incrementalize with a heap; the per-round aggregate is
+    * what shards). Output: the mined rules (round, left, right, freq)
+    * — vocabulary-sized, not corpus-sized.
+    *
+    * Both engines run the IDENTICAL fold (Spark `aggregate` lambda ≡
+    * DuckDB `list_reduce`), so round-2+ counts — which depend on
+    * round-1's applied merge — hash-check exactly. */
+  def t14BpeMerges(s: SparkSession, d: String,
+      rounds: Int = 3): DataFrame = {
+    // toks materialized before every lambda — see Dedup.wordGrams
+    def pairCounts(df: DataFrame): DataFrame = {
+      val toks = col("toks")
+      df.select(explode(transform(sequence(lit(0), size(toks) - 2, lit(1)),
+          i => struct(element_at(toks, i + 1).as("l"),
+            element_at(toks, i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("freq"))
+    }
+    def top1(counts: DataFrame): DataFrame =
+      counts.orderBy(col("freq").desc, col("l"), col("r")).limit(1)
+    def applyRule(df: DataFrame): DataFrame =
+      df.select(
+        T.bpeMergeApply(col("toks"), col("l"), col("r")).as("toks"))
+    t14Rounds(rounds, pairCounts, top1, applyRule,
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(T.tokens(col("text")).as("toks")))
+  }
+
+  /** Reference HOF form of the t14 merge step — interpreted aggregate
+    * fold, used only by the equivalence spec. */
+  private[graft] def bpeMergeFoldHof(toks: Column, l: Column,
+      r: Column): Column =
+    aggregate(toks,
+      array().cast("array<string>"),
+      (acc, t) => when(
+        size(acc) > 0 && element_at(acc, -1) === l && t === r,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(concat(l, r))))
+        .otherwise(concat(acc, array(t))))
+
+  private def t14Rounds(rounds: Int,
+      pairCounts: DataFrame => DataFrame,
+      top1: DataFrame => DataFrame,
+      applyRule: DataFrame => DataFrame,
+      initial: DataFrame): DataFrame = {
+    var cur = initial
+    var out: DataFrame = null
+    for (round <- 1 to rounds) {
+      val rule = top1(pairCounts(cur))
+        .select(col("l"), col("r"), col("freq"))
+        .localCheckpoint(true)
+      val row = rule
+        .select(lit(round.toLong).as("round"), col("l").as("left"),
+          col("r").as("right"), col("freq"))
+      out = if (out == null) row else out.union(row)
+      if (round < rounds) cur = applyRule(cur.crossJoin(broadcast(rule)))
+        .localCheckpoint(true)
+    }
+    out.orderBy("round")
+  }
 }

@@ -214,6 +214,42 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("native bpe_merge_apply equals the HOF fold on the corpus " +
+      "and on chain/edge fixtures") {
+    import graft.functions.{TextFunctions => T}
+    import spark.implicits._
+    // corpus: merge the actual round-1 winning pair everywhere
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(T.tokens(col("text")).as("toks"))
+      .crossJoin(broadcast(Seq(("value", "table")).toDF("l", "r")))
+    val rows = docs.select(
+      T.bpeMergeApply(col("toks"), col("l"), col("r")).as("native"),
+      graft.text.TextAnalysis.bpeMergeFoldHof(
+        col("toks"), col("l"), col("r")).as("hof")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    // edge shapes: overlap chain (a a a), pair at ends, no match,
+    // empty and single-token arrays
+    val edge = Seq(
+      (Seq("a", "a", "a"), "a", "a"),
+      (Seq("a", "b", "a", "b"), "a", "b"),
+      (Seq("x"), "a", "b"),
+      (Seq.empty[String], "a", "b"),
+      (Seq("b", "a"), "a", "b"))
+      .toDF("toks", "l", "r")
+    val er = edge.select(
+      T.bpeMergeApply(col("toks"), col("l"), col("r")).as("native"),
+      graft.text.TextAnalysis.bpeMergeFoldHof(
+        col("toks"), col("l"), col("r")).as("hof")).collect()
+    er.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1))
+    }
+    // the canonical non-overlap check: [a,a,a] + (a,a) -> [aa, a]
+    assert(er.head.getSeq[String](0) == Seq("aa", "a"))
+  }
+
   test("native struct_field_sum equals the HOF fold bit-for-bit") {
     import spark.implicits._
     import graft.functions.{VectorFunctions => V}
