@@ -268,8 +268,11 @@ object Dedup {
         Seq("id2"))
       .select(col("id1"), col("id2"),
         size(col("t1")).as("n1"), size(col("t2")).as("n2"),
+        // ks arrays are sorted distinct sets by construction, so the
+        // native linear-merge count replaces the per-pair hash-set
+        // array_intersect (spec-asserted equal)
         round(
-          size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          T.sortedIntersectCount(col("t1"), col("t2")).cast("double") /
             least(size(col("t1")), size(col("t2"))), 3).as("containment"))
       .filter(col("containment") >= t)
     // report the ACTIONABLE frame, not the (fixture-quadratic) pair

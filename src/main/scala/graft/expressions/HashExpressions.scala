@@ -510,3 +510,55 @@ case class BpeMergeApply(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(f: Expression,
       s: Expression, t: Expression): BpeMergeApply = copy(f, s, t)
 }
+
+/** Static loop target for [[SortedIntersectCount]] codegen. */
+object SortedIntersectHelper {
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val x = a.getUTF8String(i); val y = b.getUTF8String(j)
+      val cmp = x.compareTo(y)
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
+/** Intersection SIZE of two SORTED string arrays via a linear merge —
+  * the d13 verification hot path. `array_intersect` builds a hash set
+  * per call in interpreted eval; candidate verification runs one call
+  * per candidate pair, and the inputs (the per-doc sorted key arrays)
+  * are already sorted, so the merge does the same set-semantics count
+  * (inputs are de-duplicated sets by construction) in one pass with
+  * zero allocation. Callers MUST pass sorted, distinct arrays —
+  * that's the producer's contract (sort_array over a token SET). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"sorted_intersect_count needs two array<string>, got $t")
+    }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.SortedIntersectHelper.count($a, $b);")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectHelper.count(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SortedIntersectCount = copy(l, r)
+}

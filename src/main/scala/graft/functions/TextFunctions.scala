@@ -92,6 +92,14 @@ object TextFunctions {
       graft.expressions.SimHash128(
         org.apache.spark.sql.graft.Bridge.expression(tokenCol)))
 
+  /** Intersection size of two SORTED distinct string arrays (linear
+    * merge, no per-call hash set) — d13's verification hot path. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SortedIntersectCount(
+        org.apache.spark.sql.graft.Bridge.expression(a),
+        org.apache.spark.sql.graft.Bridge.expression(b)))
+
   /** Native greedy left-to-right non-overlap BPE pair merge (t14's
     * per-round apply step); ≡ the interpreted aggregate fold,
     * spec-asserted. */

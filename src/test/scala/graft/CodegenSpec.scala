@@ -214,6 +214,32 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("native sorted_intersect_count equals size(array_intersect) " +
+      "on sorted distinct arrays") {
+    import graft.functions.{TextFunctions => T}
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        array_sort(array_distinct(split(col("text"), " "))).as("ts"))
+    val pairs = docs.select(col("doc_id").as("i"), col("ts").as("a"))
+      .crossJoin(docs.select(col("doc_id").as("j"), col("ts").as("b")))
+      .filter(col("i") < col("j")).limit(2000)
+    val rows = pairs.select(
+      T.sortedIntersectCount(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // edges: empty sides, disjoint, identical
+    val edge = Seq(
+      (Seq.empty[String], Seq("a")),
+      (Seq("a", "b"), Seq.empty[String]),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "b", "c"), Seq("a", "b", "c"))).toDF("a", "b")
+    val er = edge.select(
+      T.sortedIntersectCount(col("a"), col("b")).as("n")).collect()
+    assert(er.map(_.getInt(0)).toSeq == Seq(0, 0, 0, 3))
+  }
+
   test("native bpe_merge_apply equals the HOF fold on the corpus " +
       "and on chain/edge fixtures") {
     import graft.functions.{TextFunctions => T}
