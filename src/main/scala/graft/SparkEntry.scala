@@ -34,6 +34,7 @@ object SparkEntry {
     "c3_sample_split" -> (operators.Curation.c3SampleSplit _),
     "c4_quality_resample" -> (operators.Curation.c4QualityResample _),
     "c5_mixture_balance" -> (operators.Curation.c5MixtureBalance _),
+    "c9_token_mixture" -> (operators.Curation.c9TokenMixture _),
     "c6_curriculum_order" -> (operators.Curation.c6CurriculumOrder _),
     "c7_global_shuffle" -> (operators.Curation.c7GlobalShuffle _),
     "c8_dsir" -> ((s: SparkSession, d: String) =>
@@ -1332,6 +1333,20 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, round(w, 4) AS weight, u, u < w AS sampled
         |FROM s ORDER BY doc_id""".stripMargin,
+    "c9_token_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT source, sum(n_toks) AS toks FROM t GROUP BY source),
+        |m AS (SELECT min(toks) AS min_toks FROM c),
+        |r AS (SELECT source, CAST(min_toks AS DOUBLE) / toks AS rate
+        |      FROM c CROSS JOIN m)
+        |SELECT t.doc_id, t.source, t.n_toks, round(r.rate, 6) AS rate,
+        |  ((t.doc_id * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0
+        |    < r.rate AS sampled,
+        |  round(t.n_toks * r.rate, 4) AS exp_tokens
+        |FROM t JOIN r USING (source) ORDER BY doc_id""".stripMargin,
     "c5_mixture_balance" ->
       """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
         |m AS (SELECT min(cnt) AS min_cnt FROM c),

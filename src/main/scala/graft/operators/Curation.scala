@@ -100,6 +100,36 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** C9: TOKEN-budget mixture balancing — c5's contract restated in
+    * the unit mixtures are actually specified in: a source's sampling
+    * rate is min(token_sum) / token_sum_s, so every kept slice
+    * contributes ~the same TOKEN volume (a source of few huge docs
+    * and one of many small docs get equal budget, where c5's
+    * doc-count rates would skew 10:1 in tokens). Rates come from
+    * exact integer token sums (a \|sources\|-row aggregate broadcast
+    * back); acceptance is the same engine-portable hash coin; the
+    * corpus never shuffles. `exp_tokens` = the rounded expected token
+    * contribution of the doc under its rate — the number a mixture
+    * sheet reports. */
+  def c9TokenMixture(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+    val sums = docs.groupBy("source").agg(sum("n_toks").as("toks"))
+    val minSum = sums.agg(min("toks").as("min_toks"))
+    val rates = sums.crossJoin(broadcast(minSum))
+      .select(col("source"),
+        (col("min_toks").cast("double") / col("toks")).as("rate"))
+    val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 10000)
+      .cast("double") / 10000.0
+    docs.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        round(col("rate"), 6).as("rate"),
+        (u < col("rate")).as("sampled"),
+        round(col("n_toks") * col("rate"), 4).as("exp_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** E1: symmetric int8 embedding quantization — per-vector scale =
     * max|x|/127, elements round to [-127, 127]. Cuts ANN storage and
     * bandwidth 4×; the spec bounds the dequantization error. */
