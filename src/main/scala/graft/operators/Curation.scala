@@ -515,19 +515,35 @@ object Curation {
     * long — associative, stays in whole-stage codegen, and matches
     * the oracle bit-for-bit. No stage touches more than |corpus|
     * feature rows; nothing is quadratic in anything. */
-  def c8Dsir(s: SparkSession, d: String, buckets: Int = 1024): DataFrame = {
+  def c8Dsir(s: SparkSession, d: String, buckets: Int = 1024): DataFrame =
+    c8DsirFrame(Tables.documents(s, d), buckets)
+
+  /** The c8 body over an arbitrary (doc_id, text) frame — composable,
+    * and the streaming form weighs arriving batches through the same
+    * pieces ([[dsirBf]] + [[dsirWeights]]). */
+  private[graft] def c8DsirFrame(docs: DataFrame,
+      buckets: Int): DataFrame = {
+    val bf = dsirBf(docs, buckets)
+    val cnt = bf.groupBy("b").agg(
+      sum(when(col("is_t"), col("tf")).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), col("tf")).otherwise(0L)).as("cr"))
+    dsirWeights(bf, cnt, buckets)
+  }
+
+  /** The hashed-feature frame (doc_id, b, tf, is_t).
+    * Features: unigrams + bigrams over the materialized token array
+    * (tokens projected before the gram lambda — see Dedup.wordGrams).
+    * is_t rides as an AGGREGATE output (max over the group), not a
+    * grouping key: a grouping-key predicate would push below the
+    * aggregate into the scan, splitting the shared subtree into two
+    * corpus scans (canonical inequality kills exchange reuse); a
+    * predicate on an aggregate result cannot push, so the weights
+    * branch's raw-only filter stays ABOVE the one shared exchange. */
+  private[graft] def dsirBf(docs: DataFrame, buckets: Int): DataFrame = {
     import graft.functions.{TextFunctions => T}
     val mask = buckets - 1
     require((buckets & mask) == 0, "buckets must be a power of two")
-    // features: unigrams + bigrams over the materialized token array
-    // (tokens projected before the gram lambda — see Dedup.wordGrams)
-    // is_t rides as an AGGREGATE output (max over the group), not a
-    // grouping key: a grouping-key predicate would push below the
-    // aggregate into the scan, splitting the shared subtree into two
-    // corpus scans (canonical inequality kills exchange reuse); a
-    // predicate on an aggregate result cannot push, so the weights
-    // branch's raw-only filter stays ABOVE the one shared exchange.
-    val bf = Tables.documents(s, d)
+    docs
       .filter(col("text").isNotNull)
       .select(col("doc_id"), (col("doc_id") % 97 === 0).as("is_t"),
         T.tokens(col("text")).as("toks"))
@@ -538,9 +554,13 @@ object Curation {
         T.md5Lo64(col("f")).bitwiseAND(lit(mask.toLong)).as("b"))
       .groupBy("doc_id", "b")
       .agg(count(lit(1)).as("tf"), max(col("is_t")).as("is_t"))
-    val cnt = bf.groupBy("b").agg(
-      sum(when(col("is_t"), col("tf")).otherwise(0L)).as("ct"),
-      sum(when(!col("is_t"), col("tf")).otherwise(0L)).as("cr"))
+  }
+
+  /** DSIR weights of `bf`'s raw docs under bucket distributions
+    * `cnt` (b, ct, cr) — the log-ratio table broadcasts, per-doc sums
+    * are 2^20 fixed-point longs. */
+  private[graft] def dsirWeights(bf: DataFrame, cnt: DataFrame,
+      buckets: Int): DataFrame = {
     val tot = cnt.agg(sum("ct").as("tt"), sum("cr").as("tr"))
     val half = buckets / 2.0
     val lam = cnt.crossJoin(broadcast(tot))
