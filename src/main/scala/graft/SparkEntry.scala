@@ -499,17 +499,10 @@ object SparkEntry {
     "d2_minhash_lsh" -> d2MinhashSql,
     "x1_curation_pipeline" -> {
       // full pipeline re-derivation: quality gate → exact dedup →
-      // minhash pairs ON THE SURVIVORS → 4-round label propagation →
+      // minhash pairs ON THE SURVIVORS → EXACT components (recursive
+      // closure, matching the engine's adaptive exact entry) →
       // decontamination vs the raw-corpus eval grams → split counts
-      val rounds = (1 to 4).map { i =>
-        s"""l$i AS MATERIALIZED (
-           |  SELECT l.id, least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
-           |  FROM l${i - 1} l
-           |  LEFT JOIN e ON e.u = l.id
-           |  LEFT JOIN l${i - 1} n ON n.id = e.v
-           |  GROUP BY l.id, l.lbl)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH q AS MATERIALIZED (
+      s"""WITH RECURSIVE q AS MATERIALIZED (
          |  SELECT * FROM documents
          |  WHERE doc_id % 97 <> 0 AND text IS NOT NULL AND n_chars >= 100),
          |ex AS MATERIALIZED (
@@ -527,12 +520,16 @@ object SparkEntry {
          |  SELECT id1, id2 FROM cand WHERE jac >= 0.5 GROUP BY id1, id2),
          |e AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM pairs
          |      UNION ALL SELECT id2, id1 FROM pairs),
-         |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM e),
-         |$rounds,
+         |reach(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |lbl AS MATERIALIZED (SELECT u AS id, least(u, min(v)) AS lbl
+         |        FROM reach GROUP BY u),
          |nd AS MATERIALIZED (
          |  SELECT ex.doc_id, ex.text FROM ex
-         |  LEFT JOIN l4 ON l4.id = ex.doc_id
-         |  WHERE l4.lbl IS NULL OR l4.lbl = ex.doc_id),
+         |  LEFT JOIN lbl ON lbl.id = ex.doc_id
+         |  WHERE lbl.lbl IS NULL OR lbl.lbl = ex.doc_id),
          |g AS (
          |  SELECT doc_id,
          |    list_transform(range(0, len(string_split(text,' ')) - 2),

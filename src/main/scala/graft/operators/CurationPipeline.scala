@@ -43,11 +43,13 @@ object CurationPipeline {
           .partitionBy(md5(col("text"))).orderBy("doc_id")))
       .filter(col("rn") === 1).drop("rn")
       .localCheckpoint(true)
-    // near-dup: d2 pairs over the exact survivors, components (d8's
-    // 4-round propagation), keep cluster canonicals + unpaired docs
-    val labels = Dedup.connectedComponents(
+    // near-dup: d2 pairs over the exact survivors, EXACT components
+    // (the adaptive union-find/star entry — fixed-round propagation
+    // would silently under-merge once a component's diameter exceeds
+    // the round budget), keep cluster canonicals + unpaired docs
+    val labels = Dedup.connectedComponentsAdaptive(
       Dedup.minhashPairs(exact)
-        .select(col("id1").as("src"), col("id2").as("dst")), rounds = 4)
+        .select(col("id1").as("src"), col("id2").as("dst")))
     val nearDup = exact
       .join(labels.select(col("id").as("doc_id"), col("lbl")),
         Seq("doc_id"), "left")
