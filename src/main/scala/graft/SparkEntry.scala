@@ -83,6 +83,10 @@ object SparkEntry {
       graft.text.TextAnalysis.t13Boilerplate(s, d)),
     "t14_bpe_merges" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t14BpeMerges(s, d)),
+    "t15_chunk" -> ((s: SparkSession, d: String) =>
+      graft.text.TextAnalysis.t15Chunk(s, d)),
+    "t16_bpe_encode" -> ((s: SparkSession, d: String) =>
+      graft.text.TextAnalysis.t16BpeEncode(s, d)),
     "t11_perplexity" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t11Perplexity(s, d)),
     "t12_bm25" -> ((s: SparkSession, d: String) =>
@@ -1040,6 +1044,65 @@ object SparkEntry {
          |  UNION ALL SELECT 2, l, r, freq FROM r2
          |  UNION ALL SELECT 3, l, r, freq FROM r3)
          |ORDER BY round""".stripMargin
+    },
+    "t15_chunk" ->
+      """WITH t0 AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0,
+        |      greatest(0, CAST(ceil((n - 64) / 48.0) AS BIGINT)) + 1))
+        |      AS chunk_id
+        |  FROM t0),
+        |c AS (
+        |  SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+        |    list_slice(toks, chunk_id * 48 + 1,
+        |      least(chunk_id * 48 + 64, n)) AS ctoks
+        |  FROM st)
+        |SELECT doc_id, chunk_id, start_tok,
+        |  CAST(len(ctoks) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(ctoks, ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "t16_bpe_encode" -> {
+      // t14's trainer replay with doc_id carried through every round,
+      // plus the round-3 apply — pins the fully-encoded sequences.
+      val fold =
+        """list_reduce(
+          |    list_prepend(CAST([] AS VARCHAR[]),
+          |      list_transform(toks, t -> [t])),
+          |    (acc, x) -> CASE
+          |      WHEN len(acc) > 0 AND acc[-1] = l AND x[1] = r
+          |      THEN acc[1:len(acc)-1] || [l || r]
+          |      ELSE acc || x END)""".stripMargin
+      def pc(i: Int) =
+        s"""pc$i AS MATERIALIZED (
+           |  SELECT p.l AS l, p.r AS r, count(*) AS freq FROM (
+           |    SELECT unnest(list_transform(range(0, len(toks) - 1),
+           |      i -> {'l': toks[i+1], 'r': toks[i+2]})) AS p FROM t${i - 1})
+           |  GROUP BY 1, 2),
+           |r$i AS MATERIALIZED (
+           |  SELECT l, r FROM pc$i
+           |  ORDER BY freq DESC, l, r LIMIT 1)""".stripMargin
+      def tn(i: Int) =
+        s"""t$i AS MATERIALIZED (
+           |  SELECT doc_id, n_raw, $fold AS toks
+           |  FROM t${i - 1} CROSS JOIN r$i)""".stripMargin
+      s"""WITH t0 AS MATERIALIZED (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n_raw
+         |  FROM documents WHERE text IS NOT NULL),
+         |${pc(1)},
+         |${tn(1)},
+         |${pc(2)},
+         |${tn(2)},
+         |${pc(3)},
+         |${tn(3)}
+         |SELECT doc_id, CAST(n_raw AS BIGINT) AS n_tokens_raw,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(toks, chr(1))) AS seq_md5
+         |FROM t3 ORDER BY doc_id""".stripMargin
     },
     "t11_perplexity" ->
       """WITH tf0 AS (

@@ -451,4 +451,79 @@ object TextAnalysis {
     }
     out.orderBy("round")
   }
+
+  /** T15: sliding-window chunking — context-window preparation for
+    * RAG / packed pre-training: fixed-`chunk`-token windows every
+    * `stride` tokens, with the LAST window anchored so every token is
+    * covered but no window is a pure subset of its predecessor
+    * (starts = 0, stride, …, stride·⌈(n−chunk)/stride⌉). Each chunk
+    * row carries its exact token span fingerprint (md5 over the
+    * joined tokens), so the oracle pins content, not just counts.
+    *
+    * Scale: tokens materialize once per doc, starts come from a
+    * per-row `sequence` explode, the slice+hash is a pure map —
+    * no shuffle at any corpus size; output rows ≈ n_tokens/stride. */
+  def t15Chunk(s: SparkSession, d: String,
+      chunk: Int = 64, stride: Int = 48): DataFrame = {
+    val n = col("n_toks")
+    val lastIdx = greatest(lit(0),
+      ceil((n - chunk).cast("double") / stride).cast("int"))
+    Tables.documents(s, d).filter(col("text").isNotNull)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), lastIdx, lit(1))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id").cast("long") * stride).as("start_tok"),
+        slice(col("toks"), col("chunk_id") * stride + 1, lit(chunk))
+          .as("ctoks"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("ctoks")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("ctoks"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** T16: BPE tokenizer APPLY — the encode side of t14's trainer.
+    * Mines `rounds` merge rules on the corpus (t14's loop), then the
+    * final corpus state — every document encoded by all rules applied
+    * in rank order (subword-nmt semantics: each rule merged greedily
+    * left-to-right before the next rank) — is emitted with the exact
+    * encoded sequence pinned by md5. Rules are 1-row broadcasts; each
+    * encode pass is a pure map — the corpus never shuffles.
+    * Frame-parametrized so the spec can drive a toy corpus. */
+  def t16BpeEncodeFrame(docs: DataFrame, rounds: Int): DataFrame = {
+    def pairCounts(df: DataFrame): DataFrame = {
+      val toks = col("toks")
+      df.select(explode(transform(sequence(lit(0), size(toks) - 2, lit(1)),
+          i => struct(element_at(toks, i + 1).as("l"),
+            element_at(toks, i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("freq"))
+    }
+    var cur = docs
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n_tokens_raw"))
+    for (_ <- 1 to rounds) {
+      val rule = pairCounts(cur)
+        .orderBy(col("freq").desc, col("l"), col("r")).limit(1)
+        .select(col("l"), col("r"))
+        .localCheckpoint(true)
+      cur = cur.crossJoin(broadcast(rule))
+        .select(col("doc_id"),
+          T.bpeMergeApply(col("toks"), col("l"), col("r")).as("toks"),
+          col("n_tokens_raw"))
+        .localCheckpoint(true)
+    }
+    cur.select(col("doc_id"), col("n_tokens_raw"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      md5(concat_ws("\u0001", col("toks"))).as("seq_md5"))
+      .orderBy("doc_id")
+  }
+
+  def t16BpeEncode(s: SparkSession, d: String,
+      rounds: Int = 3): DataFrame =
+    t16BpeEncodeFrame(
+      Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"), T.tokens(col("text")).as("toks")),
+      rounds)
 }

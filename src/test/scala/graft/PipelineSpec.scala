@@ -670,4 +670,55 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getInt(3) >= 16 && r.getInt(4) >= 16 && r.getInt(5) >= 1)
     }
   }
+
+  test("t15 chunks tile every document: stride-spaced, full coverage, " +
+      "no pure-subset tail") {
+    val nToks = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = text.TextAnalysis.t15Chunk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(byDoc.keySet == nToks.keySet)
+    for ((doc, chunks) <- byDoc) {
+      val n = nToks(doc)
+      val expected = math.max(0, math.ceil((n - 64) / 48.0).toInt) + 1
+      assert(chunks.length == expected, s"doc $doc chunk count")
+      chunks.sortBy(_._2).zipWithIndex.foreach {
+        case ((_, cid, start, len), i) =>
+          assert(cid == i && start == i * 48L)
+          assert(len == math.min(64L, n - start), s"doc $doc chunk $cid")
+      }
+      // coverage: last chunk reaches the end; non-tail chunks are full
+      val (_, _, lastStart, lastLen) = chunks.maxBy(_._2)
+      assert(lastStart + lastLen == n)
+    }
+  }
+
+  test("t16 encode replays subword-nmt ordered merges exactly (toy corpus)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"), (2L, "a b a b a b"), (3L, "c c"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // rules by hand: r1=(a,b) freq 5 → r2=(ab,ab) freq 3 → r3=(abab,ab)
+    // (round-3 tie at freq 1 broken by (l, r) lexicographic order)
+    val expected = Map(
+      1L -> (5L, 2L, Seq("abab", "c")),
+      2L -> (6L, 1L, Seq("ababab")),
+      3L -> (2L, 2L, Seq("c", "c")))
+    val got = text.TextAnalysis.t16BpeEncodeFrame(docs, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(got.map(_._1).sorted == Seq(1L, 2L, 3L))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (doc, nRaw, nEnc, hash) =>
+      val (expRaw, expEnc, toks) = expected(doc)
+      assert(nRaw == expRaw && nEnc == expEnc, s"doc $doc counts")
+      val expHash = md.digest(toks.mkString("")
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(hash == expHash, s"doc $doc sequence")
+    }
+  }
 }
