@@ -116,6 +116,8 @@ object SparkEntry {
     "s7_two_stage" -> (graft.similarity.Similarity.s7TwoStage _),
     "s8_mmr_diversify" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s8MmrDiversify(s, d)),
+    "s9_mmr_lsh" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.s9MmrLsh(s, d)),
     "s5_kmeans_refine" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s5KmeansRefine(s, d)),
     // Text analysis
@@ -315,8 +317,16 @@ object SparkEntry {
     * tie-break. Shared CTEs are MATERIALIZED: the round chain
     * references each selall twice and DuckDB inlining would re-derive
     * the shortlist exponentially (the d8 gotcha). */
-  private lazy val s8MmrSql: String = {
-    val m = 5
+  /** The greedy MMR unrolled as m SQL rounds over a given shortlist
+    * CTE body (must yield q_id, c_id, reli, c_emb) — integer
+    * thousandth-quantized rel AND pairwise sims (both round the
+    * cosine to 3 decimals FIRST, then apply the floor(x·1000+0.5)
+    * house quantization — the reli treatment, so no 1-ulp boundary
+    * can flip a greedy pick between engines), exact integer scores,
+    * c_id tie-break. Shared CTEs are MATERIALIZED: the round chain
+    * references each selall twice and DuckDB inlining would re-derive
+    * the shortlist exponentially (the d8 gotcha). */
+  private def mmrSqlOver(shortBody: String, m: Int = 5): String = {
     val lcs = "list_cosine_similarity"
     val rounds = (2 to m).map { r =>
       s"""pool$r AS MATERIALIZED (
@@ -339,20 +349,11 @@ object SparkEntry {
         .stripMargin
     }.mkString(",\n")
     s"""WITH short AS MATERIALIZED (
-       |  SELECT q_id, c_id, reli, c_emb FROM (
-       |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-       |      CAST(floor(round($lcs(q.embedding::DOUBLE[],
-       |        c.embedding::DOUBLE[]), 3) * 1000 + 0.5) AS BIGINT) AS reli,
-       |      c.embedding::DOUBLE[] AS c_emb,
-       |      row_number() OVER (PARTITION BY q.vec_id
-       |        ORDER BY round($lcs(q.embedding::DOUBLE[],
-       |          c.embedding::DOUBLE[]), 3) DESC, c.vec_id ASC) AS rank
-       |    FROM embeddings q CROSS JOIN embeddings c
-       |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
-       |  WHERE rank <= 10),
+       |$shortBody),
        |sims AS MATERIALIZED (
        |  SELECT a.q_id, a.c_id AS i, b.c_id AS j,
-       |    CAST(floor($lcs(a.c_emb, b.c_emb) * 1000 + 0.5) AS BIGINT) AS simi
+       |    CAST(floor(round($lcs(a.c_emb, b.c_emb), 3) * 1000 + 0.5)
+       |      AS BIGINT) AS simi
        |  FROM short a JOIN short b
        |    ON a.q_id = b.q_id AND a.c_id <> b.c_id),
        |sel1 AS MATERIALIZED (
@@ -365,6 +366,60 @@ object SparkEntry {
        |$rounds
        |SELECT q_id, sel_rank, c_id, si / 1000000.0 AS score
        |FROM selall$m ORDER BY q_id, sel_rank""".stripMargin
+  }
+
+  private lazy val s8MmrSql: String = {
+    val lcs = "list_cosine_similarity"
+    mmrSqlOver(
+      s"""  SELECT q_id, c_id, reli, c_emb FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+         |      CAST(floor(round($lcs(q.embedding::DOUBLE[],
+         |        c.embedding::DOUBLE[]), 3) * 1000 + 0.5) AS BIGINT) AS reli,
+         |      c.embedding::DOUBLE[] AS c_emb,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round($lcs(q.embedding::DOUBLE[],
+         |          c.embedding::DOUBLE[]), 3) DESC, c.vec_id ASC) AS rank
+         |    FROM embeddings q CROSS JOIN embeddings c
+         |    WHERE q.vec_id < 10 AND c.vec_id >= 10)
+         |  WHERE rank <= 10""".stripMargin)
+  }
+
+  /** s9's oracle: the same MMR rounds over the s2 multi-probe LSH
+    * shortlist (bucketing replayed from the driver-folded plane
+    * literals, as s2AnnSql). */
+  private lazy val s9MmrSql: String = {
+    val lcs = "list_cosine_similarity"
+    val planes = (0 until 4).map(j =>
+      doubleList(graft.functions.VectorFunctions.planeValues(j, 64)))
+    val dots = (0 until 4).map(j =>
+      s"${seqDot("emb", planes(j))} AS d$j").mkString(",\n    ")
+    val bucket = (0 until 4).map(j =>
+      s"CASE WHEN d$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    mmrSqlOver(
+      s"""  WITH e AS (
+         |    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |  bkt AS (
+         |    SELECT vec_id, emb, $bucket AS bucket FROM (
+         |      SELECT vec_id, emb,
+         |      $dots
+         |      FROM e)),
+         |  q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS b0
+         |        FROM bkt WHERE vec_id < 10),
+         |  qp AS (SELECT q_id, q_emb, unnest(
+         |      [b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
+         |    FROM q),
+         |  c AS (SELECT vec_id AS c_id, emb AS c_emb, bucket
+         |        FROM bkt WHERE vec_id >= 10)
+         |  SELECT q_id, c_id, reli, c_emb FROM (
+         |    SELECT q_id, c_id,
+         |      CAST(floor(round($lcs(q_emb, c_emb), 3) * 1000 + 0.5)
+         |        AS BIGINT) AS reli,
+         |      c_emb,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY round($lcs(q_emb, c_emb), 3) DESC,
+         |                 c_id ASC) AS rank
+         |    FROM c JOIN qp USING (bucket))
+         |  WHERE rank <= 10""".stripMargin)
   }
 
   /** s2's LSH oracle (bucketing replayed from the driver-folded plane
@@ -1981,6 +2036,7 @@ object SparkEntry {
         |ORDER BY doc_id, chunk_idx, h""".stripMargin,
     "s1_ann_bruteforce" -> s1AnnSql,
     "s8_mmr_diversify" -> s8MmrSql,
+    "s9_mmr_lsh" -> s9MmrSql,
     "t2_quality_score" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

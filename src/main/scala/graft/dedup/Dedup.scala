@@ -559,20 +559,26 @@ object Dedup {
     // smaller than the corpus — planning them at the session's
     // corpus-sized parallelism just multiplies task-scheduling
     // latency by rounds (measured 2x per round at sf0.1). Target ~2M
-    // edges per partition, floor 1, never above the session default;
-    // restored after the loop.
+    // edges per partition, floor 1, never above the session default.
+    // Scoped PER QUERY by repartitioning on the round's keys (hash
+    // partitioning on `u` satisfies every downstream groupBy/join
+    // ClusteredDistribution, so no second exchange appears) — NOT by
+    // mutating spark.sql.shuffle.partitions, which would re-plan any
+    // concurrent query on the shared session at the reduced
+    // parallelism and could race a concurrent save/restore.
     val s = e.sparkSession
-    val prevParallelism = s.conf.get("spark.sql.shuffle.partitions")
+    val sessionParallelism = s.conf.get("spark.sql.shuffle.partitions")
     val roundParallelism = math.max(1L,
-      math.min(prevParallelism.toLong, eDigest._1 / 2000000L + 1))
+      math.min(sessionParallelism.toLong, eDigest._1 / 2000000L + 1)).toInt
     var done = false
     var round = 0
-    try {
-    s.conf.set("spark.sql.shuffle.partitions", roundParallelism.toString)
     while (!done && round < maxRounds) {
-      // large-star over the symmetrized neighborhood
+      // large-star over the symmetrized neighborhood; the explicit
+      // u-hash repartition pins the round's parallelism and is reused
+      // by the aggregate and both joins below
       val nbr = e.select(col("u"), col("v"))
         .union(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(roundParallelism, col("u"))
       val minN = nbr.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
       // NOT distinct'd: duplicate (u, v) rows only fan the small-star
@@ -583,6 +589,7 @@ object Dedup {
         .join(minN, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v"))
+        .repartition(roundParallelism, col("u"))
       // small-star over the to-smaller orientation (u > v by canon)
       val minS = large.groupBy("u").agg(min("v").as("m"))
       val small = large.join(minS, "u")
@@ -592,7 +599,8 @@ object Dedup {
             struct(col("u").as("a"), col("m").as("b")))).as("p"))
         .select(greatest(col("p.a"), col("p.b")).as("u"),
           least(col("p.a"), col("p.b")).as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
+        .repartition(roundParallelism, col("u"), col("v")).distinct()
         .localCheckpoint(true)
       // fixpoint: the canonical edge set stopped changing — digest
       // compare first (one job), exact exceptAll only on digest match
@@ -602,7 +610,6 @@ object Dedup {
       eDigest = smallDigest
       round += 1
     }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParallelism)
     val roots = e.select(col("v").as("id")).distinct()
       .join(e.select(col("u").as("id")).distinct(), Seq("id"), "left_anti")
     e.select(col("u").as("id"), col("v").as("lbl"))

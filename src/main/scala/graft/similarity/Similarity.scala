@@ -282,23 +282,67 @@ object Similarity {
     * oracle unrolls the same m rounds in SQL. */
   def s8MmrDiversify(s: SparkSession, d: String, kShort: Int = 10,
       m: Int = 5): DataFrame = {
-    import s.implicits._
     val short = corpus(s, d).join(broadcast(queries(s, d)))
       .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
       .withColumn("rank", row_number().over(byQuery))
       .filter(col("rank") <= kShort)
+    mmrOverShortlist(short, m)
+  }
+
+  /** S9: MMR over the SCALE shortlist — the s2 multi-probe LSH index
+    * feeds the diversifier instead of s1's brute force, which is the
+    * production pairing: at 100 TB the shortlist stage must prune the
+    * corpus (bucket join, query side broadcast — no cartesian
+    * anywhere, plan-contracted), and the MMR fold is shortlist-sized
+    * either way. s8 stays as the exact-shortlist quality reference
+    * (the s6 recall pattern: same greedy fold, shortlists compared in
+    * MmrSpec). A query whose probed buckets hold fewer than kShort
+    * docs just diversifies a shorter list — same as a sparse ANN
+    * result. */
+  def s9MmrLsh(s: SparkSession, d: String, kShort: Int = 10,
+      m: Int = 5): DataFrame = {
+    val dim = 64; val planes = 4
+    val q = queries(s, d)
+      .withColumn("bucket0", lshBucket(col("q_emb"), planes, dim))
+      .select(col("q_id"), col("q_emb"), explode(array(
+        (col("bucket0") +: (0 until planes).map(j =>
+          col("bucket0").bitwiseXOR(lit(1L << j)))): _*)).as("bucket"))
+    val c = corpus(s, d)
+      .withColumn("bucket", lshBucket(col("c_emb"), planes, dim))
+    val short = c.join(broadcast(q), Seq("bucket"))
+      .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
+      .withColumn("rank", row_number().over(byQuery))
+      .filter(col("rank") <= kShort)
+    mmrOverShortlist(short, m)
+  }
+
+  /** The shared greedy MMR fold over any (q_id, c_id, cos3, c_emb)
+    * shortlist frame. Pairwise sims mirror the reli treatment:
+    * cosine ROUNDED TO 3 DECIMALS first (Spark round = HALF_UP via
+    * BigDecimal — the same arithmetic the SQL oracle's round()
+    * performs), THEN fixed-point quantized; quantizing the raw double
+    * directly left a 1-ulp window at each x.0005 boundary where
+    * engine and oracle (different fp operation orders) could disagree
+    * on a greedy pick. */
+  private[graft] def mmrOverShortlist(short: DataFrame,
+      m: Int): DataFrame = {
+    val s = short.sparkSession
+    import s.implicits._
+    val cands0 = short
       .select(col("q_id"), col("c_id"),
         floor(col("cos3") * 1000 + 0.5).cast("long").as("reli"),
         V.asDouble(col("c_emb")).as("emb"))
       .as[MmrCand]
-    short.groupByKey(_.q_id).flatMapGroups { (q, it) =>
+    cands0.groupByKey(_.q_id).flatMapGroups { (q, it) =>
       val cands = it.toArray.sortBy(c => (-c.reli, c.c_id))
       def simi(a: Array[Double], b: Array[Double]): Long = {
         var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
         while (i < a.length) {
           dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
         }
-        math.floor(dot / math.sqrt(na * nb) * 1000 + 0.5).toLong
+        val c3 = BigDecimal.decimal(dot / math.sqrt(na * nb))
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+        math.floor(c3 * 1000 + 0.5).toLong
       }
       val selected = scala.collection.mutable.ArrayBuffer[MmrCand]()
       val out = scala.collection.mutable.ArrayBuffer[MmrPick]()

@@ -34,10 +34,10 @@ object StreamingClusters {
       root: String, nb: Int = 64): Unit = {
     val s = batch.sparkSession
     val bands = Dedup.mhBands(batch).localCheckpoint(true)
-    val bdirs = StreamingDedup.priorBatchDirs(s"$root/bands", batchId)
+    val bdirs = StoreFs.priorBatchDirs(s, s"$root/bands", batchId)
     val mapPath = s"$root/map"
     val oldMap =
-      if (new java.io.File(mapPath).exists)
+      if (StoreFs.exists(s, mapPath))
         s.read.parquet(mapPath).select("doc_id", "cluster")
           .localCheckpoint(true)
       else s.range(0).select(col("id").as("doc_id"), col("id").as("cluster"))
@@ -94,16 +94,13 @@ object StreamingClusters {
       // a partition every row LEFT never appears in the written frame,
       // so dynamic overwrite leaves its stale files — drop it explicitly
       val present = (Seq.empty[Long] ++ pbs).filter { pb =>
-        new java.io.File(s"$mapPath/pb=$pb").exists
+        StoreFs.exists(s, s"$mapPath/pb=$pb")
       }
       val live = keep.select(pbOf(col("cluster"), nb).as("pb"))
         .union(fresh.select(pbOf(col("cluster"), nb).as("pb")))
         .distinct().collect().map(_.getLong(0)).toSet
       (present.toSet -- live).foreach { pb =>
-        val dir = java.nio.file.Paths.get(mapPath, s"pb=$pb")
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
+        StoreFs.deleteDir(s, s"$mapPath/pb=$pb")
       }
     }
     bands.write.mode(SaveMode.Overwrite)

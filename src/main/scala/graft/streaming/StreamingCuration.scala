@@ -50,7 +50,7 @@ object StreamingCuration {
       .withColumn("rn", row_number().over(
         Window.partitionBy("h").orderBy("doc_id")))
       .filter(col("rn") === 1).drop("rn")
-    val hdirs = StreamingDedup.priorBatchDirs(s"$root/hashes", batchId)
+    val hdirs = StoreFs.priorBatchDirs(s, s"$root/hashes", batchId)
     val exact = (if (hdirs.isEmpty) intra
       else intra.join(s.read.parquet(hdirs: _*).select("h").distinct(),
         Seq("h"), "left_anti"))
@@ -58,7 +58,7 @@ object StreamingCuration {
     // ---- near-dup: band-store matches drop; intra-batch components
     // keep their (first-arrival) canonical ----
     val bands = Dedup.mhBands(exact).localCheckpoint(true)
-    val bdirs = StreamingDedup.priorBatchDirs(s"$root/bands", batchId)
+    val bdirs = StoreFs.priorBatchDirs(s, s"$root/bands", batchId)
     val storeMatched =
       if (bdirs.isEmpty) exact.limit(0).select("doc_id")
       else Dedup.incrementalEdges(bands, s.read.parquet(bdirs: _*))

@@ -26,18 +26,6 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDedup {
 
-  /** Store slices holding batches strictly BEFORE `batchId` — replay
-    * safety: a re-run batch must not see its own first attempt. */
-  private[graft] def priorBatchDirs(storePath: String,
-      batchId: Long): Seq[String] = {
-    val root = new java.io.File(storePath)
-    if (!root.exists) Seq.empty
-    else root.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
-      .filter(_.getName.stripPrefix("batch_").toLong < batchId)
-      .map(_.getPath)
-  }
-
   /** Matches of one batch frame against the pre-`batchId` store slices
     * (empty store ⇒ all rows is_dup = false). */
   private[graft] def matchBatch(batch: DataFrame, storePath: String,
@@ -46,7 +34,7 @@ object StreamingDedup {
     // bands are used twice (match + store write): checkpoint so the
     // sketch computes once per batch
     val bands = Dedup.mhBands(batch).localCheckpoint(true)
-    val dirs = priorBatchDirs(storePath, batchId)
+    val dirs = StoreFs.priorBatchDirs(s, storePath, batchId)
     val store = if (dirs.isEmpty) bands.limit(0)
       else s.read.parquet(dirs: _*)
     (Dedup.incrementalMatch(bands, store, batch.select("doc_id")), bands)

@@ -30,16 +30,6 @@ import org.apache.spark.sql.functions._
   */
 object StreamingDsir {
 
-  private[graft] def priorBatchDirs(storePath: String,
-      batchId: Long): Seq[String] = {
-    val root = new java.io.File(storePath)
-    if (!root.exists) Seq.empty
-    else root.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
-      .filter(_.getName.stripPrefix("batch_").toLong < batchId)
-      .map(_.getPath)
-  }
-
   /** One micro-batch: write this batch's (b, ct, cr) delta slice,
     * weigh the batch against prior slices + its own delta. Exposed
     * for the prefix-equivalence and replay specs. */
@@ -52,7 +42,7 @@ object StreamingDsir {
       sum(when(col("is_t"), col("tf")).otherwise(0L)).as("ct"),
       sum(when(!col("is_t"), col("tf")).otherwise(0L)).as("cr"))
     delta.write.mode("overwrite").parquet(s"$storePath/batch_$batchId")
-    val dirs = priorBatchDirs(storePath, batchId)
+    val dirs = StoreFs.priorBatchDirs(s, storePath, batchId)
     val slices =
       if (dirs.isEmpty) delta
       else s.read.parquet(dirs: _*).union(delta)

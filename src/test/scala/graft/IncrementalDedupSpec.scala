@@ -113,8 +113,8 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(replayed == first, "replay changed the match output")
     assert(!replayed.exists(m => m._1 == m._2), "self-match leaked in")
     // store still holds exactly one slice per batch
-    assert(graft.streaming.StreamingDedup
-      .priorBatchDirs(storePath, Long.MaxValue).size == 2)
+    assert(graft.streaming.StoreFs
+      .priorBatchDirs(spark, storePath, Long.MaxValue).size == 2)
     assert(first.nonEmpty, "fixture produced no cross-batch dups")
   }
 
