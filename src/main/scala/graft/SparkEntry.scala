@@ -87,6 +87,8 @@ object SparkEntry {
       graft.text.TextAnalysis.t15Chunk(s, d)),
     "t16_bpe_encode" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t16BpeEncode(s, d)),
+    "t17_bpe_tokenize" -> ((s: SparkSession, d: String) =>
+      graft.text.TextAnalysis.t17BpeTokenize(s, d)),
     "t11_perplexity" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t11Perplexity(s, d)),
     "t12_bm25" -> ((s: SparkSession, d: String) =>
@@ -1158,6 +1160,58 @@ object SparkEntry {
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
          |  md5(array_to_string(toks, chr(1))) AS seq_md5
          |FROM t3 ORDER BY doc_id""".stripMargin
+    },
+    "t17_bpe_tokenize" -> {
+      // t17's trainer replay: 16 mining rounds on the doc_id % 10
+      // sample (pair counts → deterministic top-1 → the t14 greedy
+      // fold applied to the SAMPLE state), then the 16 mined rules
+      // applied IN RANK ORDER to the full corpus — the oracle's
+      // per-rule fold chain is exactly the sequential replay the
+      // engine's one-pass BpeEncodeAll is spec-equivalent to. All
+      // CTEs MATERIALIZED (each feeds two successors; DuckDB would
+      // otherwise inline exponentially — the d8 gotcha).
+      val rounds = 16
+      val fold =
+        """list_reduce(
+          |    list_prepend(CAST([] AS VARCHAR[]),
+          |      list_transform(toks, t -> [t])),
+          |    (acc, x) -> CASE
+          |      WHEN len(acc) > 0 AND acc[-1] = l AND x[1] = r
+          |      THEN acc[1:len(acc)-1] || [l || r]
+          |      ELSE acc || x END)""".stripMargin
+      def pc(i: Int) =
+        s"""pc$i AS MATERIALIZED (
+           |  SELECT p.l AS l, p.r AS r, count(*) AS freq FROM (
+           |    SELECT unnest(list_transform(range(0, len(toks) - 1),
+           |      i -> {'l': toks[i+1], 'r': toks[i+2]})) AS p FROM m${i - 1})
+           |  GROUP BY 1, 2),
+           |r$i AS MATERIALIZED (
+           |  SELECT l, r FROM pc$i
+           |  ORDER BY freq DESC, l, r LIMIT 1)""".stripMargin
+      def mn(i: Int) =
+        s"""m$i AS MATERIALIZED (
+           |  SELECT $fold AS toks
+           |  FROM m${i - 1} CROSS JOIN r$i)""".stripMargin
+      def en(i: Int) =
+        s"""e$i AS MATERIALIZED (
+           |  SELECT doc_id, n_raw, $fold AS toks
+           |  FROM e${i - 1} CROSS JOIN r$i)""".stripMargin
+      val mining = (1 to rounds).map(i =>
+        if (i < rounds) pc(i) + ",\n" + mn(i) else pc(i)).mkString(",\n")
+      val encodes = (1 to rounds).map(en).mkString(",\n")
+      s"""WITH m0 AS MATERIALIZED (
+         |  SELECT string_split(text, ' ') AS toks FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 10 = 0),
+         |$mining,
+         |e0 AS MATERIALIZED (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n_raw
+         |  FROM documents WHERE text IS NOT NULL),
+         |$encodes
+         |SELECT doc_id, CAST(n_raw AS BIGINT) AS n_tokens_raw,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  md5(array_to_string(toks, chr(1))) AS seq_md5
+         |FROM e$rounds ORDER BY doc_id""".stripMargin
     },
     "t11_perplexity" ->
       """WITH tf0 AS (

@@ -511,6 +511,89 @@ case class BpeMergeApply(first: Expression, second: Expression,
       s: Expression, t: Expression): BpeMergeApply = copy(f, s, t)
 }
 
+/** Static loop target for [[BpeEncodeAll]] codegen. */
+object BpeEncodeHelper {
+  /** Apply EVERY ranked rule in order, each as the same greedy
+    * left-to-right non-overlap merge as [[BpeHelper.merge]], in ONE
+    * in-place pass per rule over a single working array — no
+    * per-rule column projection, no intermediate ArrayData. The write
+    * index m never passes the read index i, so in-place is safe, and
+    * the per-rule loop is literally BpeHelper.merge's condition —
+    * sequential-replay equivalence is by construction (spec-asserted
+    * against the chained per-rule expression). */
+  def encodeAll(toks: ArrayData, rules: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val arr = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) { arr(i) = toks.getUTF8String(i); i += 1 }
+    var len = n
+    val nr = rules.numElements()
+    var k = 0
+    while (k < nr) {
+      val rule = rules.getStruct(k, 2)
+      if (rule != null && !rule.isNullAt(0) && !rule.isNullAt(1)) {
+        val l = rule.getUTF8String(0)
+        val r = rule.getUTF8String(1)
+        var m = 0
+        i = 0
+        while (i < len) {
+          val t = arr(i).asInstanceOf[UTF8String]
+          if (m > 0 && l.equals(arr(m - 1)) && t != null && t.equals(r))
+            arr(m - 1) = UTF8String.concat(l, r)
+          else { arr(m) = t; m += 1 }
+          i += 1
+        }
+        len = m
+      }
+      k += 1
+    }
+    if (len == n) new GenericArrayData(arr)
+    else new GenericArrayData(java.util.Arrays.copyOf(arr, len))
+  }
+}
+
+/** The ONE-PASS BPE encoder: applies a FULL ranked merge-rule table
+  * (array<struct<l,r>>, broadcast as a 1-row frame by the caller) to
+  * a token array in a single expression evaluation — rule k runs over
+  * the in-memory result of rules 1..k-1, bit-identical to chaining
+  * [[BpeMergeApply]] once per rule (spec-asserted), but the corpus is
+  * scanned ONCE regardless of rule count. This is the production
+  * "tokenize the corpus" verb: a real tokenizer carries ~30k ranked
+  * rules, and the per-rule-per-projection form is 30k corpus passes /
+  * 30k chained plan nodes — unusable in rule count even though each
+  * pass is cheap in data. Per-doc cost is O(rules × tokens) of
+  * cache-hot pointer compares, microseconds at realistic sizes. */
+case class BpeEncodeAll(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = left.dataType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _),
+          ArrayType(StructType(Array(f1, f2)), _))
+          if f1.dataType == StringType && f2.dataType == StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"bpe_encode_all needs (array<string>, array<struct<l,r>>), got $t")
+    }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, r) =>
+      s"${ev.value} = graft.expressions.BpeEncodeHelper.encodeAll($a, $r);")
+
+  override def nullSafeEval(a: Any, r: Any): Any =
+    BpeEncodeHelper.encodeAll(a.asInstanceOf[ArrayData],
+      r.asInstanceOf[ArrayData])
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): BpeEncodeAll = copy(l, r)
+}
+
 /** Static loop target for [[SortedIntersectCount]] codegen. */
 object SortedIntersectHelper {
   def count(a: ArrayData, b: ArrayData): Int = {

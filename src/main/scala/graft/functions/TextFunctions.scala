@@ -110,6 +110,16 @@ object TextFunctions {
         org.apache.spark.sql.graft.Bridge.expression(l),
         org.apache.spark.sql.graft.Bridge.expression(r)))
 
+  /** ONE-PASS BPE encode: apply a full ranked rule table
+    * (array<struct<l,r>>) in rank order within a single native
+    * expression evaluation — ≡ chaining [[bpeMergeApply]] per rule
+    * (spec-asserted), one corpus scan for ANY rule count. */
+  def bpeEncodeAll(toks: Column, rules: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.BpeEncodeAll(
+        org.apache.spark.sql.graft.Bridge.expression(toks),
+        org.apache.spark.sql.graft.Bridge.expression(rules)))
+
   /** DuckDB-identical md5_number_lower of a string as a signed long
     * (cross-engine feature-bucket hash; AND with a power-of-two mask
     * for a bucket id that matches the oracle bit-for-bit). */

@@ -526,4 +526,82 @@ object TextAnalysis {
       Tables.documents(s, d).filter(col("text").isNotNull)
         .select(col("doc_id"), T.tokens(col("text")).as("toks")),
       rounds)
+
+  /** T17: PRODUCTION BPE TOKENIZE — the one-pass encode verb. t16
+    * applies each merge rule as its OWN projection/pass, which is
+    * fine at rounds=3 but a scale-killer in RULE COUNT: a production
+    * tokenizer carries ~30k ranked rules, and 30k chained corpus
+    * passes cannot ship. Here the FULL ranked rule table rides the
+    * plan as a literal (rule tables are vocabulary-sized — a 30k-rule
+    * table is ~1 MB, the canonical broadcast-side dimension) and each
+    * document is encoded in ONE native-expression evaluation
+    * ([[graft.expressions.BpeEncodeAll]]): rule k applied greedily
+    * left-to-right over the in-memory result of rules 1..k-1 —
+    * bit-identical to the per-rule replay (spec-asserted), subword-nmt
+    * apply semantics (Sennrich et al. 2016), one corpus scan for ANY
+    * rule count.
+    *
+    * The rules come from t14's honest k-scan trainer run on a
+    * DETERMINISTIC SAMPLE (doc_id % sampleMod == 0) — which is also
+    * how production tokenizers are built: the trainer sees a sample,
+    * the encoder sees everything. Each mining round collects ONE
+    * (l, r) row to the driver (the c6-spine/d10-digest tiny-frame
+    * probe pattern, ≤ rounds rows total); with the rule as a literal
+    * the sample's evolving token state is a pure narrow map — no
+    * per-round checkpoint or broadcast join, so a mining round costs
+    * one small aggregate job over the sample. */
+  def t17BpeTokenize(s: SparkSession, d: String, rounds: Int = 16,
+      sampleMod: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val rules = mineRulesSample(docs, rounds, sampleMod)
+    val enc =
+      if (rules.isEmpty) col("toks")
+      else T.bpeEncodeAll(col("toks"), array(rules.map { case (l, r) =>
+        struct(lit(l).as("l"), lit(r).as("r")) }: _*))
+    docs
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens_raw"),
+        enc.as("enc"))
+      .select(col("doc_id"), col("n_tokens_raw"),
+        size(col("enc")).cast("long").as("n_tokens"),
+        md5(concat_ws("\u0001", col("enc"))).as("seq_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** t14's trainer loop over the doc_id % sampleMod sample, returning
+    * the ranked rules as driver values (rank = list order). Stops
+    * early if the sample runs out of adjacent pairs. Per round: one
+    * aggregate job; the applied merges accumulate as chained native
+    * projections Catalyst collapses into a single map stage. */
+  private[graft] def mineRulesSample(docs: DataFrame, rounds: Int,
+      sampleMod: Int): Seq[(String, String)] = {
+    // tokenized sample materialized ONCE: every round's aggregate
+    // replays the (cheap, collapsed-into-one-stage) merge chain from
+    // this frame instead of re-scanning and re-tokenizing parquet
+    var cur = docs.filter(col("doc_id") % sampleMod === 0)
+      .select(T.tokens(col("text")).as("toks"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    var done = false
+    for (_ <- 1 to rounds if !done) {
+      val toks = col("toks")
+      val top = cur
+        .select(explode(transform(sequence(lit(0), size(toks) - 2, lit(1)),
+          i => struct(element_at(toks, i + 1).as("l"),
+            element_at(toks, i + 2).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r) = (top(0).getString(0), top(0).getString(1))
+        out += ((l, r))
+        cur = cur.select(
+          T.bpeMergeApply(col("toks"), lit(l), lit(r)).as("toks"))
+      }
+    }
+    out.toSeq
+  }
 }

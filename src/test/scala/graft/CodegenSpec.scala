@@ -276,6 +276,47 @@ class CodegenSpec extends AnyFunSuite {
     assert(er.head.getSeq[String](0) == Seq("aa", "a"))
   }
 
+  test("native bpe_encode_all equals the chained per-rule replay on " +
+      "mined rules and pins sequential-apply semantics") {
+    import graft.functions.{TextFunctions => T}
+    import spark.implicits._
+    // the real t17 rule table: 16 rules mined on the sample
+    val rules = graft.text.TextAnalysis.mineRulesSample(
+      Tables.documents(spark, sf).filter(col("text").isNotNull), 16, 10)
+    assert(rules.nonEmpty, "sample mining produced no rules")
+    val ruleArr = array(rules.map { case (l, r) =>
+      struct(lit(l).as("l"), lit(r).as("r")) }: _*)
+    // sequential replay: one bpeMergeApply projection per rule, in
+    // rank order — the per-rule form t16 uses
+    val chained = rules.foldLeft(col("toks")) { case (c, (l, r)) =>
+      T.bpeMergeApply(c, lit(l), lit(r)) }
+    val rows = withStrictCodegen {
+      Tables.documents(spark, sf).filter(col("text").isNotNull)
+        .select(T.tokens(col("text")).as("toks"))
+        .select(T.bpeEncodeAll(col("toks"), ruleArr).as("one"),
+          chained.as("replay"))
+        .collect()
+    }
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+    // semantics pinned on fixtures: (1) a later rule creating an
+    // EARLIER rule's pair is NOT revisited (sequential replay, the
+    // valid-mined-table case where HF priority-merge coincides is
+    // rule order respecting creation order); (2) rank order applies
+    // low-rank first; (3) merged tokens re-merge under later rules;
+    // (4) empty doc
+    val edge = Seq(
+      (Seq("a", "b", "c"), Seq(("ab", "c"), ("a", "b"))),
+      (Seq("a", "b", "c"), Seq(("a", "b"), ("ab", "c"))),
+      (Seq("a", "a", "a", "a"), Seq(("a", "a"), ("aa", "aa"))),
+      (Seq.empty[String], Seq(("a", "b"))))
+      .toDF("toks", "rules")
+    val er = edge
+      .select(T.bpeEncodeAll(col("toks"), col("rules")).as("enc"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(er == Seq(Seq("ab", "c"), Seq("abc"), Seq("aaaa"), Seq()))
+  }
+
   test("native struct_field_sum equals the HOF fold bit-for-bit") {
     import spark.implicits._
     import graft.functions.{VectorFunctions => V}
