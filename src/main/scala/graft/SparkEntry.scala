@@ -109,6 +109,8 @@ object SparkEntry {
     "d12_semdedup" -> (graft.dedup.Dedup.d12SemDedup _),
     "d13_containment" -> ((s: SparkSession, d: String) =>
       graft.dedup.Dedup.d13ContainmentJoin(s, d)),
+    "d14_eval_containment" -> ((s: SparkSession, d: String) =>
+      graft.dedup.Dedup.d14EvalContainment(s, d)),
     // Similarity search
     "s1_ann_bruteforce" -> (graft.similarity.Similarity.s1AnnBruteForce _),
     "s2_ann_lsh" -> (graft.similarity.Similarity.s2AnnLsh _),
@@ -2055,6 +2057,41 @@ object SparkEntry {
          |  FROM ori)
          |SELECT doc_id, container_id, containment FROM best
          |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    // d14's oracle is the INDEPENDENT all-pairs formulation (eval ×
+    // train cross join + exact containment): prefix filtering is
+    // exact for containment (recall-1.0, spec-proven), so the banded
+    // mirror d4/d5/d13 need is unnecessary — the strongest check is
+    // the brute-force one the engine must equal.
+    "d14_eval_containment" ->
+      """WITH g AS MATERIALIZED (
+        |  SELECT doc_id, doc_id % 10 = 0 AS is_eval,
+        |    list_distinct(list_transform(
+        |      range(0, len(string_split(text, ' ')) - 2),
+        |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))
+        |      AS ts
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS MATERIALIZED (SELECT doc_id, ts FROM g WHERE NOT is_eval),
+        |ev AS MATERIALIZED (SELECT doc_id, ts FROM g WHERE is_eval),
+        |q AS MATERIALIZED (
+        |  SELECT eval_id, train_id, containment FROM (
+        |    SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+        |      round(len(list_filter(e.ts, x -> list_contains(t.ts, x)))::DOUBLE
+        |        / len(e.ts), 3) AS containment
+        |    FROM ev e CROSS JOIN tr t)
+        |  WHERE containment >= 0.8),
+        |agg AS (SELECT eval_id, count(*) AS n_containers FROM q GROUP BY 1),
+        |best AS (
+        |  SELECT eval_id, train_id, containment FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY eval_id
+        |      ORDER BY containment DESC, train_id ASC) AS rk FROM q)
+        |  WHERE rk = 1)
+        |SELECT e.doc_id, coalesce(agg.n_containers, 0) AS n_containers,
+        |  best.train_id AS best_container_id, best.containment,
+        |  coalesce(agg.n_containers, 0) > 0 AS contaminated
+        |FROM ev e
+        |LEFT JOIN agg ON agg.eval_id = e.doc_id
+        |LEFT JOIN best ON best.eval_id = e.doc_id
+        |ORDER BY e.doc_id""".stripMargin,
     "d6_decontaminate" ->
       """WITH g AS (
         |  SELECT doc_id,

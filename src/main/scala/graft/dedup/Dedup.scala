@@ -296,6 +296,98 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** D14: CROSS-SOURCE eval-contamination CONTAINMENT — the
+    * asymmetric cousin of d13 and the NORMALIZED upgrade of d6: per
+    * eval doc E, training docs T covering C(E,T) = |G(E)∩G(T)| /
+    * |G(E)| ≥ t of E's distinct word 3-grams — the published "dirty
+    * eval example" rule (the GPT-3 appendix-C / PaLM decontamination
+    * family measures the FRACTION of an eval doc's n-grams found in
+    * training). d6's absolute shared-gram COUNT both over-flags (a
+    * long train doc sharing 3 incidental grams = 3% coverage) and
+    * under-flags (a short eval doc quoted whole carries < 3 distinct
+    * grams); d13's within-source scope is blind to quotation ACROSS
+    * crawls. The eval stand-in is doc_id % 10 (d9's held-out batch
+    * convention — it HAS planted near-dup partners in the corpus;
+    * the % 97 stand-in provably shares < 6% gram coverage with every
+    * training doc, all-pairs-verified, so it carries no containment
+    * signal).
+    *
+    * Candidate theory: d13's prefix-filter exactness, ASYMMETRIC —
+    * the denominator is always |G(E)|, so only the EVAL side needs
+    * prefixes: if C(E,T) ≥ t then E has at most ⌊(1-t)·|G(E)|⌋ grams
+    * outside T, so among E's first ⌊(1-t)·|G(E)|⌋+1 grams (ANY fixed
+    * order — rarest-first by TRAIN df minimizes fan-out) at least
+    * one lies in G(T). Eval suites are tiny next to the corpus by
+    * construction, so the exploded eval prefix BROADCASTS and the
+    * training corpus is probed in place — one map-side join against
+    * the corpus gram postings, no corpus self-join. Spec: prefix
+    * candidates ≡ all-pairs, including a cross-source short-quote
+    * fixture d6 under-flags and d13's scope misses. Output: ONE row
+    * per eval doc (d6's report shape — never empty): container
+    * count, best container, flag. */
+  def d14EvalContainment(s: SparkSession, d: String,
+      t: Double = 0.8): DataFrame =
+    evalContainment(Tables.documents(s, d), col("doc_id") % 10 === 0, t)
+
+  /** The d14 body over an arbitrary (doc_id, text) frame with an
+    * eval-membership predicate — composable; the spec feeds it the
+    * cross-source fixtures. */
+  private[graft] def evalContainment(docsIn: DataFrame,
+      isEval: org.apache.spark.sql.Column, t: Double): DataFrame = {
+    val docs = docsIn.filter(col("text").isNotNull)
+      .withColumn("is_eval", isEval)
+    val dt = docs
+      .select(col("doc_id"), col("is_eval"),
+        T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("is_eval"),
+        explode(array_distinct(wordGrams(col("toks"), 3))).as("tok"))
+    // postings order = TRAIN-side document frequency (the indexed
+    // corpus); eval-only grams get df 0 — they probe no postings but
+    // the prefix bound is order-independent, so exactness holds
+    val dfreq = dt.filter(!col("is_eval"))
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    val keyed = dt.join(dfreq, Seq("tok"), "left")
+      .select(col("doc_id"), col("is_eval"),
+        concat(lpad(coalesce(col("df"), lit(0L)).cast("string"), 12, "0"),
+          lit("|"), col("tok")).as("k"))
+    val sorted = keyed.groupBy("doc_id", "is_eval")
+      .agg(sort_array(collect_list(col("k"))).as("ks"))
+    val evalSorted = sorted.filter(col("is_eval"))
+      .select(col("doc_id").as("eval_id"), col("ks").as("eks"))
+    val prefix = evalSorted
+      .select(col("eval_id"), explode(slice(col("eks"), lit(1),
+        (floor(lit(1.0 - t) * size(col("eks"))) + 1).cast("int"))).as("k"))
+    val cand = keyed.filter(!col("is_eval"))
+      .join(broadcast(prefix), Seq("k"))
+      .select(col("eval_id"), col("doc_id").as("train_id")).distinct()
+    val trainSorted = sorted.filter(!col("is_eval"))
+      .select(col("doc_id").as("train_id"), col("ks").as("tks"))
+    // verify on the already-built sorted key arrays (k ↔ tok is a
+    // bijection under one shared df map, so |∩| over ks ≡ |∩| over
+    // raw token sets — d13's two-scans-saved rule)
+    val q = cand.join(broadcast(evalSorted), Seq("eval_id"))
+      .join(trainSorted, Seq("train_id"))
+      .select(col("eval_id"), col("train_id"),
+        round(T.sortedIntersectCount(col("eks"), col("tks")).cast("double") /
+          size(col("eks")), 3).as("containment"))
+      .filter(col("containment") >= t)
+    val agg = q.groupBy("eval_id").agg(count(lit(1)).as("n_containers"))
+    val best = q.withColumn("rk", row_number().over(
+        Window.partitionBy("eval_id")
+          .orderBy(col("containment").desc, col("train_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("eval_id"), col("train_id").as("best_container_id"),
+        col("containment"))
+    docs.filter(col("is_eval")).select(col("doc_id"))
+      .join(agg.withColumnRenamed("eval_id", "doc_id"), Seq("doc_id"), "left")
+      .join(best.withColumnRenamed("eval_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_containers"), lit(0L)).as("n_containers"),
+        col("best_container_id"), col("containment"))
+      .withColumn("contaminated", col("n_containers") > 0)
+      .orderBy("doc_id")
+  }
+
   /** D6: benchmark decontamination — flag training documents that
     * overlap an evaluation set by shared word n-grams, the standard
     * pretraining hygiene step (GPT-3's appendix uses 13-gram overlap;

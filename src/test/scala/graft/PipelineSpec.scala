@@ -159,6 +159,81 @@ class PipelineSpec extends AnyFunSuite {
       "fixture no longer demonstrates the band miss — adjust sizes")
   }
 
+  test("d14 eval-side prefix filtering is EXACT: equals the all-pairs " +
+      "cross-source gram-containment truth") {
+    import graft.functions.{TextFunctions => T}
+    val docs = Tables.documents(spark, sf).filter(col("text").isNotNull)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(dedup.Dedup.wordGrams(col("toks"), 3)).as("gs"))
+    val q = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("eval_id"), col("gs").as("egs"))
+      .crossJoin(docs.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id").as("train_id"), col("gs").as("tgs")))
+      .select(col("eval_id"), col("train_id"),
+        round(size(array_intersect(col("egs"), col("tgs"))).cast("double") /
+          size(col("egs")), 3).as("containment"))
+      .filter(col("containment") >= 0.8)
+    val agg = q.groupBy("eval_id").agg(count(lit(1)).as("n_containers"))
+    val best = q.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("eval_id")
+          .orderBy(col("containment").desc, col("train_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("eval_id"), col("train_id"), col("containment"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getBoolean(4))).toSet
+    val truth = rows(docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"))
+      .join(agg.withColumnRenamed("eval_id", "doc_id"), Seq("doc_id"), "left")
+      .join(best.withColumnRenamed("eval_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_containers"), lit(0L)).as("n_containers"),
+        col("train_id"), col("containment"))
+      .withColumn("contaminated", col("n_containers") > 0))
+    val got = rows(dedup.Dedup.d14EvalContainment(spark, sf))
+    assert(got == truth,
+      s"missed ${(truth -- got).size} / extra ${(got -- truth).size}")
+    assert(got.exists(_._5), "no contaminated eval doc in the fixture — " +
+      "the spec lost its live signal")
+  }
+
+  test("d14 catches the cross-source short quote d6 under-flags and " +
+      "d13's within-source scope misses") {
+    import spark.implicits._
+    // eval doc 10: four tokens = TWO distinct 3-grams, quoted
+    // contiguously inside train doc 21 in a DIFFERENT source. d6's
+    // absolute rule (shared distinct grams >= 3) cannot flag it; d13
+    // scopes candidates within source so the pair never forms; d14's
+    // normalized coverage is 2/2 = 1.0.
+    val quote = "alpha beta gamma delta"
+    val docs = Seq(
+      (10L, "evalsuite", quote),
+      (21L, "webcrawl", s"intro pad1 $quote outro pad2 pad3 pad4"),
+      (33L, "webcrawl", (0 until 40).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = dedup.Dedup
+      .evalContainment(docs, col("doc_id") % 10 === 0, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(4))).toSeq
+    assert(got == Seq((10L, 1L, 21L, true)), s"got $got")
+    // d6's evidence: the pair shares exactly 2 distinct grams — below
+    // the >= 3 decontamination bar
+    import graft.functions.{TextFunctions => T}
+    val shared = docs.select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(dedup.Dedup.wordGrams(col("toks"), 3)).as("gs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert((shared(10L) intersect shared(21L)).size == 2)
+    // d13's evidence: within-source scoping produces no row for the
+    // cross-source pair (token containment alone would be 1.0)
+    val d13 = dedup.Dedup.containmentBest(docs, 0.8).collect()
+    assert(!d13.exists(r => r.getLong(0) == 10L && r.getLong(1) == 21L),
+      "fixture no longer demonstrates the scope miss — adjust sources")
+  }
+
   test("d5 banded LSH output equals the all-pairs within-label formulation") {
     import graft.functions.{VectorFunctions => V}
     val e = Tables.embeddings(spark, sf)
