@@ -564,35 +564,77 @@ object SparkEntry {
       // full pipeline re-derivation: quality gate → exact dedup →
       // minhash pairs ON THE SURVIVORS → EXACT components (recursive
       // closure, matching the engine's adaptive exact entry) →
-      // decontamination vs the raw-corpus eval grams → split counts
+      // SEMANTIC components (the d5 banded pair graph restricted to
+      // survivors², transitively closed — per-vector banding is
+      // corpus-independent, so subset pairs = full pairs filtered) →
+      // within-source CONTAINMENT (all-pairs exact form: the prefix
+      // filter is recall-1.0, spec-proven, so brute force is the
+      // strongest check) → decontamination vs the raw-corpus eval
+      // grams → split counts
       s"""WITH RECURSIVE q AS MATERIALIZED (
          |  SELECT * FROM documents
          |  WHERE doc_id % 97 <> 0 AND text IS NOT NULL AND n_chars >= 100),
          |ex AS MATERIALIZED (
-         |  SELECT doc_id, text FROM (
-         |    SELECT doc_id, text, row_number() OVER (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text, row_number() OVER (
          |      PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q)
          |  WHERE rn = 1),
          |${minhashBandCte("ex")},
-         |cand AS (
+         |mcand AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2,
          |    len(list_filter(range(32), i -> a.sig[i + 1] = b.sig[i + 1])) / 32.0 AS jac
          |  FROM band a JOIN band b
          |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
          |pairs AS MATERIALIZED (
-         |  SELECT id1, id2 FROM cand WHERE jac >= 0.5 GROUP BY id1, id2),
-         |e AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM pairs
+         |  SELECT id1, id2 FROM mcand WHERE jac >= 0.5 GROUP BY id1, id2),
+         |me AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM pairs
          |      UNION ALL SELECT id2, id1 FROM pairs),
          |reach(u, v) AS (
-         |  SELECT u, v FROM e
+         |  SELECT u, v FROM me
          |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |  SELECT r.u, me.v FROM reach r JOIN me ON r.v = me.u),
          |lbl AS MATERIALIZED (SELECT u AS id, least(u, min(v)) AS lbl
          |        FROM reach GROUP BY u),
          |nd AS MATERIALIZED (
-         |  SELECT ex.doc_id, ex.text FROM ex
+         |  SELECT ex.doc_id, ex.source, ex.text FROM ex
          |  LEFT JOIN lbl ON lbl.id = ex.doc_id
          |  WHERE lbl.lbl IS NULL OR lbl.lbl = ex.doc_id),
+         |semp AS MATERIALIZED (
+         |  SELECT id1, id2 FROM ($d5PairsSql)
+         |  WHERE id1 IN (SELECT doc_id FROM nd)
+         |    AND id2 IN (SELECT doc_id FROM nd)),
+         |se AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM semp
+         |      UNION ALL SELECT id2, id1 FROM semp),
+         |sreach(u, v) AS (
+         |  SELECT u, v FROM se
+         |  UNION
+         |  SELECT r.u, se.v FROM sreach r JOIN se ON r.v = se.u),
+         |slbl AS MATERIALIZED (SELECT u AS id, least(u, min(v)) AS lbl
+         |        FROM sreach GROUP BY u),
+         |sem AS MATERIALIZED (
+         |  SELECT nd.doc_id, nd.source, nd.text FROM nd
+         |  LEFT JOIN slbl ON slbl.id = nd.doc_id
+         |  WHERE slbl.lbl IS NULL OR slbl.lbl = nd.doc_id),
+         |ssets AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    list_distinct(list_transform(
+         |      range(0, len(string_split(text, ' ')) - 2),
+         |      i -> array_to_string(string_split(text, ' ')[i+1:i+3], ' ')))
+         |      AS ts
+         |  FROM sem),
+         |scontained AS MATERIALIZED (
+         |  SELECT DISTINCT CASE WHEN n1 < n2 OR (n1 = n2 AND id1 > id2)
+         |    THEN id1 ELSE id2 END AS doc_id FROM (
+         |    SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |      len(a.ts) AS n1, len(b.ts) AS n2,
+         |      round(len(list_filter(a.ts, x -> list_contains(b.ts, x)))::DOUBLE /
+         |        least(len(a.ts), len(b.ts)), 3) AS c
+         |    FROM ssets a JOIN ssets b
+         |      ON a.source = b.source AND a.doc_id < b.doc_id)
+         |  WHERE c >= 0.8),
+         |co AS MATERIALIZED (
+         |  SELECT * FROM sem
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM scontained)),
          |g AS (
          |  SELECT doc_id,
          |    list_transform(range(0, len(string_split(text,' ')) - 2),
@@ -602,15 +644,15 @@ object SparkEntry {
          |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
          |cont AS (
          |  SELECT doc_id FROM (
-         |    SELECT nd.doc_id, unnest(
-         |      list_transform(range(0, len(string_split(nd.text,' ')) - 2),
-         |        i -> array_to_string(string_split(nd.text,' ')[i+1:i+3], ' ')))
+         |    SELECT co.doc_id, unnest(
+         |      list_transform(range(0, len(string_split(co.text,' ')) - 2),
+         |        i -> array_to_string(string_split(co.text,' ')[i+1:i+3], ' ')))
          |      AS gram
-         |    FROM nd) t
+         |    FROM co) t
          |  JOIN bench USING (gram)
          |  GROUP BY doc_id HAVING count(DISTINCT gram) >= 3),
          |clean AS MATERIALIZED (
-         |  SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |  SELECT * FROM co WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
          |splits AS (
          |  SELECT 'split_' || CASE WHEN b < 80 THEN 'train'
          |    WHEN b < 90 THEN 'val' ELSE 'test' END AS stage,
@@ -622,6 +664,8 @@ object SparkEntry {
          |  UNION ALL SELECT 'quality', count(*) FROM q
          |  UNION ALL SELECT 'exact_dedup', count(*) FROM ex
          |  UNION ALL SELECT 'near_dup', count(*) FROM nd
+         |  UNION ALL SELECT 'semantic', count(*) FROM sem
+         |  UNION ALL SELECT 'containment', count(*) FROM co
          |  UNION ALL SELECT 'decontam', count(*) FROM clean
          |  UNION ALL SELECT stage, rows FROM splits)
          |ORDER BY stage""".stripMargin

@@ -226,17 +226,31 @@ object Dedup {
 
   /** The d13 body over an arbitrary (doc_id, source, text) frame —
     * composable, and the spec feeds it the synthetic subset fixtures
-    * minhash banding provably misses. */
+    * minhash banding provably misses. `gramN` picks the set elements:
+    * 0 = distinct tokens (d13's reporting form), n ≥ 1 = distinct
+    * word n-grams — the DISCRIMINATING choice when a drop stage
+    * composes this operator (x1): on a bounded vocabulary token SETS
+    * saturate (most docs' token sets are near-contained in a
+    * same-source partner — d13 flags 480/500 on the fixture corpus,
+    * fine as a report, pathological as a drop), while n-gram sets
+    * only saturate for genuine truncation/quote dups. */
   private[graft] def containmentBest(docsIn: DataFrame,
-      t: Double): DataFrame = {
+      t: Double, gramN: Int = 0): DataFrame = {
     val docs = docsIn.filter(col("text").isNotNull)
     // scoped WITHIN source (d5's within-label precedent): the
     // truncation/wrapper dup mode lives inside a crawl/domain, and the
     // scope bounds within-bucket population the same way d5's label
     // does — the candidate key is (source, rare-token), never a
     // corpus-wide token alone
-    val dt = docs.select(col("doc_id"), col("source"),
-      explode(T.tokenSet(col("text"))).as("tok"))
+    val dt =
+      if (gramN <= 0)
+        docs.select(col("doc_id"), col("source"),
+          explode(T.tokenSet(col("text"))).as("tok"))
+      else
+        docs.select(col("doc_id"), col("source"),
+            T.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(wordGrams(col("toks"), gramN))).as("tok"))
     val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
     // sort key encodes (df, tok) as one string: identical lexicographic
     // semantics in both engines, and the candidate join can key on it
@@ -483,7 +497,15 @@ object Dedup {
 
   /** d5's pair body without the output sort — also the edge set of
     * d12's epsilon-grouping. */
-  private[graft] def embeddingPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def embeddingPairs(s: SparkSession, d: String): DataFrame =
+    embeddingPairsFrame(Tables.embeddings(s, d))
+
+  /** The d5 pair body over an arbitrary (vec_id, label, embedding)
+    * frame — composable: per-vector banding is corpus-independent, so
+    * pairs over a SUBSET equal the full pair set restricted to both
+    * endpoints in the subset (x1's semantic stage runs it on
+    * survivors; the oracle filters the full pair set the same way). */
+  private[graft] def embeddingPairsFrame(embIn: DataFrame): DataFrame = {
     val bands = 32; val r = 3; val dim = 64; val seedBase = 1000
     // Slim candidate generation: only (label, band, sig, vec_id) enters
     // the band self-join — the 64-dim vectors do NOT ride the ×bands
@@ -492,7 +514,7 @@ object Dedup {
     // cosine, not one per band), then the two vectors are fetched back
     // by vec_id — high-cardinality hash joins, no low-cardinality key
     // anywhere in the plan.
-    val e = Tables.embeddings(s, d)
+    val e = embIn
       .select(col("label"), col("vec_id"),
         V.asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", V.norm2(col("emb")))
@@ -500,7 +522,7 @@ object Dedup {
     // interpreted transform, and as a shared SUBTREE (not an
     // attribute) it would re-cast the vector once per plane per row —
     // see wordGrams for the general rule
-    val banded = Tables.embeddings(s, d)
+    val banded = embIn
       .select(col("label"), col("vec_id"),
         V.asDouble(col("embedding")).as("embd"))
       .select(col("label"), col("vec_id"),

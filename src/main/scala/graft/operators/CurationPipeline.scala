@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 /** X1: the END-TO-END corpus curation pipeline — the reference's ETL
   * chains extract → history → normalize → load; a training-data
   * pipeline chains holdout → quality gate → exact dedup → near-dup
-  * clustering → decontamination → split. This operator runs the whole
+  * clustering → semantic dedup → containment → decontamination →
+  * split. This operator runs the whole
   * chain by COMPOSING the family operators (each stage consumes the
   * previous stage's survivors, which is precisely what the
   * standalone queries cannot show) and reports per-stage row
@@ -55,13 +56,39 @@ object CurationPipeline {
         Seq("doc_id"), "left")
       .filter(col("lbl").isNull || col("lbl") === col("doc_id"))
       .drop("lbl")
+    // semantic dedup: SemDeDup epsilon-groups over the SURVIVORS'
+    // vectors (vec_id ≡ doc_id, the m4 pairing; per-vector banding is
+    // corpus-independent, so pairs-on-survivors = full pairs ∩
+    // survivors², which is exactly how the oracle re-derives it),
+    // keep one representative per group. Checkpointed: the frame
+    // feeds the containment stage AND the flag join, and re-deriving
+    // it would re-run the band join + components per consumer.
+    val semPairs = Dedup.embeddingPairsFrame(
+      graft.Tables.embeddings(s, d)
+        .join(nearDup.select(col("doc_id").as("vec_id")), Seq("vec_id")))
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val semLbl = Dedup.connectedComponentsAdaptive(semPairs)
+    val sem = nearDup
+      .join(semLbl.select(col("id").as("doc_id"), col("lbl")),
+        Seq("doc_id"), "left")
+      .filter(col("lbl").isNull || col("lbl") === col("doc_id"))
+      .drop("lbl")
+      .localCheckpoint(true)
+    // containment: drop docs whose distinct word-3-GRAM set is >= 80%
+    // contained in a surviving same-source partner (d13's body in its
+    // gram form — truncation/quote dups that symmetric minhash
+    // passed; token-set containment saturates on a bounded vocabulary
+    // and would gut the corpus as a drop rule — see containmentBest)
+    val contained = Dedup.containmentBest(sem, 0.8, 3).select("doc_id")
+    val cont = sem.join(contained, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
     // decontamination: drop survivors sharing >= 3 distinct 3-grams
     // with the eval holdout (d6; eval grams from the RAW corpus)
     val benchGrams = raw.filter(col("doc_id") % 97 === 0)
       .select(graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .select(explode(Dedup.wordGrams(col("toks"), 3)).as("gram"))
       .distinct()
-    val contaminated = nearDup
+    val contaminated = cont
       .select(col("doc_id"),
         graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(Dedup.wordGrams(col("toks"), 3))
@@ -69,10 +96,11 @@ object CurationPipeline {
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy("doc_id").agg(countDistinct("gram").as("n_shared"))
       .filter(col("n_shared") >= 3)
-    val clean = nearDup.join(contaminated.select("doc_id"),
+    val clean = cont.join(contaminated.select("doc_id"),
       Seq("doc_id"), "left_anti")
     Seq("raw" -> raw, "quality" -> quality, "exact_dedup" -> exact,
-      "near_dup" -> nearDup, "decontam" -> clean)
+      "near_dup" -> nearDup, "semantic" -> sem, "containment" -> cont,
+      "decontam" -> clean)
   }
 
   /** The curated corpus with its split assignment (c3's deterministic
@@ -100,6 +128,8 @@ object CurationPipeline {
       .join(ids(st("quality"), "q"), Seq("doc_id"), "left")
       .join(ids(st("exact_dedup"), "ex"), Seq("doc_id"), "left")
       .join(ids(st("near_dup"), "nd"), Seq("doc_id"), "left")
+      .join(ids(st("semantic"), "se"), Seq("doc_id"), "left")
+      .join(ids(st("containment"), "co"), Seq("doc_id"), "left")
       .join(ids(st("decontam"), "cl"), Seq("doc_id"), "left")
       .withColumn("b", bucket)
     val agg = flags.agg(
@@ -107,6 +137,8 @@ object CurationPipeline {
       count(col("q")).as("c_quality"),
       count(col("ex")).as("c_exact"),
       count(col("nd")).as("c_near"),
+      count(col("se")).as("c_sem"),
+      count(col("co")).as("c_cont"),
       count(col("cl")).as("c_clean"),
       count(when(col("cl") === 1 && col("b") < 80, 1)).as("c_train"),
       count(when(col("cl") === 1 && col("b") >= 80 && col("b") < 90, 1))
@@ -117,6 +149,8 @@ object CurationPipeline {
         struct(lit("quality").as("stage"), col("c_quality").as("rows")),
         struct(lit("exact_dedup").as("stage"), col("c_exact").as("rows")),
         struct(lit("near_dup").as("stage"), col("c_near").as("rows")),
+        struct(lit("semantic").as("stage"), col("c_sem").as("rows")),
+        struct(lit("containment").as("stage"), col("c_cont").as("rows")),
         struct(lit("decontam").as("stage"), col("c_clean").as("rows")),
         struct(lit("split_train").as("stage"), col("c_train").as("rows")),
         struct(lit("split_val").as("stage"), col("c_val").as("rows")),
