@@ -2070,7 +2070,8 @@ object SparkEntry {
          |  FROM keyed GROUP BY doc_id, source),
          |pre AS (
          |  SELECT doc_id, source,
-         |    unnest(ks[1:CAST(floor(${1.0 - 0.9} * len(ks)) + 1 AS BIGINT)]) AS k
+         |    unnest(ks[1:CAST(floor(${1.0 - 0.9} * len(ks) + 0.000001) + 1
+         |      AS BIGINT)]) AS k
          |  FROM sorted),
          |cand AS (
          |  SELECT DISTINCT least(p.doc_id, q.doc_id) AS id1,

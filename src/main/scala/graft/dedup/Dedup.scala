@@ -242,53 +242,7 @@ object Dedup {
     // scope bounds within-bucket population the same way d5's label
     // does — the candidate key is (source, rare-token), never a
     // corpus-wide token alone
-    val dt =
-      if (gramN <= 0)
-        docs.select(col("doc_id"), col("source"),
-          explode(T.tokenSet(col("text"))).as("tok"))
-      else
-        docs.select(col("doc_id"), col("source"),
-            T.tokens(col("text")).as("toks"))
-          .select(col("doc_id"), col("source"),
-            explode(array_distinct(wordGrams(col("toks"), gramN))).as("tok"))
-    val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("df"))
-    // sort key encodes (df, tok) as one string: identical lexicographic
-    // semantics in both engines, and the candidate join can key on it
-    // directly (same tok ⟺ same key, df is global)
-    val keyed = dt.join(dfreq, "tok")
-      .select(col("doc_id"), col("source"),
-        concat(lpad(col("df").cast("string"), 12, "0"), lit("|"),
-          col("tok")).as("k"))
-    val sorted = keyed.groupBy("doc_id", "source")
-      .agg(sort_array(collect_list(col("k"))).as("ks"))
-    val prefix = sorted
-      .select(col("doc_id"), col("source"), explode(slice(col("ks"), lit(1),
-        (floor(lit(1.0 - t) * size(col("ks"))) + 1).cast("int"))).as("k"))
-    val cand = prefix.as("p").join(keyed.as("q"),
-        col("p.k") === col("q.k") && col("p.source") === col("q.source") &&
-          col("p.doc_id") =!= col("q.doc_id"))
-      .select(least(col("p.doc_id"), col("q.doc_id")).as("id1"),
-        greatest(col("p.doc_id"), col("q.doc_id")).as("id2"))
-      .distinct()
-    // verify on the ALREADY-BUILT sorted key arrays: k = df|tok is a
-    // bijection of the token, so |∩| and sizes over ks equal those
-    // over the raw token sets — no second corpus tokenization, two
-    // fewer scans
-    val sets = sorted.select(col("doc_id"), col("ks").as("ts"))
-    val pairs = cand
-      .join(sets.select(col("doc_id").as("id1"), col("ts").as("t1")),
-        Seq("id1"))
-      .join(sets.select(col("doc_id").as("id2"), col("ts").as("t2")),
-        Seq("id2"))
-      .select(col("id1"), col("id2"),
-        size(col("t1")).as("n1"), size(col("t2")).as("n2"),
-        // ks arrays are sorted distinct sets by construction, so the
-        // native linear-merge count replaces the per-pair hash-set
-        // array_intersect (spec-asserted equal)
-        round(
-          T.sortedIntersectCount(col("t1"), col("t2")).cast("double") /
-            least(size(col("t1")), size(col("t2"))), 3).as("containment"))
-      .filter(col("containment") >= t)
+    val pairs = containmentPairs(docs, t, gramN)
     // report the ACTIONABLE frame, not the (fixture-quadratic) pair
     // list: per CONTAINED doc (the smaller set; ties by larger id),
     // its best container (max containment, then min id) — the row a
@@ -308,6 +262,144 @@ object Dedup {
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("container_id"), col("containment"))
       .orderBy("doc_id")
+  }
+
+  /** (doc_id, source, tok) elements — distinct tokens (gramN = 0) or
+    * distinct word n-grams (the x1 drop form). */
+  private def containmentElems(docs: DataFrame, gramN: Int): DataFrame =
+    if (gramN <= 0)
+      docs.select(col("doc_id"), col("source"),
+        explode(T.tokenSet(col("text"))).as("tok"))
+    else
+      docs.select(col("doc_id"), col("source"),
+          T.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(wordGrams(col("toks"), gramN))).as("tok"))
+
+  /** Postings keys under a GIVEN df dictionary. The sort key encodes
+    * (df, tok) as one string: identical lexicographic semantics in
+    * both engines, and the candidate join can key on it directly
+    * (same tok ⟺ same key under one dictionary). Tokens missing from
+    * the dictionary key at df 0 — the prefix bound is ORDER-
+    * INDEPENDENT, so a frozen (stale) dictionary only costs candidate
+    * efficiency, never recall. */
+  private[graft] def containmentKeyed(elems: DataFrame,
+      dfDict: DataFrame): DataFrame =
+    elems.join(dfDict, Seq("tok"), "left")
+      .select(col("doc_id"), col("source"),
+        concat(lpad(coalesce(col("df"), lit(0L)).cast("string"), 12, "0"),
+          lit("|"), col("tok")).as("k"))
+
+  /** Per-doc df-sorted key arrays. */
+  private[graft] def containmentSets(keyed: DataFrame): DataFrame =
+    keyed.groupBy("doc_id", "source")
+      .agg(sort_array(collect_list(col("k"))).as("ks"))
+
+  /** The rarest-⌊(1-t)·n⌋+1 prefix of every doc's key array. The
+    * 1e-6 guard makes the float floor equal the MATHEMATICAL floor at
+    * exact boundaries: (1-0.9) is slightly below 0.1 in binary, so
+    * (1-t)·10 evaluates to 0.999… and floors to 0 where exact
+    * arithmetic gives 1 — one prefix key short, and a pair at
+    * containment exactly t with a 10-token smaller side could be
+    * missed (found: the waves-≡-one-shot spec caught pair (125, 445)
+    * at exactly 0.9). Biasing the prefix UP can only add candidates,
+    * never lose one, so the guard is recall-safe by construction. */
+  private[graft] def containmentPrefix(sets: DataFrame,
+      t: Double): DataFrame =
+    sets.select(col("doc_id"), col("source"),
+      explode(slice(col("ks"), lit(1),
+        (floor(lit(1.0 - t) * size(col("ks")) + lit(1e-6)) + 1)
+          .cast("int"))).as("k"))
+
+  /** Exact verification of deduped candidates on the ALREADY-BUILT
+    * sorted key arrays: k = df|tok is a bijection of the token under
+    * one dictionary, so |∩| and sizes over ks equal those over the
+    * raw token sets — no second corpus tokenization. The native
+    * linear-merge count replaces the per-pair hash-set
+    * array_intersect (spec-asserted equal). */
+  private[graft] def verifyContainment(cand: DataFrame, sets: DataFrame,
+      t: Double): DataFrame =
+    cand
+      .join(sets.select(col("doc_id").as("id1"), col("ks").as("t1")),
+        Seq("id1"))
+      .join(sets.select(col("doc_id").as("id2"), col("ks").as("t2")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"),
+        size(col("t1")).as("n1"), size(col("t2")).as("n2"),
+        round(
+          T.sortedIntersectCount(col("t1"), col("t2")).cast("double") /
+            least(size(col("t1")), size(col("t2"))), 3).as("containment"))
+      .filter(col("containment") >= t)
+
+  /** Verified containment pairs (the report-free d13 core): self-df
+    * prefix candidates + exact verification. */
+  private[graft] def containmentPairs(docsIn: DataFrame, t: Double,
+      gramN: Int = 0): DataFrame = {
+    val docs = docsIn.filter(col("text").isNotNull)
+    val elems = containmentElems(docs, gramN)
+    val dfDict = elems.groupBy("tok").agg(count(lit(1)).as("df"))
+    val keyed = containmentKeyed(elems, dfDict)
+    val sorted = containmentSets(keyed)
+    val prefix = containmentPrefix(sorted, t)
+    val cand = prefix.as("p").join(keyed.as("q"),
+        col("p.k") === col("q.k") && col("p.source") === col("q.source") &&
+          col("p.doc_id") =!= col("q.doc_id"))
+      .select(least(col("p.doc_id"), col("q.doc_id")).as("id1"),
+        greatest(col("p.doc_id"), col("q.doc_id")).as("id2"))
+      .distinct()
+    verifyContainment(cand, sorted.select(col("doc_id"), col("ks")), t)
+  }
+
+  /** The d13 index STORE for a corpus under its own — thereafter
+    * FROZEN — df dictionary: (dfDict, postings, sets). The production
+    * cadence persists postings BUCKETED on k (the batch probe join
+    * reads the store co-located, no exchange — d9's band-store
+    * pattern) and refreshes the dictionary with a periodic rebuild,
+    * the published incremental-PPJoin compromise: df drift between
+    * rebuilds costs candidate efficiency only (the prefix bound holds
+    * under ANY fixed order), never a missed pair. */
+  private[graft] def containmentStore(docsIn: DataFrame, gramN: Int = 0)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val docs = docsIn.filter(col("text").isNotNull)
+    val elems = containmentElems(docs, gramN)
+    val dfDict = elems.groupBy("tok").agg(count(lit(1)).as("df"))
+    val keyed = containmentKeyed(elems, dfDict)
+    (dfDict, keyed, containmentSets(keyed))
+  }
+
+  /** D13 INCREMENTAL: every verified containment pair an arriving
+    * batch forms — cross pairs against the store plus intra-batch
+    * pairs — WITHOUT re-keying or re-shuffling the corpus. The batch
+    * keys under the store's frozen dictionary; exact candidate
+    * coverage needs both prefix directions (the smaller side of a
+    * qualifying pair contributes the probing prefix): the batch's
+    * prefixes probe the bucketed store postings (store side
+    * exchange-free), and the store's prefixes — a per-row slice of
+    * the persisted sets, no corpus shuffle — probe the BROADCAST
+    * batch postings. Accumulated wave pairs ≡ the one-shot d13 pair
+    * set on the union (spec), because verification is df-independent:
+    * containment is a property of the token sets alone. */
+  private[graft] def containmentIncrement(storeSets: DataFrame,
+      storePostings: DataFrame, dfDict: DataFrame, batch: DataFrame,
+      t: Double, gramN: Int = 0): DataFrame = {
+    val elems = containmentElems(batch.filter(col("text").isNotNull), gramN)
+    val keyed = containmentKeyed(elems, dfDict).localCheckpoint(true)
+    val bsets = containmentSets(keyed).localCheckpoint(true)
+    val bpre = containmentPrefix(bsets, t)
+    val spre = containmentPrefix(storeSets, t)
+    def cands(p: DataFrame, q: DataFrame, broadcastQ: Boolean) =
+      p.as("p").join(if (broadcastQ) broadcast(q.as("q")) else q.as("q"),
+          col("p.k") === col("q.k") && col("p.source") === col("q.source") &&
+            col("p.doc_id") =!= col("q.doc_id"))
+        .select(least(col("p.doc_id"), col("q.doc_id")).as("id1"),
+          greatest(col("p.doc_id"), col("q.doc_id")).as("id2"))
+    val cand = cands(bpre, storePostings, broadcastQ = false)
+      .union(cands(spre, keyed, broadcastQ = true))
+      .union(cands(bpre, keyed, broadcastQ = true))
+      .distinct()
+    verifyContainment(cand,
+      storeSets.select(col("doc_id"), col("ks"))
+        .union(bsets.select(col("doc_id"), col("ks"))), t)
   }
 
   /** D14: CROSS-SOURCE eval-contamination CONTAINMENT — the
@@ -370,7 +462,8 @@ object Dedup {
       .select(col("doc_id").as("eval_id"), col("ks").as("eks"))
     val prefix = evalSorted
       .select(col("eval_id"), explode(slice(col("eks"), lit(1),
-        (floor(lit(1.0 - t) * size(col("eks"))) + 1).cast("int"))).as("k"))
+        (floor(lit(1.0 - t) * size(col("eks")) + lit(1e-6)) + 1)
+          .cast("int"))).as("k"))
     val cand = keyed.filter(!col("is_eval"))
       .join(broadcast(prefix), Seq("k"))
       .select(col("eval_id"), col("doc_id").as("train_id")).distinct()

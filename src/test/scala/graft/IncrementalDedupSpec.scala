@@ -58,6 +58,75 @@ class IncrementalDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("d13 incremental: frozen-df containment store waves ≡ the " +
+      "one-shot pair set on the union") {
+    val t = 0.9
+    val store = docs.filter(col("doc_id") % 3 =!= 2)
+    val batch = docs.filter(col("doc_id") % 3 === 2)
+    val (dfDict, keyed, sets) = Dedup.containmentStore(store)
+    Bucketed.write(keyed, "cont_postings", "k", 8)
+    val dfd = dfDict.localCheckpoint(true)
+    val ssets = sets.localCheckpoint(true)
+    val inc = Dedup.containmentIncrement(ssets,
+      Bucketed.read(spark, "cont_postings"), dfd, batch, t)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id1", "id2", "containment").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val accumulated = pairSet(Dedup.containmentPairs(store, t)) ++
+      pairSet(inc)
+    val oneShot = pairSet(Dedup.containmentPairs(docs, t))
+    assert(accumulated == oneShot,
+      s"missed ${(oneShot -- accumulated).size} / " +
+        s"extra ${(accumulated -- oneShot).size}")
+    assert(pairSet(inc).nonEmpty, "fixture produced no cross/intra pairs")
+  }
+
+  test("d13 incremental: store side of the postings probe plans NO " +
+      "exchange (bucket-join)") {
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val batch = docs.filter(col("doc_id") % 3 === 2)
+      val (dfDict, storeKeyed, _) = Dedup.containmentStore(
+        docs.filter(col("doc_id") % 3 =!= 2))
+      // self-sufficient: write the store here (a -z filtered run must
+      // not depend on the waves test having built it first)
+      Bucketed.write(storeKeyed, "cont_postings_plan", "k", 8)
+      val dfd = dfDict.localCheckpoint(true)
+      val keyed = Dedup.containmentKeyed(
+        batch.filter(col("text").isNotNull)
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(split(col("text"), " "))).as("tok")),
+        dfd)
+      // checkpoint the batch prefix so the asserted plan is ONLY the
+      // probe join (the batch's own keying/sets aggregation shuffles
+      // are batch-sized and not what this test pins)
+      val bpre = Dedup.containmentPrefix(
+        Dedup.containmentSets(keyed), 0.9).localCheckpoint(true)
+      val j = bpre.as("p")
+        .join(Bucketed.read(spark, "cont_postings_plan").as("q"),
+          col("p.k") === col("q.k") &&
+            col("p.source") === col("q.source") &&
+            col("p.doc_id") =!= col("q.doc_id"))
+        .select(col("p.doc_id"), col("q.doc_id").as("container_id"))
+      j.queryExecution.executedPlan.execute().count()
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // exactly one shuffle: the batch prefix re-partitions to the
+      // store's bucketing; the store postings read co-located
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+        s"store side shuffled:\n$plan")
+    } finally {
+      prev.foreach(spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevA.foreach(spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+      if (prev.isEmpty) spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      if (prevA.isEmpty) spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("streaming incremental dedup ≡ the sequential batch cadence") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
