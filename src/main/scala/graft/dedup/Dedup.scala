@@ -295,21 +295,62 @@ object Dedup {
     keyed.groupBy("doc_id", "source")
       .agg(sort_array(collect_list(col("k"))).as("ks"))
 
-  /** The rarest-⌊(1-t)·n⌋+1 prefix of every doc's key array. The
-    * 1e-6 guard makes the float floor equal the MATHEMATICAL floor at
-    * exact boundaries: (1-0.9) is slightly below 0.1 in binary, so
-    * (1-t)·10 evaluates to 0.999… and floors to 0 where exact
-    * arithmetic gives 1 — one prefix key short, and a pair at
-    * containment exactly t with a 10-token smaller side could be
-    * missed (found: the waves-≡-one-shot spec caught pair (125, 445)
-    * at exactly 0.9). Biasing the prefix UP can only add candidates,
-    * never lose one, so the guard is recall-safe by construction. */
+  /** The rarest-⌊(1-t)·n⌋+1 prefix of every doc's key array, with the
+    * key's POSITION in the df order and the doc's set size (the
+    * positional-filter operands). The 1e-6 guard makes the float
+    * floor equal the MATHEMATICAL floor at exact boundaries: (1-0.9)
+    * is slightly below 0.1 in binary, so (1-t)·10 evaluates to 0.999…
+    * and floors to 0 where exact arithmetic gives 1 — one prefix key
+    * short, and a pair at containment exactly t with a 10-token
+    * smaller side could be missed (found: the waves-≡-one-shot spec
+    * caught pair (125, 445) at exactly 0.9). Biasing the prefix UP
+    * can only add candidates, never lose one, so the guard is
+    * recall-safe by construction. */
   private[graft] def containmentPrefix(sets: DataFrame,
       t: Double): DataFrame =
-    sets.select(col("doc_id"), col("source"),
-      explode(slice(col("ks"), lit(1),
+    sets.select(col("doc_id"), col("source"), size(col("ks")).as("n"),
+      posexplode(slice(col("ks"), lit(1),
         (floor(lit(1.0 - t) * size(col("ks")) + lit(1e-6)) + 1)
-          .cast("int"))).as("k"))
+          .cast("int"))))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "k")
+
+  /** Full postings of every doc's key array with df-order positions —
+    * the probed side of the candidate joins. */
+  private[graft] def containmentPostings(sets: DataFrame): DataFrame =
+    sets.select(col("doc_id"), col("source"), size(col("ks")).as("n"),
+      posexplode(col("ks")))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "k")
+
+  /** PPJoin POSITIONAL FILTER (Xiao et al. 2011 §3.2, adapted to the
+    * min-denominator containment): a candidate row matching prefix
+    * position i of doc P to postings position j of doc Q bounds the
+    * overlap — every OTHER common key sorts after both (when the row
+    * is the pair's FIRST common key: any earlier common key would
+    * itself be an earlier prefix hit), so |P∩Q| ≤ 1 + min(n_p-i-1,
+    * n_q-j-1). Rows whose bound cannot reach t·min(n_p, n_q) are
+    * pruned BEFORE the candidate-dedup shuffle. Exactness: a
+    * qualifying pair's first-common-key row always passes (the bound
+    * ≥ the true overlap ≥ t·min on that row), and the pair survives
+    * if ANY row survives. This is what bounds fan-out on HOT postings
+    * — a near-uniform vocabulary where even rarest-first prefixes
+    * carry corpus-scale postings lists (skew-probed in the spec). */
+  private def positionalOk(t: Double): org.apache.spark.sql.Column =
+    lit(1) + least(col("p.n") - col("p.i") - 1,
+      col("q.n") - col("q.j") - 1) >=
+      lit(t) * least(col("p.n"), col("q.n")) - lit(1e-6)
+
+  /** Candidate pairs of a prefix frame probing a postings frame:
+    * key+source match, positional filter, canonical orientation,
+    * dedup. */
+  private[graft] def candidatePairs(pre: DataFrame, post: DataFrame,
+      t: Double, broadcastPost: Boolean = false): DataFrame =
+    pre.as("p")
+      .join(if (broadcastPost) broadcast(post.as("q")) else post.as("q"),
+        col("p.k") === col("q.k") && col("p.source") === col("q.source") &&
+          col("p.doc_id") =!= col("q.doc_id"))
+      .filter(positionalOk(t))
+      .select(least(col("p.doc_id"), col("q.doc_id")).as("id1"),
+        greatest(col("p.doc_id"), col("q.doc_id")).as("id2"))
 
   /** Exact verification of deduped candidates on the ALREADY-BUILT
     * sorted key arrays: k = df|tok is a bijection of the token under
@@ -332,7 +373,7 @@ object Dedup {
       .filter(col("containment") >= t)
 
   /** Verified containment pairs (the report-free d13 core): self-df
-    * prefix candidates + exact verification. */
+    * prefix candidates, positional pruning, exact verification. */
   private[graft] def containmentPairs(docsIn: DataFrame, t: Double,
       gramN: Int = 0): DataFrame = {
     val docs = docsIn.filter(col("text").isNotNull)
@@ -340,13 +381,8 @@ object Dedup {
     val dfDict = elems.groupBy("tok").agg(count(lit(1)).as("df"))
     val keyed = containmentKeyed(elems, dfDict)
     val sorted = containmentSets(keyed)
-    val prefix = containmentPrefix(sorted, t)
-    val cand = prefix.as("p").join(keyed.as("q"),
-        col("p.k") === col("q.k") && col("p.source") === col("q.source") &&
-          col("p.doc_id") =!= col("q.doc_id"))
-      .select(least(col("p.doc_id"), col("q.doc_id")).as("id1"),
-        greatest(col("p.doc_id"), col("q.doc_id")).as("id2"))
-      .distinct()
+    val cand = candidatePairs(containmentPrefix(sorted, t),
+      containmentPostings(sorted), t).distinct()
     verifyContainment(cand, sorted.select(col("doc_id"), col("ks")), t)
   }
 
@@ -363,8 +399,8 @@ object Dedup {
     val docs = docsIn.filter(col("text").isNotNull)
     val elems = containmentElems(docs, gramN)
     val dfDict = elems.groupBy("tok").agg(count(lit(1)).as("df"))
-    val keyed = containmentKeyed(elems, dfDict)
-    (dfDict, keyed, containmentSets(keyed))
+    val sets = containmentSets(containmentKeyed(elems, dfDict))
+    (dfDict, containmentPostings(sets), sets)
   }
 
   /** D13 INCREMENTAL: every verified containment pair an arriving
@@ -383,19 +419,14 @@ object Dedup {
       storePostings: DataFrame, dfDict: DataFrame, batch: DataFrame,
       t: Double, gramN: Int = 0): DataFrame = {
     val elems = containmentElems(batch.filter(col("text").isNotNull), gramN)
-    val keyed = containmentKeyed(elems, dfDict).localCheckpoint(true)
-    val bsets = containmentSets(keyed).localCheckpoint(true)
+    val bsets = containmentSets(containmentKeyed(elems, dfDict))
+      .localCheckpoint(true)
+    val bpost = containmentPostings(bsets)
     val bpre = containmentPrefix(bsets, t)
     val spre = containmentPrefix(storeSets, t)
-    def cands(p: DataFrame, q: DataFrame, broadcastQ: Boolean) =
-      p.as("p").join(if (broadcastQ) broadcast(q.as("q")) else q.as("q"),
-          col("p.k") === col("q.k") && col("p.source") === col("q.source") &&
-            col("p.doc_id") =!= col("q.doc_id"))
-        .select(least(col("p.doc_id"), col("q.doc_id")).as("id1"),
-          greatest(col("p.doc_id"), col("q.doc_id")).as("id2"))
-    val cand = cands(bpre, storePostings, broadcastQ = false)
-      .union(cands(spre, keyed, broadcastQ = true))
-      .union(cands(bpre, keyed, broadcastQ = true))
+    val cand = candidatePairs(bpre, storePostings, t)
+      .union(candidatePairs(spre, bpost, t, broadcastPost = true))
+      .union(candidatePairs(bpre, bpost, t, broadcastPost = true))
       .distinct()
     verifyContainment(cand,
       storeSets.select(col("doc_id"), col("ks"))

@@ -63,8 +63,8 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val t = 0.9
     val store = docs.filter(col("doc_id") % 3 =!= 2)
     val batch = docs.filter(col("doc_id") % 3 === 2)
-    val (dfDict, keyed, sets) = Dedup.containmentStore(store)
-    Bucketed.write(keyed, "cont_postings", "k", 8)
+    val (dfDict, postings, sets) = Dedup.containmentStore(store)
+    Bucketed.write(postings, "cont_postings", "k", 8)
     val dfd = dfDict.localCheckpoint(true)
     val ssets = sets.localCheckpoint(true)
     val inc = Dedup.containmentIncrement(ssets,
@@ -90,11 +90,11 @@ class IncrementalDedupSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     try {
       val batch = docs.filter(col("doc_id") % 3 === 2)
-      val (dfDict, storeKeyed, _) = Dedup.containmentStore(
+      val (dfDict, storePostings, _) = Dedup.containmentStore(
         docs.filter(col("doc_id") % 3 =!= 2))
       // self-sufficient: write the store here (a -z filtered run must
       // not depend on the waves test having built it first)
-      Bucketed.write(storeKeyed, "cont_postings_plan", "k", 8)
+      Bucketed.write(storePostings, "cont_postings_plan", "k", 8)
       val dfd = dfDict.localCheckpoint(true)
       val keyed = Dedup.containmentKeyed(
         batch.filter(col("text").isNotNull)

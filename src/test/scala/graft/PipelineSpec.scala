@@ -159,6 +159,58 @@ class PipelineSpec extends AnyFunSuite {
       "fixture no longer demonstrates the band miss — adjust sizes")
   }
 
+  test("d13 positional filter: hot-postings fixture prunes candidates, " +
+      "output stays exact") {
+    import spark.implicits._
+    // the adversarial source: near-uniform TINY vocabulary — 2000
+    // docs of 10 distinct tokens drawn from 100, so every token's df
+    // is ~corpus/10 and even the rarest-first prefix keys carry
+    // corpus-scale postings lists (the d13 edge the r5 verdict
+    // flagged). Same-residue docs (d ≡ d' mod 100) are exact token-set
+    // dups, so true qualifying pairs exist and are known.
+    val n = 2000
+    val fixture = (0 until n).map { d =>
+      val toks = (0 until 10).map(q => s"w${(d * 7 + q * 13) % 100}")
+      (d.toLong, "s", toks.mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val t = 0.9
+    val (_, postings, sets) = dedup.Dedup.containmentStore(fixture)
+    val pre = dedup.Dedup.containmentPrefix(sets, t)
+    val unfiltered = pre.as("p").join(postings.as("q"),
+        col("p.k") === col("q.k") && col("p.source") === col("q.source") &&
+          col("p.doc_id") =!= col("q.doc_id"))
+      .count()
+    val filtered = dedup.Dedup.candidatePairs(pre, postings, t).count()
+    // the bound admits only (i, j) ∈ {0,1}² per hit — every j ≥ 2
+    // match is pruned before the candidate-dedup shuffle (measured
+    // 796k → 660k rows here). A FLAT df is this filter's worst case:
+    // rarest-first degenerates to lexicographic order, so matches
+    // concentrate at equal low positions; any df spread moves matched
+    // positions apart and the same bound prunes correspondingly more.
+    assert(filtered < unfiltered * 9 / 10,
+      s"positional filter pruned too little: $filtered of $unfiltered")
+    // and recall is untouched: the report equals the all-pairs truth
+    val docsSets = fixture
+      .select(col("doc_id"), graft.functions.TextFunctions
+        .tokenSet(col("text")).as("ts"))
+    val truth = docsSets.select(col("doc_id").as("id1"), col("ts").as("t1"))
+      .crossJoin(docsSets.select(col("doc_id").as("id2"), col("ts").as("t2")))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        size(col("t1")).as("n1"), size(col("t2")).as("n2"),
+        round(size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          least(size(col("t1")), size(col("t2"))), 3).as("containment"))
+      .filter(col("containment") >= t)
+      .select("id1", "id2", "containment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = dedup.Dedup.containmentPairs(fixture, t)
+      .select("id1", "id2", "containment")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == truth,
+      s"missed ${(truth -- got).size} / extra ${(got -- truth).size}")
+    assert(got.nonEmpty)
+  }
+
   test("d14 eval-side prefix filtering is EXACT: equals the all-pairs " +
       "cross-source gram-containment truth") {
     import graft.functions.{TextFunctions => T}
