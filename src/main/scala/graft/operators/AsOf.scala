@@ -129,6 +129,15 @@ object AsOf {
     * only, so users without purchases and the span before a user's
     * first purchase exercise the null-coverage side). */
   def h16TemporalAlign(s: SparkSession, d: String): DataFrame = {
+    val (leftScd, rightScd) = h16Scds(s, d)
+    temporalAlign(leftScd, rightScd, Seq("status"), Seq("grp"))
+      .orderBy("id", "valid_from")
+  }
+
+  /** The h16 driver's two SCD sides — exposed so the streaming-align
+    * spec can replay the same versions as boundary events. */
+  private[graft] def h16Scds(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val wU = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("ts", "event_id")
     val wV = org.apache.spark.sql.expressions.Window
@@ -143,11 +152,9 @@ object AsOf {
       .select(col("id"), col("ts").as("valid_from"), col(valueCol))
       .withColumn("expires_on", coalesce(lead("valid_from", 1).over(wV),
         lit(History.MaxTimestamp)))
-    val leftScd = scd(ev.withColumn("status", col("event_type")), "status")
-    val rightScd = scd(ev.filter(col("event_type") === "purchase")
-      .withColumn("grp", concat(lit("g"), col("k") % 3)), "grp")
-    temporalAlign(leftScd, rightScd, Seq("status"), Seq("grp"))
-      .orderBy("id", "valid_from")
+    (scd(ev.withColumn("status", col("event_type")), "status"),
+      scd(ev.filter(col("event_type") === "purchase")
+        .withColumn("grp", concat(lit("g"), col("k") % 3)), "grp"))
   }
 
   /** Q14: every non-signup event joined as-of to the user's latest
