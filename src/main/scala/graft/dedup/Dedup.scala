@@ -473,24 +473,36 @@ object Dedup {
       isEval: org.apache.spark.sql.Column, t: Double): DataFrame = {
     val docs = docsIn.filter(col("text").isNotNull)
       .withColumn("is_eval", isEval)
+    // the gram frame feeds BOTH the df aggregate and the keying join,
+    // and the two branches filter differently (train-only vs all) so
+    // exchange reuse cannot unify them — materialize the
+    // tokenize+gram explode once instead of running it twice
     val dt = docs
       .select(col("doc_id"), col("is_eval"),
         T.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("is_eval"),
         explode(array_distinct(wordGrams(col("toks"), 3))).as("tok"))
+      .localCheckpoint(true)
     // postings order = TRAIN-side document frequency (the indexed
     // corpus); eval-only grams get df 0 — they probe no postings but
     // the prefix bound is order-independent, so exactness holds
     val dfreq = dt.filter(!col("is_eval"))
       .groupBy("tok").agg(count(lit(1)).as("df"))
+    // keyed is the one corpus-sized frame and feeds three consumers
+    // (eval sets, the candidate probe, candidate-container sets):
+    // checkpoint once instead of re-tokenizing per consumer
     val keyed = dt.join(dfreq, Seq("tok"), "left")
       .select(col("doc_id"), col("is_eval"),
         concat(lpad(coalesce(col("df"), lit(0L)).cast("string"), 12, "0"),
           lit("|"), col("tok")).as("k"))
-    val sorted = keyed.groupBy("doc_id", "is_eval")
-      .agg(sort_array(collect_list(col("k"))).as("ks"))
-    val evalSorted = sorted.filter(col("is_eval"))
-      .select(col("doc_id").as("eval_id"), col("ks").as("eks"))
+      .localCheckpoint(true)
+    // sorted key ARRAYS are built only where they are read: for every
+    // eval doc (prefix + verification) and — below — for candidate
+    // containers only, never for the whole training corpus (the
+    // all-docs sort-collect was d14's dominant stage)
+    val evalSorted = keyed.filter(col("is_eval"))
+      .groupBy(col("doc_id").as("eval_id"))
+      .agg(sort_array(collect_list(col("k"))).as("eks"))
     val prefix = evalSorted
       .select(col("eval_id"), explode(slice(col("eks"), lit(1),
         (floor(lit(1.0 - t) * size(col("eks")) + lit(1e-6)) + 1)
@@ -498,11 +510,14 @@ object Dedup {
     val cand = keyed.filter(!col("is_eval"))
       .join(broadcast(prefix), Seq("k"))
       .select(col("eval_id"), col("doc_id").as("train_id")).distinct()
-    val trainSorted = sorted.filter(!col("is_eval"))
-      .select(col("doc_id").as("train_id"), col("ks").as("tks"))
-    // verify on the already-built sorted key arrays (k ↔ tok is a
-    // bijection under one shared df map, so |∩| over ks ≡ |∩| over
-    // raw token sets — d13's two-scans-saved rule)
+    val trainSorted = keyed.filter(!col("is_eval"))
+      .join(cand.select(col("train_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id").as("train_id"))
+      .agg(sort_array(collect_list(col("k"))).as("tks"))
+    // verify on the sorted key arrays (k ↔ tok is a bijection under
+    // one shared df map, so |∩| over ks ≡ |∩| over raw token sets —
+    // d13's two-scans-saved rule)
     val q = cand.join(broadcast(evalSorted), Seq("eval_id"))
       .join(trainSorted, Seq("train_id"))
       .select(col("eval_id"), col("train_id"),
