@@ -235,14 +235,14 @@ object Dedup {
     * fine as a report, pathological as a drop), while n-gram sets
     * only saturate for genuine truncation/quote dups. */
   private[graft] def containmentBest(docsIn: DataFrame,
-      t: Double, gramN: Int = 0): DataFrame = {
+      t: Double, gramN: Int = 0, materialize: Boolean = false): DataFrame = {
     val docs = docsIn.filter(col("text").isNotNull)
     // scoped WITHIN source (d5's within-label precedent): the
     // truncation/wrapper dup mode lives inside a crawl/domain, and the
     // scope bounds within-bucket population the same way d5's label
     // does — the candidate key is (source, rare-token), never a
     // corpus-wide token alone
-    val pairs = containmentPairs(docs, t, gramN)
+    val pairs = containmentPairs(docs, t, gramN, materialize)
     // report the ACTIONABLE frame, not the (fixture-quadratic) pair
     // list: per CONTAINED doc (the smaller set; ties by larger id),
     // its best container (max containment, then min id) — the row a
@@ -375,12 +375,21 @@ object Dedup {
   /** Verified containment pairs (the report-free d13 core): self-df
     * prefix candidates, positional pruning, exact verification. */
   private[graft] def containmentPairs(docsIn: DataFrame, t: Double,
-      gramN: Int = 0): DataFrame = {
+      gramN: Int = 0, materialize: Boolean = false): DataFrame = {
     val docs = docsIn.filter(col("text").isNotNull)
-    val elems = containmentElems(docs, gramN)
+    // `materialize` checkpoints the gram frame and the sorted key
+    // arrays (each has 2-3 consumers whose branches can't share an
+    // exchange). MEASURED both ways at sf0.1: inside x1 — whose input
+    // is itself a checkpointed survivor frame reused downstream — the
+    // materializations win (containment stage 3.1 -> 1.2 s); for the
+    // standalone d13 query the pipelined one-shot plan wins instead
+    // (2.6 -> 3.4 s WITH checkpoints: eager materialization serializes
+    // stages AQE would pipeline). Callers pick per the measurement.
+    def m(df: DataFrame) = if (materialize) df.localCheckpoint(true) else df
+    val elems = m(containmentElems(docs, gramN))
     val dfDict = elems.groupBy("tok").agg(count(lit(1)).as("df"))
     val keyed = containmentKeyed(elems, dfDict)
-    val sorted = containmentSets(keyed)
+    val sorted = m(containmentSets(keyed))
     val cand = candidatePairs(containmentPrefix(sorted, t),
       containmentPostings(sorted), t).distinct()
     verifyContainment(cand, sorted.select(col("doc_id"), col("ks")), t)
