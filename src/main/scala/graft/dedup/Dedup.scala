@@ -426,7 +426,16 @@ object Dedup {
     * containment is a property of the token sets alone. */
   private[graft] def containmentIncrement(storeSets: DataFrame,
       storePostings: DataFrame, dfDict: DataFrame, batch: DataFrame,
-      t: Double, gramN: Int = 0): DataFrame = {
+      t: Double, gramN: Int = 0): DataFrame =
+    containmentIncrementParts(storeSets, storePostings, dfDict,
+      batch, t, gramN)._1
+
+  /** [[containmentIncrement]] plus the batch's own keyed sets — the
+    * slice a store-maintaining caller (StreamingContainment) persists
+    * so the NEXT batch can probe this one without re-keying it. */
+  private[graft] def containmentIncrementParts(storeSets: DataFrame,
+      storePostings: DataFrame, dfDict: DataFrame, batch: DataFrame,
+      t: Double, gramN: Int = 0): (DataFrame, DataFrame) = {
     val elems = containmentElems(batch.filter(col("text").isNotNull), gramN)
     val bsets = containmentSets(containmentKeyed(elems, dfDict))
       .localCheckpoint(true)
@@ -437,9 +446,9 @@ object Dedup {
       .union(candidatePairs(spre, bpost, t, broadcastPost = true))
       .union(candidatePairs(bpre, bpost, t, broadcastPost = true))
       .distinct()
-    verifyContainment(cand,
+    (verifyContainment(cand,
       storeSets.select(col("doc_id"), col("ks"))
-        .union(bsets.select(col("doc_id"), col("ks"))), t)
+        .union(bsets.select(col("doc_id"), col("ks"))), t), bsets)
   }
 
   /** D14: CROSS-SOURCE eval-contamination CONTAINMENT — the
