@@ -89,6 +89,8 @@ object SparkEntry {
       graft.text.TextAnalysis.t16BpeEncode(s, d)),
     "t17_bpe_tokenize" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t17BpeTokenize(s, d)),
+    "t18_bpe_pack" -> ((s: SparkSession, d: String) =>
+      graft.text.TextAnalysis.t18BpePack(s, d)),
     "t11_perplexity" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t11Perplexity(s, d)),
     "t12_bm25" -> ((s: SparkSession, d: String) =>
@@ -1258,6 +1260,63 @@ object SparkEntry {
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
          |  md5(array_to_string(toks, chr(1))) AS seq_md5
          |FROM e$rounds ORDER BY doc_id""".stripMargin
+    },
+    "t18_bpe_pack" -> {
+      // t17's trainer replay (16 sample-mining rounds, then the
+      // rank-order fold chain over the full corpus — all CTEs
+      // MATERIALIZED, the d8 inlining gotcha), with t7's shard
+      // packing window run over the ENCODED lengths instead of the
+      // whitespace counts. Window sum cast to BIGINT (HUGEINT).
+      val rounds = 16
+      val fold =
+        """list_reduce(
+          |    list_prepend(CAST([] AS VARCHAR[]),
+          |      list_transform(toks, t -> [t])),
+          |    (acc, x) -> CASE
+          |      WHEN len(acc) > 0 AND acc[-1] = l AND x[1] = r
+          |      THEN acc[1:len(acc)-1] || [l || r]
+          |      ELSE acc || x END)""".stripMargin
+      def pc(i: Int) =
+        s"""pc$i AS MATERIALIZED (
+           |  SELECT p.l AS l, p.r AS r, count(*) AS freq FROM (
+           |    SELECT unnest(list_transform(range(0, len(toks) - 1),
+           |      i -> {'l': toks[i+1], 'r': toks[i+2]})) AS p FROM m${i - 1})
+           |  GROUP BY 1, 2),
+           |r$i AS MATERIALIZED (
+           |  SELECT l, r FROM pc$i
+           |  ORDER BY freq DESC, l, r LIMIT 1)""".stripMargin
+      def mn(i: Int) =
+        s"""m$i AS MATERIALIZED (
+           |  SELECT $fold AS toks
+           |  FROM m${i - 1} CROSS JOIN r$i)""".stripMargin
+      def en(i: Int) =
+        s"""e$i AS MATERIALIZED (
+           |  SELECT doc_id, source, $fold AS toks
+           |  FROM e${i - 1} CROSS JOIN r$i)""".stripMargin
+      val mining = (1 to rounds).map(i =>
+        if (i < rounds) pc(i) + ",\n" + mn(i) else pc(i)).mkString(",\n")
+      val encodes = (1 to rounds).map(en).mkString(",\n")
+      s"""WITH m0 AS MATERIALIZED (
+         |  SELECT string_split(text, ' ') AS toks FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 10 = 0),
+         |$mining,
+         |e0 AS MATERIALIZED (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |$encodes,
+         |packed AS (
+         |  SELECT doc_id, source, doc_id % 8 AS shard,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(sum(len(toks)) OVER (
+         |      PARTITION BY source, doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM e$rounds)
+         |SELECT doc_id, source, shard, n_tokens,
+         |  CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS bin,
+         |  CAST((cum - n_tokens) % 256 AS BIGINT) AS bin_offset
+         |FROM packed ORDER BY doc_id""".stripMargin
     },
     "t11_perplexity" ->
       """WITH tf0 AS (

@@ -569,6 +569,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** T18: sequence packing on REAL BPE token counts — the t17 → t7
+    * composition a training pipeline actually runs: packing budgets
+    * are denominated in the tokens the model will see, and whitespace
+    * counts over-estimate them by exactly the merges the tokenizer
+    * applies (every doc the sample's rules compress packs earlier
+    * than t7 would place it). Mines the ranked rule table once
+    * (t17's sample trainer), encodes each document in the SAME one
+    * native-expression pass, and runs t7's greedy shard packing —
+    * cumulative-sum window over (source, shard) — on the encoded
+    * lengths. One corpus scan + one window shuffle for any rule
+    * count; the rule table rides the plan as a literal. */
+  def t18BpePack(s: SparkSession, d: String, rounds: Int = 16,
+      sampleMod: Int = 10, budget: Long = 256L, shards: Int = 8)
+      : DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val rules = mineRulesSample(docs, rounds, sampleMod)
+    val enc =
+      if (rules.isEmpty) col("toks")
+      else T.bpeEncodeAll(col("toks"), array(rules.map { case (l, r) =>
+        struct(lit(l).as("l"), lit(r).as("r")) }: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs
+      .select(col("doc_id"), col("source"), T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") % shards).as("shard"),
+        size(enc).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("shard"), col("n_tokens"),
+        ((col("cum") - col("n_tokens")) / budget).cast("long").as("bin"),
+        ((col("cum") - col("n_tokens")) % budget).as("bin_offset"))
+      .orderBy("doc_id")
+  }
+
   /** t14's trainer loop over the doc_id % sampleMod sample, returning
     * the ranked rules as driver values (rank = list order). Stops
     * early if the sample runs out of adjacent pairs. Per round: one

@@ -232,4 +232,18 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("Cartesian"),
       "interval alignment degenerated to a nested loop")
   }
+
+  test("t18: the encode+pack plan scans the corpus ONCE and shuffles " +
+      "only for the packing window (rule table rides as a literal)") {
+    // mining runs at CONSTRUCTION time (driver-collected tiny rows on
+    // the sample); the returned frame must be scan → one-pass encode
+    // map → window — its shape independent of rule count
+    val p = finalPlan("t18_bpe_pack")
+    assert(scanCount(p) == 1, s"expected 1 documents scan:\n$p")
+    assert("bpeencodeall".r.findAllIn(p.toLowerCase).length >= 1,
+      "one-pass encoder missing from the plan")
+    assert(!p.contains("Join"), "encode+pack must not join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly the window shuffle:\n$p")
+  }
 }
