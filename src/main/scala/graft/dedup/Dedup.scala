@@ -559,6 +559,72 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Distinct word-3-gram explode of a (doc_id, text) frame — the
+    * d14 gram alphabet. */
+  private def evalGrams(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(wordGrams(col("toks"), 3))).as("tok"))
+
+  private def dfKey: org.apache.spark.sql.Column =
+    concat(lpad(coalesce(col("df"), lit(0L)).cast("string"), 12, "0"),
+      lit("|"), col("tok"))
+
+  /** D14 INGEST-TIME pieces: the FROZEN eval gram index — built ONCE
+    * from the (static) eval suite under a seed train corpus's df
+    * dictionary, then probed by every arriving training batch. The
+    * dictionary freezes like StreamingContainment's: candidate
+    * exactness holds under ANY fixed key order (a covering pair puts
+    * at most ⌊(1-t)·|G(E)|⌋ of E's grams outside T, so any
+    * ⌊(1-t)·|G(E)|⌋+1 of them contain a shared gram) and
+    * verification is a property of the gram sets alone — seed-df
+    * staleness costs candidate efficiency only. Returns (dict,
+    * evalSorted, prefix); all three are eval/vocabulary-sized. */
+  private[graft] def evalGramIndex(seedTrain: DataFrame,
+      evalDocs: DataFrame, t: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val dict = evalGrams(seedTrain).groupBy("tok")
+      .agg(count(lit(1)).as("df"))
+    val evalSorted = evalGrams(evalDocs).join(dict, Seq("tok"), "left")
+      .select(col("doc_id"), dfKey.as("k"))
+      .groupBy(col("doc_id").as("eval_id"))
+      .agg(sort_array(collect_list(col("k"))).as("eks"))
+    val prefix = evalSorted
+      .select(col("eval_id"), explode(slice(col("eks"), lit(1),
+        (floor(lit(1.0 - t) * size(col("eks")) + lit(1e-6)) + 1)
+          .cast("int"))).as("k"))
+    (dict, evalSorted, prefix)
+  }
+
+  /** Every verified (eval_id, train_id, containment) pair an arriving
+    * training batch adds against the frozen eval index — the d14
+    * verification run batch-sized: batch grams key under the frozen
+    * dict, the BROADCAST eval prefix finds candidates, container
+    * arrays are built for candidate docs only, verification reuses
+    * the persisted eval arrays. No corpus-sized state anywhere —
+    * per-batch cost is O(batch + candidates) at any corpus size. */
+  private[graft] def evalContainmentBatch(dict: DataFrame,
+      evalSorted: DataFrame, prefix: DataFrame, batch: DataFrame,
+      t: Double): DataFrame = {
+    val bkeyed = evalGrams(batch).join(dict, Seq("tok"), "left")
+      .select(col("doc_id"), dfKey.as("k"))
+      .localCheckpoint(true)
+    val cand = bkeyed.join(broadcast(prefix), Seq("k"))
+      .select(col("eval_id"), col("doc_id").as("train_id")).distinct()
+    val trainSorted = bkeyed
+      .join(cand.select(col("train_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id").as("train_id"))
+      .agg(sort_array(collect_list(col("k"))).as("tks"))
+    cand.join(broadcast(evalSorted), Seq("eval_id"))
+      .join(trainSorted, Seq("train_id"))
+      .select(col("eval_id"), col("train_id"),
+        round(T.sortedIntersectCount(col("eks"), col("tks")).cast("double") /
+          size(col("eks")), 3).as("containment"))
+      .filter(col("containment") >= t)
+  }
+
   /** D6: benchmark decontamination — flag training documents that
     * overlap an evaluation set by shared word n-grams, the standard
     * pretraining hygiene step (GPT-3's appendix uses 13-gram overlap;
