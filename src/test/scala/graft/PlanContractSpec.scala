@@ -233,6 +233,16 @@ class PlanContractSpec extends AnyFunSuite {
       "interval alignment degenerated to a nested loop")
   }
 
+  test("s9: the LSH shortlist join broadcasts the probed query side; " +
+      "no cartesian anywhere") {
+    val p = finalPlan("s9_mmr_lsh")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"query side did not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "shortlist degenerated to an all-pairs join")
+  }
+
   test("t18: the encode+pack plan scans the corpus ONCE and shuffles " +
       "only for the packing window (rule table rides as a literal)") {
     // mining runs at CONSTRUCTION time (driver-collected tiny rows on
