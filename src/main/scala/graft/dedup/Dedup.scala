@@ -729,7 +729,6 @@ object Dedup {
     * endpoints in the subset (x1's semantic stage runs it on
     * survivors; the oracle filters the full pair set the same way). */
   private[graft] def embeddingPairsFrame(embIn: DataFrame): DataFrame = {
-    val bands = 32; val r = 3; val dim = 64; val seedBase = 1000
     // Slim candidate generation: only (label, band, sig, vec_id) enters
     // the band self-join — the 64-dim vectors do NOT ride the ×bands
     // explode through the shuffle. Pairs are deduped BEFORE
@@ -737,15 +736,26 @@ object Dedup {
     // cosine, not one per band), then the two vectors are fetched back
     // by vec_id — high-cardinality hash joins, no low-cardinality key
     // anywhere in the plan.
-    val e = embIn
-      .select(col("label"), col("vec_id"),
-        V.asDouble(col("embedding")).as("emb"))
-      .withColumn("nrm", V.norm2(col("emb")))
-    // embd materialized before the 96 dot nodes: asDouble is an
-    // interpreted transform, and as a shared SUBTREE (not an
-    // attribute) it would re-cast the vector once per plane per row —
-    // see wordGrams for the general rule
-    val banded = embIn
+    val banded = embBands(embIn)
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
+          col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .distinct()
+    verifyCosine(pairs, embVecs(embIn))
+  }
+
+  /** d5's banded sign signatures of a (vec_id, label, embedding)
+    * frame — per-vector, corpus-independent, so a batch's bands can
+    * join a persisted store's (StreamingEmbDedup). embd materialized
+    * before the 96 dot nodes: asDouble is an interpreted transform,
+    * and as a shared SUBTREE (not an attribute) it would re-cast the
+    * vector once per plane per row — see wordGrams for the general
+    * rule. */
+  private[graft] def embBands(embIn: DataFrame): DataFrame = {
+    val bands = 32; val r = 3; val dim = 64; val seedBase = 1000
+    embIn
       .select(col("label"), col("vec_id"),
         V.asDouble(col("embedding")).as("embd"))
       .select(col("label"), col("vec_id"),
@@ -753,22 +763,27 @@ object Dedup {
           V.signSig(col("embd"), seedBase + b * r, r, dim)
         }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
-    val pairs = banded.as("a")
-      .join(banded.as("b"),
-        col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
-          col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
-      .distinct()
-    pairs
-      .join(e.select(col("vec_id").as("id1"), col("emb").as("e1"),
+  }
+
+  /** The verification side: vectors as doubles with their norms. */
+  private[graft] def embVecs(embIn: DataFrame): DataFrame =
+    embIn
+      .select(col("vec_id"), V.asDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", V.norm2(col("emb")))
+
+  /** Exact-cosine verification of deduped candidate pairs against a
+    * vector lookup frame (d5's threshold). */
+  private[graft] def verifyCosine(cand: DataFrame,
+      vecs: DataFrame): DataFrame =
+    cand
+      .join(vecs.select(col("vec_id").as("id1"), col("emb").as("e1"),
         col("nrm").as("n1")), Seq("id1"))
-      .join(e.select(col("vec_id").as("id2"), col("emb").as("e2"),
+      .join(vecs.select(col("vec_id").as("id2"), col("emb").as("e2"),
         col("nrm").as("n2")), Seq("id2"))
       .select(col("id1"), col("id2"),
         round(V.dot(col("e1"), col("e2")) /
           sqrt(col("n1") * col("n2")), 3).as("cos"))
       .filter(col("cos") >= 0.3)
-  }
 
   /** D12: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication") — doc-level
