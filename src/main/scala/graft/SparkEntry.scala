@@ -50,6 +50,10 @@ object SparkEntry {
     "o4_heavy_hitters" -> ((s: SparkSession, d: String) =>
       operators.Curation.o4HeavyHitters(s, d)),
     "o5_source_report" -> (operators.Curation.o5SourceReport _),
+    "o6_hll_distinct" -> (operators.Sketches.o6HllDistinct _),
+    "o7_cms_freq" -> (operators.Sketches.o7CmsFreq _),
+    "c10_weighted_reservoir" -> ((s: SparkSession, d: String) =>
+      operators.Sketches.c10WeightedReservoir(s, d)),
     "n1_nested_flatten" -> (operators.Nested.n1NestedFlatten _),
     // ETL / history
     "h1_snapshot_history" -> (History.h1SnapshotHistory _),
@@ -91,6 +95,8 @@ object SparkEntry {
       graft.text.TextAnalysis.t17BpeTokenize(s, d)),
     "t18_bpe_pack" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t18BpePack(s, d)),
+    "t19_nb_filter" -> ((s: SparkSession, d: String) =>
+      graft.text.TextAnalysis.t19NbFilter(s, d)),
     "t11_perplexity" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t11Perplexity(s, d)),
     "t12_bm25" -> ((s: SparkSession, d: String) =>
@@ -1883,6 +1889,114 @@ object SparkEntry {
         |  round(sum(n_punct)::DOUBLE / sum(len), 6) AS punct_share,
         |  count(DISTINCT lang) AS n_langs
         |FROM p GROUP BY source ORDER BY source""".stripMargin,
+    "o6_hll_distinct" ->
+      """WITH keyed AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST((l_orderkey * 2654435761) % 4294967296 AS BIGINT) AS h
+        |  FROM lineitem),
+        |rho AS (
+        |  SELECT flag, CAST(h % 64 AS INT) AS reg,
+        |    CASE WHEN h // 64 = 0 THEN 27 ELSE
+        |      CAST(round(log2((h // 64) & -(h // 64))) AS INT) + 1
+        |    END AS rho
+        |  FROM keyed),
+        |regs AS (
+        |  SELECT flag, reg, max(rho) AS mr FROM rho GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT flag, CAST(unnest(range(64)) AS INT) AS reg
+        |  FROM (SELECT DISTINCT flag FROM keyed)),
+        |full_regs AS (
+        |  SELECT spine.flag, spine.reg, COALESCE(regs.mr, 0) AS mr
+        |  FROM spine LEFT JOIN regs
+        |    ON spine.flag = regs.flag AND spine.reg = regs.reg),
+        |agg AS (
+        |  SELECT flag, sum(1.0 / CAST(1 << mr AS DOUBLE)) AS ssum,
+        |    sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS v0
+        |  FROM full_regs GROUP BY 1),
+        |exact AS (
+        |  SELECT l_returnflag AS flag,
+        |    count(DISTINCT l_orderkey) AS n_exact
+        |  FROM lineitem GROUP BY 1),
+        |est AS (
+        |  SELECT agg.flag, n_exact,
+        |    round(CASE WHEN (0.709 * 4096) / ssum <= 160.0 AND v0 > 0
+        |      THEN 64.0 * ln(64.0 / v0)
+        |      ELSE (0.709 * 4096) / ssum END, 4) AS hll_est
+        |  FROM agg JOIN exact ON agg.flag = exact.flag)
+        |SELECT flag, n_exact, hll_est,
+        |  round((hll_est - n_exact) / n_exact, 6) AS rel_err
+        |FROM est ORDER BY flag""".stripMargin,
+    "o7_cms_freq" ->
+      """WITH cnts AS (
+        |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |cells AS (
+        |  SELECT user_id, cnt, i,
+        |    CASE i
+        |      WHEN 0 THEN ((101 * user_id + 17) % 2147483647) % 512
+        |      WHEN 1 THEN ((1009 * user_id + 29) % 2147483647) % 512
+        |      WHEN 2 THEN ((10007 * user_id + 71) % 2147483647) % 512
+        |      ELSE ((100003 * user_id + 113) % 2147483647) % 512
+        |    END AS cell
+        |  FROM cnts, (SELECT CAST(unnest(range(4)) AS INT) AS i)),
+        |sketch AS (
+        |  SELECT i, cell, sum(cnt) AS csum FROM cells GROUP BY 1, 2),
+        |est AS (
+        |  SELECT user_id, min(csum) AS cms_est
+        |  FROM cells JOIN sketch USING (i, cell) GROUP BY 1)
+        |SELECT user_id, cnt, cms_est, cms_est - cnt AS overcount
+        |FROM cnts JOIN est USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "c10_weighted_reservoir" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, source, n_chars,
+        |    round(-ln((CAST((doc_id * 2654435761) % 4294967296
+        |      AS BIGINT) + 1) / 4294967297.0) / n_chars, 9) AS ekey
+        |  FROM documents),
+        |rk AS (
+        |  SELECT source, doc_id, n_chars, ekey,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ekey, doc_id) AS BIGINT) AS rk
+        |  FROM keyed)
+        |SELECT source, rk, doc_id, n_chars, ekey
+        |FROM rk WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
+    "t19_nb_filter" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang = 'en' AS pos, text FROM documents),
+        |tf AS (
+        |  SELECT doc_id, pos, term FROM (
+        |    SELECT doc_id, pos,
+        |      unnest(string_split(text, ' ')) AS term
+        |    FROM docs)
+        |  WHERE term <> ''),
+        |stats AS (
+        |  SELECT term,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+        |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cn
+        |  FROM tf GROUP BY 1),
+        |tot AS (
+        |  SELECT sum(cp) AS pt, sum(cn) AS nt, count(*) AS v
+        |  FROM stats),
+        |wtab AS (
+        |  SELECT term,
+        |    CAST(round((ln((cp + 1) / CAST(pt + v AS DOUBLE)) -
+        |      ln((cn + 1) / CAST(nt + v AS DOUBLE))) * 1000000)
+        |      AS BIGINT) AS w6
+        |  FROM stats, tot),
+        |prior AS (
+        |  SELECT CAST(round(ln(
+        |      sum(CASE WHEN pos THEN 1 ELSE 0 END) /
+        |      CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE))
+        |    * 1000000) AS BIGINT) AS prior6
+        |  FROM docs),
+        |scored AS (
+        |  SELECT doc_id, sum(w6) AS sw6
+        |  FROM tf JOIN wtab USING (term) GROUP BY 1)
+        |SELECT docs.doc_id, pos AS label,
+        |  COALESCE(sw6, 0) + prior6 AS score6,
+        |  COALESCE(sw6, 0) + prior6 > 0 AS pred
+        |FROM docs LEFT JOIN scored ON docs.doc_id = scored.doc_id
+        |CROSS JOIN prior
+        |ORDER BY docs.doc_id""".stripMargin,
     "o4_heavy_hitters" ->
       """WITH tf AS (
         |  SELECT source, term, count(*) AS cnt FROM (

@@ -27,12 +27,20 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.ts is TIMESTAMP(NANOS) in parquet; surface it as a
-    * microsecond TimestampType (integer division — no double rounding). */
+  /** events.ts has shipped as both TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across driver testdata generations; surface it
+    * uniformly as a microsecond TimestampType. Nanos arrive as raw
+    * longs (legacy.parquet.nanosAsLong above) and get an integer
+    * division — no double rounding; micros are already the target
+    * type and pass through untouched. */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Probabilistic sketch operators for 100 TB-scale profiling.
+  *
+  * At full scale an exact `count(distinct)` or per-key frequency table
+  * over a high-cardinality column shuffles the whole key universe; the
+  * sketches here bound that state to a CONSTANT (HLL registers, CMS
+  * cells) or to k rows per stratum (reservoir), which is the only shape
+  * that survives a 1000-executor profiling job. All randomness is
+  * deterministic arithmetic hashing (the c3 coin pattern), so every
+  * sketch is bit-replayable in the DuckDB oracle — the estimates are
+  * CHECKED, not just bounded.
+  *
+  * HyperLogLog: Flajolet, Fusy, Gandouet, Meunier 2007. Count-min:
+  * Cormode & Muthukrishnan 2005. Weighted reservoir (exponential
+  * race): Efraimidis & Spirakis 2006.
+  */
+object Sketches {
+
+  /** O6: HyperLogLog distinct-count sketch — per l_returnflag,
+    * estimate |distinct l_orderkey| with m=64 registers and report the
+    * relative error against the exact count.
+    *
+    * Register update is ONE hash-aggregate over (group, reg) — 64
+    * registers per group regardless of corpus size, the map-side
+    * partial max makes the shuffle carry at most groups×64 rows. The
+    * exact count (for the error column) is the expensive branch at
+    * scale and exists here only because the whole point of the query
+    * is to certify the estimator; a production profile drops it.
+    *
+    * rho = trailing-zero count + 1 of the hash suffix, computed
+    * exactly: (w & -w) isolates the lowest set bit; log2 of an exact
+    * power of two rounds to the true integer. The register sum
+    * Σ 2^-M[j] is a sum of exact binary fractions (≤33 significant
+    * bits), so it is order-independent — safe to aggregate
+    * distributed. Small-range correction: E ≤ 2.5m with empty
+    * registers → linear counting m·ln(m/V). */
+  def o6HllDistinct(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_orderkey"))
+    val keyed = li.selectExpr("flag",
+      "cast((l_orderkey * 2654435761) % 4294967296 as bigint) as h")
+    val rho = keyed.selectExpr("flag",
+      "cast(h % 64 as int) as reg",
+      // 26-bit suffix; all-zero suffix saturates at 26+1
+      "case when h div 64 = 0 then 27 else " +
+        "cast(round(log2((h div 64) & -(h div 64))) as int) + 1 end as rho")
+    val regs = rho.groupBy("flag", "reg").agg(max("rho").as("mr"))
+    // full 64-register spine: untouched registers count as 2^-0
+    val spine = li.select("flag").distinct()
+      .crossJoin(s.range(64).selectExpr("cast(id as int) as reg"))
+    val full = spine.join(regs, Seq("flag", "reg"), "left")
+      .na.fill(0, Seq("mr"))
+    val agg = full.groupBy("flag").agg(
+      sum(expr("1.0 / cast(1 << mr as double)")).as("ssum"),
+      sum(expr("case when mr = 0 then 1 else 0 end")).as("v0"))
+    val exact = li.groupBy("flag")
+      .agg(countDistinct("l_orderkey").as("n_exact"))
+    agg.join(exact, "flag")
+      .selectExpr("flag", "n_exact",
+        "round(case when (0.709 * 4096) / ssum <= 160.0 and v0 > 0 " +
+          "then 64.0 * ln(64.0 / v0) " +
+          "else (0.709 * 4096) / ssum end, 4) as hll_est")
+      .selectExpr("flag", "n_exact", "hll_est",
+        "round((hll_est - n_exact) / n_exact, 6) as rel_err")
+      .orderBy("flag")
+  }
+
+  /** O7: count-min frequency sketch — per user_id event frequencies
+    * estimated from a d=4 × w=512 CMS, reported beside the exact count
+    * with the (always ≥ 0) overcount.
+    *
+    * The sketch is built from the per-key count aggregate, not by
+    * re-scanning events once per hash row: cell(i,c) = Σ cnt(key) over
+    * keys with h_i(key)=c is EXACTLY the cell a streaming CMS ends at
+    * (counter increments commute), but costs one corpus scan plus a
+    * key-cardinality-sized explode. At 100 TB the corpus scan
+    * dominates and the 2048-cell sketch broadcasts for the estimate
+    * join. Hashes are (a·x+b) mod p mod w with p = 2^31−1 — the
+    * classic pairwise-independent family, deterministic literals. */
+  def o7CmsFreq(s: SparkSession, d: String): DataFrame = {
+    val cnts = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+    val cells = cnts.selectExpr("user_id", "cnt",
+      "stack(4, " +
+        "0, ((101 * user_id + 17) % 2147483647) % 512, " +
+        "1, ((1009 * user_id + 29) % 2147483647) % 512, " +
+        "2, ((10007 * user_id + 71) % 2147483647) % 512, " +
+        "3, ((100003 * user_id + 113) % 2147483647) % 512" +
+        ") as (i, cell)")
+    val sketch = cells.groupBy("i", "cell").agg(sum("cnt").as("csum"))
+    val est = cells.select("user_id", "i", "cell")
+      .join(broadcast(sketch), Seq("i", "cell"))
+      .groupBy("user_id").agg(min("csum").as("cms_est"))
+    cnts.join(est, "user_id")
+      .selectExpr("user_id", "cnt", "cms_est",
+        "cms_est - cnt as overcount")
+      .orderBy("user_id")
+  }
+
+  /** C10: weighted reservoir sample — k=20 documents per source with
+    * inclusion probability ∝ n_chars, via the exponential race
+    * (A-ES): key = -ln(u)/weight with u a deterministic uniform from
+    * the doc_id hash; the k SMALLEST keys per stratum win.
+    *
+    * Selection is a salted two-phase top-k: phase 1 keeps the local
+    * top-k inside each (source, salt) cell — the map-side partial that
+    * a plain per-source window lacks, so the per-source shuffle
+    * carries salt·k rows instead of the whole stratum (the 100 TB
+    * shape: a source is terabytes, salt·k is hundreds of rows).
+    * Phase 2 re-ranks the survivors. Any global top-k row is top-k in
+    * its own salt cell, so the two-phase result is exactly the
+    * single-window order (spec-asserted). Keys are rounded to 9
+    * decimals with doc_id tie-break — total order, replayable. */
+  def c10WeightedReservoir(s: SparkSession, d: String,
+      k: Int = 20, salts: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, d).selectExpr(
+      "doc_id", "source", "n_chars",
+      "round(-ln((cast((doc_id * 2654435761) % 4294967296 as bigint) " +
+        "+ 1) / 4294967297.0) / n_chars, 9) as ekey")
+    val salted = docs.withColumn("salt", expr(s"cast(doc_id % $salts as int)"))
+    val w1 = Window.partitionBy("source", "salt")
+      .orderBy(col("ekey").asc, col("doc_id").asc)
+    val phase1 = salted.withColumn("r1", row_number().over(w1))
+      .filter(col("r1") <= k)
+    val w2 = Window.partitionBy("source")
+      .orderBy(col("ekey").asc, col("doc_id").asc)
+    phase1.withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= k)
+      .select("source", "rk", "doc_id", "n_chars", "ekey")
+      .orderBy("source", "rk")
+  }
+}

@@ -640,4 +640,51 @@ object TextAnalysis {
     }
     out.toSeq
   }
+
+  /** T19: classifier-based quality/language filtering — a multinomial
+    * Naive Bayes trained IN-CORPUS (fasttext-style linear scorer, the
+    * CCNet / GPT-3 quality-filter shape): seed label = (lang = 'en'),
+    * per-token log-odds weights from one token-frequency aggregate,
+    * then every document scored by the sum of its tokens' weights plus
+    * the class prior.
+    *
+    * Plan shape for 100 TB: the token-frequency frame is computed once
+    * and feeds both the weight table (vocabulary-sized → BROADCAST
+    * back) and the per-document scoring aggregate; the corpus is
+    * scanned, never self-joined. Weights are quantized to 1e-6
+    * fixed-point LONGS before the per-document sum, so the aggregate
+    * is an exact integer sum — order-independent, safe to distribute,
+    * and bit-replayable in the oracle (the c8 fixed-point pattern).
+    * Docs with no tokens score exactly the prior (left join). */
+  def t19NbFilter(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), (col("lang") === "en").as("pos"), col("text"))
+    val tf = docs
+      .select(col("doc_id"), col("pos"),
+        explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val stats = tf.groupBy("term").agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("cn"))
+    val tot = stats.agg(sum("cp").as("pt"), sum("cn").as("nt"),
+      count(lit(1)).as("v"))
+    val wtab = stats.crossJoin(broadcast(tot)).selectExpr("term",
+      "cast(round((ln((cp + 1) / cast(pt + v as double)) - " +
+        "ln((cn + 1) / cast(nt + v as double))) * 1000000) as bigint) " +
+        "as w6")
+    val prior = docs.agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("dp"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("dn"))
+      .selectExpr(
+        "cast(round(ln(dp / cast(dn as double)) * 1000000) as bigint) " +
+          "as prior6")
+    val scored = tf.join(broadcast(wtab), "term")
+      .groupBy("doc_id").agg(sum("w6").as("sw6"))
+    docs.join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .selectExpr("doc_id", "pos as label",
+        "coalesce(sw6, 0) + prior6 as score6",
+        "coalesce(sw6, 0) + prior6 > 0 as pred")
+      .orderBy("doc_id")
+  }
 }
