@@ -1892,7 +1892,8 @@ object SparkEntry {
     "o6_hll_distinct" ->
       """WITH keyed AS (
         |  SELECT l_returnflag AS flag,
-        |    CAST((l_orderkey * 2654435761) % 4294967296 AS BIGINT) AS h
+        |    CAST(((l_orderkey % 2147483648) * 2654435761)
+        |      % 4294967296 AS BIGINT) AS h
         |  FROM lineitem),
         |rho AS (
         |  SELECT flag, CAST(h % 64 AS INT) AS reg,
@@ -1939,17 +1940,20 @@ object SparkEntry {
         |    END AS cell
         |  FROM cnts, (SELECT CAST(unnest(range(4)) AS INT) AS i)),
         |sketch AS (
-        |  SELECT i, cell, sum(cnt) AS csum FROM cells GROUP BY 1, 2),
+        |  SELECT i, cell, CAST(sum(cnt) AS BIGINT) AS csum
+        |  FROM cells GROUP BY 1, 2),
         |est AS (
         |  SELECT user_id, min(csum) AS cms_est
         |  FROM cells JOIN sketch USING (i, cell) GROUP BY 1)
-        |SELECT user_id, cnt, cms_est, cms_est - cnt AS overcount
+        |SELECT user_id, cnt, cms_est,
+        |  CAST(cms_est - cnt AS BIGINT) AS overcount
         |FROM cnts JOIN est USING (user_id)
         |ORDER BY user_id""".stripMargin,
     "c10_weighted_reservoir" ->
       """WITH keyed AS (
         |  SELECT doc_id, source, n_chars,
-        |    round(-ln((CAST((doc_id * 2654435761) % 4294967296
+        |    round(-ln((CAST(((doc_id % 2147483648) * 2654435761)
+        |      % 4294967296
         |      AS BIGINT) + 1) / 4294967297.0) / n_chars, 9) AS ekey
         |  FROM documents),
         |rk AS (
@@ -1984,12 +1988,13 @@ object SparkEntry {
         |  FROM stats, tot),
         |prior AS (
         |  SELECT CAST(round(ln(
-        |      sum(CASE WHEN pos THEN 1 ELSE 0 END) /
-        |      CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS DOUBLE))
+        |      (sum(CASE WHEN pos THEN 1 ELSE 0 END) + 1) /
+        |      CAST(sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) + 1
+        |        AS DOUBLE))
         |    * 1000000) AS BIGINT) AS prior6
         |  FROM docs),
         |scored AS (
-        |  SELECT doc_id, sum(w6) AS sw6
+        |  SELECT doc_id, CAST(sum(w6) AS BIGINT) AS sw6
         |  FROM tf JOIN wtab USING (term) GROUP BY 1)
         |SELECT docs.doc_id, pos AS label,
         |  COALESCE(sw6, 0) + prior6 AS score6,

@@ -44,7 +44,14 @@ object Sketches {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("flag"), col("l_orderkey"))
     val keyed = li.selectExpr("flag",
-      "cast((l_orderkey * 2654435761) % 4294967296 as bigint) as h")
+      // reduce mod 2^31 BEFORE the Knuth multiply: the product then
+      // tops out at 2^31 * 2654435761 ~= 5.7e18 < int64 max, so the
+      // mixer never wraps (a raw l_orderkey * 2654435761 overflows —
+      // silently in Spark, an error in ANSI engines — once the key
+      // passes ~3.47e9, i.e. exactly the 100 TB regime). Identical
+      // values for keys < 2^31, which covers every test SF.
+      "cast(((l_orderkey % 2147483648) * 2654435761) % 4294967296 " +
+        "as bigint) as h")
     val rho = keyed.selectExpr("flag",
       "cast(h % 64 as int) as reg",
       // 26-bit suffix; all-zero suffix saturates at 26+1
@@ -121,7 +128,10 @@ object Sketches {
       k: Int = 20, salts: Int = 8): DataFrame = {
     val docs = Tables.documents(s, d).selectExpr(
       "doc_id", "source", "n_chars",
-      "round(-ln((cast((doc_id * 2654435761) % 4294967296 as bigint) " +
+      // same mod-2^31-first guard as o6: keeps the mixer exact past
+      // 2^31 keys without changing any value at test scale
+      "round(-ln((cast(((doc_id % 2147483648) * 2654435761) " +
+        "% 4294967296 as bigint) " +
         "+ 1) / 4294967297.0) / n_chars, 9) as ekey")
     val salted = docs.withColumn("salt", expr(s"cast(doc_id % $salts as int)"))
     val w1 = Window.partitionBy("source", "salt")

@@ -676,8 +676,11 @@ object TextAnalysis {
       sum(when(col("pos"), 1L).otherwise(0L)).as("dp"),
       sum(when(!col("pos"), 1L).otherwise(0L)).as("dn"))
       .selectExpr(
-        "cast(round(ln(dp / cast(dn as double)) * 1000000) as bigint) " +
-          "as prior6")
+        // +1 smoothing guards the degenerate single-class corpus:
+        // Spark's Divide NULLs on a zero divisor while DuckDB yields
+        // inf/NaN, so the unsmoothed prior diverges between engines.
+        "cast(round(ln((dp + 1) / cast(dn + 1 as double)) * 1000000) " +
+          "as bigint) as prior6")
     val scored = tf.join(broadcast(wtab), "term")
       .groupBy("doc_id").agg(sum("w6").as("sw6"))
     docs.join(scored, Seq("doc_id"), "left")
