@@ -58,14 +58,19 @@ object Sketches {
       "case when h div 64 = 0 then 27 else " +
         "cast(round(log2((h div 64) & -(h div 64))) as int) + 1 end as rho")
     val regs = rho.groupBy("flag", "reg").agg(max("rho").as("mr"))
-    // full 64-register spine: untouched registers count as 2^-0
-    val spine = li.select("flag").distinct()
-      .crossJoin(s.range(64).selectExpr("cast(id as int) as reg"))
-    val full = spine.join(regs, Seq("flag", "reg"), "left")
-      .na.fill(0, Seq("mr"))
-    val agg = full.groupBy("flag").agg(
-      sum(expr("1.0 / cast(1 << mr as double)")).as("ssum"),
-      sum(expr("case when mr = 0 then 1 else 0 end")).as("v0"))
+    // No 64-register spine materializes: an untouched register
+    // contributes exactly 2^-0 = 1.0 to the register sum and 1 to the
+    // zero-register count, and a PRESENT register always has mr ≥ 1
+    // (rho = tz+1 ≥ 1), so ssum = Σ 2^-mr + (64 − |present|) and
+    // v0 = 64 − |present|. Every term is an exact binary fraction
+    // (≤33 significant bits over ≤64 terms), so this is BIT-IDENTICAL
+    // to folding the explicit spine — the oracle keeps the spine form
+    // as an independent derivation. Removes the spine's second corpus
+    // scan, the crossJoin, and the left join from the plan.
+    val agg = regs.groupBy("flag").agg(
+      (sum(expr("1.0 / cast(1 << mr as double)")) +
+        (lit(64) - count(lit(1)))).as("ssum"),
+      (lit(64) - count(lit(1))).cast("bigint").as("v0"))
     val exact = li.groupBy("flag")
       .agg(countDistinct("l_orderkey").as("n_exact"))
     agg.join(exact, "flag")
@@ -91,7 +96,15 @@ object Sketches {
     * join. Hashes are (a·x+b) mod p mod w with p = 2^31−1 — the
     * classic pairwise-independent family, deterministic literals. */
   def o7CmsFreq(s: SparkSession, d: String): DataFrame = {
+    // explicit isnotnull on the key: the estimate and report joins
+    // push IsNotNull(user_id) into THEIR copies of this aggregate
+    // subtree but the sketch branch doesn't, which de-canonicalizes
+    // the three subtrees and splits the count aggregate into three
+    // corpus scans. With the filter stated once here, all consumers
+    // see one canonical subtree → ONE scan + ReusedExchange
+    // (plan-contracted).
     val cnts = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
       .groupBy("user_id").agg(count(lit(1)).as("cnt"))
     val cells = cnts.selectExpr("user_id", "cnt",
       "stack(4, " +
@@ -101,7 +114,13 @@ object Sketches {
         "3, ((100003 * user_id + 113) % 2147483647) % 512" +
         ") as (i, cell)")
     val sketch = cells.groupBy("i", "cell").agg(sum("cnt").as("csum"))
-    val est = cells.select("user_id", "i", "cell")
+    // cnt >= 1 is a tautology (counts are positive) whose only job is
+    // to keep `cnt` REFERENCED on the probe side: without it column
+    // pruning rewrites this branch's count aggregate into a bare
+    // distinct, de-canonicalizing it from the sketch branch's subtree
+    // and splitting the shared exchange into a second corpus scan
+    // (the t5 pruning gotcha; plan-contracted).
+    val est = cells.filter(col("cnt") >= 1).select("user_id", "i", "cell")
       .join(broadcast(sketch), Seq("i", "cell"))
       .groupBy("user_id").agg(min("csum").as("cms_est"))
     cnts.join(est, "user_id")

@@ -256,4 +256,58 @@ class PlanContractSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
       s"expected exactly the window shuffle:\n$p")
   }
+
+  test("o6: registers aggregate in one corpus scan (no spine rescan); " +
+      "only the certification-only exact branch scans again") {
+    val p = finalPlan("o6_hll_distinct")
+    // register branch + exact branch; the production profile (drop
+    // the exact certification column) is the register branch alone
+    assert(scanCount(p) == 2, s"expected 2 lineitem scans:\n$p")
+    // register max shuffles ≤ groups×64 rows: the (flag, reg) partial
+    // aggregate must be present below its exchange
+    assert(p.contains("partial_max"), "register max not map-side partial")
+    assert(!p.contains("SortMergeJoin"),
+      "tiny sketch frames must join as broadcasts")
+  }
+
+  test("o7: ONE corpus scan — the per-key count exchange is reused by " +
+      "sketch, estimate, and report branches; sketch broadcasts") {
+    val p = finalPlan("o7_cms_freq")
+    assert(scanCount(p) == 1, s"expected 1 events scan:\n$p")
+    assert("ReusedExchange".r.findAllIn(p).length >= 2,
+      s"count aggregate not shared across all three branches:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "2048-cell sketch not broadcast")
+    assert(!p.contains("SortMergeJoin"), "sketch join degenerated to SMJ")
+  }
+
+  test("c10: salted two-phase top-k — map-side WindowGroupLimit prunes " +
+      "at the scan; no unsalted full-stratum first pass") {
+    val p = finalPlan("c10_weighted_reservoir")
+    assert(scanCount(p) == 1, s"expected 1 documents scan:\n$p")
+    // phase 1 partitions by (source, salt); phase 2 re-ranks survivors
+    // by source only — both rank passes must group-limit BEFORE their
+    // exchange so no stratum ever shuffles whole
+    assert("WindowGroupLimit .*, Partial".r.findAllIn(p).length == 2,
+      s"expected a map-side group limit before each rank shuffle:\n$p")
+    // plan prints top-down, so the DEEPEST (scan-side) rank pass is
+    // the last Window node in the string — it must carry the salt key
+    val scanSideWindow = p.substring(p.lastIndexOf("Window ["))
+      .linesIterator.next()
+    assert(scanSideWindow.contains("salt"),
+      s"the scan-side rank pass is not salted:\n$p")
+  }
+
+  test("t19: vocabulary stats exchange reused by the totals; weight " +
+      "table and prior ride as broadcasts; term join never sorts") {
+    val p = finalPlan("t19_nb_filter")
+    assert(p.contains("ReusedExchange"),
+      s"term stats aggregated twice:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "weight table not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "vocabulary-sized join planned as SMJ")
+    // the corpus text column feeds exactly the two tf branches; every
+    // other scan is pruned to id/lang columns
+    val textScans = "ReadSchema: [^\n]*text:string".r.findAllIn(p).length
+    assert(textScans <= 2, s"text read by $textScans scans:\n$p")
+  }
 }
