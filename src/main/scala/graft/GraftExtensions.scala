@@ -1,6 +1,6 @@
 package graft
 
-import graft.expressions.{MinHashSig, MinHashTextSig, ShingleSet, SigAgree, SimHash128, VecDot, VecL2, VectorMeanAgg}
+import graft.expressions.{CmsAgg, HllRegAgg, MinHashSig, MinHashTextSig, ShingleSet, SigAgree, SimHash128, VecDot, VecL2, VectorMeanAgg}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -59,7 +59,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => VecL2(args.head, args(1))),
     (new FunctionIdentifier("sig_agree"),
       new ExpressionInfo(classOf[SigAgree].getName, "sig_agree"),
-      (args: Seq[Expression]) => SigAgree(args.head, args(1))))
+      (args: Seq[Expression]) => SigAgree(args.head, args(1))),
+    (new FunctionIdentifier("hll_registers"),
+      new ExpressionInfo(classOf[HllRegAgg].getName, "hll_registers"),
+      (args: Seq[Expression]) => HllRegAgg(args.head).toAggregateExpression()),
+    (new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsAgg].getName, "cms_sketch"),
+      (args: Seq[Expression]) => CmsAgg(args.head).toAggregateExpression()))
 
   /** Installs the functions into an already-running session (when the
     * session was not built with `withExtensions`). */

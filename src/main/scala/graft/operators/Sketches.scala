@@ -143,6 +143,50 @@ object Sketches {
     * its own salt cell, so the two-phase result is exactly the
     * single-window order (spec-asserted). Keys are rounded to 9
     * decimals with doc_id tie-break — total order, replayable. */
+  /** o6 in its PRODUCTION shape: the register array is the buffer of
+    * the native `hll_registers` aggregate ([[graft.expressions
+    * .HllRegAgg]]), so the whole sketch is ONE hash aggregate — no
+    * (group, reg) explode, constant 64 ints per group on the shuffle,
+    * mergeable partials. The estimate derivation is the same
+    * closed-form as o6 run as a per-group array fold. No exact-count
+    * branch: at production scale the certification column IS the cost,
+    * so this form reports (flag, hll_est) only. Spec-asserted equal to
+    * o6's registers and estimates (which the oracle checks, so this
+    * form is certified transitively). */
+  private[graft] def o6HllDistinctAgg(s: SparkSession, d: String)
+      : DataFrame = {
+    val keyed = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_orderkey"))
+      .selectExpr("flag",
+        "cast(((l_orderkey % 2147483648) * 2654435761) % 4294967296 " +
+          "as bigint) as h")
+    keyed.groupBy("flag")
+      .agg(graft.functions.SketchFunctions.hllRegisters(col("h")).as("regs"))
+      .selectExpr("flag",
+        "aggregate(regs, cast(0.0 as double), " +
+          "(acc, mr) -> acc + 1.0 / cast(1 << mr as double)) as ssum",
+        "aggregate(regs, 0L, " +
+          "(acc, mr) -> acc + case when mr = 0 then 1 else 0 end) as v0")
+      .selectExpr("flag",
+        "round(case when (0.709 * 4096) / ssum <= 160.0 and v0 > 0 " +
+          "then 64.0 * ln(64.0 / v0) " +
+          "else (0.709 * 4096) / ssum end, 4) as hll_est")
+      .orderBy("flag")
+  }
+
+  /** o7 in its PRODUCTION shape: the 2048-cell array is the buffer of
+    * the native `cms_sketch` aggregate ([[graft.expressions.CmsAgg]])
+    * — the TRUE streaming CMS, one increment per (row, hash-row), no
+    * per-key count explode, mergeable partials; the corpus collapses
+    * to ONE 2048-long array in a single pass. Estimates then read the
+    * broadcast-sized sketch. Spec-asserted cell-equal to o7's composed
+    * groupBy sketch (counter increments commute). */
+  private[graft] def o7CmsSketchAgg(s: SparkSession, d: String)
+      : DataFrame =
+    Tables.events(s, d)
+      .agg(graft.functions.SketchFunctions.cmsSketch(col("user_id"))
+        .as("cells"))
+
   def c10WeightedReservoir(s: SparkSession, d: String,
       k: Int = 20, salts: Int = 8): DataFrame = {
     val docs = Tables.documents(s, d).selectExpr(

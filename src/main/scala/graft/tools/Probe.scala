@@ -31,6 +31,19 @@ object Probe {
       spark.stop(); return
     }
 
+    // native sketch-aggregate forms (not registered queries)
+    if (sys.env.get("PROBE_SKETCHAGG").contains("1")) {
+      Tables.lineitem(spark, d).count()
+      Tables.events(spark, d).count()
+      time("o6 agg form cold") {
+        graft.operators.Sketches.o6HllDistinctAgg(spark, d).count()
+      }
+      time("o7 agg form cold") {
+        graft.operators.Sketches.o7CmsSketchAgg(spark, d).count()
+      }
+      spark.stop(); return
+    }
+
     // warm the JVM/codegen paths once
     Tables.documents(spark, d).count()
     Tables.embeddings(spark, d).count()
