@@ -130,6 +130,8 @@ object SparkEntry {
       graft.similarity.Similarity.s8MmrDiversify(s, d)),
     "s9_mmr_lsh" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s9MmrLsh(s, d)),
+    "s10_mmr_pq" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.s10MmrPq(s, d)),
     "s5_kmeans_refine" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s5KmeansRefine(s, d)),
     // Text analysis
@@ -431,6 +433,63 @@ object SparkEntry {
          |        ORDER BY round($lcs(q_emb, c_emb), 3) DESC,
          |                 c_id ASC) AS rank
          |    FROM c JOIN qp USING (bucket))
+         |  WHERE rank <= 10""".stripMargin)
+  }
+
+  /** s10's oracle: the same MMR rounds over s7's PQ/ADC two-stage
+    * shortlist — the full codes/lookup-table/approx-rank/exact-rerank
+    * chain replayed (s7's CTEs), top-10 by exact cosine feeding the
+    * diversifier. */
+  private lazy val s10MmrSql: String = {
+    val lcs = "list_cosine_similarity"
+    val sq = "(e.emb[j.j*8 + i + 1] - c.centroid[j.j*8 + i + 1])"
+    val sqSum = s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(8), i -> $sq * $sq)),
+       |      (a, b) -> a + b)""".stripMargin
+    val adistSum = (0 until 8).map(j =>
+      s"max(CASE WHEN cds.sub = $j THEN qdv END)").mkString(" + ")
+    mmrSqlOver(
+      s"""  WITH e AS (
+         |    SELECT vec_id, label, embedding::DOUBLE[] AS emb
+         |    FROM embeddings),
+         |  cpos AS (
+         |    SELECT label, i, avg(emb[i + 1]) AS c
+         |    FROM e CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+         |  cent AS MATERIALIZED (SELECT label, list(c ORDER BY i)
+         |    AS centroid FROM cpos GROUP BY label),
+         |  cds AS MATERIALIZED (
+         |    SELECT c_id, sub, label AS code FROM (
+         |      SELECT *, row_number() OVER (PARTITION BY c_id, sub
+         |        ORDER BY dist, label) AS rn FROM (
+         |        SELECT e.vec_id AS c_id, c.label, j.j AS sub,
+         |          $sqSum AS dist
+         |        FROM e CROSS JOIN cent c CROSS JOIN range(8) j(j)
+         |        WHERE e.vec_id >= 10))
+         |    WHERE rn = 1),
+         |  qdt AS MATERIALIZED (
+         |    SELECT e.vec_id AS q_id, c.label, j.j AS sub, $sqSum AS qdv
+         |    FROM e CROSS JOIN cent c CROSS JOIN range(8) j(j)
+         |    WHERE e.vec_id < 10),
+         |  approx AS (
+         |    SELECT q_id, c_id, round($adistSum, 3) AS adist
+         |    FROM cds JOIN qdt ON cds.sub = qdt.sub AND cds.code = qdt.label
+         |    GROUP BY 1, 2),
+         |  sh0 AS (
+         |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adist, c_id) AS srank FROM approx),
+         |  rr AS (
+         |    SELECT s.q_id, s.c_id,
+         |      round($lcs(q.embedding::DOUBLE[], c.embedding::DOUBLE[]),
+         |        3) AS cos,
+         |      c.embedding::DOUBLE[] AS c_emb
+         |    FROM (SELECT * FROM sh0 WHERE srank <= 20) s
+         |    JOIN embeddings q ON q.vec_id = s.q_id
+         |    JOIN embeddings c ON c.vec_id = s.c_id)
+         |  SELECT q_id, c_id, reli, c_emb FROM (
+         |    SELECT q_id, c_id,
+         |      CAST(floor(cos * 1000 + 0.5) AS BIGINT) AS reli, c_emb,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos DESC, c_id ASC) AS rank FROM rr)
          |  WHERE rank <= 10""".stripMargin)
   }
 
@@ -2351,6 +2410,7 @@ object SparkEntry {
     "s1_ann_bruteforce" -> s1AnnSql,
     "s8_mmr_diversify" -> s8MmrSql,
     "s9_mmr_lsh" -> s9MmrSql,
+    "s10_mmr_pq" -> s10MmrSql,
     "t2_quality_score" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

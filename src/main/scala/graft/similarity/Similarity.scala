@@ -133,8 +133,19 @@ object Similarity {
     * neighbors are weakly separated, so recall@5 vs s1 is ~0.3-0.4 —
     * the same regime as s2's measured ~0.6 (s6); both are properties
     * of unstructured data, and k' is the dial. */
-  def s7TwoStage(s: SparkSession, d: String): DataFrame = {
-    val nSub = 8; val subDim = 8; val kShort = 20; val k = 5
+  def s7TwoStage(s: SparkSession, d: String): DataFrame =
+    s7RerankedShortlist(s, d)
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos3").as("cos"),
+        col("adist"))
+      .orderBy("q_id", "rank")
+
+  /** s7's exact-cosine re-ranked PQ shortlist with the candidate
+    * vectors still attached — the frame the final top-k filter (s7)
+    * and the MMR diversifier (s10) both consume. */
+  private[graft] def s7RerankedShortlist(s: SparkSession, d: String)
+      : DataFrame = {
+    val nSub = 8; val subDim = 8; val kShort = 20
     val cent = Tables.embeddings(s, d)
       .groupBy("label")
       .agg(V.vectorMean(col("embedding"), 64).as("centroid"))
@@ -185,11 +196,20 @@ object Similarity {
       .join(broadcast(queries(s, d)), Seq("q_id"))
       .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
       .withColumn("rank", row_number().over(byQuery).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("cos3").as("cos"),
-        col("adist"))
-      .orderBy("q_id", "rank")
+      .select("q_id", "rank", "c_id", "cos3", "adist", "c_emb")
   }
+
+  /** S10: MMR over the PQ/ADC two-stage shortlist — the OTHER
+    * production pairing (s9 diversifies the LSH shortlist): at 100 TB
+    * the PQ stage reads 32× less than the vectors and never shuffles
+    * the corpus, and the diversifier touches only the K re-ranked
+    * rows per query it is handed. s8 remains the exact-shortlist
+    * quality reference; MmrSpec compares the picked sets across all
+    * three shortlists. */
+  def s10MmrPq(s: SparkSession, d: String, kShort: Int = 10,
+      m: Int = 5): DataFrame =
+    mmrOverShortlist(
+      s7RerankedShortlist(s, d).filter(col("rank") <= kShort), m)
 
   /** S5: k-means refinement (Lloyd iterations) — upgrades the IVF
     * cells from "label means" to trained centroids, the way a real

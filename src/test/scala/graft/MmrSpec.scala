@@ -43,4 +43,32 @@ class MmrSpec extends AnyFunSuite {
     val mean = per.sum.toDouble / (qs.length * 5)
     assert(mean >= 0.3, s"mean picked-set overlap collapsed: $mean")
   }
+
+  test("s10 picks track s8's: full dense picks per query, overlap " +
+      "above the PQ-recall floor") {
+    val s8 = similarity.Similarity.s8MmrDiversify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val s10 = similarity.Similarity.s10MmrPq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s10.nonEmpty)
+    val qs = s8.map(_._1).distinct.sorted
+    assert(s10.map(_._1).distinct.sorted.sameElements(qs),
+      "s10 lost or invented queries")
+    // the PQ shortlist always holds kShort = 20 >= 10 rows, so every
+    // query diversifies a full list — dense ranks 1..5
+    for (q <- qs) {
+      assert(s10.filter(_._1 == q).map(_._2).sorted
+        .sameElements(1L to 5L), s"q=$q s10 pick ranks not dense 1..5")
+    }
+    // bounded divergence vs the exact shortlist — PQ recall on this
+    // random corpus is the s7 regime (~0.3-0.4 @5); a collapse to
+    // disjoint picks would mean the shortlist or the fold broke
+    val per = qs.map { q =>
+      val a = s8.filter(_._1 == q).map(_._3).toSet
+      val b = s10.filter(_._1 == q).map(_._3).toSet
+      (a intersect b).size
+    }
+    val mean = per.sum.toDouble / (qs.length * 5)
+    assert(mean >= 0.2, s"mean picked-set overlap collapsed: $mean")
+  }
 }

@@ -297,6 +297,21 @@ class PlanContractSpec extends AnyFunSuite {
       s"the scan-side rank pass is not salted:\n$p")
   }
 
+  test("s10: MMR rides the PQ shortlist — nested-loop joins only " +
+      "against the 8-row codebook, shortlist joins hash, no cartesian") {
+    val p = finalPlan("s10_mmr_pq")
+    assert(!p.contains("CartesianProduct"), "cartesian in the PQ chain")
+    assert(!p.contains("SortMergeJoin"), "shortlist join degenerated to SMJ")
+    // the only nested-loop joins are the codebook cross joins s7
+    // itself performs (8-row broadcast side); anything more means a
+    // corpus-sized side entered a nested loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
+      s"unexpected nested-loop join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "ADC lookup join not broadcast")
+    assert("MapGroups".r.findAllIn(p).length == 1,
+      "expected exactly the one greedy-fold MapGroups")
+  }
+
   test("t19: vocabulary stats exchange reused by the totals; weight " +
       "table and prior ride as broadcasts; term join never sorts") {
     val p = finalPlan("t19_nb_filter")
