@@ -35,6 +35,8 @@ object SparkEntry {
     "c4_quality_resample" -> (operators.Curation.c4QualityResample _),
     "c5_mixture_balance" -> (operators.Curation.c5MixtureBalance _),
     "c9_token_mixture" -> (operators.Curation.c9TokenMixture _),
+    "c11_bpe_mixture" -> ((s: SparkSession, d: String) =>
+      operators.Curation.c11BpeMixture(s, d)),
     "c6_curriculum_order" -> (operators.Curation.c6CurriculumOrder _),
     "c7_global_shuffle" -> (operators.Curation.c7GlobalShuffle _),
     "c8_dsir" -> ((s: SparkSession, d: String) =>
@@ -1686,6 +1688,61 @@ object SparkEntry {
         |    < r.rate AS sampled,
         |  round(t.n_toks * r.rate, 4) AS exp_tokens
         |FROM t JOIN r USING (source) ORDER BY doc_id""".stripMargin,
+    "c11_bpe_mixture" -> {
+      // t17's trainer replay (16 sample-mining rounds + the
+      // rank-order fold chain over the full corpus — all CTEs
+      // MATERIALIZED, the d8 inlining gotcha), then c9's exact
+      // integer-sum rate derivation on the ENCODED lengths.
+      val rounds = 16
+      val fold =
+        """list_reduce(
+          |    list_prepend(CAST([] AS VARCHAR[]),
+          |      list_transform(toks, t -> [t])),
+          |    (acc, x) -> CASE
+          |      WHEN len(acc) > 0 AND acc[-1] = l AND x[1] = r
+          |      THEN acc[1:len(acc)-1] || [l || r]
+          |      ELSE acc || x END)""".stripMargin
+      def pc(i: Int) =
+        s"""pc$i AS MATERIALIZED (
+           |  SELECT p.l AS l, p.r AS r, count(*) AS freq FROM (
+           |    SELECT unnest(list_transform(range(0, len(toks) - 1),
+           |      i -> {'l': toks[i+1], 'r': toks[i+2]})) AS p FROM m${i - 1})
+           |  GROUP BY 1, 2),
+           |r$i AS MATERIALIZED (
+           |  SELECT l, r FROM pc$i
+           |  ORDER BY freq DESC, l, r LIMIT 1)""".stripMargin
+      def mn(i: Int) =
+        s"""m$i AS MATERIALIZED (
+           |  SELECT $fold AS toks
+           |  FROM m${i - 1} CROSS JOIN r$i)""".stripMargin
+      def en(i: Int) =
+        s"""e$i AS MATERIALIZED (
+           |  SELECT doc_id, source, $fold AS toks
+           |  FROM e${i - 1} CROSS JOIN r$i)""".stripMargin
+      val mining = (1 to rounds).map(i =>
+        if (i < rounds) pc(i) + ",\n" + mn(i) else pc(i)).mkString(",\n")
+      val encodes = (1 to rounds).map(en).mkString(",\n")
+      s"""WITH m0 AS MATERIALIZED (
+         |  SELECT string_split(text, ' ') AS toks FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 10 = 0),
+         |$mining,
+         |e0 AS MATERIALIZED (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |$encodes,
+         |t AS (
+         |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_toks
+         |  FROM e$rounds),
+         |c AS (SELECT source, sum(n_toks) AS toks FROM t GROUP BY source),
+         |m AS (SELECT min(toks) AS min_toks FROM c),
+         |r AS (SELECT source, CAST(min_toks AS DOUBLE) / toks AS rate
+         |      FROM c CROSS JOIN m)
+         |SELECT t.doc_id, t.source, t.n_toks, round(r.rate, 6) AS rate,
+         |  ((t.doc_id * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0
+         |    < r.rate AS sampled,
+         |  round(t.n_toks * r.rate, 4) AS exp_tokens
+         |FROM t JOIN r USING (source) ORDER BY doc_id""".stripMargin
+    },
     "c5_mixture_balance" ->
       """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
         |m AS (SELECT min(cnt) AS min_cnt FROM c),

@@ -130,6 +130,51 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** C11: c9's token-budget mixture balancing denominated in REAL BPE
+    * tokens — the unit a training budget is actually spent in (t18's
+    * motivation applied to mixing: whitespace counts over-estimate by
+    * exactly the merges the tokenizer applies, and the error is
+    * SOURCE-BIASED — merge-friendly sources look bigger than they
+    * are, so their whitespace rate is too low; the spec pins that the
+    * two rate tables actually differ on this corpus). The ranked rule
+    * table is mined once (t17's deterministic-sample trainer), every
+    * document is encoded in ONE `BpeEncodeAll` corpus pass, and the
+    * narrow (doc_id, source, n_toks) frame is checkpointed — the
+    * encode map runs once, NOT once per consumer; what materializes
+    * is 3 columns, not the corpus text (the x1 measure-first
+    * checkpoint rule: here the recomputed branch is the expensive
+    * encode itself). Rates then derive from exact integer encoded
+    * sums and broadcast back; the corpus never shuffles. */
+  def c11BpeMixture(s: SparkSession, d: String, rounds: Int = 16,
+      sampleMod: Int = 10): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val rules = graft.text.TextAnalysis.mineRulesSample(docs, rounds,
+      sampleMod)
+    val enc =
+      if (rules.isEmpty) col("toks")
+      else T.bpeEncodeAll(col("toks"), array(rules.map { case (l, r) =>
+        struct(lit(l).as("l"), lit(r).as("r")) }: _*))
+    val counted = docs
+      .select(col("doc_id"), col("source"), T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(enc).cast("long").as("n_toks"))
+      .localCheckpoint(true)
+    val sums = counted.groupBy("source").agg(sum("n_toks").as("toks"))
+    val minSum = sums.agg(min("toks").as("min_toks"))
+    val rates = sums.crossJoin(broadcast(minSum))
+      .select(col("source"),
+        (col("min_toks").cast("double") / col("toks")).as("rate"))
+    val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 10000)
+      .cast("double") / 10000.0
+    counted.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        round(col("rate"), 6).as("rate"),
+        (u < col("rate")).as("sampled"),
+        round(col("n_toks") * col("rate"), 4).as("exp_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** E1: symmetric int8 embedding quantization — per-vector scale =
     * max|x|/127, elements round to [-127, 127]. Cuts ANN storage and
     * bandwidth 4×; the spec bounds the dequantization error. */

@@ -735,6 +735,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("c11 BPE-denominated rates differ from c9's whitespace rates; " +
+      "encoded counts only shrink") {
+    val c9 = operators.Curation.c9TokenMixture(spark, sf)
+      .select("doc_id", "source", "n_toks", "rate").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val c11 = operators.Curation.c11BpeMixture(spark, sf)
+      .select("doc_id", "source", "n_toks", "rate").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(c9.keySet == c11.keySet)
+    // a merge can only shrink a document's token count, never grow it
+    c9.keys.foreach { id =>
+      assert(c11(id)._2 <= c9(id)._2, s"doc $id grew under BPE encode")
+    }
+    assert(c9.keys.exists(id => c11(id)._2 < c9(id)._2),
+      "no document compressed — the mined rules never fired")
+    // the operator's reason to exist: the mixture rates themselves
+    // move when the unit changes from whitespace to BPE tokens
+    val r9 = c9.values.map(v => (v._1, v._3)).toMap
+    val r11 = c11.values.map(v => (v._1, v._3)).toMap
+    assert(r9 != r11, "whitespace and BPE rates identical — unit change " +
+      "had no effect on the mixture")
+  }
+
   test("t10 line filter matches an independent Scala replay of the C4 rules") {
     val stop = Set("dup")
     val term = Set("value", "table", "fast", "scan", "key", "row", "data",

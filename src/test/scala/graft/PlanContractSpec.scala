@@ -312,6 +312,26 @@ class PlanContractSpec extends AnyFunSuite {
       "expected exactly the one greedy-fold MapGroups")
   }
 
+  test("c11: the BPE encode runs ONCE — the query reads only the " +
+      "materialized narrow count frame; rates broadcast back") {
+    val p = finalPlan("c11_bpe_mixture")
+    // zero parquet scans: the one corpus encode pass happened at
+    // checkpoint time and what persists is (doc_id, source, n_toks),
+    // not the corpus text — re-encoding per consumer would show the
+    // documents FileScan (and the BpeEncodeAll node) here
+    assert(scanCount(p) == 0, s"corpus re-scanned past the checkpoint:\n$p")
+    assert(!p.toLowerCase.contains("bpeencodeall"),
+      "encode expression re-evaluated inside the mixture query")
+    assert(p.contains("Scan ExistingRDD"), "checkpointed counts missing")
+    assert(p.contains("BroadcastHashJoin"), "rates not broadcast back")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "corpus-sized shuffle join in the mixture plan")
+    // the only hash exchanges are the |sources|-row aggregates; the
+    // counted corpus frame itself never hash-shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"unexpected corpus shuffle:\n$p")
+  }
+
   test("t19: vocabulary stats exchange reused by the totals; weight " +
       "table and prior ride as broadcasts; term join never sorts") {
     val p = finalPlan("t19_nb_filter")
