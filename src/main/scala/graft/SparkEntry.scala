@@ -726,7 +726,7 @@ object SparkEntry {
          |  SELECT 'split_' || CASE WHEN b < 80 THEN 'train'
          |    WHEN b < 90 THEN 'val' ELSE 'test' END AS stage,
          |    count(*) AS rows
-         |  FROM (SELECT (doc_id * 2654435761) % 4294967296 % 100 AS b
+         |  FROM (SELECT ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 AS b
          |        FROM clean) GROUP BY 1)
          |SELECT stage, rows FROM (
          |  SELECT 'raw' AS stage, count(*) AS rows FROM documents
@@ -1645,9 +1645,9 @@ object SparkEntry {
         |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
     "c3_sample_split" ->
       """SELECT doc_id, source,
-        | (doc_id * 2654435761) % 4294967296 % 100 AS bucket,
-        | CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-        |      WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        | ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 AS bucket,
+        | CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |      WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t9_pii_redact" ->
@@ -1670,7 +1670,7 @@ object SparkEntry {
         |    1.0 - abs(0.3 - (len(list_filter(string_split(text, ' '),
         |      x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE /
         |      len(string_split(text, ' ')))) AS w,
-        |    ((doc_id * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0 AS u
+        |    (((doc_id % 2147483648) * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0 AS u
         |  FROM documents)
         |SELECT doc_id, source, round(w, 4) AS weight, u, u < w AS sampled
         |FROM s ORDER BY doc_id""".stripMargin,
@@ -1684,7 +1684,7 @@ object SparkEntry {
         |r AS (SELECT source, CAST(min_toks AS DOUBLE) / toks AS rate
         |      FROM c CROSS JOIN m)
         |SELECT t.doc_id, t.source, t.n_toks, round(r.rate, 6) AS rate,
-        |  ((t.doc_id * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0
+        |  (((t.doc_id % 2147483648) * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0
         |    < r.rate AS sampled,
         |  round(t.n_toks * r.rate, 4) AS exp_tokens
         |FROM t JOIN r USING (source) ORDER BY doc_id""".stripMargin,
@@ -1738,7 +1738,7 @@ object SparkEntry {
          |r AS (SELECT source, CAST(min_toks AS DOUBLE) / toks AS rate
          |      FROM c CROSS JOIN m)
          |SELECT t.doc_id, t.source, t.n_toks, round(r.rate, 6) AS rate,
-         |  ((t.doc_id * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0
+         |  (((t.doc_id % 2147483648) * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0
          |    < r.rate AS sampled,
          |  round(t.n_toks * r.rate, 4) AS exp_tokens
          |FROM t JOIN r USING (source) ORDER BY doc_id""".stripMargin
@@ -1749,7 +1749,7 @@ object SparkEntry {
         |r AS (SELECT source, CAST(min_cnt AS DOUBLE) / cnt AS rate
         |      FROM c CROSS JOIN m)
         |SELECT d.doc_id, d.source, round(r.rate, 4) AS rate,
-        |  ((d.doc_id * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0
+        |  (((d.doc_id % 2147483648) * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0
         |    < r.rate AS sampled
         |FROM documents d JOIN r USING (source) ORDER BY doc_id""".stripMargin,
     "s7_two_stage" -> {
@@ -1913,7 +1913,7 @@ object SparkEntry {
         |FROM s ORDER BY vec_id""".stripMargin,
     "c7_global_shuffle" ->
       """WITH sc AS (
-        |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS k
+        |  SELECT doc_id, ((doc_id % 2147483648) * 2654435761) % 4294967296 AS k
         |  FROM documents)
         |SELECT doc_id, CAST(k AS BIGINT) AS shuffle_key,
         |  CAST(row_number() OVER (ORDER BY k DESC, doc_id) AS BIGINT) AS pos

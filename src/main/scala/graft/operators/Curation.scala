@@ -38,9 +38,14 @@ object Curation {
     * a pure map with no shuffle. A Knuth multiplicative hash of the
     * stable doc_id gives all three (md5/xxhash would too, but their
     * bit-twiddling isn't portable to every oracle engine): bucket =
-    * (doc_id * 2654435761) mod 2^32 mod 100 → 80/10/10. */
+    * ((doc_id mod 2^31) * 2654435761) mod 2^32 mod 100 → 80/10/10.
+    * The mod-2^31-first guard (r7, the o6/c10 rule applied to the
+    * whole coin family) keeps the product within int64 for ANY key —
+    * the raw multiply wraps (silently in Spark, an error in ANSI
+    * engines) once doc_id passes ~3.47e9, i.e. a few billion
+    * documents; values are identical for keys < 2^31. */
   def c3SampleSplit(s: SparkSession, d: String): DataFrame = {
-    val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100
+    val bucket = ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 100
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), bucket.as("bucket"),
         when(bucket < 80, "train").when(bucket < 90, "val")
@@ -63,7 +68,7 @@ object Curation {
       size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in", "is")))
         .cast("double") / size(toks)
     val weight = lit(1.0) - abs(lit(0.3) - stopRatio) // in [0.3, 1]
-    val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 10000)
+    val u = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 10000)
       .cast("double") / 10000.0
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
@@ -91,7 +96,7 @@ object Curation {
     val rates = counts.crossJoin(broadcast(minCnt))
       .select(col("source"),
         (col("min_cnt").cast("double") / col("cnt")).as("rate"))
-    val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 10000)
+    val u = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 10000)
       .cast("double") / 10000.0
     docs.join(broadcast(rates), "source")
       .select(col("doc_id"), col("source"),
@@ -120,7 +125,7 @@ object Curation {
     val rates = sums.crossJoin(broadcast(minSum))
       .select(col("source"),
         (col("min_toks").cast("double") / col("toks")).as("rate"))
-    val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 10000)
+    val u = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 10000)
       .cast("double") / 10000.0
     docs.join(broadcast(rates), "source")
       .select(col("doc_id"), col("source"), col("n_toks"),
@@ -165,7 +170,7 @@ object Curation {
     val rates = sums.crossJoin(broadcast(minSum))
       .select(col("source"),
         (col("min_toks").cast("double") / col("toks")).as("rate"))
-    val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 10000)
+    val u = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 10000)
       .cast("double") / 10000.0
     counted.join(broadcast(rates), "source")
       .select(col("doc_id"), col("source"), col("n_toks"),
@@ -370,7 +375,7 @@ object Curation {
     * permutation is computed WITHOUT a single-partition sort at any
     * scale. Oracle: the naive global window over the same key. */
   def c7GlobalShuffle(s: SparkSession, d: String): DataFrame = {
-    val key = (col("doc_id") * lit(2654435761L)) % lit(4294967296L)
+    val key = ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L)
     val scored = Tables.documents(s, d)
       .select(col("doc_id"), key.cast("double").as("score"))
     curriculumIndex(scored, nb = 32)

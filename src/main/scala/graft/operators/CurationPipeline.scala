@@ -111,7 +111,7 @@ object CurationPipeline {
     * multiplicative-hash buckets). */
   def curated(s: SparkSession, d: String): DataFrame = {
     val clean = stages(s, d).last._2
-    val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100
+    val bucket = ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 100
     clean.select(col("doc_id"), col("source"),
       when(bucket < 80, "train").when(bucket < 90, "val")
         .otherwise("test").as("split"))
@@ -127,7 +127,7 @@ object CurationPipeline {
     val st = stages(s, d).toMap
     def ids(df: DataFrame, flag: String) =
       df.select(col("doc_id"), lit(1).as(flag))
-    val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100
+    val bucket = ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 100
     val flags = st("raw").select(col("doc_id"))
       .join(ids(st("quality"), "q"), Seq("doc_id"), "left")
       .join(ids(st("exact_dedup"), "ex"), Seq("doc_id"), "left")

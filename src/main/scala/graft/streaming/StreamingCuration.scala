@@ -168,7 +168,7 @@ object StreamingCuration {
     val cont = sem.join(containedBatch, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
     // ---- split + outputs ----
-    val bucket = (col("doc_id") * lit(2654435761L)) % lit(4294967296L) % 100
+    val bucket = ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 100
     val curated = cont.select(col("doc_id"), col("source"),
       when(bucket < 80, "train").when(bucket < 90, "val")
         .otherwise("test").as("split"))

@@ -718,7 +718,7 @@ class PipelineSpec extends AnyFunSuite {
     val minCnt = cnt.values.min
     val expected = docs.map { case (id, src) =>
       val rate = minCnt.toDouble / cnt(src)
-      val u = (id * 2654435761L) % 4294967296L % 10000 / 10000.0
+      val u = (id % 2147483648L) * 2654435761L % 4294967296L % 10000 / 10000.0
       id -> (u < rate)
     }.toMap
     val got = operators.Curation.c5MixtureBalance(spark, sf)

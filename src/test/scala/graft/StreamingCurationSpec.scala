@@ -31,7 +31,7 @@ class StreamingCurationSpec extends AnyFunSuite {
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   private def splitOf(id: Long): String = {
-    val b = (id * 2654435761L) % 4294967296L % 100
+    val b = (id % 2147483648L) * 2654435761L % 4294967296L % 100
     if (b < 80) "train" else if (b < 90) "val" else "test"
   }
 
