@@ -25,6 +25,57 @@ class PropertySpec extends AnyFunSuite {
 
   private val lineGen = Gen.listOfN(8, Gen.alphaNumStr.map(_.take(6)))
 
+  test("sketch aggregate buffers are merge-associative: any partition " +
+      "of the input folds to the single-pass state") {
+    import graft.expressions.{CmsAgg, HllRegAgg}
+    val hll = HllRegAgg(Literal(0L))
+    val cms = CmsAgg(Literal(0L))
+    // drive update() through expression eval by re-binding the child
+    def hllOnce(keys: Seq[Long]): Seq[Int] = {
+      val buf = hll.createAggregationBuffer()
+      keys.foreach { k =>
+        HllRegAgg(Literal(k)).update(buf, null)
+      }
+      buf.toSeq
+    }
+    def cmsOnce(keys: Seq[Long]): Seq[Long] = {
+      val buf = cms.createAggregationBuffer()
+      keys.foreach(k => CmsAgg(Literal(k)).update(buf, null))
+      buf.toSeq
+    }
+    val gen = for {
+      keys <- Gen.listOf(Gen.choose(0L, 1L << 40))
+      cuts <- Gen.listOf(Gen.choose(0, math.max(keys.length, 1)))
+    } yield (keys, cuts.sorted.distinct)
+    forAll(gen) { case (keys, cuts) =>
+      // split into arbitrary consecutive partitions, update each
+      // partial independently, merge in order — must equal one pass
+      val bounds = (0 +: cuts :+ keys.length).distinct.sorted
+      val parts0 = bounds.zip(bounds.tail).map { case (a, b) =>
+        keys.slice(a, b)
+      }
+      val parts = if (parts0.isEmpty) Seq(Seq.empty[Long]) else parts0
+      val hMerged = parts.map(p => {
+        val b = hll.createAggregationBuffer()
+        p.foreach(k => HllRegAgg(Literal(k)).update(b, null)); b
+      }).reduceLeft(hll.merge)
+      assert(hMerged.toSeq == hllOnce(keys))
+      // serialization round-trip preserves the buffer
+      assert(hll.deserialize(hll.serialize(hMerged)).toSeq == hMerged.toSeq)
+      val cMerged = parts.map(p => {
+        val b = cms.createAggregationBuffer()
+        p.foreach(k => CmsAgg(Literal(k)).update(b, null)); b
+      }).reduceLeft(cms.merge)
+      assert(cMerged.toSeq == cmsOnce(keys))
+      assert(cms.deserialize(cms.serialize(cMerged)).toSeq == cMerged.toSeq)
+      // CMS invariant: every cell total equals the key count (each key
+      // increments exactly one cell per hash row)
+      (0 until 4).foreach { i =>
+        assert(cMerged.slice(i * 512, (i + 1) * 512).sum == keys.length)
+      }
+    }
+  }
+
   test("diff apply/reverse round-trips arbitrary single-hunk edits") {
     val editGen = for {
       lines <- lineGen.suchThat(_.nonEmpty)
