@@ -37,6 +37,8 @@ object SparkEntry {
     "c9_token_mixture" -> (operators.Curation.c9TokenMixture _),
     "c11_bpe_mixture" -> ((s: SparkSession, d: String) =>
       operators.Curation.c11BpeMixture(s, d)),
+    "o8_tokenizer_fertility" -> ((s: SparkSession, d: String) =>
+      operators.Sketches.o8TokenizerFertility(s, d)),
     "c6_curriculum_order" -> (operators.Curation.c6CurriculumOrder _),
     "c7_global_shuffle" -> (operators.Curation.c7GlobalShuffle _),
     "c8_dsir" -> ((s: SparkSession, d: String) =>
@@ -1742,6 +1744,66 @@ object SparkEntry {
          |    < r.rate AS sampled,
          |  round(t.n_toks * r.rate, 4) AS exp_tokens
          |FROM t JOIN r USING (source) ORDER BY doc_id""".stripMargin
+    },
+    "o8_tokenizer_fertility" -> {
+      // t17's trainer replay, with n_words/n_chars carried through
+      // the fold chain, then the per-source fertility aggregate on
+      // exact integer bases (sums cast BIGINT — dtype parity).
+      val rounds = 16
+      val fold =
+        """list_reduce(
+          |    list_prepend(CAST([] AS VARCHAR[]),
+          |      list_transform(toks, t -> [t])),
+          |    (acc, x) -> CASE
+          |      WHEN len(acc) > 0 AND acc[-1] = l AND x[1] = r
+          |      THEN acc[1:len(acc)-1] || [l || r]
+          |      ELSE acc || x END)""".stripMargin
+      def pc(i: Int) =
+        s"""pc$i AS MATERIALIZED (
+           |  SELECT p.l AS l, p.r AS r, count(*) AS freq FROM (
+           |    SELECT unnest(list_transform(range(0, len(toks) - 1),
+           |      i -> {'l': toks[i+1], 'r': toks[i+2]})) AS p FROM m${i - 1})
+           |  GROUP BY 1, 2),
+           |r$i AS MATERIALIZED (
+           |  SELECT l, r FROM pc$i
+           |  ORDER BY freq DESC, l, r LIMIT 1)""".stripMargin
+      def mn(i: Int) =
+        s"""m$i AS MATERIALIZED (
+           |  SELECT $fold AS toks
+           |  FROM m${i - 1} CROSS JOIN r$i)""".stripMargin
+      def en(i: Int) =
+        s"""e$i AS MATERIALIZED (
+           |  SELECT doc_id, source, n_chars, n_words, $fold AS toks
+           |  FROM e${i - 1} CROSS JOIN r$i)""".stripMargin
+      val mining = (1 to rounds).map(i =>
+        if (i < rounds) pc(i) + ",\n" + mn(i) else pc(i)).mkString(",\n")
+      val encodes = (1 to rounds).map(en).mkString(",\n")
+      s"""WITH m0 AS MATERIALIZED (
+         |  SELECT string_split(text, ' ') AS toks FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 10 = 0),
+         |$mining,
+         |e0 AS MATERIALIZED (
+         |  SELECT doc_id, source, n_chars,
+         |    string_split(text, ' ') AS toks,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+         |  FROM documents WHERE text IS NOT NULL),
+         |$encodes,
+         |cnt AS (
+         |  SELECT doc_id, source, n_chars, n_words,
+         |    CAST(len(toks) AS BIGINT) AS n_bpe
+         |  FROM e$rounds)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_words) AS BIGINT) AS words,
+         |  CAST(sum(n_bpe) AS BIGINT) AS bpe_toks,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars,
+         |  CAST(sum(CASE WHEN n_bpe < n_words THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS compressed_docs,
+         |  round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_words), 4)
+         |    AS fertility,
+         |  round(CAST(sum(n_chars) AS DOUBLE) / sum(n_bpe), 4)
+         |    AS chars_per_tok
+         |FROM cnt GROUP BY source ORDER BY source""".stripMargin
     },
     "c5_mixture_balance" ->
       """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),

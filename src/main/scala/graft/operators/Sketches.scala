@@ -187,6 +187,48 @@ object Sketches {
       .agg(graft.functions.SketchFunctions.cmsSketch(col("user_id"))
         .as("cells"))
 
+  /** O8: per-source TOKENIZER FERTILITY report — the evaluation sheet
+    * tokenizer and mixture decisions are made from: fertility =
+    * subword tokens per whitespace word (the standard per-language
+    * tokenizer-quality metric — a high-fertility source pays more of
+    * its token budget per word) and chars-per-token (the compression
+    * dial), from REAL encoded counts. Rules mined once on t17's
+    * deterministic sample, the corpus encoded in ONE `BpeEncodeAll`
+    * pass, the narrow per-doc count frame checkpointed (c11's
+    * pattern: 5 integer columns materialize, not text), then one
+    * |sources|-row aggregate over exact integer bases. */
+  def o8TokenizerFertility(s: SparkSession, d: String, rounds: Int = 16,
+      sampleMod: Int = 10): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val docs = Tables.documents(s, d).filter(col("text").isNotNull)
+    val rules = graft.text.TextAnalysis.mineRulesSample(docs, rounds,
+      sampleMod)
+    val enc =
+      if (rules.isEmpty) col("toks")
+      else T.bpeEncodeAll(col("toks"), array(rules.map { case (l, r) =>
+        struct(lit(l).as("l"), lit(r).as("r")) }: _*))
+    val counted = docs
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        T.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        size(col("toks")).cast("long").as("n_words"),
+        size(enc).cast("long").as("n_bpe"))
+      .localCheckpoint(true)
+    counted.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_words").as("words"),
+        sum("n_bpe").as("bpe_toks"),
+        sum("n_chars").as("chars"),
+        count(when(col("n_bpe") < col("n_words"), 1)).as("compressed_docs"))
+      .select(col("source"), col("n_docs"), col("words"), col("bpe_toks"),
+        col("chars"), col("compressed_docs"),
+        round(col("bpe_toks").cast("double") / col("words"), 4)
+          .as("fertility"),
+        round(col("chars").cast("double") / col("bpe_toks"), 4)
+          .as("chars_per_tok"))
+      .orderBy("source")
+  }
+
   def c10WeightedReservoir(s: SparkSession, d: String,
       k: Int = 20, salts: Int = 8): DataFrame = {
     val docs = Tables.documents(s, d).selectExpr(

@@ -332,6 +332,20 @@ class PlanContractSpec extends AnyFunSuite {
       s"unexpected corpus shuffle:\n$p")
   }
 
+  test("o8: fertility report reads only the materialized narrow count " +
+      "frame — one aggregate, no joins, no corpus rescan") {
+    val p = finalPlan("o8_tokenizer_fertility")
+    assert(scanCount(p) == 0, s"corpus re-scanned past the checkpoint:\n$p")
+    assert(!p.toLowerCase.contains("bpeencodeall"),
+      "encode expression re-evaluated inside the report query")
+    assert(p.contains("Scan ExistingRDD"), "checkpointed counts missing")
+    assert(!p.contains("Join"), "report must be a single aggregate, no join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-source aggregate not map-side partial")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly the sources aggregate exchange:\n$p")
+  }
+
   test("t19: vocabulary stats exchange reused by the totals; weight " +
       "table and prior ride as broadcasts; term join never sorts") {
     val p = finalPlan("t19_nb_filter")
