@@ -154,7 +154,7 @@ object Curation {
       sampleMod: Int = 10): DataFrame = {
     import graft.functions.{TextFunctions => T}
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-    val rules = graft.text.TextAnalysis.mineRulesSample(docs, rounds,
+    val rules = graft.text.TextAnalysis.mineRulesCached(docs, d, rounds,
       sampleMod)
     val enc =
       if (rules.isEmpty) col("toks")

@@ -201,7 +201,7 @@ object Sketches {
       sampleMod: Int = 10): DataFrame = {
     import graft.functions.{TextFunctions => T}
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-    val rules = graft.text.TextAnalysis.mineRulesSample(docs, rounds,
+    val rules = graft.text.TextAnalysis.mineRulesCached(docs, d, rounds,
       sampleMod)
     val enc =
       if (rules.isEmpty) col("toks")

