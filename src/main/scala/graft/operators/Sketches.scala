@@ -230,8 +230,15 @@ object Sketches {
   }
 
   def c10WeightedReservoir(s: SparkSession, d: String,
-      k: Int = 20, salts: Int = 8): DataFrame = {
-    val docs = Tables.documents(s, d).selectExpr(
+      k: Int = 20, salts: Int = 8): DataFrame =
+    weightedReservoirFrame(Tables.documents(s, d), k, salts)
+
+  /** c10's body over an arbitrary (doc_id, source, n_chars) frame —
+    * exposed so the two-phase ≡ single-window spec can drive it on a
+    * skewed synthetic stratum as well as the corpus. */
+  private[graft] def weightedReservoirFrame(docsIn: DataFrame,
+      k: Int, salts: Int): DataFrame = {
+    val docs = docsIn.selectExpr(
       "doc_id", "source", "n_chars",
       // same mod-2^31-first guard as o6: keeps the mixer exact past
       // 2^31 keys without changing any value at test scale

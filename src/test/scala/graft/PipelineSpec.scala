@@ -760,6 +760,35 @@ class PipelineSpec extends AnyFunSuite {
       "had no effect on the mixture")
   }
 
+  test("c10 salted two-phase top-k ≡ the single-window reservoir — on " +
+      "the corpus and on a one-giant-stratum skew fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def singleWindow(docs: org.apache.spark.sql.DataFrame, k: Int) =
+      docs.selectExpr("doc_id", "source", "n_chars",
+          "round(-ln((cast(((doc_id % 2147483648) * 2654435761) " +
+            "% 4294967296 as bigint) " +
+            "+ 1) / 4294967297.0) / n_chars, 9) as ekey")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source")
+            .orderBy(col("ekey").asc, col("doc_id").asc)).cast("long"))
+        .filter(col("rk") <= k)
+        .select("source", "rk", "doc_id", "n_chars", "ekey")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // corpus: the shipped operator vs the naive one-window form
+    assert(rows(operators.Sketches.c10WeightedReservoir(spark, sf)) ==
+      rows(singleWindow(Tables.documents(spark, sf), 20)))
+    // skew: one 5000-doc stratum plus a 7-doc one — the case the salt
+    // exists for (a plain window puts the giant stratum in ONE
+    // partition); varying weights so the race order is nontrivial
+    val skewed = ((1L to 5000L).map(i => (i, "giant", 50L + i % 97)) ++
+      (6001L to 6007L).map(i => (i, "tiny", 10L + i % 5)))
+      .toDF("doc_id", "source", "n_chars")
+    assert(rows(operators.Sketches.weightedReservoirFrame(skewed, 20, 8)) ==
+      rows(singleWindow(skewed, 20)))
+  }
+
   test("t10 line filter matches an independent Scala replay of the C4 rules") {
     val stop = Set("dup")
     val term = Set("value", "table", "fast", "scan", "key", "row", "data",
