@@ -39,6 +39,8 @@ object SparkEntry {
       operators.Curation.c11BpeMixture(s, d)),
     "o8_tokenizer_fertility" -> ((s: SparkSession, d: String) =>
       operators.Sketches.o8TokenizerFertility(s, d)),
+    "c12_temperature_mixture" ->
+      (operators.Curation.c12TemperatureMixture _),
     "c6_curriculum_order" -> (operators.Curation.c6CurriculumOrder _),
     "c7_global_shuffle" -> (operators.Curation.c7GlobalShuffle _),
     "c8_dsir" -> ((s: SparkSession, d: String) =>
@@ -1811,6 +1813,15 @@ object SparkEntry {
         |r AS (SELECT source, CAST(min_cnt AS DOUBLE) / cnt AS rate
         |      FROM c CROSS JOIN m)
         |SELECT d.doc_id, d.source, round(r.rate, 4) AS rate,
+        |  (((d.doc_id % 2147483648) * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0
+        |    < r.rate AS sampled
+        |FROM documents d JOIN r USING (source) ORDER BY doc_id""".stripMargin,
+    "c12_temperature_mixture" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        |m AS (SELECT min(cnt) AS min_cnt FROM c),
+        |r AS (SELECT source, sqrt(CAST(min_cnt AS DOUBLE) / cnt) AS rate
+        |      FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.source, round(r.rate, 6) AS rate,
         |  (((d.doc_id % 2147483648) * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0
         |    < r.rate AS sampled
         |FROM documents d JOIN r USING (source) ORDER BY doc_id""".stripMargin,

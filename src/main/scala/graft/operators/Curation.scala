@@ -105,6 +105,40 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** C12: TEMPERATURE-scaled source mixture (Xue et al. 2021 mT5
+    * §3.2; Conneau et al. 2020 XLM-R): sample source s with
+    * probability q_s ∝ p_s^α, the standard softening between the raw
+    * mixture (α=1) and uniform (α=0, which is exactly c5). Expressed
+    * as deterministic per-doc keep rates anchored so the smallest
+    * source keeps everything, the whole temperature family collapses
+    * in closed form: rate_s = q_s·B/n_s with B = min_s(n_s/q_s)
+    * reduces to (n_min/n_s)^(1−α) — the global Σ p^α cancels, so no
+    * cross-engine pow or order-dependent float sum survives. α = 1/2
+    * makes the rate an IEEE-exact sqrt of one exact small-int
+    * division — bit-identical in any engine. Same broadcast-rates +
+    * hash-coin shape as c5: the corpus never shuffles. */
+  def c12TemperatureMixture(s: SparkSession, d: String): DataFrame =
+    temperatureMixtureFrame(Tables.documents(s, d))
+
+  /** c12's body over an arbitrary (doc_id, source) frame — exposed so
+    * the softening spec can drive a skewed synthetic stratum (the
+    * driver corpus is perfectly source-uniform at small SF, where
+    * every rate is 1 and the temperature has nothing to soften). */
+  private[graft] def temperatureMixtureFrame(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+    val minCnt = counts.agg(min("cnt").as("min_cnt"))
+    val rates = counts.crossJoin(broadcast(minCnt))
+      .select(col("source"),
+        sqrt(col("min_cnt").cast("double") / col("cnt")).as("rate"))
+    val u = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 10000)
+      .cast("double") / 10000.0
+    docs.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"),
+        round(col("rate"), 6).as("rate"),
+        (u < col("rate")).as("sampled"))
+      .orderBy("doc_id")
+  }
+
   /** C9: TOKEN-budget mixture balancing — c5's contract restated in
     * the unit mixtures are actually specified in: a source's sampling
     * rate is min(token_sum) / token_sum_s, so every kept slice

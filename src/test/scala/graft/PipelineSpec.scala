@@ -789,6 +789,39 @@ class PipelineSpec extends AnyFunSuite {
       rows(singleWindow(skewed, 20)))
   }
 
+  test("c12 temperature rates sit strictly between c5's uniform rates " +
+      "and keep-everything, ordered the same way") {
+    val c5r = operators.Curation.c5MixtureBalance(spark, sf)
+      .select("source", "rate").distinct().collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    val c12r = operators.Curation.c12TemperatureMixture(spark, sf)
+      .select("source", "rate").distinct().collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(c5r.keySet == c12r.keySet)
+    c5r.keys.foreach { s =>
+      // α=1/2 softening: sqrt(x) ≥ x on [0,1], equality only at the
+      // anchor source (rate 1); rounding at different decimals makes
+      // the comparison a loose ≥ at the anchor
+      assert(c12r(s) >= c5r(s) - 1e-9, s"$s: temperature rate below uniform")
+      assert(c12r(s) <= 1.0)
+    }
+    // the corpus is source-uniform at this SF (every rate 1), so the
+    // strict softening is pinned on a skewed synthetic stratum: with
+    // counts 400/100/25, uniform keeps 1/16 and 1/4 of the big
+    // sources where temperature keeps 1/4 and 1/2
+    import spark.implicits._
+    val skewed = ((1L to 400L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, "mid")) ++
+      (2001L to 2025L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val rates = operators.Curation.temperatureMixtureFrame(skewed)
+      .select("source", "rate").distinct().collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(rates("small") == 1.0)
+    assert(math.abs(rates("mid") - 0.5) < 1e-6, s"mid ${rates("mid")}")
+    assert(math.abs(rates("big") - 0.25) < 1e-6, s"big ${rates("big")}")
+  }
+
   test("t10 line filter matches an independent Scala replay of the C4 rules") {
     val stop = Set("dup")
     val term = Set("value", "table", "fast", "scan", "key", "row", "data",

@@ -346,6 +346,16 @@ class PlanContractSpec extends AnyFunSuite {
       s"expected exactly the sources aggregate exchange:\n$p")
   }
 
+  test("c12: per-source rates broadcast back; corpus never shuffles") {
+    val p = finalPlan("c12_temperature_mixture")
+    assert(p.contains("BroadcastHashJoin"), "rates not broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for the rate join")
+    // corpus-side exchanges: only the |sources|-row count aggregate
+    // (computed twice: rates + min) and the output range sort
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"unexpected corpus shuffle:\n$p")
+  }
+
   test("t19: vocabulary stats exchange reused by the totals; weight " +
       "table and prior ride as broadcasts; term join never sorts") {
     val p = finalPlan("t19_nb_filter")
