@@ -138,6 +138,9 @@ object SparkEntry {
       graft.similarity.Similarity.s9MmrLsh(s, d)),
     "s10_mmr_pq" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s10MmrPq(s, d)),
+    "s11_binary_rerank" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.s11BinaryRerank(s, d)),
+    "e3_binary_quantize" -> (operators.Curation.e3BinaryQuantize _),
     "s5_kmeans_refine" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s5KmeansRefine(s, d)),
     // Text analysis
@@ -1816,6 +1819,62 @@ object SparkEntry {
         |  (((d.doc_id % 2147483648) * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0
         |    < r.rate AS sampled
         |FROM documents d JOIN r USING (source) ORDER BY doc_id""".stripMargin,
+    "e3_binary_quantize" -> {
+      def half(sl: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(emb[$sl],
+           |      x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)),
+           |    (a, x) -> a * 2 + x)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b AS (
+         |  SELECT vec_id,
+         |    ${half("1:32")} AS bits_hi,
+         |    ${half("33:64")} AS bits_lo
+         |  FROM e)
+         |SELECT vec_id, bits_hi, bits_lo,
+         |  CAST(bit_count(bits_hi) + bit_count(bits_lo) AS BIGINT) AS n_pos
+         |FROM b ORDER BY vec_id""".stripMargin
+    },
+    "s11_binary_rerank" -> {
+      def half(sl: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(emb[$sl],
+           |      x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)),
+           |    (a, x) -> a * 2 + x)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |b AS (
+         |  SELECT vec_id,
+         |    ${half("1:32")} AS bits_hi,
+         |    ${half("33:64")} AS bits_lo
+         |  FROM e),
+         |q AS (SELECT vec_id AS q_id, bits_hi AS q_hi, bits_lo AS q_lo
+         |      FROM b WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS c_id, bits_hi, bits_lo
+         |      FROM b WHERE vec_id >= 10),
+         |h AS (
+         |  SELECT q_id, c_id,
+         |    CAST(bit_count(xor(bits_hi, q_hi)) +
+         |         bit_count(xor(bits_lo, q_lo)) AS BIGINT) AS hamming
+         |  FROM c CROSS JOIN q),
+         |sh AS (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY hamming, c_id) AS srank FROM h),
+         |rr AS (
+         |  SELECT s.q_id, s.c_id, s.hamming,
+         |    round(list_cosine_similarity(qe.embedding::DOUBLE[],
+         |      ce.embedding::DOUBLE[]), 3) AS cos
+         |  FROM (SELECT * FROM sh WHERE srank <= 20) s
+         |  JOIN embeddings qe ON qe.vec_id = s.q_id
+         |  JOIN embeddings ce ON ce.vec_id = s.c_id),
+         |fin AS (
+         |  SELECT q_id, c_id, cos, hamming,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, c_id) AS BIGINT) AS rank FROM rr)
+         |SELECT q_id, rank, c_id, cos, hamming
+         |FROM fin WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
     "c12_temperature_mixture" ->
       """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
         |m AS (SELECT min(cnt) AS min_cnt FROM c),

@@ -232,6 +232,35 @@ object Curation {
       .orderBy("vec_id")
   }
 
+  /** E3: BINARY embedding quantization — the cheapest production
+    * memory tier (Yamada et al. 2021 BPR; sign-bit hashing back to
+    * Charikar 2002): 64 dims collapse to ONE int64 of sign bits, a
+    * 32× cut vs float32 that a Hamming pre-rank can scan at memory
+    * bandwidth (s11 is the retrieval pairing). bits = Σ 2^j over
+    * positive dims — an exact integer sum, order-independent, so both
+    * engines produce the identical word; n_pos (the popcount) rides
+    * along as the sanity digest. Pure map, no shuffle. */
+  def e3BinaryQuantize(s: SparkSession, d: String): DataFrame = {
+    val emb = V.asDouble(col("embedding"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        binaryHalf(slice(emb, 1, 32)).as("bits_hi"),
+        binaryHalf(slice(emb, 33, 32)).as("bits_lo"))
+      .select(col("vec_id"), col("bits_hi"), col("bits_lo"),
+        (bit_count(col("bits_hi")) + bit_count(col("bits_lo")))
+          .cast("long").as("n_pos"))
+      .orderBy("vec_id")
+  }
+
+  /** 32 sign bits packed by a left-to-right Horner fold (first dim =
+    * MSB): acc·2 + [x > 0]. Stays well inside int64 (≤ 2^32−1), needs
+    * no variable shift or pow, and folds identically in any engine.
+    * Two halves cover a 64-dim vector; Hamming distance is then
+    * bit_count(xor(hi)) + bit_count(xor(lo)). */
+  private[graft] def binaryHalf(embSlice: Column): Column =
+    aggregate(embSlice, lit(0L),
+      (a, x) => a * 2 + when(x > 0, 1L).otherwise(0L))
+
   /** E2: Matryoshka-style embedding TRUNCATION (Kusupati et al. 2022:
     * MRL-trained vectors keep most of their energy in a prefix, so
     * ANN shortlists can run on the first k dims at a fraction of the

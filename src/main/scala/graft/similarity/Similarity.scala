@@ -199,6 +199,48 @@ object Similarity {
       .select("q_id", "rank", "c_id", "cos3", "adist", "c_emb")
   }
 
+  /** S11: BINARY two-stage retrieval — Hamming pre-rank on e3's
+    * packed sign bits, exact cosine re-rank on the shortlist (Yamada
+    * et al. 2021 BPR; the memory tier below s7's PQ codes: 8 BYTES
+    * per corpus vector, 32× less than float32, scannable at memory
+    * bandwidth). Stage 1 touches the corpus only through the two
+    * packed words — hamming = popcount(xor(hi)) + popcount(xor(lo)),
+    * integer arithmetic both engines share bit-for-bit — with the
+    * tiny query bit-table broadcast; stage 2 fetches full vectors for
+    * the k' = 20 shortlisted ids per query, exactly s7's recall-knob
+    * shape. */
+  def s11BinaryRerank(s: SparkSession, d: String, kShort: Int = 20,
+      k: Int = 5): DataFrame = {
+    import graft.operators.Curation.binaryHalf
+    def packed(df: DataFrame, idCol: String, embCol: String) = {
+      val emb = V.asDouble(col(embCol))
+      df.select(col(idCol),
+        binaryHalf(slice(emb, 1, 32)).as("bits_hi"),
+        binaryHalf(slice(emb, 33, 32)).as("bits_lo"))
+    }
+    val qb = packed(queries(s, d), "q_id", "q_emb")
+      .withColumnRenamed("bits_hi", "q_hi").withColumnRenamed("bits_lo", "q_lo")
+    val cb = packed(corpus(s, d), "c_id", "c_emb")
+    val shortlist = cb.join(broadcast(qb))
+      .select(col("q_id"), col("c_id"),
+        (bit_count(col("bits_hi").bitwiseXOR(col("q_hi"))) +
+          bit_count(col("bits_lo").bitwiseXOR(col("q_lo"))))
+          .cast("long").as("hamming"))
+      .withColumn("srank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("hamming").asc, col("c_id").asc)))
+      .filter(col("srank") <= kShort)
+    shortlist
+      .join(corpus(s, d).select(col("c_id"), col("c_emb")), Seq("c_id"))
+      .join(broadcast(queries(s, d)), Seq("q_id"))
+      .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos3").as("cos"),
+        col("hamming"))
+      .orderBy("q_id", "rank")
+  }
+
   /** S10: MMR over the PQ/ADC two-stage shortlist — the OTHER
     * production pairing (s9 diversifies the LSH shortlist): at 100 TB
     * the PQ stage reads 32× less than the vectors and never shuffles

@@ -822,6 +822,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(rates("big") - 0.25) < 1e-6, s"big ${rates("big")}")
   }
 
+  test("s11 binary-Hamming shortlist recall tracks the exact baseline " +
+      "above the sign-bit floor") {
+    val s1 = similarity.Similarity.s1AnnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val s11 = similarity.Similarity.s11BinaryRerank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val qs = s1.map(_._1).distinct
+    assert(s11.map(_._1).distinct.sorted.sameElements(qs.sorted))
+    val per = qs.map { q =>
+      val a = s1.filter(_._1 == q).map(_._2).toSet
+      val b = s11.filter(_._1 == q).map(_._2).toSet
+      (a intersect b).size
+    }
+    // sign-bit Hamming correlates with cosine on random vectors
+    // (Charikar: collision prob = 1 − θ/π per bit); 64 bits with a
+    // 20-deep shortlist lands ~0.5 recall@5 on this corpus (measured;
+    // s2's LSH regime is ~0.38). A collapse to disjoint lists means
+    // the packing or the xor/popcount arithmetic broke.
+    assert(per.forall(_ >= 1), s"a query lost every exact neighbor: $per")
+    val mean = per.sum.toDouble / (qs.length * 5)
+    assert(mean >= 0.3, s"mean recall collapsed: $mean")
+  }
+
   test("t10 line filter matches an independent Scala replay of the C4 rules") {
     val stop = Set("dup")
     val term = Set("value", "table", "fast", "scan", "key", "row", "data",

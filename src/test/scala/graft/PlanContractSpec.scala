@@ -346,6 +346,17 @@ class PlanContractSpec extends AnyFunSuite {
       s"expected exactly the sources aggregate exchange:\n$p")
   }
 
+  test("s11: corpus touched through 16 bytes of packed bits; query " +
+      "bit-table broadcasts; rerank joins hash") {
+    val p = finalPlan("s11_binary_rerank")
+    assert(!p.contains("CartesianProduct"), "cartesian in the binary tier")
+    assert(p.contains("BroadcastExchange") || p.contains("Broadcast"),
+      "query bits not broadcast")
+    assert(!p.contains("SortMergeJoin"), "rerank fetch degenerated to SMJ")
+    assert(p.contains("BroadcastHashJoin"),
+      "shortlist vector fetch not a hash join")
+  }
+
   test("c12: per-source rates broadcast back; corpus never shuffles") {
     val p = finalPlan("c12_temperature_mixture")
     assert(p.contains("BroadcastHashJoin"), "rates not broadcast")
