@@ -41,6 +41,8 @@ object SparkEntry {
       operators.Sketches.o8TokenizerFertility(s, d)),
     "c12_temperature_mixture" ->
       (operators.Curation.c12TemperatureMixture _),
+    "o9_packing_report" -> ((s: SparkSession, d: String) =>
+      operators.Sketches.o9PackingReport(s, d)),
     "c6_curriculum_order" -> (operators.Curation.c6CurriculumOrder _),
     "c7_global_shuffle" -> (operators.Curation.c7GlobalShuffle _),
     "c8_dsir" -> ((s: SparkSession, d: String) =>
@@ -1391,6 +1393,71 @@ object SparkEntry {
          |  CAST(floor((cum - n_tokens) / 256) AS BIGINT) AS bin,
          |  CAST((cum - n_tokens) % 256 AS BIGINT) AS bin_offset
          |FROM packed ORDER BY doc_id""".stripMargin
+    },
+    "o9_packing_report" -> {
+      // t18's full replay (mining + encode + packing window), then
+      // the per-source bin-efficiency aggregate on exact integers.
+      val rounds = 16
+      val fold =
+        """list_reduce(
+          |    list_prepend(CAST([] AS VARCHAR[]),
+          |      list_transform(toks, t -> [t])),
+          |    (acc, x) -> CASE
+          |      WHEN len(acc) > 0 AND acc[-1] = l AND x[1] = r
+          |      THEN acc[1:len(acc)-1] || [l || r]
+          |      ELSE acc || x END)""".stripMargin
+      def pc(i: Int) =
+        s"""pc$i AS MATERIALIZED (
+           |  SELECT p.l AS l, p.r AS r, count(*) AS freq FROM (
+           |    SELECT unnest(list_transform(range(0, len(toks) - 1),
+           |      i -> {'l': toks[i+1], 'r': toks[i+2]})) AS p FROM m${i - 1})
+           |  GROUP BY 1, 2),
+           |r$i AS MATERIALIZED (
+           |  SELECT l, r FROM pc$i
+           |  ORDER BY freq DESC, l, r LIMIT 1)""".stripMargin
+      def mn(i: Int) =
+        s"""m$i AS MATERIALIZED (
+           |  SELECT $fold AS toks
+           |  FROM m${i - 1} CROSS JOIN r$i)""".stripMargin
+      def en(i: Int) =
+        s"""e$i AS MATERIALIZED (
+           |  SELECT doc_id, source, $fold AS toks
+           |  FROM e${i - 1} CROSS JOIN r$i)""".stripMargin
+      val mining = (1 to rounds).map(i =>
+        if (i < rounds) pc(i) + ",\n" + mn(i) else pc(i)).mkString(",\n")
+      val encodes = (1 to rounds).map(en).mkString(",\n")
+      s"""WITH m0 AS MATERIALIZED (
+         |  SELECT string_split(text, ' ') AS toks FROM documents
+         |  WHERE text IS NOT NULL AND doc_id % 10 = 0),
+         |$mining,
+         |e0 AS MATERIALIZED (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks
+         |  FROM documents WHERE text IS NOT NULL),
+         |$encodes,
+         |packed AS (
+         |  SELECT doc_id, source, doc_id % 8 AS shard,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(sum(len(toks)) OVER (
+         |      PARTITION BY source, doc_id % 8
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM e$rounds),
+         |shards AS (
+         |  SELECT source, shard, count(*) AS n,
+         |    CAST(sum(n_tokens) AS BIGINT) AS tot,
+         |    CAST(floor((sum(n_tokens) - 1) / 256) + 1 AS BIGINT)
+         |      AS windows
+         |  FROM packed GROUP BY 1, 2)
+         |SELECT source,
+         |  CAST(sum(n) AS BIGINT) AS n_docs,
+         |  CAST(sum(tot) AS BIGINT) AS tokens,
+         |  CAST(sum(windows) AS BIGINT) AS n_bins,
+         |  CAST(sum(windows) * 256 AS BIGINT) AS capacity,
+         |  round(CAST(sum(tot) AS DOUBLE) / (sum(windows) * 256), 4)
+         |    AS fill_rate,
+         |  CAST(sum(windows) * 256 - sum(tot) AS BIGINT) AS waste
+         |FROM shards GROUP BY source ORDER BY source""".stripMargin
     },
     "t11_perplexity" ->
       """WITH tf0 AS (

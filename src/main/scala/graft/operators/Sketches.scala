@@ -229,6 +229,36 @@ object Sketches {
       .orderBy("source")
   }
 
+  /** O9: PACKING-EFFICIENCY report — the acceptance sheet for t18's
+    * sequence packing: per source, how many context windows the
+    * packed corpus occupies and how full they are (fill below ~1
+    * means padding waste the training loop pays for; the number a
+    * data-loader dashboard tracks). Derives entirely from t18's
+    * packed frame (cached rule mining, one encode pass, one window
+    * shuffle) plus two tiny aggregates: a shard's window count is
+    * ⌈shard token total / budget⌉ — counting every window the packed
+    * stream TOUCHES, not just the ones a doc starts in, so capacity
+    * always covers the tokens and waste is the true padding tail
+    * (counting start-bins alone showed fill > 1 on straddling docs).
+    * Exact integer bases, BIGINT-cast sums in the oracle. */
+  def o9PackingReport(s: SparkSession, d: String,
+      budget: Long = 256L): DataFrame = {
+    val packed = graft.text.TextAnalysis.t18BpePack(s, d)
+    val perShard = packed.groupBy("source", "shard").agg(
+      count(lit(1)).as("n"), sum("n_tokens").as("tot"))
+      .withColumn("windows", floor((col("tot") - 1) / budget) + 1)
+    perShard.groupBy("source").agg(
+        sum("n").as("n_docs"),
+        sum("tot").as("tokens"),
+        sum("windows").as("n_bins"))
+      .select(col("source"), col("n_docs"), col("tokens"), col("n_bins"),
+        (col("n_bins") * budget).as("capacity"),
+        round(col("tokens").cast("double") / (col("n_bins") * budget), 4)
+          .as("fill_rate"),
+        (col("n_bins") * budget - col("tokens")).as("waste"))
+      .orderBy("source")
+  }
+
   def c10WeightedReservoir(s: SparkSession, d: String,
       k: Int = 20, salts: Int = 8): DataFrame =
     weightedReservoirFrame(Tables.documents(s, d), k, salts)

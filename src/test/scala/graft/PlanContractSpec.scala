@@ -357,6 +357,19 @@ class PlanContractSpec extends AnyFunSuite {
       "shortlist vector fetch not a hash join")
   }
 
+  test("o9: packing report = t18's one-scan encode+window plus two " +
+      "tiny aggregates — no join, no extra corpus pass") {
+    val p = finalPlan("o9_packing_report")
+    assert(scanCount(p) == 1, s"expected 1 documents scan:\n$p")
+    assert("bpeencodeall".r.findAllIn(p.toLowerCase).length == 1,
+      "encode must run exactly once")
+    assert(!p.contains("Join"), "report must not join")
+    // the (source, shard) window exchange is REUSED by the per-shard
+    // aggregate (same keys); only the per-source rollup adds one more
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2,
+      s"unexpected extra shuffle:\n$p")
+  }
+
   test("c12: per-source rates broadcast back; corpus never shuffles") {
     val p = finalPlan("c12_temperature_mixture")
     assert(p.contains("BroadcastHashJoin"), "rates not broadcast")
