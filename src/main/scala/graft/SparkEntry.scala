@@ -142,6 +142,8 @@ object SparkEntry {
       graft.similarity.Similarity.s10MmrPq(s, d)),
     "s11_binary_rerank" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s11BinaryRerank(s, d)),
+    "s12_mmr_binary" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.s12MmrBinary(s, d)),
     "e3_binary_quantize" -> (operators.Curation.e3BinaryQuantize _),
     "s5_kmeans_refine" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s5KmeansRefine(s, d)),
@@ -496,6 +498,52 @@ object SparkEntry {
          |    FROM (SELECT * FROM sh0 WHERE srank <= 20) s
          |    JOIN embeddings q ON q.vec_id = s.q_id
          |    JOIN embeddings c ON c.vec_id = s.c_id)
+         |  SELECT q_id, c_id, reli, c_emb FROM (
+         |    SELECT q_id, c_id,
+         |      CAST(floor(cos * 1000 + 0.5) AS BIGINT) AS reli, c_emb,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos DESC, c_id ASC) AS rank FROM rr)
+         |  WHERE rank <= 10""".stripMargin)
+  }
+
+  /** s12's oracle: the shared MMR rounds over s11's binary-Hamming
+    * shortlist (bits packed by the same Horner fold, re-ranked by
+    * exact cosine, top-10 feeds the diversifier). */
+  private lazy val s12MmrSql: String = {
+    val lcs = "list_cosine_similarity"
+    def half(sl: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(emb[$sl],
+         |      x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)),
+         |    (a, x) -> a * 2 + x)""".stripMargin
+    mmrSqlOver(
+      s"""  WITH e AS (
+         |    SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |  bb AS (
+         |    SELECT vec_id,
+         |      ${half("1:32")} AS bits_hi,
+         |      ${half("33:64")} AS bits_lo
+         |    FROM e),
+         |  qq AS (SELECT vec_id AS q_id, bits_hi AS q_hi, bits_lo AS q_lo
+         |        FROM bb WHERE vec_id < 10),
+         |  cc AS (SELECT vec_id AS c_id, bits_hi, bits_lo
+         |        FROM bb WHERE vec_id >= 10),
+         |  hh AS (
+         |    SELECT q_id, c_id,
+         |      bit_count(xor(bits_hi, q_hi)) +
+         |      bit_count(xor(bits_lo, q_lo)) AS hamming
+         |    FROM cc CROSS JOIN qq),
+         |  sh2 AS (
+         |    SELECT *, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY hamming, c_id) AS srank FROM hh),
+         |  rr AS (
+         |    SELECT s.q_id, s.c_id,
+         |      round($lcs(qe.embedding::DOUBLE[],
+         |        ce.embedding::DOUBLE[]), 3) AS cos,
+         |      ce.embedding::DOUBLE[] AS c_emb
+         |    FROM (SELECT * FROM sh2 WHERE srank <= 20) s
+         |    JOIN embeddings qe ON qe.vec_id = s.q_id
+         |    JOIN embeddings ce ON ce.vec_id = s.c_id)
          |  SELECT q_id, c_id, reli, c_emb FROM (
          |    SELECT q_id, c_id,
          |      CAST(floor(cos * 1000 + 0.5) AS BIGINT) AS reli, c_emb,
@@ -2667,6 +2715,7 @@ object SparkEntry {
     "s8_mmr_diversify" -> s8MmrSql,
     "s9_mmr_lsh" -> s9MmrSql,
     "s10_mmr_pq" -> s10MmrSql,
+    "s12_mmr_binary" -> s12MmrSql,
     "t2_quality_score" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
         | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

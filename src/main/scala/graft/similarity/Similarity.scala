@@ -210,7 +210,18 @@ object Similarity {
     * the k' = 20 shortlisted ids per query, exactly s7's recall-knob
     * shape. */
   def s11BinaryRerank(s: SparkSession, d: String, kShort: Int = 20,
-      k: Int = 5): DataFrame = {
+      k: Int = 5): DataFrame =
+    s11RerankedShortlist(s, d, kShort)
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos3").as("cos"),
+        col("hamming"))
+      .orderBy("q_id", "rank")
+
+  /** s11's exact-cosine re-ranked Hamming shortlist with the
+    * candidate vectors attached — consumed by the final top-k (s11)
+    * and the MMR diversifier (s12), the s7/s10 factoring. */
+  private[graft] def s11RerankedShortlist(s: SparkSession, d: String,
+      kShort: Int = 20): DataFrame = {
     import graft.operators.Curation.binaryHalf
     def packed(df: DataFrame, idCol: String, embCol: String) = {
       val emb = V.asDouble(col(embCol))
@@ -235,11 +246,18 @@ object Similarity {
       .join(broadcast(queries(s, d)), Seq("q_id"))
       .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
       .withColumn("rank", row_number().over(byQuery).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("c_id"), col("cos3").as("cos"),
-        col("hamming"))
-      .orderBy("q_id", "rank")
+      .select("q_id", "rank", "c_id", "cos3", "hamming", "c_emb")
   }
+
+  /** S12: MMR over the BINARY shortlist — completing the
+    * shortlist × diversifier matrix (s8 exact, s9 LSH, s10 PQ, s12
+    * binary): the 8-byte Hamming memory tier feeds the same greedy
+    * fold, so the cheapest scan tier composes with de-duplicated
+    * retrieval unchanged. */
+  def s12MmrBinary(s: SparkSession, d: String, kShort: Int = 10,
+      m: Int = 5): DataFrame =
+    mmrOverShortlist(
+      s11RerankedShortlist(s, d).filter(col("rank") <= kShort), m)
 
   /** S10: MMR over the PQ/ADC two-stage shortlist — the OTHER
     * production pairing (s9 diversifies the LSH shortlist): at 100 TB

@@ -71,4 +71,30 @@ class MmrSpec extends AnyFunSuite {
     val mean = per.sum.toDouble / (qs.length * 5)
     assert(mean >= 0.2, s"mean picked-set overlap collapsed: $mean")
   }
+
+  test("s12 picks track s8's: full dense picks per query, overlap " +
+      "above the binary-recall floor") {
+    val s8 = similarity.Similarity.s8MmrDiversify(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val s12 = similarity.Similarity.s12MmrBinary(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(s12.nonEmpty)
+    val qs = s8.map(_._1).distinct.sorted
+    assert(s12.map(_._1).distinct.sorted.sameElements(qs),
+      "s12 lost or invented queries")
+    for (q <- qs) {
+      assert(s12.filter(_._1 == q).map(_._2).sorted
+        .sameElements(1L to 5L), s"q=$q s12 pick ranks not dense 1..5")
+    }
+    // the Hamming tier's measured shortlist recall (~0.5 @5) sits
+    // above the LSH tier's, so its MMR picks should track s8 at least
+    // as well as s9's floor
+    val per = qs.map { q =>
+      val a = s8.filter(_._1 == q).map(_._3).toSet
+      val b = s12.filter(_._1 == q).map(_._3).toSet
+      (a intersect b).size
+    }
+    val mean = per.sum.toDouble / (qs.length * 5)
+    assert(mean >= 0.3, s"mean picked-set overlap collapsed: $mean")
+  }
 }

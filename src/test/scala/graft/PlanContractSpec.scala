@@ -370,6 +370,18 @@ class PlanContractSpec extends AnyFunSuite {
       s"unexpected extra shuffle:\n$p")
   }
 
+  test("s12: MMR rides the binary shortlist — bits cross is the only " +
+      "nested loop, rerank hash-joins, one greedy-fold MapGroups") {
+    val p = finalPlan("s12_mmr_binary")
+    assert(!p.contains("CartesianProduct"), "cartesian in the binary tier")
+    assert(!p.contains("SortMergeJoin"), "rerank fetch degenerated to SMJ")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"more nested loops than the one bits cross:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "vector fetch not a hash join")
+    assert("MapGroups".r.findAllIn(p).length == 1,
+      "expected exactly the one greedy-fold MapGroups")
+  }
+
   test("c12: per-source rates broadcast back; corpus never shuffles") {
     val p = finalPlan("c12_temperature_mixture")
     assert(p.contains("BroadcastHashJoin"), "rates not broadcast")
