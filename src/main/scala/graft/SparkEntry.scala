@@ -41,8 +41,11 @@ object SparkEntry {
       operators.Sketches.o8TokenizerFertility(s, d)),
     "c12_temperature_mixture" ->
       (operators.Curation.c12TemperatureMixture _),
+    "c13_cluster_balance" -> (operators.Curation.c13ClusterBalance _),
+    "c14_unimax" -> (operators.Curation.c14Unimax _),
     "o9_packing_report" -> ((s: SparkSession, d: String) =>
       operators.Sketches.o9PackingReport(s, d)),
+    "o10_quantile_sketch" -> (operators.Sketches.o10QuantileSketch _),
     "c6_curriculum_order" -> (operators.Curation.c6CurriculumOrder _),
     "c7_global_shuffle" -> (operators.Curation.c7GlobalShuffle _),
     "c8_dsir" -> ((s: SparkSession, d: String) =>
@@ -117,6 +120,7 @@ object SparkEntry {
     "d5_embedding_dedup" -> (graft.dedup.Dedup.d5EmbeddingDedup _),
     "d6_decontaminate" -> (graft.dedup.Dedup.d6Decontaminate _),
     "d7_span_dedup" -> (graft.dedup.Dedup.d7SpanDedup _),
+    "d15_substr_dedup" -> (graft.dedup.Dedup.d15SubstrDedup _),
     "d8_dup_clusters" -> ((s: SparkSession, d: String) =>
       graft.dedup.Dedup.d8DupClusters(s, d)),
     "d9_incremental_dedup" -> (graft.dedup.Dedup.d9IncrementalDedup _),
@@ -325,6 +329,66 @@ object SparkEntry {
       |      list_transform(range(1, length(text) + 1),
       |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
       |      (a, b) -> (a * 31 + b) % 1000000007)""".stripMargin
+
+  /** s5's two-round Lloyd refinement CTE chain, shared by the s5
+    * oracle and c13's cluster-balancing oracle (c13 strata ARE s5's
+    * final assignment). `dist`/`assign`/`recompute` unroll the same
+    * deterministic rounds the engine runs. */
+  private lazy val (s5KmeansSql, c13ClusterSql): (String, String) = {
+    def dist(emb: String, cen: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(64), i -> ($emb[i + 1] - $cen[i + 1]) * " +
+        s"($emb[i + 1] - $cen[i + 1]))), (a, b) -> a + b)"
+    def assign(ctab: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT e.vec_id, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dist("e.emb", "c.centroid")}, c.cid) AS rn
+         |    FROM e CROSS JOIN $ctab c)
+         |  WHERE rn = 1)""".stripMargin
+    def recompute(atab: String, cpos: String, cout: String) =
+      s"""$cpos AS (
+         |  SELECT $atab.cid, i, avg(e.emb[i + 1]) AS c
+         |  FROM $atab JOIN e USING (vec_id) CROSS JOIN range(64) r(i)
+         |  GROUP BY 1, 2),
+         |$cout AS (SELECT cid, list(c ORDER BY i) AS centroid FROM $cpos
+         |          GROUP BY cid)""".stripMargin
+    val ctes =
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cp0 AS (
+         |  SELECT label AS cid, i, avg(emb[i + 1]) AS c
+         |  FROM e CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+         |c0 AS (SELECT cid, list(c ORDER BY i) AS centroid FROM cp0 GROUP BY cid),
+         |${assign("c0", "a1")},
+         |${recompute("a1", "cp1", "c1")},
+         |${assign("c1", "a2")},
+         |${recompute("a2", "cp2", "c2")}""".stripMargin
+    val s5 =
+      s"""$ctes
+         |SELECT vec_id, cid AS cluster, round(d, 3) AS dist2 FROM (
+         |  SELECT e.vec_id, c.cid, ${dist("e.emb", "c.centroid")} AS d,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dist("e.emb", "c.centroid")}, c.cid) AS rn
+         |  FROM e CROSS JOIN c2 c)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    val c13 =
+      s"""$ctes,
+         |${assign("c2", "af")},
+         |cnts AS (SELECT cid, count(*) AS cnt FROM af GROUP BY 1),
+         |mn AS (SELECT min(cnt) AS min_cnt FROM cnts),
+         |r AS (SELECT cid, CAST(min_cnt AS DOUBLE) / cnt AS rate
+         |      FROM cnts CROSS JOIN mn)
+         |SELECT d.doc_id, d.source, af.cid AS cluster,
+         |  round(r.rate, 4) AS rate,
+         |  (((d.doc_id % 2147483648) * 2654435761) % 4294967296
+         |    % 10000)::DOUBLE / 10000.0 < r.rate AS sampled
+         |FROM documents d JOIN af ON d.doc_id = af.vec_id
+         |JOIN r USING (cid)
+         |ORDER BY d.doc_id""".stripMargin
+    (s5, c13)
+  }
 
   /** s1's exact brute-force oracle — also the baseline side of s6. */
   private lazy val s1AnnSql: String =
@@ -2076,43 +2140,8 @@ object SparkEntry {
          |  round($errSum, 3) AS recon_err
          |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
-    "s5_kmeans_refine" -> {
-      def dist(emb: String, cen: String) =
-        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
-          s"list_transform(range(64), i -> ($emb[i + 1] - $cen[i + 1]) * " +
-          s"($emb[i + 1] - $cen[i + 1]))), (a, b) -> a + b)"
-      def assign(ctab: String, out: String) =
-        s"""$out AS (
-           |  SELECT vec_id, cid FROM (
-           |    SELECT e.vec_id, c.cid,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${dist("e.emb", "c.centroid")}, c.cid) AS rn
-           |    FROM e CROSS JOIN $ctab c)
-           |  WHERE rn = 1)""".stripMargin
-      def recompute(atab: String, cpos: String, cout: String) =
-        s"""$cpos AS (
-           |  SELECT $atab.cid, i, avg(e.emb[i + 1]) AS c
-           |  FROM $atab JOIN e USING (vec_id) CROSS JOIN range(64) r(i)
-           |  GROUP BY 1, 2),
-           |$cout AS (SELECT cid, list(c ORDER BY i) AS centroid FROM $cpos
-           |          GROUP BY cid)""".stripMargin
-      s"""WITH e AS (
-         |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-         |cp0 AS (
-         |  SELECT label AS cid, i, avg(emb[i + 1]) AS c
-         |  FROM e CROSS JOIN range(64) r(i) GROUP BY 1, 2),
-         |c0 AS (SELECT cid, list(c ORDER BY i) AS centroid FROM cp0 GROUP BY cid),
-         |${assign("c0", "a1")},
-         |${recompute("a1", "cp1", "c1")},
-         |${assign("c1", "a2")},
-         |${recompute("a2", "cp2", "c2")}
-         |SELECT vec_id, cid AS cluster, round(d, 3) AS dist2 FROM (
-         |  SELECT e.vec_id, c.cid, ${dist("e.emb", "c.centroid")} AS d,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${dist("e.emb", "c.centroid")}, c.cid) AS rn
-         |  FROM e CROSS JOIN c2 c)
-         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
-    },
+    "s5_kmeans_refine" -> s5KmeansSql,
+    "c13_cluster_balance" -> c13ClusterSql,
     "t6_normalize_text" ->
       """SELECT doc_id, clean, CAST(length(clean) AS BIGINT) AS n_clean_chars
         |FROM (
@@ -2711,6 +2740,127 @@ object SparkEntry {
         |SELECT s.doc_id, s.chunk_idx, s.h, s.n_docs
         |FROM (SELECT spans.*, shared.n_docs FROM spans JOIN shared USING (h)) s
         |ORDER BY doc_id, chunk_idx, h""".stripMargin,
+    "c14_unimax" ->
+      """WITH counts AS MATERIALIZED (
+        |  SELECT source, count(*) AS n, count(*) * 2 AS cap
+        |  FROM documents GROUP BY 1),
+        |cums AS MATERIALIZED (
+        |  SELECT source, n, cap,
+        |    CAST(sum(cap) OVER (ORDER BY cap, source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS rk
+        |  FROM counts),
+        |tot AS MATERIALIZED (
+        |  SELECT CAST(sum(n) AS BIGINT) AS tot_n, count(*) AS m
+        |  FROM counts),
+        |probe AS MATERIALIZED (
+        |  SELECT cums.*, tot.m AS m,
+        |    CAST(floor(tot_n * 0.6) AS BIGINT) AS budget,
+        |    cum + (tot.m - rk) * cap <=
+        |      CAST(floor(tot_n * 0.6) AS BIGINT) AS capped
+        |  FROM cums CROSS JOIN tot),
+        |kf AS MATERIALIZED (
+        |  SELECT COALESCE(max(CASE WHEN capped THEN rk END), 0) AS k,
+        |    COALESCE(max(CASE WHEN capped THEN cum END), 0) AS cumk,
+        |    max(m) AS m, max(budget) AS budget
+        |  FROM probe),
+        |rates AS MATERIALIZED (
+        |  SELECT source, n,
+        |    least(CAST(cap AS DOUBLE),
+        |      CASE WHEN kf.k = kf.m THEN 1.7976931348623157e308
+        |        ELSE CAST(budget - cumk AS DOUBLE) /
+        |          CAST(m - kf.k AS DOUBLE)
+        |      END) / CAST(n AS DOUBLE) AS epochs
+        |  FROM counts CROSS JOIN kf)
+        |SELECT d.doc_id, d.source, round(epochs, 4) AS epochs,
+        |  CAST(floor(epochs) + CASE WHEN
+        |    (((d.doc_id % 2147483648) * 2654435761) % 4294967296
+        |      % 10000)::DOUBLE / 10000.0 < epochs - floor(epochs)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |FROM documents d JOIN rates USING (source)
+        |ORDER BY d.doc_id""".stripMargin,
+    "o10_quantile_sketch" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS flag, min(l_extendedprice) AS lo,
+        |    max(l_extendedprice) AS hi, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |binned AS (
+        |  SELECT b.flag,
+        |    CASE WHEN hi = lo THEN 0
+        |      ELSE least(CAST(floor((l_extendedprice - lo) /
+        |        ((hi - lo) / 256)) AS BIGINT), 255)
+        |    END AS bin,
+        |    count(*) AS cnt
+        |  FROM lineitem l JOIN b ON l.l_returnflag = b.flag
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT flag, bin, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY bin) AS BIGINT)
+        |      AS cum
+        |  FROM binned),
+        |est AS (
+        |  SELECT c.flag,
+        |    max(CASE WHEN cum - cnt < CAST(ceil(0.5 * n) AS BIGINT)
+        |          AND cum >= CAST(ceil(0.5 * n) AS BIGINT)
+        |      THEN lo + (hi - lo) / 256 * (bin +
+        |        (CAST(ceil(0.5 * n) AS BIGINT) - (cum - cnt)) /
+        |        CAST(cnt AS DOUBLE)) END) AS e50,
+        |    max(CASE WHEN cum - cnt < CAST(ceil(0.9 * n) AS BIGINT)
+        |          AND cum >= CAST(ceil(0.9 * n) AS BIGINT)
+        |      THEN lo + (hi - lo) / 256 * (bin +
+        |        (CAST(ceil(0.9 * n) AS BIGINT) - (cum - cnt)) /
+        |        CAST(cnt AS DOUBLE)) END) AS e90,
+        |    max(CASE WHEN cum - cnt < CAST(ceil(0.99 * n) AS BIGINT)
+        |          AND cum >= CAST(ceil(0.99 * n) AS BIGINT)
+        |      THEN lo + (hi - lo) / 256 * (bin +
+        |        (CAST(ceil(0.99 * n) AS BIGINT) - (cum - cnt)) /
+        |        CAST(cnt AS DOUBLE)) END) AS e99
+        |  FROM cum c JOIN b USING (flag) GROUP BY 1),
+        |exact AS (
+        |  SELECT l_returnflag AS flag,
+        |    round(quantile_disc(l_extendedprice, 0.5), 2) AS p50_exact,
+        |    round(quantile_disc(l_extendedprice, 0.9), 2) AS p90_exact,
+        |    round(quantile_disc(l_extendedprice, 0.99), 2) AS p99_exact
+        |  FROM lineitem GROUP BY 1)
+        |SELECT flag, n,
+        |  round(e50, 4) AS p50_est, round(e90, 4) AS p90_est,
+        |  round(e99, 4) AS p99_est,
+        |  p50_exact, p90_exact, p99_exact,
+        |  round((e50 - p50_exact) / p50_exact, 6) AS err50,
+        |  round((e90 - p90_exact) / p90_exact, 6) AS err90,
+        |  round((e99 - p99_exact) / p99_exact, 6) AS err99
+        |FROM est JOIN b USING (flag) JOIN exact USING (flag)
+        |ORDER BY flag""".stripMargin,
+    "d15_substr_dedup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |spans AS (
+        |  SELECT doc_id, i AS st, doc_id * 1048576 + i AS occ,
+        |    md5(array_to_string(toks[i+1 : i+16], ' ')) AS h
+        |  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - 15)) AS i
+        |        FROM tok WHERE len(toks) >= 16)),
+        |shared AS (
+        |  SELECT h, min(occ) AS keeper FROM spans
+        |  GROUP BY h HAVING count(*) >= 2),
+        |fl AS (
+        |  SELECT doc_id, list_sort(list(st)) AS fl
+        |  FROM spans JOIN shared USING (h)
+        |  WHERE occ <> keeper GROUP BY doc_id),
+        |joined AS (
+        |  SELECT t.doc_id, toks, COALESCE(fl, CAST([] AS BIGINT[])) AS fl
+        |  FROM tok t LEFT JOIN fl USING (doc_id)),
+        |cleaned AS (
+        |  SELECT doc_id, len(toks) AS n_tokens,
+        |    list_transform(
+        |      list_filter(range(0, len(toks)),
+        |        p -> len(list_filter(fl, s -> p >= s AND p < s + 16)) = 0),
+        |      p -> toks[p + 1]) AS kept
+        |  FROM joined)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+        |  COALESCE(array_to_string(kept, ' '), '') AS clean_text
+        |FROM cleaned ORDER BY doc_id""".stripMargin,
     "s1_ann_bruteforce" -> s1AnnSql,
     "s8_mmr_diversify" -> s8MmrSql,
     "s9_mmr_lsh" -> s9MmrSql,

@@ -702,6 +702,75 @@ object Dedup {
       .orderBy("doc_id", "chunk_idx", "h")
   }
 
+  /** D15: exact-SUBSTRING dedup with span REMOVAL — the APPLY verb to
+    * d7's detect (ExactSubstr; Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): any 16-token
+    * window whose content occurs at ≥ 2 positions in the corpus
+    * (across documents OR repeated inside one) is a duplicated span;
+    * every occurrence except the lexicographically FIRST
+    * (min (doc_id, position)) is removed from the text, and the
+    * cleaned document is emitted with removal accounting. d7 flags
+    * non-overlapping aligned chunks; d15 slides STRIDE-1 windows, so
+    * any repeated run of ≥ 16 tokens is caught regardless of
+    * alignment — a shared run of length L ≥ 16 at positions a..a+L−1
+    * yields shared windows at starts a..a+L−16 whose coverage union
+    * is exactly the run — and the text is actually rewritten, which
+    * is what the paper does (they resolve each duplicate cluster by
+    * keeping one occurrence; the deterministic keep-first policy here
+    * makes the result replayable).
+    *
+    * Scale shape: one scan → stride-1 window explode (≈ corpus token
+    * count rows — tokenizer-pass volume) → ONE hash aggregate on the
+    * 32-hex span hash (high-cardinality, uniform, map-side combine) →
+    * only slim (doc_id, start) flag rows shuffle back by doc_id → the
+    * text is fetched ONCE by doc_id for the rewrite. No pairwise
+    * stage anywhere; span text never rides a shuffle (it is hashed in
+    * place at the scan). The rewrite is a pure array-HOF map: both
+    * engines fold the same coverage lambda left-to-right. The
+    * occurrence key packs (doc_id, start) as doc_id·2^20 + start —
+    * positions are bounded by per-document token counts (web
+    * documents are ≪ 2^20 tokens; a struct-min drops the bound if
+    * ever needed) and the product stays well inside int64 for
+    * billions of documents. */
+  def d15SubstrDedup(s: SparkSession, d: String): DataFrame =
+    substrDedupFrame(Tables.documents(s, d))
+
+  /** d15's body over an arbitrary (doc_id, text) frame — exposed so
+    * the spec can drive hand-built fixtures (shared runs at odd
+    * alignments, within-doc repeats, sub-threshold runs). */
+  private[graft] def substrDedupFrame(docsIn: DataFrame): DataFrame = {
+    val w = 16
+    val tok = docsIn
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val spans = tok.filter(size(col("toks")) >= w)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), size(col("toks")).cast("long") - w))
+          .as("st"))
+      .select(col("doc_id"), col("st"),
+        (col("doc_id") * lit(1048576L) + col("st")).as("occ"),
+        md5(concat_ws(" ",
+          slice(col("toks"), (col("st") + 1).cast("int"), lit(w)))).as("h"))
+    val shared = spans.groupBy("h")
+      .agg(count(lit(1)).as("cnt"), min("occ").as("keeper"))
+      .filter(col("cnt") >= 2)
+    val fl = spans.join(shared, Seq("h"))
+      .filter(col("occ") =!= col("keeper"))
+      .groupBy("doc_id").agg(sort_array(collect_list("st")).as("fl"))
+    tok.join(fl, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("fl"), array().cast("array<bigint>")).as("fl"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("transform(filter(sequence(0L, cast(size(toks) as bigint) - 1), " +
+          "p -> NOT exists(fl, s -> p >= s AND p < s + 16)), " +
+          "p -> element_at(toks, cast(p + 1 as int)))").as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** D5: embedding-cosine near-dup — pairs within the same cluster
     * (label) whose cosine ≥ 0.3; float64 math to match the oracle.
     *

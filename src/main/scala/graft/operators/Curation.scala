@@ -214,6 +214,127 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** C13: CLUSTER-balanced sampling — mixture balancing in EMBEDDING
+    * space rather than by source label: each document's vector is
+    * assigned to a k-means cell (s5's refined centroids — label-mean
+    * init, two Lloyd rounds, broadcast argmin assignment), then each
+    * cell keeps min(cell_count)/cell_count of its docs via the
+    * deterministic hash coin. The SEMANTIC-diversity counterpart of
+    * c5: source labels under-specify content (one "web" source spans
+    * many topics), so balancing by cluster flattens TOPIC skew — the
+    * cluster-based selection shape modern curation pipelines use
+    * between dedup and mixing. Cross-table composition: the vector
+    * store supplies geometry, the corpus supplies the rows kept.
+    *
+    * Scale shape: cluster assignment is a broadcast-argmin pure map
+    * (s5 — the corpus never shuffles on the low-cardinality cell id);
+    * the narrow (doc_id, cluster) frame checkpoints once (two
+    * consumers — the o10 bounds rule); rates come from a |cells|-row
+    * aggregate broadcast back; the doc↔vector join is an id-keyed
+    * hash join of co-partitionable tables. */
+  def c13ClusterBalance(s: SparkSession, d: String): DataFrame = {
+    val assigned = graft.similarity.Similarity.s5KmeansRefine(s, d)
+      .select(col("vec_id").as("doc_id"), col("cluster"))
+      .localCheckpoint(true)
+    // |cells|-row frame, two consumers (rates + min): checkpoint so
+    // the cell-count pass over the assignment frame runs once
+    val counts = assigned.groupBy("cluster").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val minCnt = counts.agg(min("cnt").as("min_cnt"))
+    val rates = counts.crossJoin(broadcast(minCnt))
+      .select(col("cluster"),
+        (col("min_cnt").cast("double") / col("cnt")).as("rate"))
+    val u = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 10000)
+      .cast("double") / 10000.0
+    Tables.documents(s, d).select("doc_id", "source")
+      .join(assigned, "doc_id")
+      .join(broadcast(rates), "cluster")
+      .select(col("doc_id"), col("source"), col("cluster"),
+        round(col("rate"), 4).as("rate"),
+        (u < col("rate")).as("sampled"))
+      .orderBy("doc_id")
+  }
+
+  /** C14: UniMax EPOCH-CAPPED source mixture (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining"): spread a total training
+    * budget B across sources as uniformly as possible subject to an
+    * epoch cap — no source repeats more than E times. This is the
+    * mixture family's fourth policy (c5 uniform-by-doc, c9/c11
+    * uniform-by-token, c12 temperature-softened) and the only one
+    * that UPSAMPLES: a small source can be seen up to E epochs, so a
+    * doc's realized multiplicity can exceed 1.
+    *
+    * The paper's greedy per-source loop has a CLOSED FORM on the
+    * sorted cap frame: with caps c_s = n_s·E sorted ascending and
+    * cum_k = Σ_{j≤k} c_j, f(k) = cum_k + (m−k)·c_k = Σ_j min(c_j,c_k)
+    * is nondecreasing in k, so the capped set is the prefix
+    * k* = max{ k : f(k) ≤ B } — an all-INTEGER test with no float
+    * order dependence — and everyone else shares the water level
+    * L = (B − cum_{k*}) / (m − k*): alloc_s = min(c_s, L). Only the
+    * |sources|-row count aggregate touches the corpus; the cumsum
+    * window, the k* probe, and the level derivation run on the tiny
+    * frame (its single-partition window is |sources| rows — the c6
+    * bucket-spine shape). Materialization: each doc is kept
+    * ⌊epochs⌋ + (coin < frac) times via the deterministic hash coin,
+    * so fractional epochs realize exactly and the result is
+    * partition/arrival-invariant. The corpus never shuffles. */
+  def c14Unimax(s: SparkSession, d: String): DataFrame =
+    unimaxFrame(Tables.documents(s, d), epochCap = 2, budgetFrac = 0.6)
+
+  /** c14's body over an arbitrary (doc_id, source) frame with
+    * explicit epoch cap and budget fraction (B = ⌊budgetFrac·Σn_s⌋) —
+    * exposed so the spec can drive skewed strata and the all-capped
+    * degenerate case (budget ≥ Σ caps). */
+  private[graft] def unimaxFrame(docsIn: DataFrame, epochCap: Int,
+      budgetFrac: Double): DataFrame = {
+    val docs = docsIn.select("doc_id", "source")
+    // the |sources|-row count frame materializes ONCE: its three
+    // consumers (cumsum spine, totals, epoch table) would otherwise
+    // each re-run the aggregate — and its corpus scan (the o10
+    // bounds-frame rule)
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("cap", col("n") * epochCap)
+      .localCheckpoint(true)
+    // tiny-frame cumsum: |sources| rows, deterministic (cap, source)
+    // order — the only single-partition window in the plan
+    val w = Window.orderBy("cap", "source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.orderBy("cap", "source")
+    val cums = counts
+      .withColumn("cum", sum("cap").over(w))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+    val totals = counts.agg(sum("n").as("tot_n"),
+      count(lit(1)).as("m"))
+    val probe = cums.crossJoin(broadcast(totals))
+      .withColumn("budget",
+        floor(col("tot_n").cast("double") * budgetFrac).cast("long"))
+      .withColumn("capped",
+        col("cum") + (col("m") - col("rk")) * col("cap") <= col("budget"))
+    val kframe = probe.agg(
+      coalesce(max(when(col("capped"), col("rk"))), lit(0L)).as("k"),
+      coalesce(max(when(col("capped"), col("cum"))), lit(0L)).as("cumk"),
+      max("m").as("m"), max("budget").as("budget"))
+    // water level; all-capped (k = m) ⇒ every alloc hits its cap
+    val level = when(col("k") === col("m"), lit(Double.MaxValue))
+      .otherwise((col("budget") - col("cumk")).cast("double") /
+        (col("m") - col("k")).cast("double"))
+    val rates = counts.crossJoin(broadcast(kframe))
+      .select(col("source"), col("n"),
+        least(col("cap").cast("double"), level).as("alloc"))
+      .select(col("source"),
+        (col("alloc") / col("n").cast("double")).as("epochs"))
+    val u = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 10000)
+      .cast("double") / 10000.0
+    docs.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"),
+        round(col("epochs"), 4).as("epochs"),
+        (floor(col("epochs")).cast("long") +
+          when(u < col("epochs") - floor(col("epochs")), 1L).otherwise(0L))
+          .as("n_copies"))
+      .orderBy("doc_id")
+  }
+
   /** E1: symmetric int8 embedding quantization — per-vector scale =
     * max|x|/127, elements round to [-127, 127]. Cuts ANN storage and
     * bandwidth 4×; the spec bounds the dequantization error. */

@@ -259,6 +259,74 @@ object Sketches {
       .orderBy("source")
   }
 
+  /** O10: equi-width HISTOGRAM QUANTILE sketch — the mergeable
+    * quantile estimator that completes the sketch trio (o6 distinct =
+    * HLL, o7 frequency = CMS, o10 quantiles = histogram): per
+    * l_returnflag, p50/p90/p99 of l_extendedprice estimated from a
+    * B=256-bin equi-width histogram, reported beside the exact values
+    * with relative error.
+    *
+    * Bin counts are plain-SUM mergeable — the property KLL/t-digest
+    * trade determinism for; equi-width keeps every step deterministic
+    * arithmetic, so the ESTIMATE is oracle-checked, not just
+    * error-bounded — and the histogram aggregate carries at most
+    * groups×B rows on the shuffle regardless of corpus size. Two
+    * corpus passes (bounds, counts; production keeps running bounds
+    * and pays one). The covering bin for target rank r = ⌈q·n⌉ is the
+    * unique bin with cum−cnt < r ≤ cum; the estimate interpolates
+    * linearly inside it. The exact branch (approx_percentile at 1e7
+    * accuracy ≡ exact, the q13 device) exists ONLY to certify the
+    * estimator — a production profile drops it (the o6/o7 pattern). */
+  def o10QuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val bins = 256
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+    // the |groups|-row bounds frame materializes ONCE: its three
+    // consumers (binning, covering-bin derivation, output n) prune
+    // different columns, which de-canonicalizes the subtrees and
+    // would re-run the bounds aggregate — and its corpus scan — once
+    // per consumer (the t5 gotcha, join form). One eager checkpoint
+    // of 3 rows pins pass count at: bounds + histogram + the
+    // certification-only exact branch.
+    val bounds = li.groupBy("flag").agg(
+      min("x").as("lo"), max("x").as("hi"), count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val binned = li.join(broadcast(bounds), "flag")
+      .select(col("flag"), col("lo"), col("hi"), col("n"),
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / bins))
+            .cast("long"), lit(bins - 1L))).as("bin"))
+      .groupBy("flag", "bin").agg(count(lit(1)).as("cnt"))
+    val wcum = Window.partitionBy("flag").orderBy("bin")
+    val cum = binned
+      .withColumn("cum", sum("cnt").over(wcum))
+      .join(broadcast(bounds), "flag")
+    def estQ(q: Double) = {
+      val r = ceil(lit(q) * col("n")).cast("long")
+      val interp = col("lo") + (col("hi") - col("lo")) / bins *
+        (col("bin") + (r - (col("cum") - col("cnt"))).cast("double") /
+          col("cnt").cast("double"))
+      max(when(col("cum") - col("cnt") < r && col("cum") >= r, interp))
+    }
+    val est = cum.groupBy("flag").agg(
+      estQ(0.5).as("e50"), estQ(0.9).as("e90"), estQ(0.99).as("e99"))
+    val exact = li.groupBy("flag").agg(
+      round(expr("approx_percentile(x, 0.5, 10000000)"), 2).as("p50_exact"),
+      round(expr("approx_percentile(x, 0.9, 10000000)"), 2).as("p90_exact"),
+      round(expr("approx_percentile(x, 0.99, 10000000)"), 2).as("p99_exact"))
+    est.join(broadcast(bounds.select("flag", "n")), "flag")
+      .join(exact, "flag")
+      .select(col("flag"), col("n"),
+        round(col("e50"), 4).as("p50_est"),
+        round(col("e90"), 4).as("p90_est"),
+        round(col("e99"), 4).as("p99_est"),
+        col("p50_exact"), col("p90_exact"), col("p99_exact"),
+        round((col("e50") - col("p50_exact")) / col("p50_exact"), 6).as("err50"),
+        round((col("e90") - col("p90_exact")) / col("p90_exact"), 6).as("err90"),
+        round((col("e99") - col("p99_exact")) / col("p99_exact"), 6).as("err99"))
+      .orderBy("flag")
+  }
+
   def c10WeightedReservoir(s: SparkSession, d: String,
       k: Int = 20, salts: Int = 8): DataFrame =
     weightedReservoirFrame(Tables.documents(s, d), k, salts)

@@ -822,6 +822,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(rates("big") - 0.25) < 1e-6, s"big ${rates("big")}")
   }
 
+  test("c13 cluster balancing: strata are s5's cells, rates equalize " +
+      "them, kept counts land near the smallest cell's quota") {
+    val out = operators.Curation.c13ClusterBalance(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3),
+        r.getBoolean(4)))
+    // the stratum assignment IS s5's final argmin
+    val s5 = similarity.Similarity.s5KmeansRefine(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { case (id, cl, _, _) =>
+      assert(s5(id) == cl, s"doc $id: cluster $cl != s5 ${s5(id)}") }
+    // rate_c = min(cnt)/cnt_c exactly (to output rounding)
+    val cnts = out.groupBy(_._2).view.mapValues(_.length).toMap
+    val minCnt = cnts.values.min
+    out.foreach { case (_, cl, rate, _) =>
+      assert(math.abs(rate - minCnt.toDouble / cnts(cl)) < 5e-5) }
+    // the coin realizes each cell's quota near min(cnt): deterministic
+    // on this corpus, bounded loosely for robustness to testdata drift
+    val kept = out.filter(_._4).groupBy(_._2).view.mapValues(_.length)
+    kept.foreach { case (cl, k) =>
+      assert(math.abs(k - minCnt) <= 15, s"cell $cl kept $k vs $minCnt") }
+  }
+
+  test("c14 UniMax waterfilling: capped prefix exact, shared level " +
+      "conserves the budget, all-capped degenerate case") {
+    import spark.implicits._
+    val skewed = ((1L to 400L).map(i => (i, "big")) ++
+      (1001L to 1100L).map(i => (i, "mid")) ++
+      (2001L to 2025L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    // E=2, B=⌊0.6·525⌋=315; caps asc [50,200,800], f(1)=150≤315,
+    // f(2)=450>315 ⇒ k*=1, L=(315−50)/2=132.5:
+    // small capped at 2 epochs, mid 1.325, big 0.33125
+    val out = operators.Curation.unimaxFrame(skewed, 2, 0.6).collect()
+    val eps = out.map(r => (r.getString(1), r.getDouble(2))).distinct.toMap
+    assert(eps("small") == 2.0, s"capped source: ${eps("small")}")
+    assert(math.abs(eps("mid") - 1.325) < 1e-9)
+    assert(math.abs(eps("big") - 0.3313) < 1e-9) // rounded to 4 dp
+    // the capped source has integer epochs: every doc exactly E copies
+    assert(out.filter(_.getString(1) == "small")
+      .forall(_.getLong(3) == 2L))
+    // budget conservation in expectation: Σ n_s·epochs_s = B
+    val unrounded = Map("small" -> 2.0, "mid" -> 1.325, "big" -> 0.33125)
+    val planned = 400 * unrounded("big") + 100 * unrounded("mid") +
+      25 * unrounded("small")
+    assert(math.abs(planned - 315.0) < 1e-9)
+    // realized copies: capped exactly, fractional parts via the coin —
+    // within the coin's granularity of the plan
+    val realized = out.map(_.getLong(3)).sum
+    assert(math.abs(realized - 315.0) < 40.0,
+      s"realized $realized far from planned 315")
+    // all-capped degenerate: budget ≥ Σ caps ⇒ every source at E
+    val all = operators.Curation.unimaxFrame(skewed, 1, 2.0).collect()
+    assert(all.forall(_.getDouble(2) == 1.0))
+    assert(all.map(_.getLong(3)).sum == 525L)
+  }
+
   test("s11 binary-Hamming shortlist recall tracks the exact baseline " +
       "above the sign-bit floor") {
     val s1 = similarity.Similarity.s1AnnBruteForce(spark, sf).collect()

@@ -392,6 +392,41 @@ class PlanContractSpec extends AnyFunSuite {
       s"unexpected corpus shuffle:\n$p")
   }
 
+  test("c13: cell rates broadcast; the corpus joins by id only — " +
+      "no cluster-keyed corpus shuffle") {
+    val p = finalPlan("c13_cluster_balance")
+    assert(p.contains("BroadcastHashJoin"), "rates not broadcast")
+    assert(!p.contains("CartesianProduct"), s"cartesian product:\n$p")
+    // the single BroadcastNestedLoopJoin is the 1-row min-count cross
+    // join (c5's rate pattern — 1 × |cells| rows); anything more means
+    // a corpus-sized nested loop appeared
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"corpus-sized nested loop:\n$p")
+    // the corpus may exchange on the high-cardinality doc id (the
+    // co-locatable doc↔vector join; Bucketed layouts remove it at
+    // scale) but never on the low-cardinality cell id: the cell-count
+    // aggregate (a map-side-partial pass over the checkpointed
+    // assignment frame) paid at build, so the final plan must have
+    // ZERO cluster-keyed exchanges
+    assert("Exchange hashpartitioning\\(cluster".r.findAllIn(p).isEmpty,
+      s"corpus join repartitioned on the cell id:\n$p")
+  }
+
+  test("c14: epochs table broadcast back; corpus never shuffles — " +
+      "waterfilling runs on |sources|-row frames only") {
+    val p = finalPlan("c14_unimax")
+    assert(p.contains("BroadcastHashJoin"), "epochs table not broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for the epoch join")
+    // the checkpointed |sources|-row count frame paid the only corpus
+    // aggregate at build; the final plan's exchanges are tiny-frame
+    // (cumsum spine, k* probe) plus the output range sort — the
+    // corpus itself reads once for the epoch join and never
+    // hash-shuffles
+    assert(scanCount(p) == 1, s"corpus re-scanned:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 0,
+      s"unexpected corpus shuffle:\n$p")
+  }
+
   test("t19: vocabulary stats exchange reused by the totals; weight " +
       "table and prior ride as broadcasts; term join never sorts") {
     val p = finalPlan("t19_nb_filter")
@@ -404,5 +439,40 @@ class PlanContractSpec extends AnyFunSuite {
     // other scan is pruned to id/lang columns
     val textScans = "ReadSchema: [^\n]*text:string".r.findAllIn(p).length
     assert(textScans <= 2, s"text read by $textScans scans:\n$p")
+  }
+
+  test("d15: no pairwise stage anywhere — span flags and text meet in " +
+      "keyed hash/merge joins; one hash aggregate on the span hash") {
+    val p = finalPlanNoBroadcast("d15_substr_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise stage appeared in the ExactSubstr plan:\n$p")
+    // stride-1 window volume is bounded by corpus token count; the
+    // only aggregates are the shared-hash agg and the per-doc flag
+    // collect — both must be partial (map-side combined) hash aggs
+    assert(p.contains("partial_count"),
+      s"span-hash aggregate lost its map-side partial:\n$p")
+    // the corpus text is read by the span branch and the rewrite
+    // branch only
+    assert(scanCount(p) <= 3, s"too many documents scans:\n$p")
+  }
+
+  test("o10: histogram sketch — bounds broadcast onto the scan, bin " +
+      "counts are a map-side-combined hash aggregate, quantile " +
+      "derivation runs on the tiny ≤groups×256 frame") {
+    val p = finalPlan("o10_quantile_sketch")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "bounds/exact tiny frames must broadcast")
+    assert(p.contains("partial_count"),
+      s"bin-count aggregate lost its map-side partial:\n$p")
+    // histogram pass + certification-only exact branch in the final
+    // plan; the checkpointed |groups|-row bounds frame paid its own
+    // (third) pass at build — production keeps running bounds and
+    // drops both extras
+    assert(scanCount(p) == 2, s"expected 2 lineitem scans:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "tiny quantile frames must not sort-merge")
   }
 }
