@@ -46,6 +46,7 @@ object SparkEntry {
     "o9_packing_report" -> ((s: SparkSession, d: String) =>
       operators.Sketches.o9PackingReport(s, d)),
     "o10_quantile_sketch" -> (operators.Sketches.o10QuantileSketch _),
+    "o11_bloom_filter" -> (operators.Sketches.o11BloomFilter _),
     "c6_curriculum_order" -> (operators.Curation.c6CurriculumOrder _),
     "c7_global_shuffle" -> (operators.Curation.c7GlobalShuffle _),
     "c8_dsir" -> ((s: SparkSession, d: String) =>
@@ -2740,6 +2741,62 @@ object SparkEntry {
         |SELECT s.doc_id, s.chunk_idx, s.h, s.n_docs
         |FROM (SELECT spans.*, shared.n_docs FROM spans JOIN shared USING (h)) s
         |ORDER BY doc_id, chunk_idx, h""".stripMargin,
+    "o11_bloom_filter" ->
+      """WITH h AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    CAST(md5_number_lower(text) & 2147483647 AS BIGINT) AS hh
+        |  FROM documents WHERE text IS NOT NULL),
+        |pos AS (
+        |  SELECT source, hh,
+        |    CAST(((CASE i WHEN 0 THEN 101 WHEN 1 THEN 1009 ELSE 10007 END
+        |      * hh + CASE i WHEN 0 THEN 17 WHEN 1 THEN 29 ELSE 71 END)
+        |      % 2147483647) % 2048 AS BIGINT) AS p
+        |  FROM h CROSS JOIN range(3) r(i)),
+        |words AS MATERIALIZED (
+        |  SELECT source, CAST(p // 32 AS BIGINT) AS w,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+        |  FROM pos GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT source, CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set
+        |  FROM words GROUP BY 1),
+        |exact AS (
+        |  SELECT source, count(DISTINCT hh) AS n_distinct FROM h
+        |  GROUP BY 1),
+        |probes AS MATERIALIZED (
+        |  SELECT doc_id, source AS psrc, hh FROM h WHERE doc_id % 31 = 0),
+        |cand AS (
+        |  SELECT b.source AS bsrc, pp.doc_id, pp.hh,
+        |    CAST(((CASE r.i WHEN 0 THEN 101 WHEN 1 THEN 1009
+        |      ELSE 10007 END * pp.hh + CASE r.i WHEN 0 THEN 17
+        |      WHEN 1 THEN 29 ELSE 71 END)
+        |      % 2147483647) % 2048 AS BIGINT) AS p
+        |  FROM probes pp CROSS JOIN range(3) r(i)
+        |  CROSS JOIN (SELECT DISTINCT source FROM h) b
+        |  WHERE b.source <> pp.psrc),
+        |hits AS (
+        |  SELECT bsrc, doc_id, hh FROM cand c
+        |  JOIN words w ON w.source = c.bsrc AND w.w = c.p // 32
+        |  WHERE (w.bits >> CAST(c.p % 32 AS INT)) & 1 = 1
+        |  GROUP BY 1, 2, 3 HAVING count(*) = 3),
+        |eh AS (SELECT DISTINCT source, hh FROM h),
+        |fps AS (
+        |  SELECT hits.bsrc AS source, count(*) AS fp_probes
+        |  FROM hits LEFT JOIN eh
+        |    ON eh.source = hits.bsrc AND eh.hh = hits.hh
+        |  WHERE eh.hh IS NULL GROUP BY 1),
+        |nprobes AS (
+        |  SELECT b.source, count(*) AS n_probes
+        |  FROM (SELECT DISTINCT source FROM h) b
+        |  JOIN probes p ON p.psrc <> b.source GROUP BY 1)
+        |SELECT s.source, n_distinct, bits_set,
+        |  CASE WHEN bits_set >= 2048 THEN NULL ELSE
+        |    round(-2048.0 / 3.0 * ln(1.0 - bits_set / 2048.0), 2)
+        |  END AS est_n,
+        |  n_probes, COALESCE(fp_probes, 0) AS fp_probes
+        |FROM stats s JOIN exact USING (source)
+        |JOIN nprobes USING (source)
+        |LEFT JOIN fps USING (source)
+        |ORDER BY s.source""".stripMargin,
     "c14_unimax" ->
       """WITH counts AS MATERIALIZED (
         |  SELECT source, count(*) AS n, count(*) * 2 AS cap

@@ -327,6 +327,123 @@ object Sketches {
       .orderBy("flag")
   }
 
+  /** O11: BLOOM FILTER membership sketch — the fourth member of the
+    * sketch family (o6 distinct = HLL, o7 frequency = CMS, o10
+    * quantiles = histogram, o11 MEMBERSHIP = Bloom): per source, a
+    * m=2048-bit / k=3-hash filter over content hashes, reported with
+    * its fill-derived cardinality estimate (−m/k·ln(1−X/m)) and a
+    * MEASURED false-positive count from probing every other source's
+    * documents — the certification the membership answer ships with.
+    * Production use is the d9/d16 ingest shape: probe the bloom
+    * before touching the exact store, so definitely-new documents
+    * skip the store lookup entirely; 2048 bits per stratum is the
+    * state that survives any corpus size.
+    *
+    * Determinism: content hash = DuckDB-identical md5 lower 64 masked
+    * to 31 bits; positions from the o7 pairwise-independent
+    * (a·h+b) mod p mod m family — the whole filter, its estimate, and
+    * every probe verdict hash-check against the oracle. Bits pack
+    * into 32-bit words (shift < 32 never overflows int64 in either
+    * engine — 1<<63 does) via bit_or hash aggregation with map-side
+    * partials: the shuffle carries ≤ sources×64 word rows regardless
+    * of corpus size. The exact-count and truth-set branches exist
+    * only to certify estimate and FP verdicts (the o6 rule). The
+    * 4-consumer (doc_id, source, hh) hash frame checkpoints once (the
+    * o10 bounds rule). */
+  def o11BloomFilter(s: SparkSession, d: String): DataFrame =
+    bloomFrame(Tables.documents(s, d), 2048, 31)
+
+  /** o11's body with explicit filter width and probe modulus —
+    * exposed so the spec can drive a deliberately saturated filter
+    * (small m ⇒ guaranteed false positives) and pin membership
+    * semantics: no false negatives ever, FPs only outside the truth
+    * set. */
+  private def bloomPosStack(m: Int, col0: String) =
+    s"stack(3, 0, ((101 * $col0 + 17) % 2147483647) % $m, " +
+      s"1, ((1009 * $col0 + 29) % 2147483647) % $m, " +
+      s"2, ((10007 * $col0 + 71) % 2147483647) % $m) as (i, p)"
+
+  /** The (doc hash frame, packed filter words) pair every bloom
+    * consumer builds on; both checkpoint (multi-consumer narrow
+    * frames — the o10 bounds rule). */
+  private def bloomCore(docsIn: DataFrame, m: Int)
+      : (DataFrame, DataFrame) = {
+    import graft.functions.{TextFunctions => T}
+    val h = docsIn.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        T.md5Lo64(col("text")).bitwiseAND(lit(2147483647L)).as("hh"))
+      .localCheckpoint(true)
+    val words = h.selectExpr("source", bloomPosStack(m, "hh"))
+      .groupBy(col("source"), expr("p div 32").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").as("bits"))
+      .localCheckpoint(true) // consumers: stats + the membership join
+    (h, words)
+  }
+
+  /** Per-(probe, filter) membership verdicts over EVERY source pair
+    * including a probe's own — the spec surface: an own-source probe
+    * must ALWAYS hit (a bloom filter has no false negatives), and a
+    * cross-source hit outside the truth set is a false positive. */
+  private[graft] def bloomVerdicts(docsIn: DataFrame, m: Int,
+      probeMod: Int): DataFrame = {
+    val (h, words) = bloomCore(docsIn, m)
+    val probes = h.filter(col("doc_id") % probeMod === 0)
+      .select(col("doc_id"), col("source").as("psrc"), col("hh"))
+    val srcs = h.select("source").distinct()
+    val cand = probes.crossJoin(broadcast(srcs))
+      .selectExpr("source as bsrc", "psrc", "doc_id", "hh",
+        bloomPosStack(m, "hh"))
+    val nset = cand
+      .join(broadcast(words.withColumnRenamed("source", "wsrc")),
+        col("bsrc") === col("wsrc") && expr("p div 32 = w"))
+      .filter(expr("(bits >> cast(p % 32 as int)) & 1 = 1"))
+      .groupBy("bsrc", "psrc", "doc_id", "hh")
+      .agg(count(lit(1)).as("nset"))
+    probes.crossJoin(broadcast(srcs)).select(
+        col("source").as("bsrc"), col("psrc"), col("doc_id"), col("hh"))
+      .join(nset, Seq("bsrc", "psrc", "doc_id", "hh"), "left")
+      .withColumn("hit", coalesce(col("nset"), lit(0L)) === 3)
+      .drop("nset")
+  }
+
+  private[graft] def bloomFrame(docsIn: DataFrame, m: Int,
+      probeMod: Int): DataFrame = {
+    val (h, words) = bloomCore(docsIn, m)
+    val stats = words.groupBy("source")
+      .agg(sum(bit_count(col("bits"))).cast("bigint").as("bits_set"))
+    val exact = h.groupBy("source")
+      .agg(countDistinct("hh").as("n_distinct"))
+    val probes = h.filter(col("doc_id") % probeMod === 0)
+      .select(col("doc_id"), col("source").as("psrc"), col("hh"))
+    val srcs = h.select("source").distinct()
+    val cand = probes.crossJoin(broadcast(srcs))
+      .filter(col("source") =!= col("psrc"))
+      .selectExpr("source as bsrc", "doc_id", "hh", bloomPosStack(m, "hh"))
+    val hits = cand
+      .join(broadcast(words.withColumnRenamed("source", "wsrc")),
+        col("bsrc") === col("wsrc") && expr("p div 32 = w"))
+      .filter(expr("(bits >> cast(p % 32 as int)) & 1 = 1"))
+      .groupBy("bsrc", "doc_id", "hh")
+      .agg(count(lit(1)).as("nset"))
+      .filter(col("nset") === 3)
+    val eh = h.select("source", "hh").distinct()
+    val fps = hits.join(eh,
+        hits("bsrc") === eh("source") && hits("hh") === eh("hh"),
+        "left_anti")
+      .groupBy("bsrc").agg(count(lit(1)).as("fp_probes"))
+      .withColumnRenamed("bsrc", "source")
+    val nprobes = broadcast(srcs).crossJoin(probes)
+      .filter(col("psrc") =!= col("source"))
+      .groupBy("source").agg(count(lit(1)).as("n_probes"))
+    stats.join(exact, "source").join(nprobes, "source")
+      .join(fps, Seq("source"), "left")
+      .selectExpr("source", "n_distinct", "bits_set",
+        s"case when bits_set >= $m then null else " +
+          s"round(-$m.0 / 3.0 * ln(1.0 - bits_set / $m.0), 2) end as est_n",
+        "n_probes", "coalesce(fp_probes, 0L) as fp_probes")
+      .orderBy("source")
+  }
+
   def c10WeightedReservoir(s: SparkSession, d: String,
       k: Int = 20, salts: Int = 8): DataFrame =
     weightedReservoirFrame(Tables.documents(s, d), k, salts)

@@ -822,6 +822,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(rates("big") - 0.25) < 1e-6, s"big ${rates("big")}")
   }
 
+  test("o11 bloom membership: no false negatives ever; false " +
+      "positives only outside the truth set; healthy filter has none") {
+    import spark.implicits._
+    val docs = ((1L to 40L).map(i => (i, s"textA$i", "a")) ++
+      (101L to 140L).map(i => (i, s"textB$i", "b")))
+      .toDF("doc_id", "text", "source")
+    // deliberately tiny filter (64 bits, 120 insertions per source):
+    // saturation-level fill forces cross-source false positives
+    val v = operators.Sketches.bloomVerdicts(docs, 64, 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(3),
+        r.getBoolean(4)))
+    // an inserted item ALWAYS hits its own filter
+    v.filter(x => x._1 == x._2).foreach { case (b, p, _, hit) =>
+      assert(hit, s"false negative in $b") }
+    // cross-source hits exist at this fill and are all FPs (texts
+    // are disjoint across the two sources)
+    val cross = v.filter(x => x._1 != x._2)
+    assert(cross.exists(_._4), "saturated filter produced no FPs")
+    assert(cross.exists(!_._4), "saturated filter hit everything")
+    // summary agrees: fp_probes counts exactly the cross-source hits
+    val sum64 = operators.Sketches.bloomFrame(docs, 64, 1).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    val fpByB = cross.filter(_._4).groupBy(_._1).view.mapValues(_.length)
+    assert(sum64("a") == fpByB.getOrElse("a", 0).toLong)
+    assert(sum64("b") == fpByB.getOrElse("b", 0).toLong)
+    // a healthy filter (4096 bits): zero FPs, estimate within 10%
+    val healthy = operators.Sketches.bloomFrame(docs, 4096, 1).collect()
+    healthy.foreach { r =>
+      assert(r.getLong(5) == 0L, s"FPs in healthy filter: $r")
+      assert(math.abs(r.getDouble(3) - 40.0) < 4.0, s"estimate off: $r")
+    }
+  }
+
   test("c13 cluster balancing: strata are s5's cells, rates equalize " +
       "them, kept counts land near the smallest cell's quota") {
     val out = operators.Curation.c13ClusterBalance(spark, sf).collect()

@@ -392,6 +392,21 @@ class PlanContractSpec extends AnyFunSuite {
       s"unexpected corpus shuffle:\n$p")
   }
 
+  test("o11: bloom words build as ONE map-side-combined bit_or " +
+      "aggregate; the filter table broadcasts for membership") {
+    val p = finalPlan("o11_bloom_filter")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the hash frame and the packed words each checkpointed (the
+    // word build — a map-side bit_or hash agg — paid there), so the
+    // final plan reads NO parquet at all: every branch derives from
+    // the two narrow checkpoints
+    assert(scanCount(p) == 0, s"parquet re-scanned past checkpoints:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "filter words must broadcast for the membership join")
+    assert(!p.contains("SortMergeJoin"),
+      "tiny sketch frames must not sort-merge")
+  }
+
   test("c13: cell rates broadcast; the corpus joins by id only — " +
       "no cluster-keyed corpus shuffle") {
     val p = finalPlan("c13_cluster_balance")
