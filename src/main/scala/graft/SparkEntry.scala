@@ -81,6 +81,7 @@ object SparkEntry {
     "h10_normalize_scrub" -> (History.h10NormalizeScrub _),
     "h11_sessionize" -> (History.h11Sessionize _),
     "h12_es_docs" -> (History.h12EsDocs _),
+    "h17_gapfill" -> (History.h17Gapfill _),
     "b1_bug_history" -> (operators.HistoryDriver.b1BugHistory _),
     "p1_privacy_screen" -> (operators.Screening.p1PrivacyScreen _),
     "p2_field_screen" -> (operators.Screening.p2FieldScreen _),
@@ -1653,6 +1654,23 @@ object SparkEntry {
         |        i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
         |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "h17_gapfill" ->
+      """WITH obs AS (
+        |  SELECT user_id AS o_user, epoch_ms(ts) AS obs_ms,
+        |    round(max_by(value, event_id), 2) AS obs_value
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT user_id, epoch_ms(date_trunc('hour', min(ts))) AS t0,
+        |    epoch_ms(max(ts)) AS t1
+        |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT user_id, unnest(range(t0, t1 + 1, 3600000)) AS tick_ms
+        |  FROM bounds)
+        |SELECT s.user_id, s.tick_ms, o.obs_value AS value_ff,
+        |  s.tick_ms - o.obs_ms AS staleness_ms
+        |FROM spine s ASOF LEFT JOIN obs o
+        |  ON s.user_id = o.o_user AND o.obs_ms <= s.tick_ms
+        |ORDER BY s.user_id, s.tick_ms""".stripMargin,
     "h12_es_docs" ->
       """SELECT user_id || '_' || epoch_ms(ts) AS _id,
         |  '{"user_id":' || user_id || ',"event_type":"' || event_type ||

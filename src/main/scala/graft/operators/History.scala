@@ -371,4 +371,50 @@ object History {
           col("value"), unix_millis(col("ts")).as("modified_ts")))
           .as("doc"))
       .orderBy("_id")
+
+  /** H17: time-series GAP-FILL — resample each entity's irregular
+    * observations onto a regular hourly spine with forward-fill and a
+    * staleness column (the observability/metrics query: "the value as
+    * of each tick, and how old it is"). Implementation showcases the
+    * native as-of operator on a GENERATED left side: the spine is
+    * sequence()-exploded per entity from its hour-floored first to
+    * its last observation (no driver loop, no cross join against a
+    * global calendar — each entity carries exactly its own ticks),
+    * then one [[AsOf.join]] merge scan fills every tick with the
+    * latest observation at-or-before it. A tick before the entity's
+    * first observation stays null (leading gap — nothing to fill
+    * from; one per entity by construction of the hour floor).
+    *
+    * Scale shape: two pushed-filter scans (bounds + observations),
+    * one entity-keyed shuffle for the as-of join, and the spine
+    * explode is a pure map whose fan-out is span-hours per entity —
+    * the output's own size. The naive window alternative
+    * (last_value IGNORE NULLS over a unioned spine+obs frame) needs
+    * the same shuffle but materializes the union and a full sort;
+    * the merge scan reads both sides once. */
+  def h17Gapfill(s: SparkSession, d: String): DataFrame =
+    gapfillFrame(Tables.events(s, d))
+
+  /** h17's body over an arbitrary (user_id, ts, event_id, value)
+    * frame — exposed so the spec can pin tick placement, leading-gap
+    * nulls, and staleness arithmetic on hand-built timelines. */
+  private[graft] def gapfillFrame(ev: DataFrame): DataFrame = {
+    // one observation per (user, ts): concurrent events collapse to
+    // the latest event_id (q14's dedup, deterministic output)
+    val obs = ev.groupBy(col("user_id").as("o_user"),
+        unix_millis(col("ts")).as("obs_ms"))
+      .agg(round(max_by(col("value"), col("event_id")), 2).as("obs_value"))
+    val spine = ev.groupBy("user_id")
+      .agg(unix_millis(date_trunc("hour", min("ts"))).as("t0"),
+        unix_millis(max("ts")).as("t1"))
+      .select(col("user_id"),
+        explode(sequence(col("t0"), col("t1"), lit(3600000L)))
+          .as("tick_ms"))
+    graft.operators.AsOf.join(spine, obs,
+        Seq("user_id"), Seq("o_user"), "tick_ms", "obs_ms")
+      .select(col("user_id"), col("tick_ms"),
+        col("obs_value").as("value_ff"),
+        (col("tick_ms") - col("obs_ms")).as("staleness_ms"))
+      .orderBy("user_id", "tick_ms")
+  }
 }

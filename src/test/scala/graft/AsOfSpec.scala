@@ -117,4 +117,31 @@ class AsOfSpec extends AnyFunSuite {
       (30L, 35L, Some("B"), Some("X")),
       (35L, MAX, Some("B"), None)))
   }
+
+  test("h17 gapfill: hourly ticks from the hour floor, forward-fill " +
+      "with staleness, leading gap stays null") {
+    import org.apache.spark.sql.functions.to_timestamp
+    val ev = Seq(
+      (1L, "2024-03-01 00:30:00", 1L, 5.0),
+      (1L, "2024-03-01 02:15:00", 2L, 7.0),
+      (2L, "2024-03-01 00:10:00", 3L, 9.0))
+      .toDF("user_id", "tss", "event_id", "value")
+      .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+    val out = operators.History.gapfillFrame(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+      .toEpochMilli
+    def t(min: Long) = base + min * 60000L
+    // user 1: ticks at 0:00 (before first obs — null), 1:00 (fills
+    // the 0:30 obs, 30 min stale), 2:00 (same obs, 90 min stale);
+    // the 2:15 obs bounds the spine but has no tick at-or-after it.
+    // user 2: single tick at 0:00 precedes its only observation.
+    assert(out.toSet == Set(
+      (1L, t(0), None, None),
+      (1L, t(60), Some(5.0), Some(30L * 60000)),
+      (1L, t(120), Some(5.0), Some(90L * 60000)),
+      (2L, t(0), None, None)))
+  }
 }

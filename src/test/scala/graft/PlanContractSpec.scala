@@ -392,6 +392,17 @@ class PlanContractSpec extends AnyFunSuite {
       s"unexpected corpus shuffle:\n$p")
   }
 
+  test("h17: the generated spine fills through the native as-of " +
+      "merge scan — no nested-loop range join") {
+    val p = finalPlan("h17_gapfill")
+    assert(p.contains("AsOfJoin"), "as-of operator not planned")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"gap-fill degenerated to a nested loop:\n$p")
+    // bounds + observations: two pushed-filter scans of events
+    assert(scanCount(p) == 2, s"expected 2 events scans:\n$p")
+  }
+
   test("o11: bloom words build as ONE map-side-combined bit_or " +
       "aggregate; the filter table broadcasts for membership") {
     val p = finalPlan("o11_bloom_filter")
