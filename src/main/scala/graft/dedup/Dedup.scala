@@ -771,6 +771,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** D16 (spec-proven, no oracle by design): BLOOM-prefiltered
+    * exact-store matching — the ingest accelerator composing o11's
+    * filter into the d9/StreamingDedup cadence: the persisted store's
+    * content hashes fold once into an m-bit bloom whose packed words
+    * ride the plan as a LITERAL (the d5 hyperplane / c6 tiny-frame
+    * pattern — m/32 longs, ~16 KB at m=2^16), so an arriving batch
+    * tests membership in a PURE MAP and only maybe-present rows pay
+    * the store join. A bloom has no false negatives, so the filtered
+    * inner join ≡ the plain inner join (spec); false positives cost
+    * one wasted lookup each, never a wrong result. At 100 TB the
+    * store join is the ingest bottleneck and a mostly-new batch
+    * becomes a near-no-op: the spec pins both the equality and that
+    * definitely-new rows were actually pruned before the join. */
+  def bloomStoreMatch(batch: DataFrame, store: DataFrame,
+      m: Int = 1 << 16): DataFrame =
+    bloomMaybe(batch, bloomBits(store, m), m)
+      .filter(col("maybe")).drop("maybe")
+      .join(store, Seq("hh"))
+
+  /** The store's hashes folded to packed 32-bit bloom words, fetched
+    * to the driver — ≤ m/32 longs regardless of store size (the c6
+    * tiny-frame probe pattern). Input needs an `hh` column in
+    * [0, 2^31). */
+  private[graft] def bloomBits(store: DataFrame, m: Int): Array[Long] = {
+    val words = store.selectExpr(
+        s"stack(3, ((101 * hh + 17) % 2147483647) % $m, " +
+          s"((1009 * hh + 29) % 2147483647) % $m, " +
+          s"((10007 * hh + 71) % 2147483647) % $m) as (p)")
+      .groupBy(expr("p div 32").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").as("bits"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).toMap
+    Array.tabulate(m / 32)(i => words.getOrElse(i, 0L))
+  }
+
+  /** Batch rows flagged with bloom membership — a pure map against
+    * the word-array literal (no join, no shuffle). */
+  private[graft] def bloomMaybe(batch: DataFrame, bits: Array[Long],
+      m: Int): DataFrame = {
+    def test(a: Long, b: Long) = {
+      val p = s"((($a * hh + $b) % 2147483647) % $m)"
+      s"((element_at(bloom_words, cast($p div 32 as int) + 1) " +
+        s">> cast($p % 32 as int)) & 1) = 1"
+    }
+    batch
+      .withColumn("bloom_words",
+        org.apache.spark.sql.functions.typedLit(bits.toSeq))
+      .withColumn("maybe", expr(
+        s"${test(101, 17)} AND ${test(1009, 29)} AND ${test(10007, 71)}"))
+      .drop("bloom_words")
+  }
+
   /** D5: embedding-cosine near-dup — pairs within the same cluster
     * (label) whose cosine ≥ 0.3; float64 math to match the oracle.
     *

@@ -321,4 +321,40 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(got.exceptAll(expected).isEmpty &&
       expected.exceptAll(got).isEmpty)
   }
+
+  test("d16 bloom-prefiltered store match equals the plain join; " +
+      "definitely-new rows are pruned before the join") {
+    import graft.functions.{TextFunctions => T}
+    val m = 1 << 16
+    val hashes = docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        T.md5Lo64(col("text")).bitwiseAND(lit(2147483647L)).as("hh"))
+    val store = hashes.filter(!isBatch)
+      .withColumnRenamed("doc_id", "store_id")
+    // the batch re-ingests five store documents under new ids (the
+    // duplicate-arrival case the store lookup exists for) alongside
+    // the genuinely-new corpus slice
+    val planted = store.orderBy("store_id").limit(5)
+      .select((col("store_id") + 1000000L).as("doc_id"), col("hh"))
+    val batch = hashes.filter(isBatch).unionByName(planted)
+    val got = Dedup.bloomStoreMatch(batch, store, m)
+      .select("hh", "doc_id", "store_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = batch.join(store, Seq("hh"))
+      .select("hh", "doc_id", "store_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == plain, "bloom prefilter changed the match set")
+    assert(got.nonEmpty, "fixture carries no exact cross-split dup")
+    // the pure-map probe prunes genuinely-new rows BEFORE the join
+    // (no false negatives: every matched row stays maybe)
+    val bits = Dedup.bloomBits(store, m)
+    val verdicts = Dedup.bloomMaybe(batch, bits, m).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val matchedIds = plain.map(_._2)
+    matchedIds.foreach(id => assert(verdicts(id),
+      s"false negative: matched doc $id pruned"))
+    val pruned = verdicts.count(!_._2)
+    assert(pruned > 0, "a mostly-new batch should prune some rows")
+    assert(pruned + verdicts.values.count(identity) == verdicts.size)
+  }
 }
