@@ -140,6 +140,7 @@ object SparkEntry {
     "s6_ann_recall" -> (graft.similarity.Similarity.s6AnnRecall _),
     "s4_pq_encode" -> (graft.similarity.Similarity.s4PqEncode _),
     "s7_two_stage" -> (graft.similarity.Similarity.s7TwoStage _),
+    "s13_ivf_pq" -> (graft.similarity.Similarity.s13IvfPq _),
     "s8_mmr_diversify" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s8MmrDiversify(s, d)),
     "s9_mmr_lsh" -> ((s: SparkSession, d: String) =>
@@ -937,6 +938,67 @@ object SparkEntry {
          |SELECT kk.q_id, kk.k, coalesce(h.hits, CAST(0 AS BIGINT)) AS hits,
          |  coalesce(h.hits, 0)::DOUBLE / kk.k AS recall
          |FROM kk LEFT JOIN hits h USING (q_id) ORDER BY q_id""".stripMargin,
+    "s13_ivf_pq" -> {
+      val sq = "(e.emb[j.j*8 + i + 1] - c.centroid[j.j*8 + i + 1])"
+      val sqSum = s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(8), i -> $sq * $sq)),
+         |      (a, b) -> a + b)""".stripMargin
+      val adistSum = (0 until 8).map(j =>
+        s"max(CASE WHEN cds.sub = $j THEN qdv END)").mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, label, embedding::DOUBLE[] AS emb
+         |  FROM embeddings),
+         |cpos AS (
+         |  SELECT label, i, avg(emb[i + 1]) AS c
+         |  FROM e CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+         |cent AS MATERIALIZED (
+         |  SELECT label, list(c ORDER BY i) AS centroid FROM cpos
+         |  GROUP BY label),
+         |pr AS MATERIALIZED (
+         |  SELECT q_id, label AS cell FROM (
+         |    SELECT q.vec_id AS q_id, c.label,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_cosine_similarity(q.emb, c.centroid) DESC,
+         |                 c.label ASC) AS crank
+         |    FROM (SELECT * FROM e WHERE vec_id < 10) q
+         |    CROSS JOIN cent c)
+         |  WHERE crank <= 2),
+         |cds AS MATERIALIZED (
+         |  SELECT c_id, cell, sub, label AS code FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY c_id, sub
+         |      ORDER BY dist, label) AS rn FROM (
+         |      SELECT e.vec_id AS c_id, e.label AS cell, c.label,
+         |        j.j AS sub, $sqSum AS dist
+         |      FROM e CROSS JOIN cent c CROSS JOIN range(8) j(j)
+         |      WHERE e.vec_id >= 10))
+         |  WHERE rn = 1),
+         |qdt AS MATERIALIZED (
+         |  SELECT e.vec_id AS q_id, c.label, j.j AS sub, $sqSum AS qdv
+         |  FROM e CROSS JOIN cent c CROSS JOIN range(8) j(j)
+         |  WHERE e.vec_id < 10),
+         |approx AS (
+         |  SELECT pr.q_id, cds.c_id, round($adistSum, 3) AS adist
+         |  FROM cds JOIN pr ON cds.cell = pr.cell
+         |  JOIN qdt ON qdt.q_id = pr.q_id AND qdt.sub = cds.sub
+         |    AND qdt.label = cds.code
+         |  GROUP BY 1, 2),
+         |sh AS (
+         |  SELECT q_id, c_id, adist, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY adist, c_id) AS srank
+         |  FROM approx)
+         |SELECT q_id, rank, c_id, cos, adist FROM (
+         |  SELECT s.q_id, s.c_id, s.adist,
+         |    round(list_cosine_similarity(q.embedding::DOUBLE[],
+         |      c.embedding::DOUBLE[]), 3) AS cos,
+         |    CAST(row_number() OVER (PARTITION BY s.q_id
+         |      ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+         |        c.embedding::DOUBLE[]), 3) DESC, s.c_id ASC) AS BIGINT)
+         |      AS rank
+         |  FROM (SELECT * FROM sh WHERE srank <= 20) s
+         |  JOIN embeddings q ON q.vec_id = s.q_id
+         |  JOIN embeddings c ON c.vec_id = s.c_id)
+         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+    },
     "s3_ivf_ann" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),

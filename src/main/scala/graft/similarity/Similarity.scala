@@ -199,6 +199,82 @@ object Similarity {
       .select("q_id", "rank", "c_id", "cos3", "adist", "c_emb")
   }
 
+  /** S13: IVF-PQ retrieval — the production ANN INDEX shape (FAISS
+    * IVFPQ; Jégou et al. 2011 §IV composes both of that paper's
+    * ideas): coarse IVF cells prune WHICH corpus rows are scanned
+    * (s3's probe — each query visits only its nprobe=2 nearest
+    * cells) while PQ codes prune WHAT is read per row (s7's ADC — 8
+    * one-byte codes instead of the 256-byte vector). The two dials
+    * are orthogonal: cells cut row count to ~nprobe/|cells|, codes
+    * cut bytes-per-row 32×, so stage 1 reads ~nprobe/|cells| × 1/32
+    * of the corpus bytes with ZERO corpus shuffle — the probed-cell
+    * list and the per-query lookup tables broadcast, the code table
+    * is a pure scan-side derivation. A query whose probed cells hold
+    * fewer than k' rows shortlists fewer (honest sparse-cell
+    * behavior, as s9's sparse buckets). Stage 2 re-ranks the k'=20
+    * survivors by exact cosine. */
+  def s13IvfPq(s: SparkSession, d: String): DataFrame = {
+    val nSub = 8; val subDim = 8; val kShort = 20; val nprobe = 2
+    val cent = Tables.embeddings(s, d)
+      .groupBy("label")
+      .agg(V.vectorMean(col("embedding"), 64).as("centroid"))
+    val probed = queries(s, d).join(broadcast(cent))
+      .withColumn("ccos", V.cosine(col("q_emb"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("ccos").desc, col("label").asc)))
+      .filter(col("crank") <= nprobe)
+      .select(col("q_id"), col("label").as("cell"))
+    // corpus → PQ codes, each row carrying its OWN cell (= label)
+    val codes = corpus(s, d)
+      .select(col("c_id"), col("label").as("cell"),
+        V.asDouble(col("c_emb")).as("emb"))
+      .join(broadcast(cent))
+      .select(col("c_id"), col("cell"), col("label"), posexplode(
+        array((0 until nSub).map { j =>
+          V.l2(slice(col("emb"), j * subDim + 1, subDim),
+            slice(col("centroid"), j * subDim + 1, subDim))
+        }: _*)))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "dist")
+      .groupBy("c_id", "cell", "sub")
+      .agg(min_by(col("label"), struct(col("dist"), col("label"))).as("code"))
+    val qdist = queries(s, d)
+      .select(col("q_id"), V.asDouble(col("q_emb")).as("emb"))
+      .join(cent)
+      .select(col("q_id"), col("label"), posexplode(
+        array((0 until nSub).map { j =>
+          V.l2(slice(col("emb"), j * subDim + 1, subDim),
+            slice(col("centroid"), j * subDim + 1, subDim))
+        }: _*)))
+      .withColumnRenamed("pos", "sub").withColumnRenamed("col", "qd")
+      .withColumnRenamed("label", "code")
+    val dAggs = (0 until nSub).map(j =>
+      max(when(col("sub") === j, col("qd"))).as(s"d$j"))
+    val shortlist = codes
+      // IVF prune: a corpus row enters the ADC only for queries that
+      // probed its cell — the broadcast attaches those q_ids
+      .join(broadcast(probed), Seq("cell"))
+      .join(broadcast(qdist), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col("c_id"))
+      .agg(dAggs.head, dAggs.tail: _*)
+      .select(col("q_id"), col("c_id"),
+        round((0 until nSub).map(j => col(s"d$j")).reduce(_ + _), 3)
+          .as("adist"))
+      .withColumn("srank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("adist").asc, col("c_id").asc)))
+      .filter(col("srank") <= kShort)
+    shortlist
+      .join(corpus(s, d).select(col("c_id"), col("c_emb")), Seq("c_id"))
+      .join(broadcast(queries(s, d)), Seq("q_id"))
+      .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("c_id"),
+        col("cos3").as("cos"), col("adist"))
+      .orderBy("q_id", "rank")
+  }
+
   /** S11: BINARY two-stage retrieval — Hamming pre-rank on e3's
     * packed sign bits, exact cosine re-rank on the shortlist (Yamada
     * et al. 2021 BPR; the memory tier below s7's PQ codes: 8 BYTES

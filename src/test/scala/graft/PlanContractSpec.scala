@@ -392,6 +392,21 @@ class PlanContractSpec extends AnyFunSuite {
       s"unexpected corpus shuffle:\n$p")
   }
 
+  test("s13: IVF prune joins hash on the cell key; nested loops " +
+      "bounded by the two tiny codebook crosses; no cartesian") {
+    val p = finalPlan("s13_ivf_pq")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the corpus×centroid and query×centroid codebook crosses plus
+    // the query×centroid probe cross are the only nested loops
+    // (every build side is the 10-row centroid table — s7/s10's
+    // bound plus s3's probe)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 3,
+      s"corpus-sized nested loop appeared:\n$p")
+    // the probed-cell restriction and the ADC lookup join as
+    // broadcast HASH joins — the corpus never shuffles in stage 1
+    assert(p.contains("BroadcastHashJoin"), "probe/lookup not broadcast")
+  }
+
   test("h17: the generated spine fills through the native as-of " +
       "merge scan — no nested-loop range join") {
     val p = finalPlan("h17_gapfill")
