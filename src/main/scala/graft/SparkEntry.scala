@@ -42,11 +42,13 @@ object SparkEntry {
     "c12_temperature_mixture" ->
       (operators.Curation.c12TemperatureMixture _),
     "c13_cluster_balance" -> (operators.Curation.c13ClusterBalance _),
+    "c15_doremi" -> (operators.Curation.c15Doremi _),
     "c14_unimax" -> (operators.Curation.c14Unimax _),
     "o9_packing_report" -> ((s: SparkSession, d: String) =>
       operators.Sketches.o9PackingReport(s, d)),
     "o10_quantile_sketch" -> (operators.Sketches.o10QuantileSketch _),
     "o11_bloom_filter" -> (operators.Sketches.o11BloomFilter _),
+    "o12_source_similarity" -> (operators.Sketches.o12SourceSimilarity _),
     "c6_curriculum_order" -> (operators.Curation.c6CurriculumOrder _),
     "c7_global_shuffle" -> (operators.Curation.c7GlobalShuffle _),
     "c8_dsir" -> ((s: SparkSession, d: String) =>
@@ -141,6 +143,8 @@ object SparkEntry {
     "s4_pq_encode" -> (graft.similarity.Similarity.s4PqEncode _),
     "s7_two_stage" -> (graft.similarity.Similarity.s7TwoStage _),
     "s13_ivf_pq" -> (graft.similarity.Similarity.s13IvfPq _),
+    "s14_knn_graph" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.s14KnnGraph(s, d)),
     "s8_mmr_diversify" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s8MmrDiversify(s, d)),
     "s9_mmr_lsh" -> ((s: SparkSession, d: String) =>
@@ -2144,6 +2148,45 @@ object SparkEntry {
         |  (((d.doc_id % 2147483648) * 2654435761) % 4294967296 % 10000)::DOUBLE / 10000.0
         |    < r.rate AS sampled
         |FROM documents d JOIN r USING (source) ORDER BY doc_id""".stripMargin,
+    "c15_doremi" ->
+      // one exponentiated-gradient DoReMi step: fixed-point micro-unit
+      // loss sums (exact, order-free), integer re-quantized tilt so Z
+      // is an exact bigint, then the smoothed weight/rate table
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(round(abs(0.3 - (len(list_filter(string_split(text, ' '),
+        |      x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE /
+        |      len(string_split(text, ' ')))) * 1e6) AS BIGINT) AS loss6
+        |  FROM documents WHERE text IS NOT NULL),
+        |src AS (SELECT source, CAST(sum(loss6 * n_toks) AS BIGINT) AS lw,
+        |        CAST(sum(n_toks) AS BIGINT) AS toks FROM t GROUP BY source),
+        |tot AS (SELECT CAST(sum(lw) AS BIGINT) AS tlw,
+        |        CAST(sum(toks) AS BIGINT) AS ttoks, count(*) AS m FROM src),
+        |tilt AS (
+        |  SELECT source, m,
+        |    CAST(toks AS DOUBLE) / ttoks AS prior,
+        |    greatest(0.0, CAST(lw AS DOUBLE) / toks / 1e6
+        |      - CAST(tlw AS DOUBLE) / ttoks / 1e6) AS excess
+        |  FROM src CROSS JOIN tot),
+        |t6 AS (SELECT source, prior, excess, m,
+        |    CAST(round(prior * exp(10.0 * excess) * 1e6) AS BIGINT) AS t6
+        |  FROM tilt),
+        |z AS (SELECT CAST(sum(t6) AS BIGINT) AS z FROM t6),
+        |w AS (SELECT source, prior, excess,
+        |    0.9 * CAST(t6 AS DOUBLE) / z + 0.1 / m AS alpha
+        |  FROM t6 CROSS JOIN z),
+        |r AS (SELECT source, prior, excess, alpha, alpha / prior AS r0 FROM w),
+        |rm AS (SELECT max(r0) AS rmax FROM r),
+        |rates AS (SELECT source, round(prior, 6) AS prior,
+        |    round(excess, 6) AS excess, round(alpha, 6) AS weight,
+        |    r0 / rmax AS rate
+        |  FROM r CROSS JOIN rm)
+        |SELECT t.doc_id, t.source, t.n_toks, rates.prior, rates.excess,
+        |  rates.weight, round(rates.rate, 6) AS rate,
+        |  (((t.doc_id % 2147483648) * 2654435761) % 4294967296 % 10000)::DOUBLE
+        |    / 10000.0 < rates.rate AS sampled
+        |FROM t JOIN rates USING (source) ORDER BY doc_id""".stripMargin,
     "s7_two_stage" -> {
       val sq = "(e.emb[j.j*8 + i + 1] - c.centroid[j.j*8 + i + 1])"
       val sqSum = s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -2686,6 +2729,17 @@ object SparkEntry {
     // that only holds when recall happens to be 1.0 on this corpus.
     // The recall-vs-all-pairs bound lives in the PipelineSpec instead.
     "d5_embedding_dedup" -> s"$d5PairsSql ORDER BY id1, id2",
+    "s14_knn_graph" ->
+      // d5's banded pair set feeds BOTH endpoints' neighbor lists;
+      // top-k per vector, 3-dp cosine ties broken by neighbor id
+      s"""WITH p AS MATERIALIZED ($d5PairsSql),
+         |sym AS (SELECT id1 AS vec_id, id2 AS nbr, cos FROM p
+         |        UNION ALL SELECT id2, id1, cos FROM p)
+         |SELECT vec_id, rk, nbr, cos FROM (
+         |  SELECT vec_id, nbr, cos, CAST(row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, nbr) AS BIGINT) AS rk
+         |  FROM sym)
+         |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
     // d12 = exact components over the SAME banded pair graph: the
     // oracle closes it transitively and keeps each group's min id.
     "d12_semdedup" ->
@@ -2821,6 +2875,54 @@ object SparkEntry {
         |SELECT s.doc_id, s.chunk_idx, s.h, s.n_docs
         |FROM (SELECT spans.*, shared.n_docs FROM spans JOIN shared USING (h)) s
         |ORDER BY doc_id, chunk_idx, h""".stripMargin,
+    "o12_source_similarity" -> {
+      val a = graft.expressions.MinHashParams.A.take(32)
+        .mkString("[", ", ", "]")
+      val b = graft.expressions.MinHashParams.B.take(32)
+        .mkString("[", ", ", "]")
+      // the d2 sketch machinery re-derived per SOURCE: element-wise
+      // min over the source's shingle-hash union ≡ the engine's fold
+      // of per-doc signatures; exact branch = distinct 32-bit shingle
+      // hashes per source (certification)
+      s"""WITH sh AS (
+         |  SELECT source, unnest(CASE WHEN length(text) <= 5 THEN [text]
+         |    ELSE list_distinct(list_transform(range(1, length(text) - 3),
+         |      i -> substr(text, CAST(i AS INT), 5))) END) AS shingle
+         |  FROM documents WHERE text IS NOT NULL),
+         |hx AS MATERIALIZED (
+         |  SELECT DISTINCT source,
+         |    CAST(md5_number_lower(shingle) % 4294967296 AS BIGINT) AS x
+         |  FROM sh),
+         |mh AS (
+         |  SELECT source, j, min((A[j + 1] * x + B[j + 1]) % 2147483647) AS h
+         |  FROM hx CROSS JOIN range(32) r(j)
+         |  CROSS JOIN (SELECT $a AS A, $b AS B) p
+         |  GROUP BY 1, 2),
+         |sig AS (SELECT source, list(h ORDER BY j) AS sig FROM mh
+         |        GROUP BY source),
+         |sizes AS (SELECT source, count(*) AS n FROM hx GROUP BY source),
+         |inter AS (
+         |  SELECT a.source AS src1, b.source AS src2, count(*) AS n_common
+         |  FROM hx a JOIN hx b ON a.x = b.x AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT a.source AS src1, b.source AS src2,
+         |    len(list_filter(range(32), i -> a.sig[i + 1] = b.sig[i + 1]))
+         |      / 32.0 AS est
+         |  FROM sig a JOIN sig b ON a.source < b.source)
+         |SELECT p.src1, p.src2, round(est, 6) AS est_jac,
+         |  s1.n AS n1, s2.n AS n2,
+         |  CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+         |  round(CAST(coalesce(i.n_common, 0) AS DOUBLE) /
+         |    (s1.n + s2.n - coalesce(i.n_common, 0)), 6) AS exact_jac,
+         |  round(abs(est - CAST(coalesce(i.n_common, 0) AS DOUBLE) /
+         |    (s1.n + s2.n - coalesce(i.n_common, 0))), 6) AS abs_err
+         |FROM pairs p
+         |JOIN sizes s1 ON s1.source = p.src1
+         |JOIN sizes s2 ON s2.source = p.src2
+         |LEFT JOIN inter i ON i.src1 = p.src1 AND i.src2 = p.src2
+         |ORDER BY p.src1, p.src2""".stripMargin
+    },
     "o11_bloom_filter" ->
       """WITH h AS MATERIALIZED (
         |  SELECT doc_id, source,

@@ -335,6 +335,90 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** C15: DoReMi-style DOMAIN REWEIGHTING (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining")
+    * — the mixture family's fifth policy and the only LEARNED one:
+    * where c5/c9/c12/c14 pick rates from counts alone, DoReMi's Group
+    * DRO loop UPWEIGHTS the domains a proxy model finds hardest
+    * (positive excess loss vs a reference). One exponentiated-gradient
+    * step collapses to closed form: α_s ∝ p_s·exp(η·excess_s),
+    * smoothed (1−ε)·α/Σα + ε/m — exactly the paper's update with the
+    * per-domain excess-loss term supplied by a DETERMINISTIC proxy
+    * (the c1/c4 stopword quality score as negative loss; a real run
+    * plugs per-domain eval losses into the same frame). Output is the
+    * per-source weight table and per-doc sampling decisions, rates
+    * normalized so the most-upweighted source keeps everything.
+    *
+    * Scale shape: one corpus scan builds the narrow (doc_id, source,
+    * n_toks, loss6) frame, checkpointed (consumers: the per-source
+    * aggregate + the final rate join — the c11 pattern). Losses ride
+    * as FIXED-POINT micro-unit bigints (the t19 device) so every
+    * cross-row sum is exact and order-free, and the tilted weights
+    * re-quantize to integers BEFORE the normalizing sum — Z is an
+    * exact bigint in both engines, no float-sum order dependence
+    * anywhere. All mixture math runs on |sources|-row frames; rates
+    * broadcast back; the corpus never shuffles. (Per-source micro-unit
+    * sums stay < 7e5·Σtoks_s — switch lw to decimal past ~10^12
+    * tokens per source.) */
+  def c15Doremi(s: SparkSession, d: String): DataFrame =
+    doremiFrame(Tables.documents(s, d), eta = 10.0, smooth = 0.1)
+
+  /** c15's body with explicit step size and smoothing — exposed so
+    * the spec can drive the uniform-loss fixture (tilt ∝ prior, the
+    * smoothing-only update) and the hard-domain fixture (strict
+    * upweight vs prior). */
+  private[graft] def doremiFrame(docsIn: DataFrame, eta: Double,
+      smooth: Double): DataFrame = {
+    val toks = split(col("text"), " ")
+    val stopRatio =
+      size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in", "is")))
+        .cast("double") / size(toks)
+    val counted = docsIn.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_toks"),
+        round(abs(lit(0.3) - stopRatio) * 1e6).cast("long").as("loss6"))
+      .localCheckpoint(true) // consumers: source aggregate + rate join
+    // |sources|-row frame, two consumers (totals + the tilt) that
+    // would each re-aggregate the corpus-sized narrow frame — the
+    // o10 bounds rule
+    val src = counted.groupBy("source").agg(
+        sum(col("loss6") * col("n_toks")).as("lw"),
+        sum("n_toks").as("toks"))
+      .localCheckpoint(true)
+    val totals = src.agg(sum("lw").as("tlw"), sum("toks").as("ttoks"),
+      count(lit(1)).as("m"))
+    val tilted = src.crossJoin(broadcast(totals))
+      .withColumn("prior", col("toks").cast("double") / col("ttoks"))
+      .withColumn("excess", greatest(lit(0.0),
+        col("lw").cast("double") / col("toks") / 1e6 -
+          col("tlw").cast("double") / col("ttoks") / 1e6))
+      // integer re-quantize BEFORE the normalizing sum (exact Z)
+      .withColumn("t6",
+        round(col("prior") * exp(lit(eta) * col("excess")) * 1e6)
+          .cast("long"))
+      .localCheckpoint(true) // consumers: Z + both weight reads
+    val z = tilted.agg(sum("t6").as("z"))
+    val weights = tilted.crossJoin(broadcast(z))
+      .withColumn("alpha",
+        lit(1.0 - smooth) * col("t6").cast("double") / col("z") +
+          lit(smooth) / col("m"))
+      .withColumn("r0", col("alpha") / col("prior"))
+    val rmax = weights.agg(max("r0").as("rmax"))
+    val rates = weights.crossJoin(broadcast(rmax))
+      .select(col("source"), round(col("prior"), 6).as("prior"),
+        round(col("excess"), 6).as("excess"),
+        round(col("alpha"), 6).as("weight"),
+        (col("r0") / col("rmax")).as("rate"))
+    val u = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) %
+      lit(4294967296L) % 10000).cast("double") / 10000.0
+    counted.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        col("prior"), col("excess"), col("weight"),
+        round(col("rate"), 6).as("rate"),
+        (u < col("rate")).as("sampled"))
+      .orderBy("doc_id")
+  }
+
   /** E1: symmetric int8 embedding quantization — per-vector scale =
     * max|x|/127, elements round to [-127, 127]. Cuts ANN storage and
     * bandwidth 4×; the spec bounds the dequantization error. */

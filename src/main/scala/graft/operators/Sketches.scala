@@ -472,4 +472,85 @@ object Sketches {
       .select("source", "rk", "doc_id", "n_chars", "ekey")
       .orderBy("source", "rk")
   }
+
+  /** O12: per-source MINHASH SIGNATURE similarity — the corpus-level
+    * "how much do my sources overlap" report. Each source folds into
+    * ONE 32-slot minhash signature: the element-wise min of d2's
+    * per-doc signatures equals the minhash of the source's shingle
+    * UNION (min over docs of min over doc shingles = min over the
+    * union), so a source's whole shingle set compresses to 32 longs —
+    * constant state per source, the only dataset-overlap shape that
+    * survives 100 TB (the pairwise-exact branch below is the o6-rule
+    * certification and is exactly what a production profile drops).
+    * Every source pair then reports estimated Jaccard (matching
+    * slots / 32) beside the exact shingle-set Jaccard and the
+    * absolute estimator error — the overlap matrix a source-mixing
+    * decision (c5/c9/c12/c14) reads before trusting its strata to be
+    * distinct. Reference's per-source profiling only counts rows
+    * (`bz_etl.py` per-table counts); cross-source CONTENT overlap is
+    * the LLM-era extension of that report.
+    *
+    * Scale shape: per-doc signatures come from the d2 native
+    * expression in one corpus pass; the per-(source, slot) min is a
+    * map-side-combined hash aggregate whose shuffle carries ≤
+    * sources×32 rows at any corpus size; the |sources|-row signature
+    * frame checkpoints once (both sides of the pair cross read it)
+    * and pairs are a |sources|²-row driver-free cross. The exact
+    * branch's distinct (source, hash32) frame checkpoints once
+    * (consumers: sizes + both intersection sides). Determinism: the
+    * same md5-derived permutations as d2 (MinHashParams interpolated
+    * into the oracle), so the ESTIMATE hash-checks, not just its
+    * error bound. */
+  def o12SourceSimilarity(s: SparkSession, d: String): DataFrame =
+    sourceSimilarityFrame(Tables.documents(s, d))
+
+  /** o12's body over an arbitrary documents frame — exposed so the
+    * spec can drive identical-source / disjoint-source fixtures and
+    * the fold-≡-union-sketch property. */
+  private[graft] def sourceSimilarityFrame(docsIn: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val docs = docsIn.filter(col("text").isNotNull)
+    // sketch branch: one native-expression corpus pass, then the
+    // element-wise fold to |sources|×32 rows (map-side partial min)
+    val sigs = docs
+      .select(col("source"), posexplode(
+        T.minhashSignatureText(col("text"), 5, 32)).as(Seq("j", "h")))
+      .groupBy("source", "j").agg(min("h").as("h"))
+      .groupBy("source")
+      .agg(array_sort(collect_list(struct(col("j"), col("h")))).as("jh"))
+      .select(col("source"), col("jh.h").as("sig"))
+      .localCheckpoint(true) // consumers: both sides of the pair cross
+    // exact branch (certification-only, the o6 rule): the true
+    // distinct-shingle sets, as DuckDB-identical 32-bit hashes
+    val sh = docs
+      .select(col("source"), explode(T.shingleSet(col("text"), 5)).as("g"))
+      .select(col("source"),
+        T.md5Lo64(col("g")).bitwiseAND(lit(4294967295L)).as("x"))
+      .distinct()
+      .localCheckpoint(true) // consumers: sizes + intersection a/b
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.x") === col("b.x") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src1"), col("b.source").as("src2"))
+      .agg(count(lit(1)).as("n_common"))
+    sigs.as("a")
+      .join(sigs.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src1"), col("b.source").as("src2"),
+        T.minhashJaccardEst(col("a.sig"), col("b.sig"), 32).as("est"))
+      .join(broadcast(sizes.select(col("source").as("src1"),
+        col("n").as("n1"))), "src1")
+      .join(broadcast(sizes.select(col("source").as("src2"),
+        col("n").as("n2"))), "src2")
+      .join(broadcast(inter), Seq("src1", "src2"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .select(col("src1"), col("src2"),
+        round(col("est"), 6).as("est_jac"), col("n1"), col("n2"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common")), 6).as("exact_jac"),
+        round(abs(col("est") - col("n_common").cast("double") /
+          (col("n1") + col("n2") - col("n_common"))), 6).as("abs_err"))
+      .orderBy("src1", "src2")
+  }
 }

@@ -537,4 +537,38 @@ object Similarity {
           .as("recall"))
       .orderBy("q_id")
   }
+
+  /** S14: k-NN GRAPH build — every vector's top-k neighbors by exact
+    * cosine, candidates from d5's banded sign-LSH (the all-corpus
+    * companion of the query-set family s1–s13: SemDeDup-style
+    * cluster pipelines, label propagation, and graph-based diversity
+    * selection all consume exactly this frame). The graph is
+    * WITHIN-LABEL (the d5 bands join inside the label shard — at
+    * 100 TB the label is the routing partition, and cross-shard
+    * neighbors are by construction not candidates) and floored at
+    * the d5 cosine threshold: a neighbor below 0.3 is noise for
+    * every consumer above.
+    *
+    * Scale shape: d5's slim candidate generation end-to-end (band
+    * self-join on (label, band, sig), pairs deduped BEFORE the
+    * cosine, vectors fetched back by id — the corpus never rides the
+    * ×bands explode), then each pair feeds BOTH endpoints' lists and
+    * a per-vector top-k window runs on the high-cardinality vec_id
+    * partition key (thousands of band-bounded candidate rows per
+    * vector, never a global sort). Ties from the 3-dp cosine break
+    * by neighbor id — total order, replayable. */
+  def s14KnnGraph(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val pairs = graft.dedup.Dedup.embeddingPairs(s, d)
+    val sym = pairs
+      .select(col("id1").as("vec_id"), col("id2").as("nbr"), col("cos"))
+      .union(pairs
+        .select(col("id2").as("vec_id"), col("id1").as("nbr"), col("cos")))
+    sym
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("nbr").asc)).cast("long"))
+      .filter(col("rk") <= k)
+      .select("vec_id", "rk", "nbr", "cos")
+      .orderBy("vec_id", "rk")
+  }
 }

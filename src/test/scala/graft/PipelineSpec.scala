@@ -911,6 +911,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(all.map(_.getLong(3)).sum == 525L)
   }
 
+  test("c15 DoReMi: uniform loss ⇒ smoothing-only update toward " +
+      "uniform; a hard domain is strictly upweighted vs its prior") {
+    import spark.implicits._
+    // uniform loss: every doc the same text, so excess = 0 everywhere
+    // and the update is pure smoothing — weights pull TOWARD uniform
+    val txt = "the cat sat on a mat today quite happily indeed"
+    val uni = ((1L to 20L).map(i => (i, "big", txt)) ++
+      (101L to 110L).map(i => (i, "small", txt)))
+      .toDF("doc_id", "source", "text")
+    val u = operators.Curation.doremiFrame(uni, 10.0, 0.1).collect()
+    val uw = u.map(r => (r.getString(1),
+      (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .distinct.toMap
+    assert(uw("big")._2 == 0.0 && uw("small")._2 == 0.0, "excess not 0")
+    assert(math.abs(uw.values.map(_._3).sum - 1.0) < 5e-6,
+      "weights must sum to 1")
+    // smoothing moves both weights toward 1/m
+    assert(uw("small")._3 > uw("small")._1, "small source not lifted")
+    assert(uw("big")._3 < uw("big")._1, "big source not damped")
+    // the most-upweighted source keeps everything
+    assert(uw("small")._4 == 1.0)
+    assert(uw("big")._4 < 1.0)
+    assert(u.filter(_.getString(1) == "small").forall(_.getBoolean(7)))
+
+    // hard domain: stop_ratio 0 (loss 0.3) vs exactly 0.3 (loss 0);
+    // equal sizes, so priors are equal and any weight gap is the tilt
+    val easyTxt = "the a of cats dogs birds fish mice cows pigs" // 3/10
+    val hardTxt = "cats dogs birds fish mice cows pigs oxen hens ants"
+    val mixed = ((1L to 10L).map(i => (i, "easy", easyTxt)) ++
+      (101L to 110L).map(i => (i, "hard", hardTxt)))
+      .toDF("doc_id", "source", "text")
+    val h = operators.Curation.doremiFrame(mixed, 10.0, 0.1).collect()
+    val hw = h.map(r => (r.getString(1),
+      (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .distinct.toMap
+    // lbar = 0.15 ⇒ excess_hard = 0.15, excess_easy = 0
+    assert(math.abs(hw("hard")._2 - 0.15) < 5e-6, s"hard excess ${hw("hard")._2}")
+    assert(hw("easy")._2 == 0.0)
+    // exp(10·0.15) ≈ 4.48 tilt: hard ends well above its 0.5 prior
+    assert(hw("hard")._3 > hw("hard")._1 + 0.1,
+      s"hard domain not upweighted: ${hw("hard")._3} vs prior ${hw("hard")._1}")
+    assert(hw("easy")._3 < hw("easy")._1 - 0.1)
+    assert(math.abs(hw.values.map(_._3).sum - 1.0) < 5e-6)
+    assert(hw("hard")._4 == 1.0 && hw("easy")._4 < 1.0)
+  }
+
   test("s13 IVF-PQ: candidates confined to the probed cells; picks " +
       "track the exact-in-cell baseline above the PQ floor") {
     val emb = Tables.embeddings(spark, sf).collect()
@@ -946,6 +992,48 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(overlap.sum / overlap.size >= 0.3,
       s"mean s13∩s3 overlap ${overlap.sum / overlap.size}")
+  }
+
+  test("s14 kNN graph: edges exact-cosine-correct within label, ranks " +
+      "contiguous, recall vs the exact same-label graph above the " +
+      "band floor") {
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getInt(2)))
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def cos3(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+      BigDecimal(dot / n).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    // exact same-label ≥0.3 top-5 baseline (the graph's declared scope)
+    val exact = vecs.map { case (id, emb, lbl) =>
+      id -> vecs.filter(v => v._3 == lbl && v._1 != id)
+        .map(v => (v._1, cos3(emb, v._2))).filter(_._2 >= 0.3)
+        .sortBy { case (nbr, c) => (-c, nbr) }.take(5)
+    }.toMap
+    val graph = similarity.Similarity.s14KnnGraph(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    graph.foreach { case (id, _, nbr, c) =>
+      assert(byId(id)._3 == byId(nbr)._3, s"$id-$nbr crosses labels")
+      assert(c >= 0.3)
+      assert(c == cos3(byId(id)._2, byId(nbr)._2), s"$id-$nbr cosine")
+    }
+    // ranks contiguous from 1 per vector
+    graph.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1L to rows.length),
+        s"ranks not contiguous for $id")
+    }
+    // recall@5 vs the exact graph: banding loses some candidates but
+    // must stay well above chance (measured ~0.9 on this corpus)
+    val scored = exact.filter(_._2.nonEmpty)
+    val recall = scored.map { case (id, ex) =>
+      val got = graph.filter(_._1 == id).map(_._3).toSet
+      ex.count(e => got(e._1)).toDouble / ex.length
+    }
+    assert(recall.sum / recall.size >= 0.6,
+      s"mean kNN recall ${recall.sum / recall.size}")
   }
 
   test("s11 binary-Hamming shortlist recall tracks the exact baseline " +

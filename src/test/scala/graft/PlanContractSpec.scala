@@ -498,6 +498,49 @@ class PlanContractSpec extends AnyFunSuite {
     assert(scanCount(p) <= 3, s"too many documents scans:\n$p")
   }
 
+  test("o12: sketch fold is a map-side-combined min aggregate; both " +
+      "branches derive from checkpoints — no parquet in the final plan") {
+    val p = finalPlan("o12_source_similarity")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // signature + distinct-hash frames each checkpointed: the final
+    // pair assembly reads NO parquet
+    assert(scanCount(p) == 0, s"parquet re-scanned past checkpoints:\n$p")
+    // the |sources|-row signature pair cross is the single allowed
+    // nested loop; anything more means a corpus-sized one appeared
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"corpus-sized nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "tiny size/intersection frames must broadcast")
+  }
+
+  test("c15: weight table broadcasts back; mixture math runs on " +
+      "|sources|-row frames — the corpus scans once into the checkpoint") {
+    val p = finalPlan("c15_doremi")
+    assert(scanCount(p) == 0, s"parquet re-scanned past the checkpoint:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "rate table not broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus shuffled for the rate join")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // totals, Z, and rmax ride as 1-row broadcast crosses — exactly 3
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 3,
+      s"corpus-sized nested loop:\n$p")
+  }
+
+  test("s14: kNN graph — banded equi-joins only (no pairwise stage), " +
+      "top-k window partitioned on the high-cardinality vec id") {
+    val p = finalPlanNoBroadcast("s14_knn_graph")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise stage appeared in the kNN plan:\n$p")
+    // the per-vector top-k must partition by vec_id — a global
+    // (unpartitioned) window would funnel the whole graph into one task
+    assert("windowspecdefinition\\(vec_id".r.findAllIn(p).nonEmpty,
+      s"top-k window not partitioned by vec_id:\n$p")
+    // d5's slim candidate rule: the ×bands explode must not carry the
+    // cast vector through the band self-join exchange
+    assert(!"Exchange hashpartitioning\\(label[^\n]*embd".r
+      .findAllIn(p).hasNext, s"vectors rode the band shuffle:\n$p")
+  }
+
   test("o10: histogram sketch — bounds broadcast onto the scan, bin " +
       "counts are a map-side-combined hash aggregate, quantile " +
       "derivation runs on the tiny ≤groups×256 frame") {

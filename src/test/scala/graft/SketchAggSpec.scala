@@ -75,4 +75,77 @@ class SketchAggSpec extends AnyFunSuite {
         assert(estOf(r.getLong(0)) == r.getLong(1),
           s"estimate differs for key ${r.getLong(0)}"))
   }
+
+  test("o12: source-signature fold ≡ union minhash (independent scala " +
+      "re-derivation); identical sources est=exact=1, disjoint exact=0") {
+    import spark.implicits._
+    val ta = Seq("alpha bravo charlie delta echo", "foxtrot golf hotel india")
+    val tc = Seq("zulu yankee xray whiskey victor", "uniform tango sierra")
+    val fixture = (
+      ta.zipWithIndex.map { case (t, i) => (i.toLong, "srcA", t) } ++
+      ta.zipWithIndex.map { case (t, i) => (100L + i, "srcB", t) } ++
+      tc.zipWithIndex.map { case (t, i) => (200L + i, "srcC", t) })
+      .toDF("doc_id", "source", "text")
+    val out = Sketches.sourceSimilarityFrame(fixture).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getDouble(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+
+    // independent re-derivation: per-source shingle-hash UNION, then
+    // the d2 permutation minima — the fold of per-doc signatures must
+    // equal the minhash OF THE UNION (min over docs of min over doc
+    // shingles = min over the union)
+    def shingles(t: String): Set[String] =
+      if (t.length <= 5) Set(t)
+      else (0 to t.length - 5).map(i => t.substring(i, i + 5)).toSet
+    def hashes(ts: Seq[String]): Set[Long] = ts.flatMap(shingles).toSet
+      .map((g: String) => graft.expressions.Md5Helper.lo64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(g)) &
+        0xFFFFFFFFL)
+    val hs = Map("srcA" -> hashes(ta), "srcB" -> hashes(ta),
+      "srcC" -> hashes(tc))
+    def sig(xs: Set[Long]): Seq[Long] = (0 until 32).map { j =>
+      xs.map(x => (graft.expressions.MinHashParams.A(j) * x +
+        graft.expressions.MinHashParams.B(j)) %
+        graft.expressions.MinHashParams.P).min
+    }
+    def estOf(s1: String, s2: String): Double =
+      sig(hs(s1)).zip(sig(hs(s2))).count { case (a, b) => a == b } / 32.0
+    def exactOf(s1: String, s2: String): Double = {
+      val (a, b) = (hs(s1), hs(s2))
+      (a & b).size.toDouble / (a | b).size
+    }
+    for ((p1, p2) <- Seq(("srcA", "srcB"), ("srcA", "srcC"),
+        ("srcB", "srcC"))) {
+      val (est, n1, n2, common, exact, err) = out((p1, p2))
+      assert(est == estOf(p1, p2), s"$p1-$p2 est")
+      assert(n1 == hs(p1).size && n2 == hs(p2).size, s"$p1-$p2 sizes")
+      assert(common == (hs(p1) & hs(p2)).size, s"$p1-$p2 intersection")
+      assert(math.abs(exact - exactOf(p1, p2)) < 5e-7, s"$p1-$p2 exact")
+      assert(math.abs(err - math.abs(estOf(p1, p2) - exactOf(p1, p2)))
+        < 5e-7, s"$p1-$p2 err")
+    }
+    // identical sources: the sketch MUST report 1.0 (same signature)
+    assert(out(("srcA", "srcB"))._1 == 1.0)
+    assert(out(("srcA", "srcB"))._5 == 1.0)
+    // disjoint sources: exact 0, intersection empty
+    assert(out(("srcA", "srcC"))._4 == 0L)
+    assert(out(("srcA", "srcC"))._5 == 0.0)
+  }
+
+  test("o12 on the corpus: pair count = C(|sources|,2), intersections " +
+      "bounded by set sizes, estimator error moderate") {
+    val rows = Sketches.o12SourceSimilarity(spark, sf).collect()
+    val m = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(rows.length == (m * (m - 1) / 2).toInt)
+    rows.foreach { r =>
+      val (n1, n2, common) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(common <= math.min(n1, n2))
+      val exact = r.getDouble(6)
+      assert(exact >= 0.0 && exact <= 1.0)
+    }
+    // 32-slot minhash: mean |est − exact| stays well under one band
+    val meanErr = rows.map(_.getDouble(7)).sum / rows.length
+    assert(meanErr < 0.2, s"mean estimator error $meanErr")
+  }
 }
