@@ -177,6 +177,8 @@ object SparkEntry {
       graft.multimodal.Multimodal.m3FeatureExtract(s, d)),
     "m4_crossmodal_gate" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.m4CrossModalGate(s, d)),
+    "m5_phash_dedup" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.m5PhashDedup(s, d)),
   )
 
   /** Shared CTE chain reproducing HistoryDriver's event→activity
@@ -1028,6 +1030,30 @@ object SparkEntry {
         |               c.vec_id ASC) AS BIGINT) AS rank
         |  FROM pr JOIN e c ON c.label = pr.label AND c.vec_id >= 10)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "m5_phash_dedup" -> {
+      val P = 1000000007L
+      // the 60-bit stub code as a sum of six disjoint 10-bit pieces
+      // (|= over disjoint ranges ≡ +), constants Scala-folded
+      val phTerms = (0 until 6).map { k =>
+        val c = ((k + 1) * 2654435761L) % P
+        s"((hv * $c) % $P % 1024) * ${1L << (10 * k)}"
+      }.mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT doc_id, $payloadHashSql AS hv FROM documents),
+         |p AS MATERIALIZED (
+         |  SELECT doc_id, $phTerms AS ph FROM h),
+         |bb AS (
+         |  SELECT doc_id, ph, band,
+         |    (ph >> CAST(band * 10 AS INT)) & 1023 AS bv
+         |  FROM p CROSS JOIN (SELECT unnest(range(6)) AS band)),
+         |cand AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+         |  FROM bb a JOIN bb b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, min(hamming) AS hamming FROM cand
+         |WHERE hamming <= 5 GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin
+    },
     "m1_multimodal_meta" ->
       s"""WITH h AS (
          |  SELECT doc_id, source, CAST(length(text) AS INT) AS n_chars,

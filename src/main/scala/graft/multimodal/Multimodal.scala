@@ -160,6 +160,69 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  case class MediaHash(doc_id: Long, phash: Long)
+
+  /** STUB perceptual hash — a 60-bit code assembled from six 10-bit
+    * integer mixes of the payload hash. A real pHash (DCT
+    * low-frequency signs over the decoded image) drops in here; the
+    * stub has NO locality, so only identical payloads land within any
+    * small Hamming radius — which the spec pins, and which makes the
+    * operator's verified pairs exactly the payload-duplicate set
+    * until a real codec arrives. All arithmetic stays below 2^60 and
+    * positive: shifts and masks mean the same thing in both engines. */
+  private[graft] def phashStub(h: Long): Long = {
+    var ph = 0L
+    var k = 0
+    while (k < 6) {
+      val c = ((k + 1) * 2654435761L) % P
+      ph |= ((h * c) % P % 1024L) << (10 * k)
+      k += 1
+    }
+    ph
+  }
+
+  /** M5: PERCEPTUAL-HASH media dedup — d3's pigeonhole-banded Hamming
+    * machinery applied to the media column: each payload's 60-bit
+    * perceptual code (codec stubbed, see [[phashStub]]) splits into 6
+    * disjoint 10-bit bands; a pair within Hamming ≤ 5 must agree
+    * exactly on ≥ 1 band (6 bands, ≤ 5 differing bits), so bucketing
+    * on (band, value) is 100% recall and precision is restored by the
+    * exact bit_count filter in the join projection — the image-dedup
+    * stage of a multimodal curation pipeline, built so a real DCT
+    * pHash swaps in without touching the distributed plan.
+    *
+    * Scale shape: the code computes in the batched partition map (one
+    * decoder per partition, the m1 rule), the band self-join keys on
+    * high-cardinality (band, 10-bit value) buckets, pairs dedup AFTER
+    * the cheap Hamming filter (hamming rides the join projection —
+    * d2's pattern), and nothing pairwise exists outside band
+    * buckets. */
+  def m5PhashDedup(s: SparkSession, d: String, maxHamming: Int = 5)
+      : DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("source"), length(col("text")).as("n_chars"))
+      .as[MediaIn]
+    val hashed = media.mapPartitions { batch =>
+      batch.map(m => MediaHash(m.doc_id, phashStub(payloadHash(m.payload))))
+    }.toDF()
+    val banded = hashed.select(col("doc_id"), col("phash"),
+      posexplode(array((0 until 6).map(k =>
+        shiftright(col("phash"), 10 * k).bitwiseAND(lit(1023L))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id1", "id2").agg(min("hamming").as("hamming"))
+      .orderBy("id1", "id2")
+  }
+
   /** M1: binary ingest → batched partition decode → typed metadata.
     * `mapPartitions` is the Scala analogue of `mapInPandas`: one
     * decoder per partition, streaming batches, no per-row setup. */

@@ -1113,6 +1113,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("m5 pHash dedup ≡ brute-force Hamming pairs (pigeonhole recall " +
+      "proof); stub locality pin: every pair is a payload duplicate") {
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ph = docs.map { case (id, t) =>
+      id -> multimodal.Multimodal.phashStub(
+        multimodal.Multimodal.payloadHash(
+          t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }
+    // brute force over ALL pairs: the 6-band pigeonhole must lose
+    // nothing at Hamming ≤ 5 (6 disjoint bands, ≤ 5 differing bits)
+    val brute = (for {
+      (i1, h1) <- ph; (i2, h2) <- ph if i1 < i2
+      hd = java.lang.Long.bitCount(h1 ^ h2) if hd <= 5
+    } yield (i1, i2, hd)).toSet
+    val got = multimodal.Multimodal.m5PhashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute,
+      s"missing ${(brute -- got).size} / extra ${(got -- brute).size}")
+    assert(got.nonEmpty)
+    // no false negatives on TRUE payload duplicates: every
+    // identical-text pair sits in the result at hamming 0. (The
+    // reverse doesn't hold — the stub code carries ~30 bits of
+    // payload-hash entropy, so distinct payloads can collide at
+    // hamming 0, exactly as a real perceptual hash aliases by
+    // design; brute-force equality above already pins those.)
+    val dups = docs.filter(_._2 != null).groupBy(_._2).values.toSeq
+      .filter(_.length > 1)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.length)
+          yield (ids(i), ids(j))
+      }
+    dups.foreach { case (i1, i2) =>
+      assert(got.contains((i1, i2, 0)), s"missed duplicate $i1-$i2") }
+  }
+
   test("m1 multimodal plumbing yields typed metadata for every doc") {
     val n = Tables.documents(spark, sf).count()
     val rows = multimodal.Multimodal.m1MultimodalMeta(spark, sf).collect()

@@ -541,6 +541,19 @@ class PlanContractSpec extends AnyFunSuite {
       .findAllIn(p).hasNext, s"vectors rode the band shuffle:\n$p")
   }
 
+  test("m5: banded equi-join only (no pairwise stage); one corpus scan " +
+      "feeds both band sides") {
+    val p = finalPlanNoBroadcast("m5_phash_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise stage appeared in the pHash plan:\n$p")
+    assert(scanCount(p) == 1, s"expected 1 documents scan:\n$p")
+    assert(p.contains("ReusedExchange"), "band exchange not reused")
+    // pair dedup is a map-side-combined hash aggregate on slim rows
+    assert(p.contains("partial_min"),
+      s"pair dedup lost its map-side partial:\n$p")
+  }
+
   test("o10: histogram sketch — bounds broadcast onto the scan, bin " +
       "counts are a map-side-combined hash aggregate, quantile " +
       "derivation runs on the tiny ≤groups×256 frame") {
