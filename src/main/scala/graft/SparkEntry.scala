@@ -43,6 +43,7 @@ object SparkEntry {
       (operators.Curation.c12TemperatureMixture _),
     "c13_cluster_balance" -> (operators.Curation.c13ClusterBalance _),
     "c15_doremi" -> (operators.Curation.c15Doremi _),
+    "c16_capped_doremi" -> (operators.Curation.c16CappedDoremi _),
     "c14_unimax" -> (operators.Curation.c14Unimax _),
     "o9_packing_report" -> ((s: SparkSession, d: String) =>
       operators.Sketches.o9PackingReport(s, d)),
@@ -741,6 +742,35 @@ object SparkEntry {
        |  FROM cand JOIN e e1 ON e1.vec_id = id1 JOIN e e2 ON e2.vec_id = id2)
        |WHERE cos >= 0.3""".stripMargin
   }
+
+  /** c15's DoReMi alpha chain (through the smoothed per-source weight
+    * CTE `w`) — shared by the c15 rate oracle and c16's weighted
+    * water-filling oracle. */
+  private lazy val doremiAlphaCte: String =
+    """t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |    CAST(round(abs(0.3 - (len(list_filter(string_split(text, ' '),
+      |      x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE /
+      |      len(string_split(text, ' ')))) * 1e6) AS BIGINT) AS loss6
+      |  FROM documents WHERE text IS NOT NULL),
+      |src AS (SELECT source, CAST(sum(loss6 * n_toks) AS BIGINT) AS lw,
+      |        CAST(sum(n_toks) AS BIGINT) AS toks FROM t GROUP BY source),
+      |tot AS (SELECT CAST(sum(lw) AS BIGINT) AS tlw,
+      |        CAST(sum(toks) AS BIGINT) AS ttoks, count(*) AS m FROM src),
+      |tilt AS (
+      |  SELECT source, m,
+      |    CAST(toks AS DOUBLE) / ttoks AS prior,
+      |    greatest(0.0, CAST(lw AS DOUBLE) / toks / 1e6
+      |      - CAST(tlw AS DOUBLE) / ttoks / 1e6) AS excess
+      |  FROM src CROSS JOIN tot),
+      |t6 AS (SELECT source, prior, excess, m,
+      |    CAST(round(prior * exp(10.0 * excess) * 1e6) AS BIGINT) AS t6
+      |  FROM tilt),
+      |z AS (SELECT CAST(sum(t6) AS BIGINT) AS z FROM t6),
+      |w AS (SELECT source, prior, excess,
+      |    0.9 * CAST(t6 AS DOUBLE) / z + 0.1 / m AS alpha
+      |  FROM t6 CROSS JOIN z)""".stripMargin
 
   private lazy val d2MinhashSql: String =
     s"""WITH ${minhashBandCte()},
@@ -2178,41 +2208,57 @@ object SparkEntry {
       // one exponentiated-gradient DoReMi step: fixed-point micro-unit
       // loss sums (exact, order-free), integer re-quantized tilt so Z
       // is an exact bigint, then the smoothed weight/rate table
-      """WITH t AS (
-        |  SELECT doc_id, source,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-        |    CAST(round(abs(0.3 - (len(list_filter(string_split(text, ' '),
-        |      x -> list_contains(['the','a','of','and','to','in','is'], x)))::DOUBLE /
-        |      len(string_split(text, ' ')))) * 1e6) AS BIGINT) AS loss6
-        |  FROM documents WHERE text IS NOT NULL),
-        |src AS (SELECT source, CAST(sum(loss6 * n_toks) AS BIGINT) AS lw,
-        |        CAST(sum(n_toks) AS BIGINT) AS toks FROM t GROUP BY source),
-        |tot AS (SELECT CAST(sum(lw) AS BIGINT) AS tlw,
-        |        CAST(sum(toks) AS BIGINT) AS ttoks, count(*) AS m FROM src),
-        |tilt AS (
-        |  SELECT source, m,
-        |    CAST(toks AS DOUBLE) / ttoks AS prior,
-        |    greatest(0.0, CAST(lw AS DOUBLE) / toks / 1e6
-        |      - CAST(tlw AS DOUBLE) / ttoks / 1e6) AS excess
-        |  FROM src CROSS JOIN tot),
-        |t6 AS (SELECT source, prior, excess, m,
-        |    CAST(round(prior * exp(10.0 * excess) * 1e6) AS BIGINT) AS t6
-        |  FROM tilt),
-        |z AS (SELECT CAST(sum(t6) AS BIGINT) AS z FROM t6),
-        |w AS (SELECT source, prior, excess,
-        |    0.9 * CAST(t6 AS DOUBLE) / z + 0.1 / m AS alpha
-        |  FROM t6 CROSS JOIN z),
-        |r AS (SELECT source, prior, excess, alpha, alpha / prior AS r0 FROM w),
-        |rm AS (SELECT max(r0) AS rmax FROM r),
-        |rates AS (SELECT source, round(prior, 6) AS prior,
-        |    round(excess, 6) AS excess, round(alpha, 6) AS weight,
-        |    r0 / rmax AS rate
-        |  FROM r CROSS JOIN rm)
-        |SELECT t.doc_id, t.source, t.n_toks, rates.prior, rates.excess,
-        |  rates.weight, round(rates.rate, 6) AS rate,
-        |  (((t.doc_id % 2147483648) * 2654435761) % 4294967296 % 10000)::DOUBLE
-        |    / 10000.0 < rates.rate AS sampled
-        |FROM t JOIN rates USING (source) ORDER BY doc_id""".stripMargin,
+      s"""WITH $doremiAlphaCte,
+         |r AS (SELECT source, prior, excess, alpha, alpha / prior AS r0 FROM w),
+         |rm AS (SELECT max(r0) AS rmax FROM r),
+         |rates AS (SELECT source, round(prior, 6) AS prior,
+         |    round(excess, 6) AS excess, round(alpha, 6) AS weight,
+         |    r0 / rmax AS rate
+         |  FROM r CROSS JOIN rm)
+         |SELECT t.doc_id, t.source, t.n_toks, rates.prior, rates.excess,
+         |  rates.weight, round(rates.rate, 6) AS rate,
+         |  (((t.doc_id % 2147483648) * 2654435761) % 4294967296 % 10000)::DOUBLE
+         |    / 10000.0 < rates.rate AS sampled
+         |FROM t JOIN rates USING (source) ORDER BY doc_id""".stripMargin,
+    "c16_capped_doremi" ->
+      // c15's alpha chain, then WEIGHTED water-filling: capped prefix
+      // in saturation (cap/α) order, the prefix test multiplied
+      // through by α6 to stay all-integer, uncapped sources share λ
+      s"""WITH $doremiAlphaCte,
+         |cnt AS (SELECT source, count(*) AS n FROM t GROUP BY source),
+         |capw AS (SELECT w.source, CAST(round(w.alpha * 1e6) AS BIGINT) AS a6,
+         |        cnt.n, cnt.n * 2 AS cap
+         |        FROM w JOIN cnt USING (source)),
+         |tots AS (SELECT CAST(sum(a6) AS BIGINT) AS a6t,
+         |         CAST(sum(n) AS BIGINT) AS totn, count(*) AS m FROM capw),
+         |ord AS (SELECT capw.*, a6t, m,
+         |        CAST(floor(0.6 * totn) AS BIGINT) AS budget,
+         |        CAST(row_number() OVER (ORDER BY CAST(cap AS DOUBLE) / a6,
+         |          source) AS BIGINT) AS rk,
+         |        CAST(sum(cap) OVER (ORDER BY CAST(cap AS DOUBLE) / a6,
+         |          source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc,
+         |        CAST(sum(a6) OVER (ORDER BY CAST(cap AS DOUBLE) / a6,
+         |          source ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma
+         |        FROM capw CROSS JOIN tots),
+         |probe AS (SELECT *,
+         |  cumc * a6 + cap * (a6t - cuma) <= budget * a6 AS capped FROM ord),
+         |kf AS (SELECT
+         |  CAST(coalesce(max(CASE WHEN capped THEN rk END), 0) AS BIGINT) AS k,
+         |  CAST(coalesce(max(CASE WHEN capped THEN cumc END), 0) AS BIGINT) AS cumck,
+         |  CAST(coalesce(max(CASE WHEN capped THEN cuma END), 0) AS BIGINT) AS cumak,
+         |  max(m) AS m, max(budget) AS budget, max(a6t) AS a6t FROM probe),
+         |eps AS (SELECT source, round(CAST(a6 AS DOUBLE) / 1e6, 6) AS weight,
+         |  CASE WHEN k = m THEN CAST(cap AS DOUBLE) / n
+         |  ELSE least(CAST(cap AS DOUBLE),
+         |    (budget - cumck) * 1e6 / (a6t - cumak) * a6 / 1e6) / n END AS epochs
+         |  FROM capw CROSS JOIN kf)
+         |SELECT t.doc_id, t.source, eps.weight,
+         |  round(eps.epochs, 4) AS epochs,
+         |  CAST(floor(eps.epochs) AS BIGINT) + CASE WHEN
+         |    (((t.doc_id % 2147483648) * 2654435761) % 4294967296 % 10000)::DOUBLE
+         |    / 10000.0 < eps.epochs - floor(eps.epochs) THEN 1 ELSE 0 END
+         |    AS n_copies
+         |FROM t JOIN eps USING (source) ORDER BY doc_id""".stripMargin,
     "s7_two_stage" -> {
       val sq = "(e.emb[j.j*8 + i + 1] - c.centroid[j.j*8 + i + 1])"
       val sqSum = s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

@@ -369,6 +369,21 @@ object Curation {
     * upweight vs prior). */
   private[graft] def doremiFrame(docsIn: DataFrame, eta: Double,
       smooth: Double): DataFrame = {
+    val (counted, rates) = doremiParts(docsIn, eta, smooth)
+    val u = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) %
+      lit(4294967296L) % 10000).cast("double") / 10000.0
+    counted.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("n_toks"),
+        col("prior"), col("excess"), col("weight"),
+        round(col("rate"), 6).as("rate"),
+        (u < col("rate")).as("sampled"))
+      .orderBy("doc_id")
+  }
+
+  /** The (per-doc counted frame, per-source weight table) pair behind
+    * c15 — exposed so c16 can cap the SAME learned weights. */
+  private[graft] def doremiParts(docsIn: DataFrame, eta: Double,
+      smooth: Double): (DataFrame, DataFrame) = {
     val toks = split(col("text"), " ")
     val stopRatio =
       size(filter(toks, t => t.isin("the", "a", "of", "and", "to", "in", "is")))
@@ -409,13 +424,75 @@ object Curation {
         round(col("excess"), 6).as("excess"),
         round(col("alpha"), 6).as("weight"),
         (col("r0") / col("rmax")).as("rate"))
+    (counted, rates)
+  }
+
+  /** C16: EPOCH-CAPPED learned mixture — c15's DoReMi weights run
+    * through c14's repetition discipline: the deployed form of a
+    * learned mixture, because an upweighted small domain must still
+    * respect "no source repeats more than E epochs" (the data-repetition
+    * findings behind UniMax apply regardless of where the target
+    * weights came from). Mathematically this is WEIGHTED water-filling:
+    * find λ with Σ_s min(cap_s, λ·α_s) = B; sources saturate in
+    * increasing cap_s/α_s order, so on that sorted frame the capped
+    * set is again a prefix — and the probe test multiplies through by
+    * α6_s to stay ALL-INTEGER (cum_c_k·α6_k + c_k·(α6t−cumα6_k) ≤
+    * B·α6_k), the c14 no-float-order-dependence property generalized
+    * to weighted targets (α6 = the 6-dp fixed-point weights, ≥ 1
+    * whenever ε/m ≥ 1e-6). Everyone uncapped shares
+    * λ = (B−cum_c_k*)·1e6/(α6t−cumα6_k*); docs realize
+    * ⌊epochs⌋+(coin<frac) copies. Only the corpus scan and the
+    * |sources| aggregates touch data; the waterfill runs on tiny
+    * frames and epochs broadcast back. */
+  def c16CappedDoremi(s: SparkSession, d: String): DataFrame =
+    cappedDoremiFrame(Tables.documents(s, d), eta = 10.0, smooth = 0.1,
+      epochCap = 2, budgetFrac = 0.6)
+
+  private[graft] def cappedDoremiFrame(docsIn: DataFrame, eta: Double,
+      smooth: Double, epochCap: Int, budgetFrac: Double): DataFrame = {
+    val (counted, rates) = doremiParts(docsIn, eta, smooth)
+    val cap = counted.groupBy("source").agg(count(lit(1)).as("n"))
+      .join(rates.select(col("source"), col("weight")), "source")
+      .select(col("source"), col("n"), (col("n") * epochCap).as("cap"),
+        round(col("weight") * 1e6).cast("long").as("a6"))
+      .localCheckpoint(true) // consumers: totals + the sorted spine
+    val tots = cap.agg(sum("a6").as("a6t"), sum("n").as("totn"),
+      count(lit(1)).as("m"))
+    // tiny-frame saturation spine: |sources| rows sorted by cap/α
+    val ratio = col("cap").cast("double") / col("a6")
+    val w = Window.orderBy(ratio, col("source"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.orderBy(ratio, col("source"))
+    val ord = cap.crossJoin(broadcast(tots))
+      .withColumn("budget",
+        floor(col("totn").cast("double") * budgetFrac).cast("long"))
+      .withColumn("rk", row_number().over(wr).cast("long"))
+      .withColumn("cumc", sum("cap").over(w))
+      .withColumn("cuma", sum("a6").over(w))
+      .withColumn("capped",
+        col("cumc") * col("a6") + col("cap") * (col("a6t") - col("cuma"))
+          <= col("budget") * col("a6"))
+    val kframe = ord.agg(
+      coalesce(max(when(col("capped"), col("rk"))), lit(0L)).as("k"),
+      coalesce(max(when(col("capped"), col("cumc"))), lit(0L)).as("cumck"),
+      coalesce(max(when(col("capped"), col("cuma"))), lit(0L)).as("cumak"),
+      max("m").as("m"), max("budget").as("budget"), max("a6t").as("a6t"))
+    val lam = when(col("k") === col("m"), lit(Double.MaxValue))
+      .otherwise((col("budget") - col("cumck")).cast("double") * 1e6 /
+        (col("a6t") - col("cumak")).cast("double"))
+    val eps = cap.crossJoin(broadcast(kframe))
+      .select(col("source"),
+        round(col("a6").cast("double") / 1e6, 6).as("weight"),
+        (least(col("cap").cast("double"), lam * col("a6") / 1e6) /
+          col("n").cast("double")).as("epochs"))
     val u = (((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) %
       lit(4294967296L) % 10000).cast("double") / 10000.0
-    counted.join(broadcast(rates), "source")
-      .select(col("doc_id"), col("source"), col("n_toks"),
-        col("prior"), col("excess"), col("weight"),
-        round(col("rate"), 6).as("rate"),
-        (u < col("rate")).as("sampled"))
+    counted.select("doc_id", "source").join(broadcast(eps), "source")
+      .select(col("doc_id"), col("source"), col("weight"),
+        round(col("epochs"), 4).as("epochs"),
+        (floor(col("epochs")).cast("long") +
+          when(u < col("epochs") - floor(col("epochs")), 1L).otherwise(0L))
+          .as("n_copies"))
       .orderBy("doc_id")
   }
 

@@ -957,6 +957,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(hw("hard")._4 == 1.0 && hw("easy")._4 < 1.0)
   }
 
+  test("c16 capped DoReMi: the upweighted hard domain saturates at E " +
+      "epochs, the rest share lambda, budget conserved; all-capped " +
+      "degenerate") {
+    import spark.implicits._
+    // easy: stop_ratio exactly 0.3 (loss 0); hard: no stopwords
+    // (loss 0.3). DoReMi wants hard at alpha~0.469, far past its cap
+    // 2·5/105 of the budget — weighted waterfilling: hard pins at
+    // E=2, easy takes the remaining 53 of B=63 docs → 0.53 epochs
+    val easyTxt = "the a of cats dogs birds fish mice cows pigs"
+    val hardTxt = "cats dogs birds fish mice cows pigs oxen hens ants"
+    val mixed = ((1L to 100L).map(i => (i, "easy", easyTxt)) ++
+      (201L to 205L).map(i => (i, "hard", hardTxt)))
+      .toDF("doc_id", "source", "text")
+    val out = operators.Curation
+      .cappedDoremiFrame(mixed, 10.0, 0.1, 2, 0.6).collect()
+    val eps = out.map(r => (r.getString(1), r.getDouble(3))).distinct.toMap
+    assert(eps("hard") == 2.0, s"capped source at ${eps("hard")}")
+    assert(eps("easy") == 0.53, s"water level gave ${eps("easy")}")
+    // budget conservation: Σ n_s·epochs_s = B = ⌊0.6·105⌋ = 63
+    assert(math.abs(5 * eps("hard") + 100 * eps("easy") - 63.0) < 1e-9)
+    // realized copies track the plan within coin granularity
+    val realized = out.map(_.getLong(4)).sum
+    assert(math.abs(realized - 63.0) < 15.0, s"realized $realized")
+    // all-capped degenerate: budget ≥ Σ caps ⇒ every source at E
+    val all = operators.Curation
+      .cappedDoremiFrame(mixed, 10.0, 0.1, 2, 2.5).collect()
+    assert(all.forall(_.getDouble(3) == 2.0))
+    assert(all.map(_.getLong(4)).sum == 210L)
+  }
+
   test("s13 IVF-PQ: candidates confined to the probed cells; picks " +
       "track the exact-in-cell baseline above the PQ floor") {
     val emb = Tables.embeddings(spark, sf).collect()

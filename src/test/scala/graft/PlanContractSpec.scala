@@ -554,6 +554,18 @@ class PlanContractSpec extends AnyFunSuite {
       s"pair dedup lost its map-side partial:\n$p")
   }
 
+  test("c16: weighted waterfill runs on tiny frames; epochs broadcast " +
+      "back — zero parquet past the checkpoints") {
+    val p = finalPlan("c16_capped_doremi")
+    assert(scanCount(p) == 0, s"parquet re-scanned past checkpoints:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "epochs table not broadcast")
+    assert(!p.contains("SortMergeJoin"), "tiny mixture frames sort-merged")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the 1-row crosses (Z, rmax, totals, k*) are the only nested loops
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 4,
+      s"corpus-sized nested loop:\n$p")
+  }
+
   test("o10: histogram sketch — bounds broadcast onto the scan, bin " +
       "counts are a map-side-combined hash aggregate, quantile " +
       "derivation runs on the tiny ≤groups×256 frame") {
