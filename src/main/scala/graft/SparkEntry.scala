@@ -126,6 +126,8 @@ object SparkEntry {
     "d6_decontaminate" -> (graft.dedup.Dedup.d6Decontaminate _),
     "d7_span_dedup" -> (graft.dedup.Dedup.d7SpanDedup _),
     "d15_substr_dedup" -> (graft.dedup.Dedup.d15SubstrDedup _),
+    "d17_chunk_dedup" -> ((s: SparkSession, d: String) =>
+      graft.dedup.Dedup.d17ChunkDedup(s, d)),
     "d8_dup_clusters" -> ((s: SparkSession, d: String) =>
       graft.dedup.Dedup.d8DupClusters(s, d)),
     "d9_incremental_dedup" -> (graft.dedup.Dedup.d9IncrementalDedup _),
@@ -2801,6 +2803,37 @@ object SparkEntry {
     // that only holds when recall happens to be 1.0 on this corpus.
     // The recall-vs-all-pairs bound lives in the PipelineSpec instead.
     "d5_embedding_dedup" -> s"$d5PairsSql ORDER BY id1, id2",
+    "d17_chunk_dedup" ->
+      // t15's chunk frame re-keyed as a synthetic chunk corpus, then
+      // d2's whole band CTE chain over it; cross-document pairs only
+      s"""WITH t0 AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks,
+         |    len(string_split(text, ' ')) AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |st AS (
+         |  SELECT doc_id, toks, n,
+         |    unnest(range(0,
+         |      greatest(0, CAST(ceil((n - 64) / 48.0) AS BIGINT)) + 1))
+         |      AS chunk_id
+         |  FROM t0),
+         |ch AS (
+         |  SELECT doc_id * 1000000 + chunk_id AS doc_id,
+         |    array_to_string(list_slice(toks, chunk_id * 48 + 1,
+         |      least(chunk_id * 48 + 64, n)), ' ') AS text
+         |  FROM st),
+         |${minhashBandCte("ch")},
+         |cand AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    len(list_filter(range(32), i -> a.sig[i + 1] = b.sig[i + 1])) / 32.0 AS jac
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT id1, id2, max(jac) AS jaccard_est FROM cand
+         |  WHERE jac >= 0.5 GROUP BY id1, id2)
+         |SELECT id1 // 1000000 AS doc1, id1 % 1000000 AS chunk1,
+         |  id2 // 1000000 AS doc2, id2 % 1000000 AS chunk2, jaccard_est
+         |FROM pairs WHERE id1 // 1000000 <> id2 // 1000000
+         |ORDER BY doc1, chunk1, doc2, chunk2""".stripMargin,
     "s14_knn_graph" ->
       // d5's banded pair set feeds BOTH endpoints' neighbor lists;
       // top-k per vector, 3-dp cosine ties broken by neighbor id

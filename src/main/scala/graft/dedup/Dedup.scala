@@ -1322,4 +1322,55 @@ object Dedup {
           coalesce(col("was_dup"), lit(false))).as("in_dup_set"))
       .orderBy("doc_id")
   }
+
+  /** D17: CHUNK-level near-dup — cross-document PASSAGE reuse, the
+    * granularity between d2 (whole documents) and d15 (exact
+    * substrings): t15's sliding windows become the dedup unit, each
+    * chunk sketches with d2's minhash, and band-bucketed candidates
+    * report near-identical passages in DIFFERENT documents (a quoted
+    * article inside a wrapper page, boilerplate sections, template
+    * reuse — Jaccard on the whole doc dilutes all of these below d2's
+    * 0.5 threshold, and d15 misses any edit; chunk-level minhash is
+    * the standard middle granularity). Same-document chunk pairs are
+    * excluded — adjacent windows share stride overlap by construction
+    * and carry no dedup signal.
+    *
+    * Implementation is pure composition: the chunk frame re-keys as
+    * (doc_id·10^6 + chunk_id, chunk text) and rides d2's ENTIRE sketch
+    * path — [[mhBands]] + [[pairsFromBands]], native fused
+    * shingle+minhash, slim band self-join, jac-before-shuffle — with
+    * a synthetic-id decompose at the end. Oracle reuses the d2 band
+    * CTE over the chunk frame the same way. Chunk fan-out is
+    * tokens/stride per doc (output-sized, the t15 bound); everything
+    * after is d2's audited scale shape on the chunk corpus. */
+  def d17ChunkDedup(s: SparkSession, d: String,
+      chunk: Int = 64, stride: Int = 48): DataFrame =
+    chunkDedupFrame(Tables.documents(s, d), chunk, stride)
+
+  /** d17's body over an arbitrary documents frame — exposed so the
+    * spec can drive the cross-document quoted-passage fixture that
+    * whole-document d2 provably dilutes below its threshold. */
+  private[graft] def chunkDedupFrame(docsIn: DataFrame,
+      chunk: Int, stride: Int): DataFrame = {
+    val K = 1000000L
+    val lastIdx = greatest(lit(0),
+      ceil((col("n_toks") - chunk).cast("double") / stride).cast("int"))
+    val chunks = docsIn.filter(col("text").isNotNull)
+      .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lastIdx, lit(1))).as("chunk_id"),
+        col("toks"))
+      .select((col("doc_id") * K + col("chunk_id")).as("doc_id"),
+        concat_ws(" ",
+          slice(col("toks"), col("chunk_id") * stride + 1, lit(chunk)))
+          .as("text"))
+    pairsFromBands(mhBands(chunks))
+      .filter(expr(s"id1 div $K <> id2 div $K"))
+      .select(expr(s"id1 div $K").as("doc1"),
+        (col("id1") % K).as("chunk1"),
+        expr(s"id2 div $K").as("doc2"),
+        (col("id2") % K).as("chunk2"), col("jaccard_est"))
+      .orderBy("doc1", "chunk1", "doc2", "chunk2")
+  }
 }

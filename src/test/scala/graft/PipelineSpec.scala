@@ -1181,6 +1181,34 @@ class PipelineSpec extends AnyFunSuite {
       assert(got.contains((i1, i2, 0)), s"missed duplicate $i1-$i2") }
   }
 
+  test("d17 chunk dedup catches the cross-document quoted passage " +
+      "that whole-document minhash dilutes below threshold") {
+    import spark.implicits._
+    val passage = (0 until 64).map(i => s"shared$i").mkString(" ")
+    val fillA = (0 until 96).map(i => s"alpha$i").mkString(" ")
+    val fillB = (0 until 96).map(i => s"beta$i").mkString(" ")
+    // A carries the passage at token 96 (= chunk 2 under stride 48),
+    // B opens with it (chunk 0) — different offsets, aligned windows
+    val docs = Seq((1L, "a", s"$fillA $passage"),
+      (2L, "b", s"$passage $fillB"))
+      .toDF("doc_id", "source", "text")
+    val pairs = dedup.Dedup.chunkDedupFrame(docs, 64, 48).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(pairs.contains((1L, 2L, 2L, 0L, 1.0)),
+      s"quoted passage not found: ${pairs.mkString(",")}")
+    // whole-document d2 on the same corpus: the 40%-shared docs sit
+    // far below the 0.5 estimate threshold — no pair
+    assert(dedup.Dedup.minhashPairs(docs).count() == 0,
+      "d2 unexpectedly paired the wrapper documents")
+    // corpus sanity: cross-document only, estimates at/above threshold
+    val corpus = dedup.Dedup.d17ChunkDedup(spark, sf).collect()
+    corpus.foreach { r =>
+      assert(r.getLong(0) != r.getLong(2))
+      assert(r.getDouble(4) >= 0.5)
+    }
+  }
+
   test("m1 multimodal plumbing yields typed metadata for every doc") {
     val n = Tables.documents(spark, sf).count()
     val rows = multimodal.Multimodal.m1MultimodalMeta(spark, sf).collect()

@@ -566,6 +566,16 @@ class PlanContractSpec extends AnyFunSuite {
       s"corpus-sized nested loop:\n$p")
   }
 
+  test("d17: ONE corpus scan — the chunk sketch subtree exchange-reused " +
+      "across both band sides, no pairwise stage") {
+    val p = finalPlanNoBroadcast("d17_chunk_dedup")
+    assert(scanCount(p) == 1, s"expected 1 documents scan:\n$p")
+    assert(p.contains("ReusedExchange"), "chunk band exchange not reused")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairwise stage appeared in the chunk-dedup plan:\n$p")
+  }
+
   test("o10: histogram sketch — bounds broadcast onto the scan, bin " +
       "counts are a map-side-combined hash aggregate, quantile " +
       "derivation runs on the tiny ≤groups×256 frame") {
