@@ -557,8 +557,13 @@ object Similarity {
     * partition key (thousands of band-bounded candidate rows per
     * vector, never a global sort). Ties from the 3-dp cosine break
     * by neighbor id — total order, replayable. */
-  def s14KnnGraph(s: SparkSession, d: String, k: Int = 5): DataFrame = {
-    val pairs = graft.dedup.Dedup.embeddingPairs(s, d)
+  def s14KnnGraph(s: SparkSession, d: String, k: Int = 5): DataFrame =
+    knnFromPairs(graft.dedup.Dedup.embeddingPairs(s, d), k)
+      .orderBy("vec_id", "rk")
+
+  /** s14's graph body over an arbitrary verified pair frame
+    * (id1, id2, cos) — shared with StreamingKnn's maintained fold. */
+  private[graft] def knnFromPairs(pairs: DataFrame, k: Int): DataFrame = {
     val sym = pairs
       .select(col("id1").as("vec_id"), col("id2").as("nbr"), col("cos"))
       .union(pairs
@@ -569,6 +574,5 @@ object Similarity {
           .orderBy(col("cos").desc, col("nbr").asc)).cast("long"))
       .filter(col("rk") <= k)
       .select("vec_id", "rk", "nbr", "cos")
-      .orderBy("vec_id", "rk")
   }
 }
