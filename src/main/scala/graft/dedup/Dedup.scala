@@ -1350,22 +1350,31 @@ object Dedup {
   /** d17's body over an arbitrary documents frame — exposed so the
     * spec can drive the cross-document quoted-passage fixture that
     * whole-document d2 provably dilutes below its threshold. */
-  private[graft] def chunkDedupFrame(docsIn: DataFrame,
+  private[graft] val ChunkK = 1000000L
+
+  /** t15's sliding windows as a synthetic chunk corpus
+    * (doc_id·10^6 + chunk_id, chunk text) — d17's dedup unit, shared
+    * with the streaming cadence. */
+  private[graft] def chunkFrame(docsIn: DataFrame,
       chunk: Int, stride: Int): DataFrame = {
-    val K = 1000000L
     val lastIdx = greatest(lit(0),
       ceil((col("n_toks") - chunk).cast("double") / stride).cast("int"))
-    val chunks = docsIn.filter(col("text").isNotNull)
+    docsIn.filter(col("text").isNotNull)
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .withColumn("n_toks", size(col("toks")))
       .select(col("doc_id"),
         explode(sequence(lit(0), lastIdx, lit(1))).as("chunk_id"),
         col("toks"))
-      .select((col("doc_id") * K + col("chunk_id")).as("doc_id"),
+      .select((col("doc_id") * ChunkK + col("chunk_id")).as("doc_id"),
         concat_ws(" ",
           slice(col("toks"), col("chunk_id") * stride + 1, lit(chunk)))
           .as("text"))
-    pairsFromBands(mhBands(chunks))
+  }
+
+  private[graft] def chunkDedupFrame(docsIn: DataFrame,
+      chunk: Int, stride: Int): DataFrame = {
+    val K = ChunkK
+    pairsFromBands(mhBands(chunkFrame(docsIn, chunk, stride)))
       .filter(expr(s"id1 div $K <> id2 div $K"))
       .select(expr(s"id1 div $K").as("doc1"),
         (col("id1") % K).as("chunk1"),
