@@ -1071,7 +1071,7 @@ object SparkEntry {
         s"((hv * $c) % $P % 1024) * ${1L << (10 * k)}"
       }.mkString(" + ")
       s"""WITH h AS (
-         |  SELECT doc_id, $payloadHashSql AS hv FROM documents),
+         |  SELECT doc_id, $payloadHashSql AS hv FROM documents WHERE text IS NOT NULL),
          |p AS MATERIALIZED (
          |  SELECT doc_id, $phTerms AS ph FROM h),
          |bb AS (
@@ -1090,7 +1090,7 @@ object SparkEntry {
       s"""WITH h AS (
          |  SELECT doc_id, source, CAST(length(text) AS INT) AS n_chars,
          |    $payloadHashSql AS hv
-         |  FROM documents)
+         |  FROM documents WHERE text IS NOT NULL)
          |SELECT doc_id, source, n_chars,
          |  CAST(16 + hv % 640 AS INT) AS width,
          |  CAST(16 + (hv // 640) % 480 AS INT) AS height,
@@ -1098,7 +1098,7 @@ object SparkEntry {
          |FROM h ORDER BY doc_id""".stripMargin,
     "m2_frame_sample" ->
       s"""WITH h AS (
-         |  SELECT doc_id, $payloadHashSql AS hv FROM documents),
+         |  SELECT doc_id, $payloadHashSql AS hv FROM documents WHERE text IS NOT NULL),
          |dims AS (
          |  SELECT doc_id, hv, 16 + hv % 640 AS w, 16 + (hv // 640) % 480 AS ht,
          |    1 + (hv // 307200) % 32 AS frames
@@ -1114,7 +1114,7 @@ object SparkEntry {
          |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
     "m4_crossmodal_gate" ->
       s"""WITH h AS (
-         |  SELECT doc_id, $payloadHashSql AS hv FROM documents),
+         |  SELECT doc_id, $payloadHashSql AS hv FROM documents WHERE text IS NOT NULL),
          |tf AS (
          |  SELECT doc_id, list_transform(range(8),
          |    j -> CAST((hv * (((j + 1) * 2654435761) % 1000000007))
@@ -1138,7 +1138,7 @@ object SparkEntry {
          |FROM sc ORDER BY doc_id""".stripMargin,
     "m3_feature_extract" ->
       s"""WITH h AS (
-         |  SELECT doc_id, $payloadHashSql AS hv FROM documents),
+         |  SELECT doc_id, $payloadHashSql AS hv FROM documents WHERE text IS NOT NULL),
          |f AS (
          |  SELECT doc_id, list_transform(range(8),
          |    j -> (hv * (((j + 1) * 2654435761) % 1000000007))

@@ -1357,8 +1357,18 @@ object Dedup {
     * with the streaming cadence. */
   private[graft] def chunkFrame(docsIn: DataFrame,
       chunk: Int, stride: Int): DataFrame = {
-    val lastIdx = greatest(lit(0),
+    val lastIdxRaw = greatest(lit(0),
       ceil((col("n_toks") - chunk).cast("double") / stride).cast("int"))
+    // The packed key doc_id·ChunkK + chunk_id is only injective while
+    // chunk_id < ChunkK and doc_id·ChunkK stays inside Long — a
+    // ~48M-token doc or a doc_id past ~9.2e12 would silently collide
+    // keys and merge unrelated chunks. Both bounds fail LOUDLY here
+    // (raise_error inside the row pipeline, no extra pass) instead.
+    val lastIdx = when(lastIdxRaw < lit(ChunkK) &&
+        abs(col("doc_id")) < lit(Long.MaxValue / ChunkK), lastIdxRaw)
+      .otherwise(raise_error(concat(
+        lit("d17 chunk key would overflow: doc_id="), col("doc_id"),
+        lit(" n_toks="), col("n_toks"))).cast("int"))
     docsIn.filter(col("text").isNotNull)
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .withColumn("n_toks", size(col("toks")))

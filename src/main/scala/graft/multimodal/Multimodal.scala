@@ -68,6 +68,7 @@ object Multimodal {
       box: Int = 224): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d)
+      .filter(col("text").isNotNull) // null payload would NPE in the partition map
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         col("source"), length(col("text")).as("n_chars"))
       .as[MediaIn]
@@ -106,6 +107,7 @@ object Multimodal {
     import s.implicits._
     val K = 2654435761L
     val media = Tables.documents(s, d)
+      .filter(col("text").isNotNull) // null payload would NPE in the partition map
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         col("source"), length(col("text")).as("n_chars"))
       .as[MediaIn]
@@ -137,6 +139,7 @@ object Multimodal {
     import graft.functions.{VectorFunctions => V}
     val K = 2654435761L
     val media = Tables.documents(s, d)
+      .filter(col("text").isNotNull) // null payload would NPE in the partition map
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         col("source"), length(col("text")).as("n_chars"))
       .as[MediaIn]
@@ -201,6 +204,7 @@ object Multimodal {
       : DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d)
+      .filter(col("text").isNotNull) // null payload would NPE in the partition map
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         col("source"), length(col("text")).as("n_chars"))
       .as[MediaIn]
@@ -229,6 +233,7 @@ object Multimodal {
   def m1MultimodalMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media: Dataset[MediaIn] = Tables.documents(s, d)
+      .filter(col("text").isNotNull) // null payload would NPE in the partition map
       .select(col("doc_id"),
         col("text").cast("binary").as("payload"), // stand-in media bytes
         col("source"), length(col("text")).as("n_chars"))

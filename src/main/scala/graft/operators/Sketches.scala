@@ -426,9 +426,16 @@ object Sketches {
       .groupBy("bsrc", "doc_id", "hh")
       .agg(count(lit(1)).as("nset"))
       .filter(col("nset") === 3)
-    val eh = h.select("source", "hh").distinct()
+    // Truth-set columns are RENAMED before the anti-join: hits and eh
+    // both descend from the checkpointed h, and a same-name hh === hh
+    // predicate would be rescued only by Catalyst's self-join
+    // disambiguation heuristic (with a "trivially true equals" log
+    // warning). Distinct names make the join unambiguous by
+    // construction — the o11 plan contract asserts the anti-join keys.
+    val eh = h.select(col("source").as("t_src"), col("hh").as("t_hh"))
+      .distinct()
     val fps = hits.join(eh,
-        hits("bsrc") === eh("source") && hits("hh") === eh("hh"),
+        col("bsrc") === col("t_src") && col("hh") === col("t_hh"),
         "left_anti")
       .groupBy("bsrc").agg(count(lit(1)).as("fp_probes"))
       .withColumnRenamed("bsrc", "source")

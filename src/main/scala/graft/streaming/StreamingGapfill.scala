@@ -23,7 +23,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * duplicates collapse intra-batch to the max event_id exactly like
   * batch h17's max_by; an observation arriving at or behind the held
   * last observation is LATE — its ticks are already closed — and
-  * drops; the watermark bounds how late that can happen.
+  * drops, EVEN when it is still inside the watermark. That is the
+  * price of eager tick close (Append mode cannot retract an emitted
+  * tick), so stream ≡ batch holds exactly when same-instant
+  * duplicates co-arrive in one micro-batch; duplicates that straddle
+  * batches keep the FIRST arrival's value where batch h17 keeps the
+  * max event_id — a documented divergence, pinned by spec. Holding
+  * rows open until the watermark passes them would restore the batch
+  * answer at the cost of a watermark's worth of output latency on
+  * every tick; this operator deliberately chooses eagerness.
   *
   * Spec: streamed ticks ≡ batch h17 rows — exactly, no exclusions —
   * on the corpus events across three chronological waves, and on a

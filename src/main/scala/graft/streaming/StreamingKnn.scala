@@ -69,13 +69,17 @@ object StreamingKnn {
     val touchedPbs = affected.select(pbOf(col("vec_id"), nb).as("pb"))
       .distinct().collect().map(_.getLong(0)).sorted
     if (touchedPbs.nonEmpty) {
-      val oldGraph = if (StoreFs.exists(s, graphPath))
+      // Prune on the STORED partition column, not a recomputed
+      // pbOf(vec_id): filtering on `pb` reaches the parquet source as
+      // partition pruning, so the scan (and the checkpoint behind it)
+      // touches only the affected directories — a 2-of-64-partition
+      // batch reads 2 directories, not the whole graph.
+      val inPb = (if (StoreFs.exists(s, graphPath))
         s.read.parquet(graphPath)
+          .filter(col("pb").isin(touchedPbs: _*))
           .select("vec_id", "rk", "nbr", "cos").localCheckpoint(true)
       else newEdges.limit(0)
-        .select(col("vec_id"), lit(0L).as("rk"), col("nbr"), col("cos"))
-      val inPb = oldGraph
-        .filter(pbOf(col("vec_id"), nb).isin(touchedPbs: _*))
+        .select(col("vec_id"), lit(0L).as("rk"), col("nbr"), col("cos")))
       // unchanged vectors in the touched partitions survive verbatim
       val keep = inPb.join(affected, Seq("vec_id"), "left_anti")
       // affected vectors: old list rows ∪ new edges, dedup by

@@ -431,6 +431,17 @@ class PlanContractSpec extends AnyFunSuite {
       "filter words must broadcast for the membership join")
     assert(!p.contains("SortMergeJoin"),
       "tiny sketch frames must not sort-merge")
+    // the truth-set anti-join runs on RENAMED columns (t_src/t_hh) —
+    // a same-name hh === hh self-join predicate would be silently
+    // rescued by Catalyst's trivially-true-equals heuristic, which a
+    // refactor (e.g. dropping the checkpoint) could invalidate.
+    // Asserted on the OPTIMIZED logical plan: at test scale the FP
+    // branch is empty and AQE's empty-relation propagation erases the
+    // anti-join from the final physical plan entirely.
+    val lp = SparkEntry.queries("o11_bloom_filter")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(lp.contains("t_hh"),
+      s"truth-set anti-join lost its disambiguating rename:\n$lp")
   }
 
   test("c13: cell rates broadcast; the corpus joins by id only — " +

@@ -89,4 +89,26 @@ class StreamingGapfillSpec extends AnyFunSuite {
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
     assert(batchTicks(ev) == expected)
   }
+
+  test("documented divergence: a same-instant duplicate STRADDLING " +
+      "batches keeps the first arrival (its tick is already closed), " +
+      "where batch h17 keeps the max event_id") {
+    val H = 3600000L
+    val B = 1699999200000L
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val first = Obs(1L, t(B), 10L, 5.0)   // aligned: closes tick B eagerly
+    val dup = Obs(1L, t(B), 11L, 9.0)     // same instant, NEXT batch
+    val later = Obs(1L, t(B + H), 12L, 2.0)
+    val streamed = runStream(Seq(Seq(first), Seq(dup, later)))
+    // stream: tick B was emitted from the first arrival; the replayed
+    // instant is at-or-behind the held observation and drops even
+    // though it is within the watermark (Append cannot retract)
+    assert(streamed == Set[(Long, Long, Option[Double], Option[Long])](
+      (1L, B, Some(5.0), Some(0L)), (1L, B + H, Some(2.0), Some(0L))))
+    // batch on the union: max_by(event_id) picks the duplicate
+    import spark.implicits._
+    val ev = Seq(first, dup, later).toDF()
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    assert(batchTicks(ev).contains((1L, B, Some(9.0), Some(0L))))
+  }
 }
