@@ -238,35 +238,30 @@ object SparkEntry {
       |  FROM timeline),
       |chg AS (SELECT id, field, ts, old_value, new_value FROM activity
       |        WHERE field IN ('status','owner','summary')),
-      |init_log AS (
-      |  SELECT id, field, -9223372036854775808 AS ts, old_value AS value FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY id, field ORDER BY ts, new_value) AS rn
-      |    FROM chg)
-      |  WHERE rn = 1),
-      |init_cur AS (
-      |  SELECT c.id, f.field, -9223372036854775808 AS ts,
-      |    CASE f.field WHEN 'status' THEN c.status WHEN 'owner' THEN c.owner
-      |      WHEN 'summary' THEN cs.summary END AS value
-      |  FROM cur c LEFT JOIN cur_sum cs ON cs.id = c.id
-      |  CROSS JOIN (VALUES ('status'),('owner'),('summary')) f(field)
-      |  WHERE NOT EXISTS (SELECT 1 FROM chg WHERE chg.id=c.id AND chg.field=f.field)),
-      |segments AS (
-      |  SELECT id, field, ts, new_value AS value FROM chg
-      |  UNION ALL SELECT * FROM init_log UNION ALL SELECT * FROM init_cur),
+      |-- BACKWARD-ANCHORED (the reference walks back from the current
+      |-- row): a version's value is the NEXT change's old_value, and
+      |-- the newest segment is the current value
       |u AS (
-      |  SELECT id, field, ts, value, 0 AS kind FROM segments
+      |  SELECT id, field, ts, old_value AS value, 0 AS kind FROM chg
       |  UNION ALL
       |  SELECT v.id, f.field, v.ts, NULL AS value, 1 AS kind
       |  FROM versions v
       |  CROSS JOIN (VALUES ('status'),('owner'),('summary')) f(field)),
-      |states AS (
+      |states0 AS (
       |  SELECT * FROM (
       |    SELECT id, field, ts, kind,
-      |      last_value(value IGNORE NULLS) OVER (PARTITION BY id, field
+      |      first_value(value IGNORE NULLS) OVER (PARTITION BY id, field
       |        ORDER BY ts, kind, value
-      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS state
+      |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS state
       |    FROM u)
       |  WHERE kind = 1),
+      |states AS (
+      |  SELECT s.id, s.field, s.ts, s.kind,
+      |    COALESCE(s.state, CASE s.field WHEN 'status' THEN c.status
+      |      WHEN 'owner' THEN c.owner WHEN 'summary' THEN cs.summary END)
+      |      AS state
+      |  FROM states0 s JOIN cur c ON c.id = s.id
+      |  LEFT JOIN cur_sum cs ON cs.id = s.id),
       |sv AS (
       |  SELECT id, ts,
       |    max(CASE WHEN field='status' THEN state END) AS status,
@@ -279,35 +274,23 @@ object SparkEntry {
       |    UNION ALL
       |    SELECT id, ts, old_value AS item, -1 AS delta FROM activity WHERE field='cc')
       |  WHERE item <> ''),
-      |winit AS (
-      |  SELECT *, CASE WHEN first_value(delta) OVER (PARTITION BY id, item
-      |      ORDER BY ts, delta
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) = -1
-      |    THEN 1 ELSE 0 END AS init
+      |-- BACKWARD-ANCHORED presence: the segment between two events is
+      |-- decided by the NEXT event (add => absent, remove => present);
+      |-- the newest segment by the current membership (= the last
+      |-- event per item being an add, in this synthetic mapping)
+      |mord AS (
+      |  SELECT *,
+      |    lag(ts) OVER (PARTITION BY id, item ORDER BY ts, delta) AS prev_ts,
+      |    row_number() OVER (PARTITION BY id, item
+      |      ORDER BY ts DESC, delta DESC) AS rlast
       |  FROM mev),
-      |wprev AS (
-      |  SELECT *, COALESCE(lag(cum) OVER (PARTITION BY id, item ORDER BY ts, delta),
-      |      init) AS prev_cum
-      |  FROM (SELECT *, init + sum(delta) OVER (PARTITION BY id, item
-      |          ORDER BY ts, delta
-      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-      |        FROM winit)),
-      |marks AS (
-      |  SELECT *, (prev_cum <= 0 AND cum > 0) AS is_start,
-      |    (prev_cum > 0 AND cum <= 0) AS is_end
-      |  FROM wprev),
-      |runs AS (
-      |  SELECT *, lead(CASE WHEN is_end THEN ts END) OVER (PARTITION BY id, item
-      |      ORDER BY ts, delta) AS next_end
-      |  FROM marks WHERE is_start OR is_end),
       |intervals AS (
-      |  SELECT id, item, ts AS start_ts, COALESCE(next_end, 9999999999000) AS end_ts
-      |  FROM runs WHERE is_start
+      |  SELECT id, item, COALESCE(prev_ts, -9223372036854775808) AS start_ts,
+      |    ts AS end_ts
+      |  FROM mord WHERE delta = -1
       |  UNION ALL
-      |  SELECT id, item, -9223372036854775808 AS start_ts, ts AS end_ts FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY id, item ORDER BY ts, delta) AS rn
-      |    FROM winit WHERE init=1)
-      |  WHERE rn=1),
+      |  SELECT id, item, ts AS start_ts, 9999999999000 AS end_ts
+      |  FROM mord WHERE rlast = 1 AND delta = 1),
       |member AS (
       |  SELECT v.id, v.ts, i.item FROM versions v JOIN intervals i ON v.id=i.id
       |  WHERE v.ts >= i.start_ts AND v.ts < i.end_ts),

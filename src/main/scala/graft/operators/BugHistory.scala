@@ -18,19 +18,23 @@ import org.apache.spark.sql.functions._
   *  - version timeline  = distinct activity times (+ creation), with
   *    `expires_on` = lead(ts) and a MAX_TIMESTAMP sentinel
   *    (reference: parse_bug_history.py:514);
-  *  - single-value fields: a change (ts, old→new) opens a state
-  *    segment; the segment live at a version is found with an as-of
-  *    union-window (last non-null state ordered by (ts, kind));
-  *    the initial segment is the earliest change's old_value, or the
-  *    current value for never-changed fields
-  *    (reference: parse_bug_history.py:592 "Simple field change");
-  *  - multi-value fields: add/remove activity becomes presence
-  *    intervals per (entity, item) — cumulative presence runs, with a
-  *    pseudo-add at -inf when the first event is a removal (the item
-  *    existed before history began) or when the item is in the current
-  *    state with no activity at all
+  *  - single-value fields: BACKWARD-ANCHORED like the reference — a
+  *    version's value is the NEXT change's old_value (a mirrored as-of
+  *    union-window: first non-null old_value over the FOLLOWING rows),
+  *    falling back to the current row's value for the newest segment
+  *    and for never-changed fields
+  *    (reference: parse_bug_history.py:592 "Simple field change" —
+  *    the backward walk applies old_value only; new_value exists for
+  *    consistency warnings, so unlogged edits resolve toward current);
+  *  - multi-value fields: presence intervals per (entity, item)
+  *    decided BACKWARD from the current membership — the segment
+  *    before a removal is present, the segment before an add is
+  *    absent, the newest segment follows the current row
   *    (reference: parse_bug_history.py:816 addValues /:848
-  *    removeValues — including its tolerance of inconsistent logs);
+  *    removeValues — including its tolerance of inconsistent logs:
+  *    unlogged removals, truncated values, and duplicate adds all
+  *    resolve exactly as the reference's backward walk does, which
+  *    ReferenceParitySpec proves on the real bugzilla_mini data);
   *  - per-version `changes` records (field, old, new) sorted, like
   *    the reference's normalize() change list
   *    (reference: transform_bugzilla.py:75).
@@ -120,48 +124,66 @@ object BugHistory {
       .withColumn("version", row_number().over(wV).cast("long"))
 
     // ---- single-value fields --------------------------------------------
+    // BACKWARD-ANCHORED, like the reference: the walk starts at the
+    // CURRENT row and applies changes in reverse, so a version's value
+    // is the NEXT change's old_value — and the newest segment is the
+    // current value even when the last change's new_value disagrees
+    // (reference: parse_bug_history.py:592 "Simple field change" —
+    // new_value is only ever used for consistency warnings; real
+    // Bugzilla logs contain unlogged edits, e.g. bulk milestone
+    // renames, and anchoring at current is how the reference absorbs
+    // them). On a consistent log (new_value(i) == old_value(i+1),
+    // last new_value == current) this is IDENTICAL to forward replay;
+    // ReferenceParitySpec proves the divergence matters on the real
+    // bugzilla_mini data and that this form round-trips it.
     val singles = if (singleFields.isEmpty) None else Some {
       val chg = act.filter(col("field").isin(singleFields: _*))
         .select(col("id"), col("field"), col("ts"),
           col("old_value"), col("new_value"))
-      val wC = Window.partitionBy("id", "field").orderBy("ts", "new_value")
-      // initial segment: earliest change's old_value …
-      val initFromLog = chg
-        .withColumn("rn", row_number().over(wC))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("field"), lit(NEG).as("ts"),
-          col("old_value").as("value"))
-      // … or the current value for fields never touched by the log
-      val touched = chg.select("id", "field").distinct()
-      val initFromCurrent = current
-        .select(col("id"),
-          explode(array(singleFields.map(f =>
-            struct(lit(f).as("field"), col(f).cast("string").as("value"))): _*))
-            .as("fv"))
-        .select(col("id"), col("fv.field"), lit(NEG).as("ts"), col("fv.value"))
-        .join(touched, Seq("id", "field"), "left_anti")
-      val segments = chg
-        .select(col("id"), col("field"), col("ts"), col("new_value").as("value"))
-        .union(initFromLog).union(initFromCurrent)
-      // as-of: segment rows (kind 0) sort before the version row (kind 1)
-      // at the same ts, so a change at ts applies to the version at ts
-      val u = segments.select(col("id"), col("field"), col("ts"),
-          col("value"), lit(0).as("kind"))
+      // change rows (kind 0) sort BEFORE the version row (kind 1) at
+      // the same ts, so "first change strictly after the version"
+      // excludes a change at the version's own instant (that change
+      // already applied AT the version, exactly like the reference's
+      // backward pass leaving the post-change state on the version
+      // whose timestamp it shares)
+      val u = chg.select(col("id"), col("field"), col("ts"),
+          col("old_value").as("value"), lit(0).as("kind"))
         .union(versions.select(col("id"), col("ts")).crossJoin(
           activity.sparkSession.createDataFrame(
             singleFields.map(Tuple1(_))).toDF("field"))
           .select(col("id"), col("field"), col("ts"), lit(null).cast("string")
             .as("value"), lit(1).as("kind")))
       val wA = Window.partitionBy("id", "field").orderBy("ts", "kind", "value")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      u.withColumn("state", last("value", ignoreNulls = true).over(wA))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val currentVals = current.select(col("id"),
+        explode(array(singleFields.map(f =>
+          struct(lit(f).as("field"), col(f).cast("string").as("cur_value"))): _*))
+          .as("fv"))
+        .select(col("id"), col("fv.field"), col("fv.cur_value"))
+      u.withColumn("state", first("value", ignoreNulls = true).over(wA))
         .filter(col("kind") === 1)
+        .join(currentVals, Seq("id", "field"), "left")
+        .withColumn("state", coalesce(col("state"), col("cur_value")))
         .groupBy("id", "ts")
         .pivot("field", singleFields)
         .agg(first("state"))
     }
 
     // ---- multi-value fields ---------------------------------------------
+    // BACKWARD-ANCHORED presence, like the reference (parse_bug_history
+    // .py:816 addValues / :848 removeValues): walking back from the
+    // current membership, an "add" record means the item was ABSENT in
+    // every earlier segment and a "remove" record means it was PRESENT
+    // — so, read forward, presence in the segment between two events
+    // is decided by the NEXT event (add ⇒ absent, remove ⇒ present)
+    // and the newest segment by membership in the current row. This
+    // absorbs real-log inconsistencies the way the reference does:
+    // an add whose item never reappears in current (an unlogged
+    // removal, or a value truncated by the activity column width —
+    // the reference's removeValues tolerance) contributes NO presence;
+    // duplicate adds leave the between-adds segment absent; a remove
+    // of a never-added item extends presence back to history start.
+    // On consistent logs this is identical to forward +1/-1 replay.
     val multis = if (multiFields.isEmpty) None else Some {
       val mchg = act.filter(col("field").isin(multiFields: _*))
       val ev = mchg.select(col("id"), col("field"), col("ts"),
@@ -170,39 +192,35 @@ object BugHistory {
           explode(split(col("old_value"), ",\\s*")).as("item"), lit(-1).as("delta")))
         .filter(col("item") =!= "")
       val wI = Window.partitionBy("id", "field", "item").orderBy("ts", "delta")
-      // the item existed before history began iff its first event removes it
-      val withInit = ev
-        .withColumn("first_delta", first("delta").over(
-          wI.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .withColumn("init", when(col("first_delta") === -1, 1).otherwise(0))
-      // current items with no activity at all: present forever
-      val evKeys = ev.select("id", "field", "item").distinct()
-      val currentItems = current.select(col("id"),
+      val currentMembers = current.select(col("id"),
           explode(array(multiFields.map(f =>
             struct(lit(f).as("field"), col(f).cast("array<string>").as("items"))): _*))
             .as("fv"))
         .select(col("id"), col("fv.field"), explode(col("fv.items")).as("item"))
+      // a remove event ⇒ present over [previous event, the remove)
+      val removalSpans = ev
+        .withColumn("prev_ts", lag("ts", 1).over(wI))
+        .filter(col("delta") === -1)
+        .select(col("id"), col("field"), col("item"),
+          coalesce(col("prev_ts"), lit(NEG)).as("start_ts"),
+          col("ts").as("end_ts"))
+      // newest segment ⇒ present iff the item is in the current row
+      val lastEv = ev
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("id", "field", "item")
+            .orderBy(col("ts").desc, col("delta").desc)))
+        .filter(col("rn") === 1)
+      val tailSpans = lastEv
+        .join(currentMembers, Seq("id", "field", "item"), "left_semi")
+        .select(col("id"), col("field"), col("item"),
+          col("ts").as("start_ts"), lit(MaxTimestamp).as("end_ts"))
+      // current items with no activity at all: present forever
+      val evKeys = ev.select("id", "field", "item").distinct()
+      val currentOnly = currentMembers
         .join(evKeys, Seq("id", "field", "item"), "left_anti")
         .select(col("id"), col("field"), col("item"),
           lit(NEG).as("start_ts"), lit(MaxTimestamp).as("end_ts"))
-      // presence runs: cum>0 spans; run start at 0→+, end at +→0
-      val runs = withInit
-        .withColumn("cum", col("init") + sum("delta").over(
-          wI.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("prev_cum", coalesce(lag("cum", 1).over(wI), col("init")))
-        .withColumn("is_start", col("prev_cum") <= 0 && col("cum") > 0)
-        .withColumn("is_end", col("prev_cum") > 0 && col("cum") <= 0)
-        .filter(col("is_start") || col("is_end"))
-        .withColumn("next_end", lead(when(col("is_end"), col("ts")), 1).over(wI))
-      val intervals = runs.filter(col("is_start"))
-        .select(col("id"), col("field"), col("item"),
-          col("ts").as("start_ts"),
-          coalesce(col("next_end"), lit(MaxTimestamp)).as("end_ts"))
-        .union(withInit.filter(col("init") === 1)
-          .withColumn("rn", row_number().over(wI)).filter(col("rn") === 1)
-          .select(col("id"), col("field"), col("item"), lit(NEG).as("start_ts"),
-            col("ts").as("end_ts")))
-        .union(currentItems)
+      val intervals = removalSpans.union(tailSpans).union(currentOnly)
       // membership: interval covers the version's valid_from
       val member = versions.select(col("id"), col("ts"))
         .join(intervals, Seq("id"))

@@ -38,6 +38,51 @@ object Comments {
           .as("comment"))
       .orderBy("comment_id")
 
+  /** The reference's comment extraction replayed on REAL Bugzilla
+    * tables (reference: extract_bugzilla.py:744 get_comments) — the
+    * operator [[ReferenceParitySpec]] diffs against the reference's
+    * own published ES snapshots
+    * (tests/resources/reference/public_comments.json /
+    * private_comments.json):
+    *
+    *  - public run (`allowPrivateBugs = false`): comments of the bug
+    *    list with `isprivate = 0`, text kept;
+    *  - private run (`allowPrivateBugs = true`): ALL comments of the
+    *    bug list, text replaced by '[screened]' (the reference screens
+    *    every comment body when private bugs may be present);
+    *  - `modified_by` = profiles.login_name via `who` (left join —
+    *    an unknown author keeps the comment);
+    *  - `modified_ts` = UNIX_TIMESTAMP(bug_when)*1000 — epoch millis,
+    *    UTC;
+    *  - an EMPTY comment body publishes as null: the reference runs
+    *    every doc through mo_json.scrub (bz_etl.py:73), which drops
+    *    empty strings, and its published snapshots omit the field.
+    *
+    * Scale: profiles broadcasts (a dimension), longdescs scans once
+    * with the bug/privacy filters pushed to the source; one narrow
+    * projection — no shuffle at all on the fact side. */
+  def bugzillaComments(longdescs: DataFrame, profiles: DataFrame,
+      bugList: Seq[Long], allowPrivateBugs: Boolean): DataFrame = {
+    val base = longdescs.filter(col("bug_id").isin(bugList: _*))
+    val vis = if (allowPrivateBugs) base
+      else base.filter(col("isprivate") === 0)
+    val body =
+      if (allowPrivateBugs) lit("[screened]")
+      else when(length(col("thetext")) === 0, lit(null))
+        .otherwise(col("thetext"))
+    vis.join(
+        broadcast(profiles.select(col("userid"), col("login_name"))),
+        col("who") === col("userid"), "left")
+      .select(
+        col("comment_id"),
+        col("bug_id"),
+        col("login_name").as("modified_by"),
+        (col("bug_when").cast("long") * 1000L).as("modified_ts"),
+        body.as("comment"),
+        col("isprivate"))
+      .orderBy("comment_id")
+  }
+
   /** Load the comment stream into its own ES bulk index, separate from
     * the bugs index (reference: bz_etl.py:123 two output queues). */
   def writeCommentsIndex(s: SparkSession, d: String, outDir: String): Unit = {

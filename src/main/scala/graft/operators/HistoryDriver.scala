@@ -162,12 +162,27 @@ object HistoryDriver {
       .groupBy("id")
       .agg(max_by(summaryOf, struct(col("ts"), col("event_id")))
         .as("summary"))
+    // current cc membership: the LAST event per (user, item) decides —
+    // present iff it is an add. reconstruct is backward-anchored (the
+    // reference's semantics), so the newest segment of every item
+    // comes from THIS set; ties at one ts order (ts, delta) with the
+    // add last, matching reconstruct's event ordering.
+    val ccEv = ev.filter(col("event_type").isin("click", "error"))
+      .withColumn("delta",
+        when(col("event_type") === "click", 1).otherwise(-1))
+    val curCc = ccEv.groupBy(col("id"), col("k"))
+      .agg(max_by(col("delta"), struct(col("ts"), col("delta")))
+        .as("last_delta"))
+      .filter(col("last_delta") === 1)
+      .groupBy("id")
+      .agg(collect_list(concat(lit("k"), col("k"))).as("cc"))
     val current = ev.groupBy("id")
       .agg(min("ts").as("created_ts"),
         max_by(col("event_type"), struct(col("ts"), col("event_id")))
           .as("status"))
       .withColumn("owner", concat(lit("u"), col("id")))
-      .withColumn("cc", array().cast("array<string>"))
+      .join(curCc, Seq("id"), "left")
+      .withColumn("cc", coalesce(col("cc"), array().cast("array<string>")))
       .join(curSummary, Seq("id"), "left")
 
     BugHistory.reconstruct(current, activity,

@@ -1,0 +1,224 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.operators.Comments
+import graft.sources.MySqlDump
+import org.scalatest.funsuite.AnyFunSuite
+
+/** INDEPENDENT parity against the reference's own published output —
+  * the one oracle not written by this engine's author. The reference
+  * ships a real mini-Bugzilla dump
+  * (tests/resources/sql/bugzilla_mini.sql.zip) and the ES snapshots
+  * its own test_etl.py validates against
+  * (tests/resources/reference/public_comments.json /
+  * private_comments.json, compared record-for-record after sorting on
+  * [bug_id, modified_ts, comment_id] — reference: tests/test_etl.py
+  * test_public_etl / test_private_etl). This spec replays the REAL
+  * dump through the engine's [[MySqlDump]] source and
+  * [[Comments.bugzillaComments]] operator and asserts the full
+  * record set equals both snapshots exactly.
+  *
+  * Field mapping documented divergences: NONE — every field
+  * (comment_id, bug_id, modified_by, modified_ts, comment, isprivate)
+  * matches byte-for-byte, including multi-line comment bodies through
+  * MySQL escape decoding, UTC epoch-millis timestamps, and the
+  * reference's scrub() behavior of publishing empty comment bodies as
+  * an absent field (mapped to null here). */
+class ReferenceParitySpec extends AnyFunSuite {
+  import SparkTest._
+
+  private val refDir = "/root/reference/tests/resources"
+  private val dump = s"$refDir/sql/bugzilla_mini.sql.zip"
+
+  /** The reference's test bug list
+    * (tests/resources/config/test_examples.json#param.bugs). */
+  private val BugList: Seq[Long] = Seq(
+    384L, 1045L, 1046L, 1108L, 1157L, 1877L, 1865L, 1869L, 2586L,
+    3140L, 6810L, 9622L, 10575L, 11040L, 12911L, 13534L, 67742L,
+    96421L, 123203L, 178960L, 248970L, 248971L, 367518L, 372836L,
+    393845L, 457765L, 458397L, 471427L, 544327L, 547727L, 520943L,
+    643420L, 671185L, 692436L, 726635L, 813650L, 937428L, 943528L,
+    1007019L, 1165765L, 1334937L, 1367660L, 1367671L, 1370314L,
+    1379514L, 1386206L, 1388648L, 1388678L, 1392967L, 1393407L,
+    1393332L, 1390946L)
+
+  private type CommentRec =
+    (Long, Long, Option[String], Long, Option[String], Long)
+
+  private def snapshot(file: String): Set[CommentRec] = {
+    val root: JsonNode = new ObjectMapper()
+      .readTree(new java.io.File(s"$refDir/reference/$file"))
+    root.properties().asScala.map { e =>
+      val v = e.getValue
+      def opt(f: String): Option[String] =
+        Option(v.get(f)).filterNot(_.isNull).map(_.asText)
+      (v.get("comment_id").asLong, v.get("bug_id").asLong,
+        opt("modified_by"), v.get("modified_ts").asLong,
+        opt("comment"), v.get("isprivate").asLong)
+    }.toSet
+  }
+
+  private def engineRun(allowPrivateBugs: Boolean): Set[CommentRec] = {
+    val longdescs = MySqlDump.table(spark, dump, "longdescs")
+    val profiles = MySqlDump.table(spark, dump, "profiles")
+    Comments.bugzillaComments(longdescs, profiles, BugList,
+        allowPrivateBugs)
+      .collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          Option(r.getString(2)), r.getLong(3),
+          Option(r.getString(4)), r.getLong(5))
+      }.toSet
+  }
+
+  test("PUBLIC run ≡ the reference's published public_comments.json " +
+      "(2658 records, full-field equality)") {
+    val mine = engineRun(allowPrivateBugs = false)
+    val ref = snapshot("public_comments.json")
+    assert(ref.size == 2658, s"snapshot unexpectedly has ${ref.size}")
+    val missing = ref -- mine
+    val extra = mine -- ref
+    assert(missing.isEmpty && extra.isEmpty,
+      s"missing ${missing.size} (e.g. ${missing.headOption}); " +
+        s"extra ${extra.size} (e.g. ${extra.headOption})")
+  }
+
+  test("PRIVATE run ≡ the reference's published private_comments.json " +
+      "(every body '[screened]', same id set)") {
+    val mine = engineRun(allowPrivateBugs = true)
+    val ref = snapshot("private_comments.json")
+    assert(ref.size == 2658)
+    val missing = ref -- mine
+    val extra = mine -- ref
+    assert(missing.isEmpty && extra.isEmpty,
+      s"missing ${missing.size} (e.g. ${missing.headOption}); " +
+        s"extra ${extra.size} (e.g. ${extra.headOption})")
+    assert(mine.forall(_._5.contains("[screened]")),
+      "private run must screen every comment body")
+  }
+
+  test("bug-history reconstruction on the REAL bugs/bugs_activity " +
+      "tables: forward replay round-trips to the current state") {
+    import org.apache.spark.sql.functions._
+    val bugs = MySqlDump.table(spark, dump, "bugs")
+      .filter(col("bug_id").isin(BugList: _*))
+    val activityRaw = MySqlDump.table(spark, dump, "bugs_activity")
+      .filter(col("bug_id").isin(BugList: _*))
+    val fielddefs = MySqlDump.table(spark, dump, "fielddefs")
+      .select(col("id").as("fieldid"), col("name"))
+    val profiles = MySqlDump.table(spark, dump, "profiles")
+      .select(col("userid"), col("login_name"))
+    val keyworddefs = MySqlDump.table(spark, dump, "keyworddefs")
+      .select(col("id").as("keywordid"), col("name").as("kw"))
+
+    // Fields whose bugs_activity representation is the literal bugs
+    // column value (assigned_to/qa_contact log LOGIN NAMES while bugs
+    // stores userids — the reference resolves those via profiles;
+    // status/resolution/priority/severity/milestone are verbatim).
+    val singleFields = Seq("bug_status", "resolution", "priority",
+      "bug_severity", "target_milestone")
+    // cc and keywords live in side tables keyed by id; activity logs
+    // comma-separated display values (logins / keyword names).
+    val cc = MySqlDump.table(spark, dump, "cc")
+      .join(profiles, col("who") === col("userid"))
+      .groupBy("bug_id").agg(array_sort(collect_set("login_name")).as("cc"))
+    val kw = MySqlDump.table(spark, dump, "keywords")
+      .join(keyworddefs, "keywordid")
+      .groupBy("bug_id").agg(array_sort(collect_set("kw")).as("keywords"))
+
+    val current = bugs
+      .join(cc, Seq("bug_id"), "left")
+      .join(kw, Seq("bug_id"), "left")
+      .select(col("bug_id").as("id"),
+        (col("creation_ts").cast("long") * 1000L).as("created_ts"),
+        col("bug_status"), col("resolution"), col("priority"),
+        col("bug_severity"), col("target_milestone"),
+        coalesce(col("cc"), array().cast("array<string>")).as("cc"),
+        coalesce(col("keywords"), array().cast("array<string>"))
+          .as("keywords"))
+    val activity = activityRaw
+      .join(broadcast(fielddefs), "fieldid")
+      .join(broadcast(profiles), col("who") === col("userid"), "left")
+      .select(col("bug_id").as("id"),
+        (col("bug_when").cast("long") * 1000L).as("ts"),
+        col("login_name").as("modified_by"),
+        col("name").as("field"),
+        col("removed").as("old_value"), col("added").as("new_value"),
+        col("id").as("seq"))
+
+    val hist = graft.operators.BugHistory.reconstruct(
+      current, activity, singleFields, Seq("cc", "keywords"),
+      longFields = Seq("short_desc", "cf_user_story"))
+      .localCheckpoint(true)
+
+    // structural: every bug versioned; intervals tile to +inf
+    assert(hist.select("id").distinct().count() == BugList.size)
+    val lastRows = hist.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("version").desc)))
+      .filter(col("rn") === 1)
+    assert(lastRows.filter(col("expires_on") =!=
+      graft.operators.BugHistory.MaxTimestamp).count() == 0)
+
+    // round-trip: the LAST version's state must equal the current row
+    val cur = current.withColumnRenamed("id", "cid")
+    val diag = singleFields.map { f =>
+      val n = lastRows.select(col("id"), col(f))
+        .join(cur.select(col("cid"), col(f).as(s"want_$f")),
+          col("id") === col("cid"))
+        .filter(coalesce(col(f), lit("")) =!=
+          coalesce(col(s"want_$f"), lit("")))
+        .count()
+      f -> n
+    }
+    val multiDiag = Seq("cc", "keywords").map { f =>
+      val n = lastRows.select(col("id"), col(f))
+        .join(cur.select(col("cid"), col(f).as(s"want_$f")),
+          col("id") === col("cid"))
+        .filter(to_json(col(f)) =!= to_json(col(s"want_$f")))
+        .count()
+      f -> n
+    }
+    info(s"single-field round-trip mismatches: $diag")
+    info(s"multi-field round-trip mismatches: $multiDiag")
+    for (f <- Seq("target_milestone")) {
+      lastRows.select(col("id"), col(f))
+        .join(cur.select(col("cid"), col(f).as(s"want_$f")),
+          col("id") === col("cid"))
+        .filter(coalesce(col(f), lit("")) =!=
+          coalesce(col(s"want_$f"), lit("")))
+        .collect().foreach(r => info(s"  $f: $r"))
+    }
+    for (f <- Seq("cc", "keywords")) {
+      lastRows.select(col("id"), col(f))
+        .join(cur.select(col("cid"), col(f).as(s"want_$f")),
+          col("id") === col("cid"))
+        .filter(to_json(col(f)) =!= to_json(col(s"want_$f")))
+        .select(col("id"),
+          array_except(col(f), col(s"want_$f")).as("extra"),
+          array_except(col(s"want_$f"), col(f)).as("missing"))
+        .collect().foreach(r => info(s"  $f: $r"))
+    }
+    assert(diag.map(_._2).sum == 0,
+      s"single-field round-trip mismatches: $diag")
+    assert(multiDiag.map(_._2).sum == 0,
+      s"multi-field round-trip mismatches: $multiDiag")
+  }
+
+  test("MySqlDump source: schema from CREATE TABLE, distributed tuple " +
+      "parse, UTC timestamps, escape decoding") {
+    val ld = MySqlDump.table(spark, dump, "longdescs")
+    assert(ld.schema.fieldNames.toSeq == Seq("bug_id", "who", "thetext",
+      "work_time", "isprivate", "already_wrapped", "comment_id", "type",
+      "extra_data", "edit_count", "bug_when", "is_markdown"))
+    assert(ld.count() == 2658)
+    // a known record, exercising multi-line text and the UTC clock:
+    // comment 956 on bug 384 at 1998-05-20 07:00:00 UTC = 895647600000
+    val r = ld.filter(org.apache.spark.sql.functions.col("comment_id")
+      === 956).collect().head
+    assert(r.getAs[String]("thetext").startsWith("testing\n"))
+    assert(r.getAs[java.sql.Timestamp]("bug_when").getTime ==
+      895647600000L)
+  }
+}
