@@ -148,6 +148,8 @@ object SparkEntry {
     "s13_ivf_pq" -> (graft.similarity.Similarity.s13IvfPq _),
     "s14_knn_graph" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s14KnnGraph(s, d)),
+    "s15_graph_search" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.s15GraphSearch(s, d)),
     "s8_mmr_diversify" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s8MmrDiversify(s, d)),
     "s9_mmr_lsh" -> ((s: SparkSession, d: String) =>
@@ -644,6 +646,101 @@ object SparkEntry {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** s15's oracle: the s14 graph CTE + the s2 seed chain + the beam
+    * walk UNROLLED round by round (frontier = top-beam of the visited
+    * set, expand through the graph, score only unseen candidates,
+    * fold). Every intermediate visited set is MATERIALIZED — each
+    * round reads its predecessor three times, and DuckDB inlines
+    * multiply-referenced CTEs. */
+  private lazy val s15GraphSearchSql: String = {
+    val planes = (0 until 4).map(j =>
+      doubleList(graft.functions.VectorFunctions.planeValues(j, 64)))
+    val dots = (0 until 4).map(j =>
+      s"${seqDot("emb", planes(j))} AS d$j").mkString(",\n    ")
+    val bucket = (0 until 4).map(j =>
+      s"CASE WHEN d$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    // the search graph's 96 independent planes (seedBase 2000), one
+    // VALUES row per (band, bit weight), mirroring Similarity
+    // .searchGraph's signSig calls
+    val ptRows = (for (b <- 0 until 12; j <- 0 until 8) yield {
+      val pl = doubleList(
+        graft.functions.VectorFunctions.planeValues(2000 + b * 8 + j, 64))
+      s"    ($b, ${1L << j}, $pl)"
+    }).mkString(",\n")
+    val rounds = (1 to 3).map { r =>
+      s"""f$r AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, c_id) AS rk FROM v${r - 1})
+         |  WHERE rk <= 12),
+         |n$r AS (
+         |  SELECT DISTINCT f.q_id, g.nbr AS c_id
+         |  FROM f$r f JOIN g ON g.vec_id = f.c_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} v
+         |    WHERE v.q_id = f.q_id AND v.c_id = g.nbr)),
+         |sc$r AS (
+         |  SELECT n.q_id, n.c_id,
+         |    round(list_cosine_similarity(q.q_emb, ce.c_emb), 3) AS cos
+         |  FROM n$r n JOIN q ON q.q_id = n.q_id
+         |  JOIN ce ON ce.c_id = n.c_id),
+         |v$r AS MATERIALIZED (
+         |  SELECT * FROM v${r - 1} UNION ALL SELECT * FROM sc$r),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |spt(b, w, plane) AS (VALUES
+       |$ptRows),
+       |sge AS (
+       |  SELECT vec_id, b,
+       |    CAST(sum(CASE WHEN ${seqDot("emb", "plane")} > 0
+       |      THEN w ELSE 0 END) AS BIGINT) AS sig
+       |  FROM e CROSS JOIN spt WHERE vec_id >= 10 GROUP BY 1, 2),
+       |scand AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM sge a JOIN sge b ON a.b = b.b AND a.sig = b.sig
+       |    AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |sp AS MATERIALIZED (
+       |  SELECT id1, id2,
+       |    round(list_cosine_similarity(e1.emb, e2.emb), 3) AS cos
+       |  FROM scand JOIN e e1 ON e1.vec_id = id1
+       |  JOIN e e2 ON e2.vec_id = id2),
+       |g AS MATERIALIZED (
+       |  SELECT vec_id, nbr FROM (
+       |    SELECT vec_id, nbr, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, nbr) AS rk
+       |    FROM (SELECT id1 AS vec_id, id2 AS nbr, cos FROM sp
+       |          UNION ALL SELECT id2, id1, cos FROM sp))
+       |  WHERE rk <= 16),
+       |bkt AS (
+       |  SELECT vec_id, emb, $bucket AS bucket FROM (
+       |    SELECT vec_id, emb,
+       |    $dots
+       |    FROM e)),
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS b0
+       |      FROM bkt WHERE vec_id < 10),
+       |qp AS (SELECT q_id, q_emb, unnest(
+       |    [b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
+       |  FROM q),
+       |ce AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id >= 10),
+       |cb AS (SELECT vec_id AS c_id, emb AS c_emb, bucket
+       |      FROM bkt WHERE vec_id >= 10),
+       |v0 AS MATERIALIZED (
+       |  SELECT q_id, c_id, cos FROM (
+       |    SELECT q_id, c_id,
+       |      round(list_cosine_similarity(q_emb, c_emb), 3) AS cos,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY round(list_cosine_similarity(q_emb, c_emb), 3) DESC,
+       |                 c_id ASC) AS rk
+       |    FROM cb JOIN qp USING (bucket))
+       |  WHERE rk <= 12),
+       |$rounds
+       |unused AS (SELECT 1)
+       |SELECT q_id, rank, c_id, cos FROM (
+       |  SELECT q_id, c_id, cos, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, c_id) AS BIGINT) AS rank FROM v3)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** d2's MinHash-LSH oracle (md5-based permutations interpolated from
     * MinHashParams) — also the edge set of d8's clustering oracle. */
   /** Shared minhash sketch CTE chain (through `band`) — the oracle
@@ -948,6 +1045,7 @@ object SparkEntry {
         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
         |WHERE hamming <= 10 ORDER BY id1, id2""".stripMargin,
     "s2_ann_lsh" -> s2AnnSql,
+    "s15_graph_search" -> s15GraphSearchSql,
     "s6_ann_recall" ->
       s"""WITH exact AS (SELECT q_id, c_id FROM ($s1AnnSql)),
          |approx AS (SELECT q_id, c_id FROM ($s2AnnSql)),

@@ -891,9 +891,10 @@ object Dedup {
       .select(col("vec_id"), V.asDouble(col("embedding")).as("emb"))
       .withColumn("nrm", V.norm2(col("emb")))
 
-  /** Exact-cosine verification of deduped candidate pairs against a
-    * vector lookup frame (d5's threshold). */
-  private[graft] def verifyCosine(cand: DataFrame,
+  /** Exact-cosine scoring of deduped candidate pairs against a vector
+    * lookup frame — no threshold (s15's search graph ranks ALL banded
+    * candidates; an absolute floor is a dedup concern). */
+  private[graft] def scoredCosine(cand: DataFrame,
       vecs: DataFrame): DataFrame =
     cand
       .join(vecs.select(col("vec_id").as("id1"), col("emb").as("e1"),
@@ -903,7 +904,12 @@ object Dedup {
       .select(col("id1"), col("id2"),
         round(V.dot(col("e1"), col("e2")) /
           sqrt(col("n1") * col("n2")), 3).as("cos"))
-      .filter(col("cos") >= 0.3)
+
+  /** Exact-cosine verification of deduped candidate pairs against a
+    * vector lookup frame (d5's threshold). */
+  private[graft] def verifyCosine(cand: DataFrame,
+      vecs: DataFrame): DataFrame =
+    scoredCosine(cand, vecs).filter(col("cos") >= 0.3)
 
   /** D12: SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication") — doc-level

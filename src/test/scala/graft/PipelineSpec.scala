@@ -378,6 +378,25 @@ class PipelineSpec extends AnyFunSuite {
       s"multi-probe LSH recall@5 too low: $hit/${bf.size}")
   }
 
+  test("s15 graph walk recall@5 vs brute force beats its own LSH seed " +
+      "tier — the graph rounds must ADD neighbors the seed missed") {
+    val bf = similarity.Similarity.s1AnnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val seed = similarity.Similarity.s2AnnLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val walk = similarity.Similarity.s15GraphSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(walk.nonEmpty)
+    val seedHit = seed.count(bf.contains)
+    val walkHit = walk.count(bf.contains)
+    info(s"recall@5: seed $seedHit/${bf.size}, graph walk $walkHit/${bf.size}")
+    assert(walkHit > seedHit,
+      s"graph walk added nothing over the seed: $walkHit <= $seedHit")
+    // floor a broken walk would break (seed alone measures ~38%)
+    assert(walkHit * 2 >= bf.size,
+      s"graph-walk recall@5 below half: $walkHit/${bf.size}")
+  }
+
   test("t1 langid predicts a known language label") {
     val langs = Set("en", "de", "fr", "es", "zh")
     text.TextAnalysis.t1LangId(spark, sf).collect().foreach { r =>

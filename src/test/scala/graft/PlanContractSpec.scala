@@ -552,6 +552,49 @@ class PlanContractSpec extends AnyFunSuite {
       .findAllIn(p).hasNext, s"vectors rode the band shuffle:\n$p")
   }
 
+  test("s15: graph walk — final re-rank reads only checkpoints; a " +
+      "round's expansion is hash equi-joins, no cartesian, window on " +
+      "the query key") {
+    val p = finalPlan("s15_graph_search")
+    // seed, graph, and every round's fold are checkpointed: the final
+    // top-k segment must read NO parquet and contain no join at all
+    assert(scanCount(p) == 0, s"parquet re-scanned past checkpoints:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert("windowspecdefinition\\(q_id".r.findAllIn(p).nonEmpty,
+      s"final top-k window not partitioned by q_id:\n$p")
+    // audit ONE round's expansion structure directly (checkpoints hide
+    // interior rounds from the final plan): frontier->graph and
+    // candidate->vector joins must be hash equi-joins even with
+    // broadcast disabled — no nested-loop stage anywhere
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+    val graph = similarity.Similarity.s14KnnGraph(spark, sf)
+      .filter(col("nbr") >= 10).select("vec_id", "nbr")
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cv = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val visited = similarity.Similarity.lshShortlist(spark, sf, 8)
+    val round = similarity.Similarity.s15Expand(visited, graph, q, cv, 8)
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      round.queryExecution.executedPlan.execute().count()
+      val rp = round.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!rp.contains("CartesianProduct") &&
+        !rp.contains("BroadcastNestedLoopJoin"),
+        s"round expansion degenerated to a nested loop:\n$rp")
+      assert(rp.contains("SortMergeJoin") || rp.contains("ShuffledHashJoin") ||
+        rp.contains("BroadcastHashJoin"),
+        s"no hash equi-join in the round expansion:\n$rp")
+    } finally {
+      prev.foreach(spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      if (prev.isEmpty)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("m5: banded equi-join only (no pairwise stage); one corpus scan " +
       "feeds both band sides") {
     val p = finalPlanNoBroadcast("m5_phash_dedup")
