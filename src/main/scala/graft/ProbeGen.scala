@@ -13,12 +13,28 @@ import org.apache.spark.sql.functions._
   * pipeline rule from SURVEY §4a) or exclude them via
   * SPARK_GRAFT_EXCLUDE when probing.
   *
-  * Usage: runMain graft.ProbeGen <srcSfDir> <outDir> <copies>
+  * MUTATE mode (4th arg "mutate") makes the near-dup family probeable:
+  * replica i of a document mutates the tokens at positions p with
+  * hash(doc, p) mod 1000 < i·80 (NESTED mutation sets, so replicas i
+  * and j differ in exactly |i−j|·8% of tokens — each replica is a
+  * near-dup of its chain NEIGHBORS only, and the true pair answer
+  * grows LINEARLY in copies instead of quadratically); replica i of
+  * an embedding drifts by i·0.25 along a fixed per-(vec, dim)
+  * direction, the same bounded-degree chain in cosine space. Step
+  * sizes are tuned so each operator's chain degree is ~2-3 at its
+  * own threshold — true answers grow linearly with a SMALL constant
+  * (weaker steps measured answer-size-bound superlinear walls). Exact
+  * replicas (the default) stay for the non-near-dup family, whose
+  * history/join fan-outs they scale correctly.
+  *
+  * Usage: runMain graft.ProbeGen <srcSfDir> <outDir> <copies> [mutate]
   */
 object ProbeGen {
   def main(args: Array[String]): Unit = {
-    val Array(src, out, copiesStr) = args
-    val copies = copiesStr.toInt
+    val (src, out, copies, mutate) = args match {
+      case Array(s, o, c)      => (s, o, c.toInt, false)
+      case Array(s, o, c, "mutate") => (s, o, c.toInt, true)
+    }
     val spark = GraftSession.local()
 
     // raw load (no ts normalization) so written columns keep their
@@ -48,8 +64,48 @@ object ProbeGen {
       "l_partkey" -> 10000000L, "l_suppkey" -> 10000000L))
     replicate("events", Map("event_id" -> 1000000000L,
       "user_id" -> 1000000L))
-    replicate("documents", Map("doc_id" -> 10000000L))
-    replicate("embeddings", Map("vec_id" -> 10000000L))
+    if (!mutate) {
+      replicate("documents", Map("doc_id" -> 10000000L))
+      replicate("embeddings", Map("vec_id" -> 10000000L))
+    } else {
+      // nested token mutation keyed on the ORIGINAL doc_id (so the
+      // mutated position sets align across replicas), then id shift
+      val docs = Tables.load(spark, src, "documents")
+      (0 until copies).map { i =>
+        val mutated =
+          if (i == 0) docs
+          else docs.withColumn("text",
+            when(col("text").isNotNull, concat_ws(" ",
+              transform(split(col("text"), " "), (t, p) =>
+                when(pmod(xxhash64(col("doc_id"), p), lit(1000))
+                    < lit(math.min(i * 80, 1000)),
+                  // replacement keyed on (doc, position): replicas of
+                  // the SAME doc share it (chain-consistent), distinct
+                  // docs never do — mutation noise must not create
+                  // cross-document similarity
+                  concat(lit("m"),
+                    pmod(xxhash64(col("doc_id"), p, lit(7)), lit(99991))))
+                  .otherwise(t))))
+              .otherwise(col("text")))
+            .withColumn("n_chars",
+              coalesce(length(col("text")).cast("long"), lit(0L)))
+        mutated.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+      }.reduce(_.unionAll(_))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+      // fixed per-(vec, dim) drift direction, magnitude i * 0.03
+      val embs = Tables.load(spark, src, "embeddings")
+      (0 until copies).map { i =>
+        val drifted =
+          if (i == 0) embs
+          else embs.withColumn("embedding",
+            transform(col("embedding"), (x, j) =>
+              (x + (pmod(xxhash64(col("vec_id"), j), lit(2001))
+                .cast("double") / 1000.0 - 1.0) * lit(i * 0.25))
+                .cast("float")))
+        drifted.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+      }.reduce(_.unionAll(_))
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+    }
     spark.stop()
   }
 }

@@ -652,6 +652,78 @@ object SparkEntry {
     * fold). Every intermediate visited set is MATERIALIZED — each
     * round reads its predecessor three times, and DuckDB inlines
     * multiply-referenced CTEs. */
+  /** The sparse banding's 96 planes (seedBase 2000), one VALUES row
+    * per (band, bit weight) — mirrors Similarity.sparseBands' signSig
+    * calls; shared by the s14 and s15 oracles. */
+  private lazy val sparsePlaneRows: String =
+    (for (b <- 0 until 12; j <- 0 until 8) yield {
+      val pl = doubleList(
+        graft.functions.VectorFunctions.planeValues(2000 + b * 8 + j, 64))
+      s"    ($b, ${1L << j}, $pl)"
+    }).mkString(",\n")
+
+  /** s14's oracle: within-label sparse-band init edges (unfloored) +
+    * the NN-Descent rounds unrolled — each round's
+    * neighbor-of-neighbor candidates (minus known edges) score and
+    * fold into the edge set — then the d5 floor and top-5. Every
+    * multi-referenced CTE MATERIALIZED. */
+  private lazy val s14KnnGraphSql: String = {
+    val descentK = 8
+    val rounds = (1 to 2).map { r =>
+      s"""kg${r - 1} AS MATERIALIZED (
+         |  SELECT vec_id, nbr FROM (
+         |    SELECT vec_id, nbr, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, nbr) AS rk
+         |    FROM (SELECT id1 AS vec_id, id2 AS nbr, cos FROM ke${r - 1}
+         |          UNION ALL SELECT id2, id1, cos FROM ke${r - 1}))
+         |  WHERE rk <= $descentK),
+         |kc$r AS (
+         |  SELECT DISTINCT least(x.vec_id, y.nbr) AS id1,
+         |    greatest(x.vec_id, y.nbr) AS id2
+         |  FROM kg${r - 1} x JOIN kg${r - 1} y ON x.nbr = y.vec_id
+         |  WHERE x.vec_id <> y.nbr),
+         |kn$r AS (
+         |  SELECT id1, id2 FROM kc$r c
+         |  WHERE NOT EXISTS (SELECT 1 FROM ke${r - 1} e
+         |    WHERE e.id1 = c.id1 AND e.id2 = c.id2)),
+         |ks$r AS (
+         |  SELECT id1, id2,
+         |    round(list_cosine_similarity(e1.emb, e2.emb), 3) AS cos
+         |  FROM kn$r JOIN e e1 ON e1.vec_id = id1
+         |  JOIN e e2 ON e2.vec_id = id2),
+         |ke$r AS MATERIALIZED (
+         |  SELECT * FROM ke${r - 1} UNION ALL SELECT * FROM ks$r),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+       |spt(b, w, plane) AS (VALUES
+       |$sparsePlaneRows),
+       |sge AS (
+       |  SELECT vec_id, label, b,
+       |    CAST(sum(CASE WHEN ${seqDot("emb", "plane")} > 0
+       |      THEN w ELSE 0 END) AS BIGINT) AS sig
+       |  FROM e CROSS JOIN spt GROUP BY 1, 2, 3),
+       |scand AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM sge a JOIN sge b ON a.label = b.label AND a.b = b.b
+       |    AND a.sig = b.sig AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |ke0 AS MATERIALIZED (
+       |  SELECT id1, id2,
+       |    round(list_cosine_similarity(e1.emb, e2.emb), 3) AS cos
+       |  FROM scand JOIN e e1 ON e1.vec_id = id1
+       |  JOIN e e2 ON e2.vec_id = id2),
+       |$rounds
+       |p AS (SELECT id1, id2, cos FROM ke2 WHERE cos >= 0.3),
+       |sym AS (SELECT id1 AS vec_id, id2 AS nbr, cos FROM p
+       |        UNION ALL SELECT id2, id1, cos FROM p)
+       |SELECT vec_id, rk, nbr, cos FROM (
+       |  SELECT vec_id, nbr, cos, CAST(row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos DESC, nbr) AS BIGINT) AS rk
+       |  FROM sym)
+       |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
+  }
+
   private lazy val s15GraphSearchSql: String = {
     val planes = (0 until 4).map(j =>
       doubleList(graft.functions.VectorFunctions.planeValues(j, 64)))
@@ -659,14 +731,7 @@ object SparkEntry {
       s"${seqDot("emb", planes(j))} AS d$j").mkString(",\n    ")
     val bucket = (0 until 4).map(j =>
       s"CASE WHEN d$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
-    // the search graph's 96 independent planes (seedBase 2000), one
-    // VALUES row per (band, bit weight), mirroring Similarity
-    // .searchGraph's signSig calls
-    val ptRows = (for (b <- 0 until 12; j <- 0 until 8) yield {
-      val pl = doubleList(
-        graft.functions.VectorFunctions.planeValues(2000 + b * 8 + j, 64))
-      s"    ($b, ${1L << j}, $pl)"
-    }).mkString(",\n")
+    val ptRows = sparsePlaneRows
     val rounds = (1 to 3).map { r =>
       s"""f$r AS (
          |  SELECT q_id, c_id FROM (
@@ -2915,17 +2980,7 @@ object SparkEntry {
          |  id2 // 1000000 AS doc2, id2 % 1000000 AS chunk2, jaccard_est
          |FROM pairs WHERE id1 // 1000000 <> id2 // 1000000
          |ORDER BY doc1, chunk1, doc2, chunk2""".stripMargin,
-    "s14_knn_graph" ->
-      // d5's banded pair set feeds BOTH endpoints' neighbor lists;
-      // top-k per vector, 3-dp cosine ties broken by neighbor id
-      s"""WITH p AS MATERIALIZED ($d5PairsSql),
-         |sym AS (SELECT id1 AS vec_id, id2 AS nbr, cos FROM p
-         |        UNION ALL SELECT id2, id1, cos FROM p)
-         |SELECT vec_id, rk, nbr, cos FROM (
-         |  SELECT vec_id, nbr, cos, CAST(row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY cos DESC, nbr) AS BIGINT) AS rk
-         |  FROM sym)
-         |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
+    "s14_knn_graph" -> s14KnnGraphSql,
     // d12 = exact components over the SAME banded pair graph: the
     // oracle closes it transitively and keeps each group's min id.
     "d12_semdedup" ->

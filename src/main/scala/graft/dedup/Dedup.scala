@@ -735,15 +735,15 @@ object Dedup {
   def d15SubstrDedup(s: SparkSession, d: String): DataFrame =
     substrDedupFrame(Tables.documents(s, d))
 
-  /** d15's body over an arbitrary (doc_id, text) frame — exposed so
-    * the spec can drive hand-built fixtures (shared runs at odd
-    * alignments, within-doc repeats, sub-threshold runs). */
-  private[graft] def substrDedupFrame(docsIn: DataFrame): DataFrame = {
+  /** d15's stride-1 span-occurrence frame (doc_id, st, occ, h) —
+    * shared by the batch rewrite and [[graft.streaming
+    * .StreamingCuration]]'s cross-batch span stage. */
+  private[graft] def spanOccurrences(docsIn: DataFrame): DataFrame = {
     val w = 16
-    val tok = docsIn
+    docsIn
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val spans = tok.filter(size(col("toks")) >= w)
+      .filter(size(col("toks")) >= w)
       .select(col("doc_id"), col("toks"),
         explode(sequence(lit(0L), size(col("toks")).cast("long") - w))
           .as("st"))
@@ -751,6 +751,23 @@ object Dedup {
         (col("doc_id") * lit(1048576L) + col("st")).as("occ"),
         md5(concat_ws(" ",
           slice(col("toks"), (col("st") + 1).cast("int"), lit(w)))).as("h"))
+  }
+
+  /** The d15 coverage rewrite: drop every token covered by a flagged
+    * 16-token span start. `fl` is the sorted start array. */
+  private[graft] val spanRewriteExpr: String =
+    "transform(filter(sequence(0L, cast(size(toks) as bigint) - 1), " +
+      "p -> NOT exists(fl, s -> p >= s AND p < s + 16)), " +
+      "p -> element_at(toks, cast(p + 1 as int)))"
+
+  /** d15's body over an arbitrary (doc_id, text) frame — exposed so
+    * the spec can drive hand-built fixtures (shared runs at odd
+    * alignments, within-doc repeats, sub-threshold runs). */
+  private[graft] def substrDedupFrame(docsIn: DataFrame): DataFrame = {
+    val tok = docsIn
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val spans = spanOccurrences(docsIn)
     val shared = spans.groupBy("h")
       .agg(count(lit(1)).as("cnt"), min("occ").as("keeper"))
       .filter(col("cnt") >= 2)
@@ -762,9 +779,7 @@ object Dedup {
         coalesce(col("fl"), array().cast("array<bigint>")).as("fl"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
-        expr("transform(filter(sequence(0L, cast(size(toks) as bigint) - 1), " +
-          "p -> NOT exists(fl, s -> p >= s AND p < s + 16)), " +
-          "p -> element_at(toks, cast(p + 1 as int)))").as("kept"))
+        expr(spanRewriteExpr).as("kept"))
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - size(col("kept"))).cast("long").as("n_removed"),
         concat_ws(" ", col("kept")).as("clean_text"))
@@ -847,8 +862,28 @@ object Dedup {
     * frame — composable: per-vector banding is corpus-independent, so
     * pairs over a SUBSET equal the full pair set restricted to both
     * endpoints in the subset (x1's semantic stage runs it on
-    * survivors; the oracle filters the full pair set the same way). */
-  private[graft] def embeddingPairsFrame(embIn: DataFrame): DataFrame = {
+    * survivors; the oracle filters the full pair set the same way).
+    *
+    * SELECTIVITY LAW (measured, r8 mutation probes): a random
+    * same-label pair collides in a given band with 2^-r, so expected
+    * collisions per pair = bands·2^-r — at the default (32, r=3) that
+    * is 4, i.e. the candidate set IS all same-label pairs and the
+    * stage is quadratic (the r8 probes measured s14's old build at
+    * 40+ GB of spill at 30× before it moved to selective banding +
+    * NN-Descent). The knob is r: selectivity must shrink like
+    * 1/poly(n) (r grows with log n). What r buys depends on the
+    * THRESHOLD: at d5's permissive 0.3 floor (needed for pairs to
+    * exist at all in this synthetic corpus — random 64-dim vectors
+    * rarely clear cos 0.5), per-plane agreement for a barely-passing
+    * pair is ~0.6 and (12, r=8) banding keeps only ~19% of them — at
+    * low thresholds LSH cannot be both selective and complete (the
+    * ρ-exponent bound). In the production dedup regime the epsilon is
+    * HIGH (SemDeDup uses ~0.95, near-dup dedup ≥ 0.8, per-plane
+    * agreement ≥ 0.8), where (32, r=12) keeps recall
+    * 1−(1−0.8¹²)³² ≈ 0.9 at 2^-12 selectivity — the honest setting a
+    * 100 TB run uses, measured in §4a via the (bandsN, r) override. */
+  private[graft] def embeddingPairsFrame(embIn: DataFrame,
+      bandsN: Int = 32, r: Int = 3): DataFrame = {
     // Slim candidate generation: only (label, band, sig, vec_id) enters
     // the band self-join — the 64-dim vectors do NOT ride the ×bands
     // explode through the shuffle. Pairs are deduped BEFORE
@@ -856,7 +891,7 @@ object Dedup {
     // cosine, not one per band), then the two vectors are fetched back
     // by vec_id — high-cardinality hash joins, no low-cardinality key
     // anywhere in the plan.
-    val banded = embBands(embIn)
+    val banded = embBands(embIn, bandsN, r)
     val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.label") === col("b.label") && col("a.band") === col("b.band") &&
@@ -873,8 +908,9 @@ object Dedup {
     * and as a shared SUBTREE (not an attribute) it would re-cast the
     * vector once per plane per row — see wordGrams for the general
     * rule. */
-  private[graft] def embBands(embIn: DataFrame): DataFrame = {
-    val bands = 32; val r = 3; val dim = 64; val seedBase = 1000
+  private[graft] def embBands(embIn: DataFrame,
+      bands: Int = 32, r: Int = 3): DataFrame = {
+    val dim = 64; val seedBase = 1000
     embIn
       .select(col("label"), col("vec_id"),
         V.asDouble(col("embedding")).as("embd"))

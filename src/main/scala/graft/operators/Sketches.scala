@@ -278,16 +278,35 @@ object Sketches {
     * accuracy ≡ exact, the q13 device) exists ONLY to certify the
     * estimator — a production profile drops it (the o6/o7 pattern). */
   def o10QuantileSketch(s: SparkSession, d: String): DataFrame = {
-    val bins = 256
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
-    // the |groups|-row bounds frame materializes ONCE: its three
-    // consumers (binning, covering-bin derivation, output n) prune
-    // different columns, which de-canonicalizes the subtrees and
-    // would re-run the bounds aggregate — and its corpus scan — once
-    // per consumer (the t5 gotcha, join form). One eager checkpoint
-    // of 3 rows pins pass count at: bounds + histogram + the
-    // certification-only exact branch.
+    val (est, bounds) = quantileHistEst(li, 256)
+    val exact = li.groupBy("flag").agg(
+      round(expr("approx_percentile(x, 0.5, 10000000)"), 2).as("p50_exact"),
+      round(expr("approx_percentile(x, 0.9, 10000000)"), 2).as("p90_exact"),
+      round(expr("approx_percentile(x, 0.99, 10000000)"), 2).as("p99_exact"))
+    est.join(broadcast(bounds.select("flag", "n")), "flag")
+      .join(exact, "flag")
+      .select(col("flag"), col("n"),
+        round(col("e50"), 4).as("p50_est"),
+        round(col("e90"), 4).as("p90_est"),
+        round(col("e99"), 4).as("p99_est"),
+        col("p50_exact"), col("p90_exact"), col("p99_exact"),
+        round((col("e50") - col("p50_exact")) / col("p50_exact"), 6).as("err50"),
+        round((col("e90") - col("p90_exact")) / col("p90_exact"), 6).as("err90"),
+        round((col("e99") - col("p99_exact")) / col("p99_exact"), 6).as("err99"))
+      .orderBy("flag")
+  }
+
+  /** The histogram-quantile estimation pipeline both o10 forms build
+    * on: (estimates frame keyed flag → e50/e90/e99, checkpointed
+    * bounds). The |groups|-row bounds frame materializes ONCE: its
+    * consumers (binning, covering-bin derivation, output n) prune
+    * different columns, which de-canonicalizes the subtrees and would
+    * re-run the bounds aggregate — and its corpus scan — once per
+    * consumer (the t5 gotcha, join form). */
+  private def quantileHistEst(li: DataFrame, bins: Int)
+      : (DataFrame, DataFrame) = {
     val bounds = li.groupBy("flag").agg(
       min("x").as("lo"), max("x").as("hi"), count(lit(1)).as("n"))
       .localCheckpoint(true)
@@ -308,22 +327,29 @@ object Sketches {
           col("cnt").cast("double"))
       max(when(col("cum") - col("cnt") < r && col("cum") >= r, interp))
     }
-    val est = cum.groupBy("flag").agg(
-      estQ(0.5).as("e50"), estQ(0.9).as("e90"), estQ(0.99).as("e99"))
-    val exact = li.groupBy("flag").agg(
-      round(expr("approx_percentile(x, 0.5, 10000000)"), 2).as("p50_exact"),
-      round(expr("approx_percentile(x, 0.9, 10000000)"), 2).as("p90_exact"),
-      round(expr("approx_percentile(x, 0.99, 10000000)"), 2).as("p99_exact"))
+    (cum.groupBy("flag").agg(
+      estQ(0.5).as("e50"), estQ(0.9).as("e90"), estQ(0.99).as("e99")),
+      bounds)
+  }
+
+  /** o10 in its PRODUCTION shape (the o6/o7 rule, r7 verdict #4):
+    * histogram-only — bounds pass + one groups×B-row mergeable
+    * histogram aggregate, no exact-percentile branch (at production
+    * scale the certification column IS the cost: approx_percentile at
+    * 1e7 accuracy materializes per-group value buffers). Reports
+    * (flag, n, p50/p90/p99 estimates) only. Spec-asserted slot-equal
+    * to o10's estimate columns (which the oracle certifies, so this
+    * form is certified transitively). */
+  private[graft] def o10QuantileSketchProd(s: SparkSession, d: String)
+      : DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+    val (est, bounds) = quantileHistEst(li, 256)
     est.join(broadcast(bounds.select("flag", "n")), "flag")
-      .join(exact, "flag")
       .select(col("flag"), col("n"),
         round(col("e50"), 4).as("p50_est"),
         round(col("e90"), 4).as("p90_est"),
-        round(col("e99"), 4).as("p99_est"),
-        col("p50_exact"), col("p90_exact"), col("p99_exact"),
-        round((col("e50") - col("p50_exact")) / col("p50_exact"), 6).as("err50"),
-        round((col("e90") - col("p90_exact")) / col("p90_exact"), 6).as("err90"),
-        round((col("e99") - col("p99_exact")) / col("p99_exact"), 6).as("err99"))
+        round(col("e99"), 4).as("p99_est"))
       .orderBy("flag")
   }
 
@@ -511,15 +537,12 @@ object Sketches {
   def o12SourceSimilarity(s: SparkSession, d: String): DataFrame =
     sourceSimilarityFrame(Tables.documents(s, d))
 
-  /** o12's body over an arbitrary documents frame — exposed so the
-    * spec can drive identical-source / disjoint-source fixtures and
-    * the fold-≡-union-sketch property. */
-  private[graft] def sourceSimilarityFrame(docsIn: DataFrame): DataFrame = {
+  /** The per-source minhash signature fold both o12 forms build on:
+    * one native-expression corpus pass, then the element-wise fold to
+    * |sources|×32 rows (map-side partial min). */
+  private def sourceSigs(docs: DataFrame): DataFrame = {
     import graft.functions.{TextFunctions => T}
-    val docs = docsIn.filter(col("text").isNotNull)
-    // sketch branch: one native-expression corpus pass, then the
-    // element-wise fold to |sources|×32 rows (map-side partial min)
-    val sigs = docs
+    docs
       .select(col("source"), posexplode(
         T.minhashSignatureText(col("text"), 5, 32)).as(Seq("j", "h")))
       .groupBy("source", "j").agg(min("h").as("h"))
@@ -527,6 +550,38 @@ object Sketches {
       .agg(array_sort(collect_list(struct(col("j"), col("h")))).as("jh"))
       .select(col("source"), col("jh.h").as("sig"))
       .localCheckpoint(true) // consumers: both sides of the pair cross
+  }
+
+  /** o12 in its PRODUCTION shape (the o6/o7 rule, r7 verdict #4):
+    * signature-only — the similarity matrix a 100 TB profile actually
+    * runs. The exact shingle-set branch in [[o12SourceSimilarity]] is
+    * corpus-scale certification work (a distinct (source, hash) self
+    * join that dominated o12's wall ~90%); this form reports
+    * (src1, src2, est_jac) from the |sources|×32-row signature fold
+    * alone — constant state per source, nothing else touches the
+    * corpus. Spec-asserted: est_jac slot-equal to o12's on every
+    * pair (which the oracle certifies, so this form is certified
+    * transitively). */
+  private[graft] def o12SourceSimilarityProd(s: SparkSession, d: String)
+      : DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val sigs = sourceSigs(
+      Tables.documents(s, d).filter(col("text").isNotNull))
+    sigs.as("a")
+      .join(sigs.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src1"), col("b.source").as("src2"),
+        round(T.minhashJaccardEst(col("a.sig"), col("b.sig"), 32), 6)
+          .as("est_jac"))
+      .orderBy("src1", "src2")
+  }
+
+  /** o12's body over an arbitrary documents frame — exposed so the
+    * spec can drive identical-source / disjoint-source fixtures and
+    * the fold-≡-union-sketch property. */
+  private[graft] def sourceSimilarityFrame(docsIn: DataFrame): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    val docs = docsIn.filter(col("text").isNotNull)
+    val sigs = sourceSigs(docs)
     // exact branch (certification-only, the o6 rule): the true
     // distinct-shingle sets, as DuckDB-identical 32-bit hashes
     val sh = docs

