@@ -972,6 +972,49 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** d12 in its PRODUCTION shape — the SemDeDup paper's own design
+    * (Abbas et al. 2023 §2: k-means the corpus, then compare pairs
+    * ONLY within a cluster): CELL-CONFINED exact pairwise, so the
+    * candidate stage is Σ|cell|² — linear when cell size is bounded.
+    * This is the linear path the measured selectivity law demands at
+    * d12's permissive 0.3 epsilon, where no sign-LSH banding can be
+    * simultaneously selective and complete (§4a round 8: the banded
+    * default DNF'd at 30×). Cells are s5's k-means assignment,
+    * HASH-SUB-SHARDED so no cell exceeds `cellCap` — the budgeted
+    * stand-in for "train n/B centroids" (a real deployment trains
+    * that many; sub-sharding keeps the same complexity bound with a
+    * deterministic, oracle-stable split). Cross-cell near-dup pairs
+    * are invisible BY DESIGN — the paper's accepted recall tradeoff,
+    * which the spec measures rather than hides. Epsilon-groups =
+    * exact components within cell; keep = the group's min vec_id
+    * (d12's policy). */
+  private[graft] def d12SemDedupProd(s: SparkSession, d: String,
+      cellCap: Int = 256): DataFrame = {
+    val assign = graft.similarity.Similarity.s5KmeansRefine(s, d)
+      .select(col("vec_id"), col("cluster"))
+    val sizes = assign.groupBy("cluster").agg(count(lit(1)).as("n"))
+    val cells = assign.join(broadcast(sizes), "cluster")
+      .select(col("vec_id"), concat(col("cluster"), lit("#"),
+        pmod(xxhash64(col("vec_id")),
+          greatest(ceil(col("n") / cellCap), lit(1)).cast("long")))
+        .as("cell"))
+    val cand = cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+    val pairs = verifyCosine(cand, embVecs(Tables.embeddings(s, d)))
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val labels = connectedComponentsAdaptive(pairs)
+    cells.select("vec_id")
+      .join(labels.select(col("id").as("vec_id"), col("lbl")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("lbl"), col("vec_id")).as("grp"),
+        (col("lbl").isNull || col("lbl") === col("vec_id")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Connected components by iterative min-label propagation:
     * lbl₀(v) = v; lblₖ₊₁(v) = min(lblₖ(v), min over neighbors
     * lblₖ(u)). Converges once every vertex holds its component's

@@ -68,6 +68,18 @@ object Probe {
       spark.stop(); return
     }
 
+    // d12's cell-confined production form
+    if (sys.env.get("PROBE_D12PROD").contains("1")) {
+      Tables.embeddings(spark, d).count()
+      time("d12 prod (cells) cold") {
+        graft.dedup.Dedup.d12SemDedupProd(spark, d).count()
+      }
+      time("d12 prod (cells) warm") {
+        graft.dedup.Dedup.d12SemDedupProd(spark, d).count()
+      }
+      spark.stop(); return
+    }
+
     // production sketch forms (not registered queries)
     if (sys.env.get("PROBE_PRODFORMS").contains("1")) {
       Tables.lineitem(spark, d).count()
