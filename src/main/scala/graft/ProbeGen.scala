@@ -92,7 +92,7 @@ object ProbeGen {
         mutated.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
       }.reduce(_.unionAll(_))
         .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
-      // fixed per-(vec, dim) drift direction, magnitude i * 0.03
+      // fixed per-(vec, dim) drift direction, magnitude i * 0.25
       val embs = Tables.load(spark, src, "embeddings")
       (0 until copies).map { i =>
         val drifted =

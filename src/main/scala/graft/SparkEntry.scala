@@ -48,8 +48,12 @@ object SparkEntry {
     "o9_packing_report" -> ((s: SparkSession, d: String) =>
       operators.Sketches.o9PackingReport(s, d)),
     "o10_quantile_sketch" -> (operators.Sketches.o10QuantileSketch _),
+    "o10_quantile_prod" -> ((s: SparkSession, d: String) =>
+      operators.Sketches.o10QuantileSketchProd(s, d)),
     "o11_bloom_filter" -> (operators.Sketches.o11BloomFilter _),
     "o12_source_similarity" -> (operators.Sketches.o12SourceSimilarity _),
+    "o12_source_similarity_prod" -> ((s: SparkSession, d: String) =>
+      operators.Sketches.o12SourceSimilarityProd(s, d)),
     "c6_curriculum_order" -> (operators.Curation.c6CurriculumOrder _),
     "c7_global_shuffle" -> (operators.Curation.c7GlobalShuffle _),
     "c8_dsir" -> ((s: SparkSession, d: String) =>
@@ -122,7 +126,11 @@ object SparkEntry {
     "d2_minhash_lsh" -> (graft.dedup.Dedup.d2MinhashLsh _),
     "d3_simhash" -> (graft.dedup.Dedup.d3Simhash _),
     "d4_ngram_jaccard" -> (graft.dedup.Dedup.d4NgramJaccard _),
-    "d5_embedding_dedup" -> (graft.dedup.Dedup.d5EmbeddingDedup _),
+    // r9: the REGISTERED d5/d12 are the measured-linear cell-confined
+    // prod forms (r8 verdict #1); the banded exact forms stay as
+    // spec-covered reference code with the (bands, r) knob
+    "d5_embedding_prod" -> ((s: SparkSession, d: String) =>
+      graft.dedup.Dedup.d5EmbeddingProd(s, d)),
     "d6_decontaminate" -> (graft.dedup.Dedup.d6Decontaminate _),
     "d7_span_dedup" -> (graft.dedup.Dedup.d7SpanDedup _),
     "d15_substr_dedup" -> (graft.dedup.Dedup.d15SubstrDedup _),
@@ -133,7 +141,8 @@ object SparkEntry {
     "d9_incremental_dedup" -> (graft.dedup.Dedup.d9IncrementalDedup _),
     "d10_cc_stars" -> (graft.dedup.Dedup.d10CcStars _),
     "d11_cluster_maintain" -> (graft.dedup.Dedup.d11ClusterMaintain _),
-    "d12_semdedup" -> (graft.dedup.Dedup.d12SemDedup _),
+    "d12_semdedup_prod" -> ((s: SparkSession, d: String) =>
+      graft.dedup.Dedup.d12SemDedupProd(s, d)),
     "d13_containment" -> ((s: SparkSession, d: String) =>
       graft.dedup.Dedup.d13ContainmentJoin(s, d)),
     "d14_eval_containment" -> ((s: SparkSession, d: String) =>
@@ -253,7 +262,7 @@ object SparkEntry {
       |  SELECT * FROM (
       |    SELECT id, field, ts, kind,
       |      first_value(value IGNORE NULLS) OVER (PARTITION BY id, field
-      |        ORDER BY ts, kind, value
+      |        ORDER BY ts, kind, value DESC
       |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS state
       |    FROM u)
       |  WHERE kind = 1),
@@ -331,7 +340,8 @@ object SparkEntry {
     * oracle and c13's cluster-balancing oracle (c13 strata ARE s5's
     * final assignment). `dist`/`assign`/`recompute` unroll the same
     * deterministic rounds the engine runs. */
-  private lazy val (s5KmeansSql, c13ClusterSql): (String, String) = {
+  private lazy val (s5KmeansSql, c13ClusterSql, semCellsCteBody)
+      : (String, String, String) = {
     def dist(emb: String, cen: String) =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
         s"list_transform(range(64), i -> ($emb[i + 1] - $cen[i + 1]) * " +
@@ -351,8 +361,8 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |$cout AS (SELECT cid, list(c ORDER BY i) AS centroid FROM $cpos
          |          GROUP BY cid)""".stripMargin
-    val ctes =
-      s"""WITH e AS (
+    val ctesBody =
+      s"""e AS (
          |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
          |cp0 AS (
          |  SELECT label AS cid, i, avg(emb[i + 1]) AS c
@@ -362,6 +372,7 @@ object SparkEntry {
          |${recompute("a1", "cp1", "c1")},
          |${assign("c1", "a2")},
          |${recompute("a2", "cp2", "c2")}""".stripMargin
+    val ctes = s"WITH $ctesBody"
     val s5 =
       s"""$ctes
          |SELECT vec_id, cid AS cluster, round(d, 3) AS dist2 FROM (
@@ -384,8 +395,33 @@ object SparkEntry {
          |FROM documents d JOIN af ON d.doc_id = af.vec_id
          |JOIN r USING (cid)
          |ORDER BY d.doc_id""".stripMargin
-    (s5, c13)
+    // the SemDeDup cell assignment (d5/d12 prod forms): final k-means
+    // assignment, hash-sub-sharded at cellCap=256 with the house
+    // portable coin — the oracle twin of Dedup.semCells
+    val cellsBody =
+      s"""$ctesBody,
+         |${assign("c2", "af")},
+         |csz AS (SELECT cid, count(*) AS n FROM af GROUP BY 1),
+         |cells AS (
+         |  SELECT af.vec_id,
+         |    CAST(af.cid AS VARCHAR) || '#' || CAST(
+         |      ((af.vec_id % 2147483648) * 2654435761) % 4294967296 %
+         |      greatest(CAST(ceil(csz.n / 256.0) AS BIGINT), 1) AS VARCHAR)
+         |      AS cell
+         |  FROM af JOIN csz USING (cid))""".stripMargin
+    (s5, c13, cellsBody)
   }
+
+  /** The cell-confined verified pair body shared by the d5/d12 prod
+    * oracles (expects the [[semCellsCteBody]] CTEs in scope). */
+  private lazy val semCellPairsSelect: String =
+    """SELECT id1, id2, cos FROM (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |    round(list_cosine_similarity(e1.emb, e2.emb), 3) AS cos
+      |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |  JOIN e e1 ON e1.vec_id = a.vec_id
+      |  JOIN e e2 ON e2.vec_id = b.vec_id)
+      |WHERE cos >= 0.3""".stripMargin
 
   /** s1's exact brute-force oracle — also the baseline side of s6. */
   private lazy val s1AnnSql: String =
@@ -2948,7 +2984,13 @@ object SparkEntry {
     // of the query's actual LSH semantics — not an all-pairs claim
     // that only holds when recall happens to be 1.0 on this corpus.
     // The recall-vs-all-pairs bound lives in the PipelineSpec instead.
-    "d5_embedding_dedup" -> s"$d5PairsSql ORDER BY id1, id2",
+    // r9: cell-confined prod form — k-means cells (s5's own CTE
+    // chain), sub-sharded by the portable coin, exact pairwise within
+    // cell; an INDEPENDENT re-derivation of Dedup.semCells+verify
+    "d5_embedding_prod" ->
+      s"""WITH $semCellsCteBody
+         |$semCellPairsSelect
+         |ORDER BY id1, id2""".stripMargin,
     "d17_chunk_dedup" ->
       // t15's chunk frame re-keyed as a synthetic chunk corpus, then
       // d2's whole band CTE chain over it; cross-document pairs only
@@ -2981,16 +3023,19 @@ object SparkEntry {
          |FROM pairs WHERE id1 // 1000000 <> id2 // 1000000
          |ORDER BY doc1, chunk1, doc2, chunk2""".stripMargin,
     "s14_knn_graph" -> s14KnnGraphSql,
-    // d12 = exact components over the SAME banded pair graph: the
-    // oracle closes it transitively and keeps each group's min id.
-    "d12_semdedup" ->
-      s"""WITH RECURSIVE p0 AS MATERIALIZED (SELECT id1, id2 FROM ($d5PairsSql)),
-         |e AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM p0
+    // d12 prod = exact components over the cell-confined pair graph:
+    // the oracle re-derives the cells, closes the within-cell verified
+    // pairs transitively, and keeps each group's min id.
+    "d12_semdedup_prod" ->
+      s"""WITH RECURSIVE $semCellsCteBody,
+         |p0 AS MATERIALIZED (
+         |$semCellPairsSelect),
+         |eg AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM p0
          |      UNION SELECT id2, id1 FROM p0),
          |reach(u, v) AS (
-         |  SELECT u, v FROM e
+         |  SELECT u, v FROM eg
          |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+         |  SELECT r.u, eg.v FROM reach r JOIN eg ON r.v = eg.u),
          |lbl AS (SELECT u AS id, least(u, min(v)) AS lbl
          |        FROM reach GROUP BY u)
          |SELECT x.vec_id, coalesce(l.lbl, x.vec_id) AS grp,
@@ -3164,6 +3209,35 @@ object SparkEntry {
          |LEFT JOIN inter i ON i.src1 = p.src1 AND i.src2 = p.src2
          |ORDER BY p.src1, p.src2""".stripMargin
     },
+    // r9: o12's production form — signature fold + pair estimates
+    // only, no exact shingle-set certification branch
+    "o12_source_similarity_prod" -> {
+      val a = graft.expressions.MinHashParams.A.take(32)
+        .mkString("[", ", ", "]")
+      val b = graft.expressions.MinHashParams.B.take(32)
+        .mkString("[", ", ", "]")
+      s"""WITH sh AS (
+         |  SELECT source, unnest(CASE WHEN length(text) <= 5 THEN [text]
+         |    ELSE list_distinct(list_transform(range(1, length(text) - 3),
+         |      i -> substr(text, CAST(i AS INT), 5))) END) AS shingle
+         |  FROM documents WHERE text IS NOT NULL),
+         |hx AS MATERIALIZED (
+         |  SELECT DISTINCT source,
+         |    CAST(md5_number_lower(shingle) % 4294967296 AS BIGINT) AS x
+         |  FROM sh),
+         |mh AS (
+         |  SELECT source, j, min((A[j + 1] * x + B[j + 1]) % 2147483647) AS h
+         |  FROM hx CROSS JOIN range(32) r(j)
+         |  CROSS JOIN (SELECT $a AS A, $b AS B) p
+         |  GROUP BY 1, 2),
+         |sig AS (SELECT source, list(h ORDER BY j) AS sig FROM mh
+         |        GROUP BY source)
+         |SELECT a.source AS src1, b.source AS src2,
+         |  round(len(list_filter(range(32), i -> a.sig[i + 1] = b.sig[i + 1]))
+         |    / 32.0, 6) AS est_jac
+         |FROM sig a JOIN sig b ON a.source < b.source
+         |ORDER BY src1, src2""".stripMargin
+    },
     "o11_bloom_filter" ->
       """WITH h AS MATERIALIZED (
         |  SELECT doc_id, source,
@@ -3310,6 +3384,50 @@ object SparkEntry {
         |  round((e90 - p90_exact) / p90_exact, 6) AS err90,
         |  round((e99 - p99_exact) / p99_exact, 6) AS err99
         |FROM est JOIN b USING (flag) JOIN exact USING (flag)
+        |ORDER BY flag""".stripMargin,
+    // r9: o10's production form — the same histogram estimator CTEs,
+    // no exact-percentile certification branch
+    "o10_quantile_prod" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS flag, min(l_extendedprice) AS lo,
+        |    max(l_extendedprice) AS hi, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |binned AS (
+        |  SELECT b.flag,
+        |    CASE WHEN hi = lo THEN 0
+        |      ELSE least(CAST(floor((l_extendedprice - lo) /
+        |        ((hi - lo) / 256)) AS BIGINT), 255)
+        |    END AS bin,
+        |    count(*) AS cnt
+        |  FROM lineitem l JOIN b ON l.l_returnflag = b.flag
+        |  GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT flag, bin, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY bin) AS BIGINT)
+        |      AS cum
+        |  FROM binned),
+        |est AS (
+        |  SELECT c.flag,
+        |    max(CASE WHEN cum - cnt < CAST(ceil(0.5 * n) AS BIGINT)
+        |          AND cum >= CAST(ceil(0.5 * n) AS BIGINT)
+        |      THEN lo + (hi - lo) / 256 * (bin +
+        |        (CAST(ceil(0.5 * n) AS BIGINT) - (cum - cnt)) /
+        |        CAST(cnt AS DOUBLE)) END) AS e50,
+        |    max(CASE WHEN cum - cnt < CAST(ceil(0.9 * n) AS BIGINT)
+        |          AND cum >= CAST(ceil(0.9 * n) AS BIGINT)
+        |      THEN lo + (hi - lo) / 256 * (bin +
+        |        (CAST(ceil(0.9 * n) AS BIGINT) - (cum - cnt)) /
+        |        CAST(cnt AS DOUBLE)) END) AS e90,
+        |    max(CASE WHEN cum - cnt < CAST(ceil(0.99 * n) AS BIGINT)
+        |          AND cum >= CAST(ceil(0.99 * n) AS BIGINT)
+        |      THEN lo + (hi - lo) / 256 * (bin +
+        |        (CAST(ceil(0.99 * n) AS BIGINT) - (cum - cnt)) /
+        |        CAST(cnt AS DOUBLE)) END) AS e99
+        |  FROM cum c JOIN b USING (flag) GROUP BY 1)
+        |SELECT flag, n,
+        |  round(e50, 4) AS p50_est, round(e90, 4) AS p90_est,
+        |  round(e99, 4) AS p99_est
+        |FROM est JOIN b USING (flag)
         |ORDER BY flag""".stripMargin,
     "d15_substr_dedup" ->
       """WITH tok AS (

@@ -988,22 +988,11 @@ object Dedup {
     * which the spec measures rather than hides. Epsilon-groups =
     * exact components within cell; keep = the group's min vec_id
     * (d12's policy). */
-  private[graft] def d12SemDedupProd(s: SparkSession, d: String,
+  def d12SemDedupProd(s: SparkSession, d: String,
       cellCap: Int = 256): DataFrame = {
-    val assign = graft.similarity.Similarity.s5KmeansRefine(s, d)
-      .select(col("vec_id"), col("cluster"))
-    val sizes = assign.groupBy("cluster").agg(count(lit(1)).as("n"))
-    val cells = assign.join(broadcast(sizes), "cluster")
-      .select(col("vec_id"), concat(col("cluster"), lit("#"),
-        pmod(xxhash64(col("vec_id")),
-          greatest(ceil(col("n") / cellCap), lit(1)).cast("long")))
-        .as("cell"))
-    val cand = cells.as("a")
-      .join(cells.as("b"),
-        col("a.cell") === col("b.cell") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
-    val pairs = verifyCosine(cand, embVecs(Tables.embeddings(s, d)))
+    val cells = semCells(s, d, cellCap)
+    val pairs = verifyCosine(semCellPairs(cells),
+        embVecs(Tables.embeddings(s, d)))
       .select(col("id1").as("src"), col("id2").as("dst"))
     val labels = connectedComponentsAdaptive(pairs)
     cells.select("vec_id")
@@ -1014,6 +1003,58 @@ object Dedup {
         (col("lbl").isNull || col("lbl") === col("vec_id")).as("keep"))
       .orderBy("vec_id")
   }
+
+  /** D5 in its PRODUCTION shape — the same cell-confined candidate
+    * generation as [[d12SemDedupProd]], reporting the verified pairs
+    * themselves (id1, id2, cos ≥ 0.3) instead of the epsilon-groups:
+    * the scale-safe registered form of the pair query the measured
+    * selectivity law demands (the banded [[d5EmbeddingDedup]] default
+    * is all-same-label-pairs at the 0.3 threshold — DNF at 30× — and
+    * stays as the exact/reference form with the (bands, r) knob).
+    * Recall tradeoff, stated: pairs CROSSING a k-means cell are
+    * invisible by design (the SemDeDup paper's accepted loss); true
+    * near-dups (high cosine) co-locate in a cell with high
+    * probability, while the 0.3-floor synthetic tail does not — the
+    * spec MEASURES the recovered share instead of hiding it. */
+  def d5EmbeddingProd(s: SparkSession, d: String,
+      cellCap: Int = 256): DataFrame =
+    verifyCosine(semCellPairs(semCells(s, d, cellCap)),
+        embVecs(Tables.embeddings(s, d)))
+      .orderBy("id1", "id2")
+
+  /** The SemDeDup cell assignment both prod forms confine candidates
+    * to: s5's k-means cluster, HASH-SUB-SHARDED so no cell exceeds
+    * `cellCap` — the budgeted stand-in for "train n/B centroids" (a
+    * real deployment trains that many; sub-sharding keeps the same
+    * Σ|cell|² complexity bound with a deterministic, oracle-stable
+    * split). The shard coin is the house portable hash
+    * ((id mod 2³¹)·2654435761 mod 2³² — c3/c13's coin), NOT xxhash64:
+    * the oracle re-derives the exact same cells in SQL. */
+  private[graft] def semCells(s: SparkSession, d: String,
+      cellCap: Int): DataFrame = {
+    // two consumers (sizes + the cells join) — checkpoint or the
+    // whole kmeans subtree re-runs once per consumer (the o10 bounds
+    // rule)
+    val assign = graft.similarity.Similarity.s5KmeansRefine(s, d)
+      .select(col("vec_id"), col("cluster"))
+      .localCheckpoint(true)
+    val sizes = assign.groupBy("cluster").agg(count(lit(1)).as("n"))
+    val shard = ((col("vec_id") % lit(2147483648L)) * lit(2654435761L)) %
+      lit(4294967296L) %
+      greatest(ceil(col("n") / cellCap).cast("long"), lit(1L))
+    assign.join(broadcast(sizes), "cluster")
+      .select(col("vec_id"),
+        concat(col("cluster").cast("string"), lit("#"),
+          shard.cast("string")).as("cell"))
+  }
+
+  /** Within-cell candidate pairs — the Σ|cell|²-bounded self-join. */
+  private[graft] def semCellPairs(cells: DataFrame): DataFrame =
+    cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
 
   /** Connected components by iterative min-label propagation:
     * lbl₀(v) = v; lblₖ₊₁(v) = min(lblₖ(v), min over neighbors
@@ -1449,8 +1490,11 @@ object Dedup {
     // ~48M-token doc or a doc_id past ~9.2e12 would silently collide
     // keys and merge unrelated chunks. Both bounds fail LOUDLY here
     // (raise_error inside the row pipeline, no extra pass) instead.
+    // (range check, not abs(): abs(Long.MinValue) IS Long.MinValue —
+    // negative — so that one id would slip past an abs-based guard)
     val lastIdx = when(lastIdxRaw < lit(ChunkK) &&
-        abs(col("doc_id")) < lit(Long.MaxValue / ChunkK), lastIdxRaw)
+        col("doc_id") > lit(-(Long.MaxValue / ChunkK)) &&
+        col("doc_id") < lit(Long.MaxValue / ChunkK), lastIdxRaw)
       .otherwise(raise_error(concat(
         lit("d17 chunk key would overflow: doc_id="), col("doc_id"),
         lit(" n_toks="), col("n_toks"))).cast("int"))

@@ -153,7 +153,14 @@ object BugHistory {
             singleFields.map(Tuple1(_))).toDF("field"))
           .select(col("id"), col("field"), col("ts"), lit(null).cast("string")
             .as("value"), lit(1).as("kind")))
-      val wA = Window.partitionBy("id", "field").orderBy("ts", "kind", "value")
+      // same-instant tie-break: value DESC mirrors the reference's
+      // canonical within-version change order (parse_bug_history
+      // .py:523 sorts changes by old_value descending), so when one
+      // (id, field, ts) hunk carries TWO changes — a degenerate log no
+      // fixture contains — the anchored prior state is the max
+      // old_value, the same row the reference's sort puts first
+      val wA = Window.partitionBy("id", "field")
+        .orderBy(col("ts"), col("kind"), col("value").desc)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
       val currentVals = current.select(col("id"),
         explode(array(singleFields.map(f =>

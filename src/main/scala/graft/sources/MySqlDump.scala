@@ -37,8 +37,26 @@ import org.apache.spark.sql.types._
   */
 object MySqlDump {
 
-  /** Whole dump text; zip-aware (first entry of a `.zip`). */
-  def readText(path: String): String =
+  /** Whole dump text; zip-aware (first entry of a `.zip`). One read
+    * per dump: the per-table calls ([[schemaOf]]/[[tupleStrings]] via
+    * [[table]]) all scan the same artifact, so a SINGLE-ENTRY memo
+    * (last path → text) shares one read across them while bounding
+    * driver memory at one dump (~2× its char size). A multi-GB dump
+    * converts table-by-table within that bound; beyond it the honest
+    * move is splitting the dump before ingest, not a bigger cache. */
+  @volatile private var textMemo: (String, String) = null
+
+  def readText(path: String): String = {
+    val m = textMemo
+    if (m != null && m._1 == path) m._2
+    else {
+      val t = readTextUncached(path)
+      textMemo = (path, t)
+      t
+    }
+  }
+
+  private def readTextUncached(path: String): String =
     if (path.endsWith(".zip")) {
       val zf = new ZipFile(path)
       try {
@@ -92,6 +110,8 @@ object MySqlDump {
           var inStr = false
           var depth = 1
           while (depth > 0) {
+            require(i < text.length,
+              s"unterminated tuple/string in `$table` near offset $tupleStart")
             val c = text.charAt(i)
             if (inStr) {
               if (c == '\\') i += 1 // skip escaped char
@@ -135,8 +155,12 @@ object MySqlDump {
         i += 1
         var closed = false
         while (!closed) {
+          require(i < s.length,
+            s"unterminated string literal in tuple near `${s.take(40)}`")
           val d = s.charAt(i)
           if (d == '\\') {
+            require(i + 1 < s.length,
+              s"dangling escape at end of tuple near `${s.takeRight(40)}`")
             buf.append(s.charAt(i + 1) match {
               case 'n' => '\n'; case 'r' => '\r'; case 't' => '\t'
               case '0' => '\u0000'; case 'Z' => '\u001A'

@@ -648,4 +648,63 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       "tiny quantile frames must not sort-merge")
   }
+
+  test("d5 prod: cell-confined candidates — the cell self-join is a " +
+      "hash equi-join (no pairwise stage) and the 64-dim vectors do " +
+      "not ride the cell shuffle") {
+    val p = finalPlanNoBroadcast("d5_embedding_prod")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the kmeans assignment crosses a 4-row centroid table per round
+    // (s13's codebook rule — broadcast-hinted, corpus×constant); the
+    // candidate stage itself must never nested-loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 3,
+      s"pairwise stage appeared in the cell-dedup plan:\n$p")
+    assert("Exchange hashpartitioning\\(cell".r.findAllIn(p).nonEmpty,
+      s"no cell-keyed exchange — candidates not cell-confined:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"cell exchange not reused across the self-join sides:\n$p")
+    // slim-candidate rule (d5's): only (vec_id, cell) rides the
+    // self-join; vectors fetch back by id afterwards
+    assert(!"Exchange hashpartitioning\\(cell[^\n]*emb".r
+      .findAllIn(p).hasNext, s"vectors rode the cell shuffle:\n$p")
+  }
+
+  test("d12 prod: epsilon-groups over the cell pair graph — no " +
+      "pairwise stage anywhere, corpus maps to groups via one " +
+      "vec_id-keyed join") {
+    val p = finalPlan("d12_semdedup_prod")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // centroid-table crosses only (the d5-prod rule)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 3,
+      s"nested-loop stage in the prod dedup plan:\n$p")
+  }
+
+  test("o10 prod: histogram-only — the certification branch is gone " +
+      "(no exact-percentile aggregate, ONE corpus scan), bin counts " +
+      "keep their map-side partial") {
+    val p = finalPlan("o10_quantile_prod")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      "bounds tiny frame must broadcast")
+    assert(p.contains("partial_count"),
+      s"bin-count aggregate lost its map-side partial:\n$p")
+    assert(!p.contains("approx_percentile"),
+      s"certification branch leaked into the prod plan:\n$p")
+    assert(scanCount(p) == 1, s"expected 1 lineitem scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "tiny quantile frames must not sort-merge")
+  }
+
+  test("o12 prod: signature-only — the pair assembly reads nothing " +
+      "but the checkpointed |sources|x32 fold (zero parquet, no " +
+      "exact shingle-set branch)") {
+    val p = finalPlan("o12_source_similarity_prod")
+    assert(scanCount(p) == 0, s"parquet re-scanned past checkpoints:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the |sources|-row signature cross is the single allowed nested
+    // loop; the exact-branch intersection join must be absent
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
+      s"more than the signature cross:\n$p")
+  }
 }

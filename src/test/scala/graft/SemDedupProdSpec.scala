@@ -27,10 +27,8 @@ class SemDedupProdSpec extends AnyFunSuite {
     val sizes = assign.groupBy(_._2).map { case (c, g) => c -> g.length }
     val cellOf = assign.map { case (id, c) =>
       val shards = math.max(1, math.ceil(sizes(c).toDouble / cap).toLong)
-      // replicate xxhash64(vec_id) % shards via the engine
-      id -> s"$c#${Math.floorMod(
-        org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashLong(id, 42L), shards)}"
+      // the house portable hash, re-derived independently
+      id -> s"$c#${(id % 2147483648L) * 2654435761L % 4294967296L % shards}"
     }.toMap
     val vecs = Tables.embeddings(spark, sf).collect()
       .map(r => (r.getLong(0),
