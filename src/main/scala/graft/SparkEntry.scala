@@ -688,14 +688,19 @@ object SparkEntry {
     * fold). Every intermediate visited set is MATERIALIZED — each
     * round reads its predecessor three times, and DuckDB inlines
     * multiply-referenced CTEs. */
-  /** The sparse banding's 96 planes (seedBase 2000), one VALUES row
-    * per (band, bit weight) — mirrors Similarity.sparseBands' signSig
-    * calls; shared by the s14 and s15 oracles. */
+  /** The sparse banding's width-stable plane table, one VALUES row
+    * per (band, bit index j, weight 2^j) — mirrors
+    * Similarity.sparseBands' seed layout: j < 8 keeps the r8 seeds
+    * (2000+b·8+j), j ≥ 8 is the widening family (4000+b·8+(j−8))
+    * whose signSig lands in the high byte (weight 2^j). Shared by the
+    * s14 oracle (fixed 8-bit: j < 8) and the s15 oracle (auto-width:
+    * j < bits_eff). */
   private lazy val sparsePlaneRows: String =
-    (for (b <- 0 until 12; j <- 0 until 8) yield {
+    (for (b <- 0 until 12; j <- 0 until 16) yield {
+      val seed = if (j < 8) 2000 + b * 8 + j else 4000 + b * 8 + (j - 8)
       val pl = doubleList(
-        graft.functions.VectorFunctions.planeValues(2000 + b * 8 + j, 64))
-      s"    ($b, ${1L << j}, $pl)"
+        graft.functions.VectorFunctions.planeValues(seed, 64))
+      s"    ($b, $j, ${1L << j}, $pl)"
     }).mkString(",\n")
 
   /** s14's oracle: within-label sparse-band init edges (unfloored) +
@@ -732,13 +737,13 @@ object SparkEntry {
     }.mkString("\n")
     s"""WITH e AS (
        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
-       |spt(b, w, plane) AS (VALUES
+       |spt(b, j, w, plane) AS (VALUES
        |$sparsePlaneRows),
        |sge AS (
        |  SELECT vec_id, label, b,
        |    CAST(sum(CASE WHEN ${seqDot("emb", "plane")} > 0
        |      THEN w ELSE 0 END) AS BIGINT) AS sig
-       |  FROM e CROSS JOIN spt GROUP BY 1, 2, 3),
+       |  FROM e CROSS JOIN spt WHERE j < 8 GROUP BY 1, 2, 3),
        |scand AS (
        |  SELECT a.vec_id AS id1, b.vec_id AS id2
        |  FROM sge a JOIN sge b ON a.label = b.label AND a.b = b.b
@@ -788,13 +793,19 @@ object SparkEntry {
          |  SELECT * FROM v${r - 1} UNION ALL SELECT * FROM sc$r),""".stripMargin
     }.mkString("\n")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-       |spt(b, w, plane) AS (VALUES
+       |spt(b, j, w, plane) AS (VALUES
        |$ptRows),
+       |nv AS (SELECT count(*) AS n FROM embeddings WHERE vec_id >= 10),
+       |beff AS (
+       |  SELECT 8 + (n > 8192)::INT + (n > 16384)::INT + (n > 32768)::INT
+       |    + (n > 65536)::INT + (n > 131072)::INT + (n > 262144)::INT
+       |    + (n > 524288)::INT + (n > 1048576)::INT AS bits FROM nv),
        |sge AS (
        |  SELECT vec_id, b,
        |    CAST(sum(CASE WHEN ${seqDot("emb", "plane")} > 0
        |      THEN w ELSE 0 END) AS BIGINT) AS sig
-       |  FROM e CROSS JOIN spt WHERE vec_id >= 10 GROUP BY 1, 2),
+       |  FROM e CROSS JOIN spt CROSS JOIN beff
+       |  WHERE vec_id >= 10 AND j < bits GROUP BY 1, 2),
        |scand AS (
        |  SELECT a.vec_id AS id1, b.vec_id AS id2
        |  FROM sge a JOIN sge b ON a.b = b.b AND a.sig = b.sig

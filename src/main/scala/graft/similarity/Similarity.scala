@@ -2,7 +2,7 @@ package graft.similarity
 
 import graft.Tables
 import graft.functions.{VectorFunctions => V}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -637,9 +637,12 @@ object Similarity {
     * recall@5 0.84 vs the seed tier's 0.38.
     *
     * Scale shape: the graph builds once (at 100 TB it is a maintained
-    * store — StreamingKnn's cadence — not a per-query build; band
-    * WIDTH is the standard LSH knob that grows with log n to keep
-    * buckets bounded, so the build stays bucketed, never pairwise)
+    * store — [[graft.streaming.StreamingKnn]] run with the
+    * cross-label unfloored `KnnGraphConfig.search` cadence maintains
+    * EXACTLY this graph, spec-proven 3-wave ≡ one-shot — not a
+    * per-query build; band WIDTH is wired to log₂(corpus) via
+    * [[bitsFor]], keeping buckets bounded so the build stays
+    * bucketed, never pairwise)
     * and each round touches |Q|·beam graph rows by vec_id hash
     * lookup, fetches only unseen candidates' vectors by id, and
     * re-ranks |Q|·(beam·k)-bounded frames: per-round cost is
@@ -680,11 +683,15 @@ object Similarity {
     * shape as d5: only (band, sig, vec_id) rides the self-join,
     * pairs dedup before scoring, vectors fetch back by id. */
   private[graft] def searchGraph(s: SparkSession, d: String,
-      k: Int, bits: Int = 8): DataFrame = {
+      k: Int, bits: Int = 0): DataFrame = {
+    // bits = 0 ⇒ auto-width from corpus size ([[bitsFor]] — the one
+    // count() is a bounded driver probe; a production run reads the
+    // same number from catalog stats instead)
     val emb = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+    val b = if (bits > 0) bits else bitsFor(emb.count())
     knnFromPairs(
       graft.dedup.Dedup.scoredCosine(
-        sparseBandPairs(sparseBands(emb, bits), withinLabel = false),
+        sparseBandPairs(sparseBands(emb, b), withinLabel = false),
         graft.dedup.Dedup.embVecs(emb)),
       k)
   }
@@ -718,16 +725,38 @@ object Similarity {
     * can join a persisted store (StreamingKnn's cadence). */
   private[graft] def sparseBands(embIn: DataFrame,
       bits: Int = 8): DataFrame = {
+    require(bits >= 1 && bits <= 16, s"band width $bits outside [1,16]")
     val bandsN = 12; val dim = 64; val seedBase = 2000
+    // Seed layout is WIDTH-STABLE: band b's first 8 planes are always
+    // seeds 2000+b·8+j (bit-identical to the r8 8-bit stores and
+    // oracles), and widths 9..16 extend each band with an independent
+    // plane family (4000+b·8+j) shifted into the high byte — widening
+    // `bits` refines existing signatures instead of reshuffling them,
+    // so the oracle's static 12×16 plane table serves every width.
+    def sig(b: Int): Column = {
+      val lo = V.signSig(col("embd"), seedBase + b * 8,
+        math.min(bits, 8), dim)
+      if (bits <= 8) lo
+      else lo + V.signSig(col("embd"), 4000 + b * 8, bits - 8, dim) *
+        lit(256L)
+    }
     embIn
       .select(col("vec_id"), col("label"),
         V.asDouble(col("embedding")).as("embd"))
       .select(col("vec_id"), col("label"),
-        posexplode(array((0 until bandsN).map { b =>
-          V.signSig(col("embd"), seedBase + b * bits, bits, dim)
-        }: _*)))
+        posexplode(array((0 until bandsN).map(sig): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
   }
+
+  /** The log(n) band-width law, in INTEGER threshold tests both
+    * engines replicate exactly (no float log2 at a power-of-two
+    * boundary): 8 bits up to 8192 corpus vectors, +1 per doubling
+    * beyond, capped at 16 — expected band-bucket size n/2^bits stays
+    * ≤ ~32, so the candidate self-join stays ~linear in n. Measured
+    * (r8, 30× mutated ≈ 60k vectors): the fixed 8-bit build was
+    * 250 s cold; the widened build 9.7 s. */
+  private[graft] def bitsFor(n: Long): Int =
+    8 + (13 to 20).count(t => n > (1L << t))
 
   /** Deduped candidate pairs from [[sparseBands]] output — the slim
     * self-join (only (label, band, sig, vec_id) rides it), optionally

@@ -1,9 +1,45 @@
 package graft.streaming
 
 import graft.dedup.Dedup
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** Cadence knobs for a maintained k-NN graph — ONE fold serves both
+  * graph kinds the engine publishes:
+  *  - [[KnnGraphConfig.init]] (the default): s14's near-dup INIT
+  *    graph — 8-bit sparse bands, within-label, d5's 0.3 cosine
+  *    floor, top-5 lists;
+  *  - [[KnnGraphConfig.search]]: s15's NAVIGABLE search graph —
+  *    cross-label, UNFLOORED, top-16 lists, band width from
+  *    `Similarity.bitsFor(corpus)` — the maintained form the s15
+  *    scaladoc promises (spec: 3-wave fold ≡ one-shot searchGraph).
+  *
+  * The band store is FORMAT-STAMPED (`_format` file, checked before
+  * every batch): signatures written under one (bits, confinement,
+  * floor) joined against another's would produce wrong candidates
+  * with no error — e.g. a pre-r8 store of d5's 32×3-bit embBands
+  * silently joining r8's 12×8-bit sparseBands. Mismatch fails loudly
+  * with a rebuild instruction instead.
+  */
+case class KnnGraphConfig(bits: Int = 8,
+    withinLabel: Boolean = true, floor: Option[Double] = Some(0.3),
+    k: Int = 5, nb: Int = 64) {
+  /** Stamped into the store; any change to the candidate semantics
+    * MUST change this tag. */
+  def formatTag: String =
+    s"sparse-v2:bits=$bits:withinLabel=$withinLabel:" +
+      s"floor=${floor.map(_.toString).getOrElse("none")}"
+}
+
+object KnnGraphConfig {
+  /** s14's INIT-graph cadence (descent = periodic batch compaction). */
+  val init: KnnGraphConfig = KnnGraphConfig()
+  /** s15's search-graph cadence at a given band width (wire it to
+    * corpus size with `Similarity.bitsFor`). */
+  def search(bits: Int): KnnGraphConfig =
+    KnnGraphConfig(bits = bits, withinLabel = false, floor = None, k = 16)
+}
 
 /** CONTINUOUS k-NN graph maintenance — s14's graph kept current at
   * ingest time: each arriving micro-batch of vectors band-joins the
@@ -13,7 +49,8 @@ import org.apache.spark.sql.functions._
   * lists in a vec-hash-partitioned graph store via dynamic partition
   * overwrite (StreamingClusters' surgical-write rule: reading the
   * graph is one columnar scan, rewriting it wholesale per batch would
-  * dwarf the batch).
+  * dwarf the batch). Run with [[KnnGraphConfig.search]] the same fold
+  * maintains s15's cross-label navigable graph instead.
   *
   * The fold state is LOSSLESS at top-k: a pair's cosine is static,
   * and an edge already outside a vector's current top-k can never
@@ -25,46 +62,80 @@ import org.apache.spark.sql.functions._
   * over a partially-written first attempt — converges to the same
   * graph.
   *
-  * Spec: 3-wave fold ≡ one-shot s14 on the union; a small batch
-  * rewrites few graph partitions (byte-level snapshot); replay
-  * idempotent.
+  * Spec: 3-wave fold ≡ one-shot s14 on the union (init cadence) and
+  * ≡ one-shot searchGraph (search cadence); a small batch rewrites
+  * few graph partitions (byte-level snapshot); replay idempotent;
+  * format-marker mismatch fails loudly.
   */
 object StreamingKnn {
 
   private def pbOf(c: Column, nb: Int): Column = pmod(xxhash64(c), lit(nb))
 
+  /** Pre-config signature, kept for the init-cadence call sites. */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+      storePath: String, graphPath: String, k: Int, nb: Int): Unit =
+    processBatch(batch, batchId, storePath, graphPath,
+      KnnGraphConfig(k = k, nb = nb))
+
+  /** Fail-loud format gate: stamp the cadence tag on first write,
+    * verify it on every later batch. */
+  private def checkFormat(s: SparkSession, storePath: String,
+      tag: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$storePath/_format")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val existing =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(existing == tag,
+        s"band store at $storePath was written as '$existing' but this " +
+          s"cadence expects '$tag' — joining mixed-format signatures " +
+          "would silently produce wrong candidates; rebuild the store")
+    } else {
+      val out = fs.create(p, true)
+      try out.write(tag.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** One micro-batch: candidates vs the store, then a surgical graph
     * update. `batch` needs (vec_id, label, embedding). */
   private[graft] def processBatch(batch: DataFrame, batchId: Long,
-      storePath: String, graphPath: String, k: Int = 5, nb: Int = 64)
+      storePath: String, graphPath: String, cfg: KnnGraphConfig)
       : Unit = {
     val s = batch.sparkSession
+    checkFormat(s, storePath, cfg.formatTag)
     // r8: the maintained graph uses s14's SELECTIVE banding
-    // (Similarity.sparseBands, 12 × 8-bit) — the d5 3-bit refinement
-    // bands admit every same-label pair as a candidate (the measured
-    // 30× quadratic), which at ingest would make every batch's
-    // store join corpus-sized
-    val bands = graft.similarity.Similarity.sparseBands(batch)
+    // (Similarity.sparseBands) — the d5 3-bit refinement bands admit
+    // every same-label pair as a candidate (the measured 30×
+    // quadratic), which at ingest would make every batch's store join
+    // corpus-sized. r9: width/confinement/floor come from the config,
+    // so the same cadence maintains s15's cross-label search graph.
+    val bands = graft.similarity.Similarity.sparseBands(batch, cfg.bits)
       .localCheckpoint(true)
     val vecs = Dedup.embVecs(batch).localCheckpoint(true)
     val bandDirs = StoreFs.priorBatchDirs(s, s"$storePath/bands", batchId)
     val storeBands = if (bandDirs.isEmpty) bands.limit(0)
       else s.read.parquet(bandDirs: _*)
-    val cross = bands.as("a").join(storeBands.as("b"),
-        col("a.label") === col("b.label") &&
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+    def bandCond(extra: Column): Column = {
+      val base = col("a.band") === col("b.band") &&
+        col("a.sig") === col("b.sig") && extra
+      if (cfg.withinLabel) col("a.label") === col("b.label") && base
+      else base
+    }
+    val cross = bands.as("a").join(storeBands.as("b"), bandCond(lit(true)))
       .select(least(col("a.vec_id"), col("b.vec_id")).as("id1"),
         greatest(col("a.vec_id"), col("b.vec_id")).as("id2"))
     val intra = bands.as("a").join(bands.as("b"),
-        col("a.label") === col("b.label") &&
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.vec_id") < col("b.vec_id"))
+        bandCond(col("a.vec_id") < col("b.vec_id")))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
     val cand = cross.union(intra).distinct()
     val vecDirs = StoreFs.priorBatchDirs(s, s"$storePath/vecs", batchId)
     val allVecs = if (vecDirs.isEmpty) vecs
       else vecs.unionByName(s.read.parquet(vecDirs: _*))
-    val newPairs = Dedup.verifyCosine(cand, allVecs)
+    val scored = Dedup.scoredCosine(cand, allVecs)
+    val newPairs = cfg.floor.map(f => scored.filter(col("cos") >= f))
+      .getOrElse(scored)
     // symmetric edges; exactly these vectors' lists can change
     val newEdges = newPairs
       .select(col("id1").as("vec_id"), col("id2").as("nbr"), col("cos"))
@@ -72,7 +143,7 @@ object StreamingKnn {
         .select(col("id2").as("vec_id"), col("id1").as("nbr"), col("cos")))
       .localCheckpoint(true) // consumers: touched-pb probe + the merge
     val affected = newEdges.select("vec_id").distinct()
-    val touchedPbs = affected.select(pbOf(col("vec_id"), nb).as("pb"))
+    val touchedPbs = affected.select(pbOf(col("vec_id"), cfg.nb).as("pb"))
       .distinct().collect().map(_.getLong(0)).sorted
     if (touchedPbs.nonEmpty) {
       // Prune on the STORED partition column, not a recomputed
@@ -98,10 +169,10 @@ object StreamingKnn {
         .withColumn("rk", row_number().over(
           Window.partitionBy("vec_id")
             .orderBy(col("cos").desc, col("nbr").asc)).cast("long"))
-        .filter(col("rk") <= k)
+        .filter(col("rk") <= cfg.k)
         .select("vec_id", "rk", "nbr", "cos")
       keep.union(fresh)
-        .withColumn("pb", pbOf(col("vec_id"), nb))
+        .withColumn("pb", pbOf(col("vec_id"), cfg.nb))
         .write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pb").parquet(graphPath)
@@ -120,5 +191,14 @@ object StreamingKnn {
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     embs.writeStream.foreachBatch { (b: Dataset[Row], id: Long) =>
       processBatch(b.toDF(), id, storePath, graphPath, k, nb)
+    }
+
+  /** Streaming query under an explicit cadence (e.g.
+    * [[KnnGraphConfig.search]] for the maintained s15 graph). */
+  def runWith(embs: DataFrame, storePath: String, graphPath: String,
+      cfg: KnnGraphConfig)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    embs.writeStream.foreachBatch { (b: Dataset[Row], id: Long) =>
+      processBatch(b.toDF(), id, storePath, graphPath, cfg)
     }
 }

@@ -69,4 +69,57 @@ class StreamingKnnSpec extends AnyFunSuite {
     StreamingKnn.processBatch(w2.toDF(), 2, store, graph, 5, nb)
     assert(readGraph(graph) == expected, "replay diverged")
   }
+
+  test("cross-label unfloored cadence maintains s15's SEARCH graph: " +
+      "3-wave fold ≡ one-shot searchGraph; a mismatched-format store " +
+      "fails loudly") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sknn_s15").toString
+    val (store, graph) = (s"$root/store", s"$root/graph")
+    val cfg = graft.streaming.KnnGraphConfig.search(bits = 8)
+    // the search graph's corpus (vec_id >= 10 — queries excluded)
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") >= 10)
+    val w0 = emb.filter(col("vec_id") % 3 === 0)
+    val w1 = emb.filter(col("vec_id") % 3 === 1)
+    val w2 = emb.filter(col("vec_id") % 3 === 2)
+    StreamingKnn.processBatch(w0.toDF(), 0, store, graph, cfg)
+    StreamingKnn.processBatch(w1.toDF(), 1, store, graph, cfg)
+    StreamingKnn.processBatch(w2.toDF(), 2, store, graph, cfg)
+    // bits=8 is what bitsFor picks at this corpus size — the
+    // maintained store IS the one-shot navigable graph s15 walks
+    assert(similarity.Similarity.bitsFor(emb.count()) == 8)
+    val expected = similarity.Similarity.searchGraph(spark, sf, 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val got = readGraph(graph)
+    assert(got == expected,
+      s"missing ${(expected -- got).size} / extra ${(got -- expected).size}")
+    assert(got.nonEmpty)
+    // cross-label edges exist (the property s14's init graph lacks)
+    val labelOf = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.exists(e => labelOf(e._1) != labelOf(e._3)),
+      "no cross-label edge — this is not the navigable search graph")
+
+    // ADVICE r8: a store stamped with one cadence refuses another —
+    // mixed-format sigs would silently produce wrong candidates
+    val bad = intercept[IllegalArgumentException] {
+      StreamingKnn.processBatch(w2.toDF(), 3, store, graph,
+        graft.streaming.KnnGraphConfig.init)
+    }
+    assert(bad.getMessage.contains("rebuild"),
+      s"format mismatch not loud: ${bad.getMessage}")
+  }
+
+  test("bitsFor: integer log2 law — 8 up to 8192, +1 per doubling, " +
+      "capped at 16") {
+    import similarity.Similarity.bitsFor
+    assert(bitsFor(100) == 8 && bitsFor(8192) == 8)
+    assert(bitsFor(8193) == 9 && bitsFor(16384) == 9)
+    assert(bitsFor(60000) == 11)
+    assert(bitsFor(1 << 20) == 15 && bitsFor((1L << 20) + 1) == 16)
+    assert(bitsFor(1L << 40) == 16)
+  }
 }
