@@ -797,9 +797,9 @@ object SparkEntry {
        |$ptRows),
        |nv AS (SELECT count(*) AS n FROM embeddings WHERE vec_id >= 10),
        |beff AS (
-       |  SELECT 8 + (n > 8192)::INT + (n > 16384)::INT + (n > 32768)::INT
-       |    + (n > 65536)::INT + (n > 131072)::INT + (n > 262144)::INT
-       |    + (n > 524288)::INT + (n > 1048576)::INT AS bits FROM nv),
+       |  SELECT 8 + (n > 4096)::INT + (n > 8192)::INT + (n > 16384)::INT
+       |    + (n > 32768)::INT + (n > 65536)::INT + (n > 131072)::INT
+       |    + (n > 262144)::INT + (n > 524288)::INT AS bits FROM nv),
        |sge AS (
        |  SELECT vec_id, b,
        |    CAST(sum(CASE WHEN ${seqDot("emb", "plane")} > 0

@@ -750,13 +750,14 @@ object Similarity {
 
   /** The log(n) band-width law, in INTEGER threshold tests both
     * engines replicate exactly (no float log2 at a power-of-two
-    * boundary): 8 bits up to 8192 corpus vectors, +1 per doubling
+    * boundary): 8 bits up to 4096 corpus vectors, +1 per doubling
     * beyond, capped at 16 — expected band-bucket size n/2^bits stays
-    * ≤ ~32, so the candidate self-join stays ~linear in n. Measured
+    * ≤ ~16, so the candidate self-join stays ~linear in n. Measured
     * (r8, 30× mutated ≈ 60k vectors): the fixed 8-bit build was
-    * 250 s cold; the widened build 9.7 s. */
+    * 250 s cold; the 12-bit build — what this law picks at that n —
+    * 9.7 s. */
   private[graft] def bitsFor(n: Long): Int =
-    8 + (13 to 20).count(t => n > (1L << t))
+    8 + (12 to 19).count(t => n > (1L << t))
 
   /** Deduped candidate pairs from [[sparseBands]] output — the slim
     * self-join (only (label, band, sig, vec_id) rides it), optionally

@@ -113,13 +113,13 @@ class StreamingKnnSpec extends AnyFunSuite {
       s"format mismatch not loud: ${bad.getMessage}")
   }
 
-  test("bitsFor: integer log2 law — 8 up to 8192, +1 per doubling, " +
+  test("bitsFor: integer log2 law — 8 up to 4096, +1 per doubling, " +
       "capped at 16") {
     import similarity.Similarity.bitsFor
-    assert(bitsFor(100) == 8 && bitsFor(8192) == 8)
-    assert(bitsFor(8193) == 9 && bitsFor(16384) == 9)
-    assert(bitsFor(60000) == 11)
-    assert(bitsFor(1 << 20) == 15 && bitsFor((1L << 20) + 1) == 16)
+    assert(bitsFor(100) == 8 && bitsFor(4096) == 8)
+    assert(bitsFor(4097) == 9 && bitsFor(8192) == 9)
+    assert(bitsFor(60000) == 12)
+    assert(bitsFor(1 << 19) == 15 && bitsFor((1L << 19) + 1) == 16)
     assert(bitsFor(1L << 40) == 16)
   }
 }
