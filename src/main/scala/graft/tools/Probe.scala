@@ -99,6 +99,45 @@ object Probe {
       spark.stop(); return
     }
 
+    // streaming cluster-maintenance cadence on probe data: 3 waves
+    // split by replica index mod 3, so mutated near-dup CHAINS span
+    // waves and every batch merges components across the persisted
+    // map — reports per-wave wall, touched map partitions (mtime
+    // snapshot), and final map/cluster counts
+    if (sys.env.get("PROBE_STREAMCLUSTERS").contains("1")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_probe_sc").toString
+      val docs = Tables.documents(spark, d)
+      docs.count()
+      def snap(): Map[String, Long] = {
+        val dir = new java.io.File(s"$root/map")
+        if (!dir.exists()) Map.empty
+        else dir.listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("pb="))
+          .map(f => f.getName -> f.listFiles()
+            .filter(_.getName.endsWith(".parquet"))
+            .map(x => x.getName.hashCode.toLong ^ x.length() ^
+              x.lastModified()).sum).toMap
+      }
+      (0 until 3).foreach { w =>
+        val wave = docs.filter(expr(s"(doc_id div 10000000) % 3 = $w"))
+        val n = wave.count()
+        val before = snap()
+        time(s"clusters wave $w ($n docs)") {
+          graft.streaming.StreamingClusters
+            .processBatch(wave.toDF(), w, root, 64)
+        }
+        val after = snap()
+        val touched = after.count { case (k, v) =>
+          before.get(k).forall(_ != v) }
+        println(s"[probe]   touched map partitions: $touched / ${after.size}")
+      }
+      val map = spark.read.parquet(s"$root/map")
+      println(s"[probe]   final map rows: ${map.count()}, clusters: " +
+        map.select("cluster").distinct().count())
+      spark.stop(); return
+    }
+
     // native sketch-aggregate forms (not registered queries)
     if (sys.env.get("PROBE_SKETCHAGG").contains("1")) {
       Tables.lineitem(spark, d).count()
