@@ -98,8 +98,10 @@ class ReferenceParitySpec extends AnyFunSuite {
       "private run must screen every comment body")
   }
 
-  test("bug-history reconstruction on the REAL bugs/bugs_activity " +
-      "tables: forward replay round-trips to the current state") {
+  /** The real-data bug history (current anchor + reconstructed
+    * versions), shared by the round-trip and intermediate-state
+    * tests. */
+  private lazy val (realCurrent, realHist) = {
     import org.apache.spark.sql.functions._
     val bugs = MySqlDump.table(spark, dump, "bugs")
       .filter(col("bug_id").isin(BugList: _*))
@@ -151,6 +153,18 @@ class ReferenceParitySpec extends AnyFunSuite {
       current, activity, singleFields, Seq("cc", "keywords"),
       longFields = Seq("short_desc", "cf_user_story"))
       .localCheckpoint(true)
+    (current, hist)
+  }
+
+  private val realSingleFields = Seq("bug_status", "resolution",
+    "priority", "bug_severity", "target_milestone")
+
+  test("bug-history reconstruction on the REAL bugs/bugs_activity " +
+      "tables: forward replay round-trips to the current state") {
+    import org.apache.spark.sql.functions._
+    val current = realCurrent
+    val hist = realHist
+    val singleFields = realSingleFields
 
     // structural: every bug versioned; intervals tile to +inf
     assert(hist.select("id").distinct().count() == BugList.size)
@@ -204,6 +218,91 @@ class ReferenceParitySpec extends AnyFunSuite {
       s"single-field round-trip mismatches: $diag")
     assert(multiDiag.map(_._2).sum == 0,
       s"multi-field round-trip mismatches: $multiDiag")
+  }
+
+  test("INTERMEDIATE version states pinned from the real log: " +
+      "hand-derived mid-history milestone/keywords/cc states for 4 " +
+      "churn-heavy bugs match the backward-anchored replay") {
+    import org.apache.spark.sql.functions._
+    val hist = realHist
+    def version(id: Long, ts: Long) = {
+      val rows = hist.filter(col("id") === id &&
+        col("valid_from") === ts).collect()
+      assert(rows.length == 1,
+        s"expected exactly one version at ($id, $ts), got ${rows.length}")
+      rows.head
+    }
+    def single(id: Long, ts: Long, field: String): String =
+      version(id, ts).getAs[String](field)
+    def multi(id: Long, ts: Long, field: String): Set[String] =
+      version(id, ts).getAs[scala.collection.Seq[String]](field).toSet
+
+    // ---- bug 12911 target_milestone: 12 logged changes PLUS an
+    // unlogged M20→'---' bulk rename. Hand derivation (backward
+    // anchor: a version's value is the NEXT change's removed-value):
+    //   at the M16→M20 change (2000-05-31) the next logged change
+    //   (2000-12-19) removed '---', so the anchored state is '---',
+    //   NOT the forward-replay 'M20' — the rename resolves toward
+    //   the log's own later evidence, as the reference does.
+    assert(single(12911L, 959807728000L, "target_milestone") == "---")
+    //   consistent stretch: →mozilla1.2 (2002-03-05 03:20), next
+    //   change removed mozilla1.2
+    assert(single(12911L, 1015298418000L, "target_milestone") ==
+      "mozilla1.2")
+    //   final change (2002-03-05 18:36): tail anchors at current
+    assert(single(12911L, 1015353419000L, "target_milestone") ==
+      "mozilla1.0")
+
+    // ---- bug 3140 target_milestone: first set →M6 (1999-04-13),
+    // next change (1999-06-08) removed 'M7' — an unlogged M6→M7 edit;
+    // anchored state is M7
+    assert(single(3140L, 924038829000L, "target_milestone") == "M7")
+
+    // ---- bug 1046 target_milestone: →M11 (1999-08-05), next change
+    // (2000-04-07) removed 'M16' (unlogged M11→M16); tail version
+    // (→M19, 2000-09-28) anchors at the current row's '---'
+    // (unlogged M19→'---')
+    assert(single(1046L, 933875761000L, "target_milestone") == "M16")
+    assert(single(1046L, 970153756000L, "target_milestone") == "---")
+
+    // ---- bug 3140 keywords at two mid-history instants. Events:
+    // testcase add@2000-01-21; nsbeta3 add@2000-08-09 rm@2001-01-12;
+    // relnote3 add@2000-08-15 rm@2000-10-23; nsbeta1 add@2001-01-12
+    // rm@2001-04-13; dom1 add@2001-02-23; current = {dom1, testcase}.
+    // At 2000-08-16 (a milestone-change version): nsbeta3/relnote3
+    // next-event is a remove ⇒ present; testcase tail-current ⇒
+    // present; nsbeta1/dom1 next-event add ⇒ absent.
+    assert(multi(3140L, 966385076000L, "keywords") ==
+      Set("nsbeta3", "relnote3", "testcase"))
+    // At 2001-01-12 (nsbeta3 rm + nsbeta1 add in ONE instant): the
+    // swap resolves atomically — nsbeta1 in (next event = its remove),
+    // nsbeta3 out (tail, not in current), dom1 not yet
+    assert(multi(3140L, 979261853000L, "keywords") ==
+      Set("nsbeta1", "testcase"))
+
+    // ---- bug 11040 cc membership across adds/removes/re-adds
+    // (99 logged cc events). lchiang: ONLY a remove (2003-07-19) —
+    // presence extends back to history start; gone at the remove's
+    // own instant. noel: add@2009-01-10, rm@2015-04-27,
+    // re-add@2015-05-22 (and in current). dmose: add@2008-06-19,
+    // rm@2011-08-24, not current. qbxk: add@2006-09-15,
+    // rm@2015-05-22 15:24 (after the re-add version).
+    val atCreation = multi(11040L, 933539465000L, "cc")
+    assert(atCreation.contains("lchiang@netscape.com"),
+      "remove-without-add must extend presence back to history start")
+    assert(!atCreation.contains("noel_public@thestjohns.net"))
+    assert(!multi(11040L, 1058639381000L, "cc")
+      .contains("lchiang@netscape.com"))
+    val cc2009 = multi(11040L, 1231548878000L, "cc")
+    assert(cc2009.contains("noel_public@thestjohns.net") &&
+      cc2009.contains("dmose@mozilla.org") &&
+      cc2009.contains("qbxk@luckyb.net"))
+    val ccAfterRemove = multi(11040L, 1430147969000L, "cc")
+    assert(!ccAfterRemove.contains("noel_public@thestjohns.net") &&
+      ccAfterRemove.contains("qbxk@luckyb.net"))
+    val ccAfterReAdd = multi(11040L, 1432307844000L, "cc")
+    assert(ccAfterReAdd.contains("noel_public@thestjohns.net") &&
+      ccAfterReAdd.contains("qbxk@luckyb.net"))
   }
 
   test("attachment (sub-entity) history on the REAL tables round-trips " +
