@@ -652,10 +652,33 @@ object Similarity {
     * localCheckpoint(true) policy (x1's survivor rule), which also
     * keeps the unrolled plan linear in rounds instead of 3^rounds. */
   def s15GraphSearch(s: SparkSession, d: String, k: Int = 5,
-      beam: Int = 12, rounds: Int = 3): DataFrame = {
-    val graph = searchGraph(s, d, 16)
-      .select(col("vec_id"), col("nbr"))
-      .localCheckpoint(true) // one consumer per round
+      beam: Int = 12, rounds: Int = 3): DataFrame =
+    s15Walk(s, d,
+      searchGraph(s, d, 16)
+        .select(col("vec_id"), col("nbr"))
+        .localCheckpoint(true), // one consumer per round
+      k, beam, rounds)
+
+  /** s15's walk against a PERSISTED maintained graph — the store
+    * [[graft.streaming.StreamingKnn]]'s search cadence keeps current
+    * — instead of an inline build: the actual production shape (the
+    * registered s15 builds inline only because the driver bench is a
+    * one-shot run). One columnar read of the vec-hash-partitioned
+    * store, then the identical walk; spec: walk(maintained store) ≡
+    * the registered s15 on the same corpus. */
+  def s15GraphSearchStored(s: SparkSession, d: String,
+      graphPath: String, k: Int = 5, beam: Int = 12, rounds: Int = 3)
+      : DataFrame =
+    s15Walk(s, d,
+      s.read.parquet(graphPath)
+        .select(col("vec_id"), col("nbr"))
+        .localCheckpoint(true),
+      k, beam, rounds)
+
+  /** The NSW walk body shared by the inline-build and maintained-store
+    * forms. */
+  private def s15Walk(s: SparkSession, d: String, graph: DataFrame,
+      k: Int, beam: Int, rounds: Int): DataFrame = {
     val q = queries(s, d)
     val cv = corpus(s, d).select(col("c_id"), col("c_emb"))
     var visited = lshShortlist(s, d, beam).localCheckpoint(true)

@@ -77,4 +77,48 @@ class SemDedupProdSpec extends AnyFunSuite {
         s"cell confinement lost too many duplicates: $recovered")
     }
   }
+
+  test("d5 prod vs the exact within-label form — cell confinement's " +
+      "tradeoff MEASURED in both directions: same-label pairs are a " +
+      "sound subset, cross-label finds are true ≥0.3 pairs d5's " +
+      "label confinement never saw") {
+    import org.apache.spark.sql.functions._
+    val exact = Dedup.d5EmbeddingDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val prod = Dedup.d5EmbeddingProd(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val labelOf = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val (sameLabel, crossLabel) =
+      prod.partition(p => labelOf(p._1) == labelOf(p._2))
+    // soundness within the common universe: a same-label cell pair is
+    // a true within-label ≥0.3 pair, so it must appear in the exact
+    // (spec-proven ≡ all-pairs) d5 answer
+    assert((sameLabel -- exact).isEmpty,
+      s"prod emitted same-label non-pairs: ${(sameLabel -- exact).take(3)}")
+    // cross-label finds are OUTSIDE d5's universe by construction —
+    // re-verify their cosines independently (the d12-prod 'cells
+    // cross labels' bonus, here at pair granularity)
+    val vecs = Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def cos(a: Long, b: Long): Double = {
+      val (x, y) = (vecs(a), vecs(b))
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      dot / math.sqrt(x.map(v => v * v).sum * y.map(v => v * v).sum)
+    }
+    assert(crossLabel.forall { case (a, b) => cos(a, b) >= 0.2995 },
+      "a cross-label prod pair fails its own cosine floor")
+    val recall = if (exact.isEmpty) 1.0
+      else (sameLabel intersect exact).size.toDouble / exact.size
+    info(s"d5 prod: same-label recall $recall " +
+      s"(${sameLabel.size} of ${exact.size}), " +
+      s"${crossLabel.size} true cross-label pairs d5 never saw")
+    // the 0.3 floor admits many barely-related cross-cell pairs (the
+    // regime where NO method is both selective and complete — the
+    // measured selectivity law); the cell form must still recover a
+    // substantial share of the within-label answer
+    assert(recall >= 0.3, s"cell confinement recall collapsed: $recall")
+  }
 }

@@ -103,6 +103,20 @@ class StreamingKnnSpec extends AnyFunSuite {
     assert(got.exists(e => labelOf(e._1) != labelOf(e._3)),
       "no cross-label edge — this is not the navigable search graph")
 
+    // the production shape end-to-end: s15's walk over THIS
+    // maintained store answers identically to the registered
+    // inline-build s15
+    val walkStored = similarity.Similarity
+      .s15GraphSearchStored(spark, sf, graph).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val walkInline = similarity.Similarity.s15GraphSearch(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(walkStored == walkInline,
+      "walk over the maintained store diverged from the inline build")
+
     // ADVICE r8: a store stamped with one cadence refuses another —
     // mixed-format sigs would silently produce wrong candidates
     val bad = intercept[IllegalArgumentException] {
