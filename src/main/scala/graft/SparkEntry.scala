@@ -159,6 +159,8 @@ object SparkEntry {
       graft.similarity.Similarity.s14KnnGraph(s, d)),
     "s15_graph_search" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s15GraphSearch(s, d)),
+    "s16_hnsw" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.s16Hnsw(s, d)),
     "s8_mmr_diversify" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s8MmrDiversify(s, d)),
     "s9_mmr_lsh" -> ((s: SparkSession, d: String) =>
@@ -853,6 +855,136 @@ object SparkEntry {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** s16's oracle: levels from the portable coin, the s15 layer-0
+    * graph CTEs verbatim, per-layer upper graphs at bitsSmall widths,
+    * the 6 greedy descent steps and all 3 beam rounds unrolled. */
+  private lazy val s16HnswSql: String = {
+    val ptRows = sparsePlaneRows
+    val coin = "((vec_id % 2147483648) * 2654435761) % 4294967296"
+    val upperLayers = (1 to 3).map { l =>
+      val bitsSum = (6 to 19).map(t => s"(n > ${1L << t})::INT")
+        .mkString(" + ")
+      s"""nL$l AS (SELECT count(*) AS n FROM lvl WHERE level >= $l),
+         |bL$l AS (SELECT 2 + $bitsSum AS bits FROM nL$l),
+         |sgeL$l AS (
+         |  SELECT e.vec_id, b,
+         |    CAST(sum(CASE WHEN ${seqDot("emb", "plane")} > 0
+         |      THEN w ELSE 0 END) AS BIGINT) AS sig
+         |  FROM e JOIN lvl ON lvl.vec_id = e.vec_id
+         |  CROSS JOIN spt CROSS JOIN bL$l
+         |  WHERE lvl.level >= $l AND j < bL$l.bits GROUP BY 1, 2),
+         |scL$l AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2
+         |  FROM sgeL$l a JOIN sgeL$l b
+         |    ON a.b = b.b AND a.sig = b.sig AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2),
+         |spL$l AS MATERIALIZED (
+         |  SELECT id1, id2,
+         |    round(list_cosine_similarity(e1.emb, e2.emb), 3) AS cos
+         |  FROM scL$l JOIN e e1 ON e1.vec_id = id1
+         |  JOIN e e2 ON e2.vec_id = id2),
+         |gL$l AS MATERIALIZED (
+         |  SELECT vec_id, nbr FROM (
+         |    SELECT vec_id, nbr, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, nbr) AS rk
+         |    FROM (SELECT id1 AS vec_id, id2 AS nbr, cos FROM spL$l
+         |          UNION ALL SELECT id2, id1, cos FROM spL$l))
+         |  WHERE rk <= 8),""".stripMargin
+    }.mkString("\n")
+    val descent = (1 to 6).map { i =>
+      val l = 3 - (i - 1) / 2
+      s"""ucand$i AS (
+         |  SELECT DISTINCT u.q_id, g.nbr AS c_id
+         |  FROM u${i - 1} u JOIN gL$l g ON g.vec_id = u.c_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM u${i - 1} p
+         |    WHERE p.q_id = u.q_id AND p.c_id = g.nbr)),
+         |usc$i AS (
+         |  SELECT c.q_id, c.c_id,
+         |    round(list_cosine_similarity(q.q_emb, ce.c_emb), 3) AS cos
+         |  FROM ucand$i c JOIN q ON q.q_id = c.q_id
+         |  JOIN ce ON ce.c_id = c.c_id),
+         |u$i AS MATERIALIZED (
+         |  SELECT q_id, c_id, cos FROM (
+         |    SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, c_id) AS rk
+         |    FROM (SELECT * FROM u${i - 1} UNION ALL SELECT * FROM usc$i))
+         |  WHERE rk = 1),""".stripMargin
+    }.mkString("\n")
+    val rounds = (1 to 3).map { r =>
+      s"""f$r AS (
+         |  SELECT q_id, c_id FROM (
+         |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, c_id) AS rk FROM v${r - 1})
+         |  WHERE rk <= 12),
+         |n$r AS (
+         |  SELECT DISTINCT f.q_id, g.nbr AS c_id
+         |  FROM f$r f JOIN g ON g.vec_id = f.c_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} v
+         |    WHERE v.q_id = f.q_id AND v.c_id = g.nbr)),
+         |sc$r AS (
+         |  SELECT n.q_id, n.c_id,
+         |    round(list_cosine_similarity(q.q_emb, ce.c_emb), 3) AS cos
+         |  FROM n$r n JOIN q ON q.q_id = n.q_id
+         |  JOIN ce ON ce.c_id = n.c_id),
+         |v$r AS MATERIALIZED (
+         |  SELECT * FROM v${r - 1} UNION ALL SELECT * FROM sc$r),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |spt(b, j, w, plane) AS (VALUES
+       |$ptRows),
+       |nv AS (SELECT count(*) AS n FROM embeddings WHERE vec_id >= 10),
+       |beff AS (
+       |  SELECT 8 + (n > 4096)::INT + (n > 8192)::INT + (n > 16384)::INT
+       |    + (n > 32768)::INT + (n > 65536)::INT + (n > 131072)::INT
+       |    + (n > 262144)::INT + (n > 524288)::INT AS bits FROM nv),
+       |sge AS (
+       |  SELECT vec_id, b,
+       |    CAST(sum(CASE WHEN ${seqDot("emb", "plane")} > 0
+       |      THEN w ELSE 0 END) AS BIGINT) AS sig
+       |  FROM e CROSS JOIN spt CROSS JOIN beff
+       |  WHERE vec_id >= 10 AND j < bits GROUP BY 1, 2),
+       |scand AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2
+       |  FROM sge a JOIN sge b ON a.b = b.b AND a.sig = b.sig
+       |    AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2),
+       |sp AS MATERIALIZED (
+       |  SELECT id1, id2,
+       |    round(list_cosine_similarity(e1.emb, e2.emb), 3) AS cos
+       |  FROM scand JOIN e e1 ON e1.vec_id = id1
+       |  JOIN e e2 ON e2.vec_id = id2),
+       |g AS MATERIALIZED (
+       |  SELECT vec_id, nbr FROM (
+       |    SELECT vec_id, nbr, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, nbr) AS rk
+       |    FROM (SELECT id1 AS vec_id, id2 AS nbr, cos FROM sp
+       |          UNION ALL SELECT id2, id1, cos FROM sp))
+       |  WHERE rk <= 16),
+       |lvl AS (
+       |  SELECT vec_id,
+       |    (CASE WHEN $coin < 1073741824 THEN 1 ELSE 0 END +
+       |     CASE WHEN $coin < 268435456 THEN 1 ELSE 0 END +
+       |     CASE WHEN $coin < 67108864 THEN 1 ELSE 0 END) AS level
+       |  FROM embeddings WHERE vec_id >= 10),
+       |$upperLayers
+       |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
+       |ce AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id >= 10),
+       |entry AS (SELECT vec_id AS c_id FROM lvl
+       |          ORDER BY level DESC, vec_id LIMIT 1),
+       |u0 AS MATERIALIZED (
+       |  SELECT q.q_id, en.c_id,
+       |    round(list_cosine_similarity(q.q_emb, ce.c_emb), 3) AS cos
+       |  FROM q CROSS JOIN entry en JOIN ce ON ce.c_id = en.c_id),
+       |$descent
+       |v0 AS MATERIALIZED (SELECT q_id, c_id, cos FROM u6),
+       |$rounds
+       |unused AS (SELECT 1)
+       |SELECT q_id, rank, c_id, cos FROM (
+       |  SELECT q_id, c_id, cos, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY cos DESC, c_id) AS BIGINT) AS rank FROM v3)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** d2's MinHash-LSH oracle (md5-based permutations interpolated from
     * MinHashParams) — also the edge set of d8's clustering oracle. */
   /** Shared minhash sketch CTE chain (through `band`) — the oracle
@@ -1158,6 +1290,7 @@ object SparkEntry {
         |WHERE hamming <= 10 ORDER BY id1, id2""".stripMargin,
     "s2_ann_lsh" -> s2AnnSql,
     "s15_graph_search" -> s15GraphSearchSql,
+    "s16_hnsw" -> s16HnswSql,
     "s6_ann_recall" ->
       s"""WITH exact AS (SELECT q_id, c_id FROM ($s1AnnSql)),
          |approx AS (SELECT q_id, c_id FROM ($s2AnnSql)),

@@ -693,6 +693,126 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** S16: HIERARCHICAL navigable-small-world search (HNSW — Malkov &
+    * Yashunin 2016, "Efficient and robust approximate nearest
+    * neighbor search using Hierarchical Navigable Small World
+    * graphs") — the ladder's final rung: s15 seeds its walk from an
+    * LSH tier whose bucket probing is a per-query corpus touch; HNSW
+    * replaces that tier with LOG-LAYERED DESCENT from a single global
+    * entry point, so a query's pre-walk cost is O(layers·rounds)
+    * graph hops with no corpus-bucket scan at all.
+    *
+    * Layers: level(v) is GEOMETRIC with ratio 1/4 — P(level ≥ ℓ) =
+    * 4^-ℓ, capped at 3 — assigned by the house portable coin, so the
+    * hierarchy is a DETERMINISTIC function of vec_id (the oracle
+    * re-derives it; a streamed ingest routes a vector to its layers
+    * without coordination, which is what makes the per-layer graphs
+    * maintainable by [[graft.streaming.StreamingKnn]]'s search
+    * cadence — layer membership is a filter, not state). Layer ℓ ≥ 1
+    * holds every vector with level ≥ ℓ under a cross-label unfloored
+    * top-8 graph at [[bitsSmall]] band width (the [[bitsFor]] law
+    * extended below 8 bits — upper layers shrink 4× per level, and a
+    * 125-vector layer needs 3-bit bands to collide at all); layer 0
+    * IS s15's navigable search graph.
+    *
+    * Search: greedy beam-1 descent — 2 rounds per layer, top level
+    * down — each round expanding the current point's layer-ℓ
+    * neighbors ([[s15Expand]] at beam 1) and keeping the best by
+    * 3-dp cosine + id; then s15's beam-12 NSW rounds on layer 0
+    * seeded from the descent endpoint. Everything (levels, entry =
+    * max-level min-id, every round) is a total order — replays
+    * bit-identically, oracle unrolls all 6 descent steps + 3 beam
+    * rounds as CTEs.
+    *
+    * Scale shape: upper-layer builds are the s15 build on 4^-ℓ
+    * corpus fractions (bucketed, never pairwise); the walk touches
+    * |Q| rows per round end-to-end. The per-layer member counts are
+    * bounded driver probes (catalog stats in production, the
+    * searchGraph rule). */
+  def s16Hnsw(s: SparkSession, d: String, k: Int = 5,
+      beam: Int = 12, rounds: Int = 3, upperRounds: Int = 2)
+      : DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+    val lvl = emb
+      .withColumn("level", levelOf(col("vec_id")))
+      .localCheckpoint(true) // consumers: 3 layer builds + the entry
+    val vecs = graft.dedup.Dedup.embVecs(emb).localCheckpoint(true)
+    // ONE bounded action for all three layer sizes (the searchGraph
+    // count rule), not one per layer
+    val sizes = lvl.agg(
+      sum((col("level") >= 1).cast("long")),
+      sum((col("level") >= 2).cast("long")),
+      sum((col("level") >= 3).cast("long"))).head()
+    val upperGraphs = (1 to 3).map { l =>
+      val members = lvl.filter(col("level") >= l)
+        .select("vec_id", "label", "embedding")
+      val bits = bitsSmall(if (sizes.isNullAt(l - 1)) 0L
+        else sizes.getLong(l - 1))
+      knnFromPairs(
+        graft.dedup.Dedup.scoredCosine(
+          sparseBandPairs(sparseBands(members, bits),
+            withinLabel = false), vecs),
+        8).select("vec_id", "nbr").localCheckpoint(true)
+    }
+    val g0 = searchGraph(s, d, 16)
+      .select("vec_id", "nbr").localCheckpoint(true)
+    val q = queries(s, d)
+    val cv = corpus(s, d).select(col("c_id"), col("c_emb"))
+    // global entry: the max-level vector, min id — a distributed
+    // TakeOrdered(1), never a global window sort
+    val entry = lvl.select("level", "vec_id")
+      .orderBy(col("level").desc, col("vec_id").asc).limit(1)
+      .select(col("vec_id").as("c_id"))
+    var cur = q.select("q_id").crossJoin(broadcast(entry))
+      .join(cv, "c_id").join(broadcast(q), "q_id")
+      .select(col("q_id"), col("c_id"),
+        round(V.cosine(col("q_emb"), col("c_emb")), 3).as("cos3"))
+      .localCheckpoint(true)
+    // checkpoint once per LAYER, not per round: the |Q|-row state is
+    // referenced 3× per greedy step, so the uncheckpointed subtree
+    // grows ~9× across a layer's two rounds — still trivial — while
+    // halving the eager-materialization jobs (measured latency-bound
+    // at small scale)
+    for (l <- 3 to 1 by -1) {
+      for (_ <- 1 to upperRounds)
+        cur = cur
+          .union(s15Expand(cur, upperGraphs(l - 1), q, cv, 1))
+          .withColumn("rk", row_number().over(byQuery))
+          .filter(col("rk") === 1)
+          .select("q_id", "c_id", "cos3")
+      cur = cur.localCheckpoint(true)
+    }
+    var visited = cur
+    for (_ <- 1 to rounds)
+      visited = visited
+        .union(s15Expand(visited, g0, q, cv, beam))
+        .localCheckpoint(true)
+    visited
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos3").as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** HNSW level of a vector id: geometric(1/4) capped at 3, from the
+    * house portable coin — deterministic, oracle-replicable, and
+    * stream-routable (level is a pure function of the id). */
+  private[graft] def levelOf(vecId: Column): Column = {
+    val coin = (vecId % lit(2147483648L)) * lit(2654435761L) %
+      lit(4294967296L)
+    (coin < lit(1073741824L)).cast("int") +
+      (coin < lit(268435456L)).cast("int") +
+      (coin < lit(67108864L)).cast("int")
+  }
+
+  /** [[bitsFor]] extended BELOW the 8-bit floor for small member
+    * sets (HNSW upper layers): 2 + one bit per doubling past 64,
+    * capped at 16 — identical to bitsFor for n > 4096, but a
+    * 125-vector layer gets 3-bit bands (ceil(log2 n) − 4), keeping
+    * expected bucket size ~16 so the layer graph has edges at all. */
+  private[graft] def bitsSmall(n: Long): Int =
+    2 + (6 to 19).count(t => n > (1L << t))
+
   /** s15's NAVIGABLE k-NN graph over the corpus vectors — built for
     * SEARCH, deliberately different from s14's near-dup graph along
     * every axis that matters for navigation: cross-label (a walk must

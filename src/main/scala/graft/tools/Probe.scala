@@ -138,6 +138,59 @@ object Probe {
       spark.stop(); return
     }
 
+    // maintained SEARCH-graph cadence (StreamingKnn, s15's graph) on
+    // probe data: 3 waves by replica index mod 3 (drift chains span
+    // waves), auto band width from the full corpus size
+    if (sys.env.get("PROBE_STREAMKNN").contains("1")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_probe_sk").toString
+      val emb = Tables.embeddings(spark, d).filter(col("vec_id") >= 10)
+      val n = emb.count()
+      val cfg = graft.streaming.KnnGraphConfig
+        .search(graft.similarity.Similarity.bitsFor(n))
+      println(s"[probe] corpus $n vectors -> ${cfg.bits}-bit bands")
+      (0 until 3).foreach { w =>
+        val wave = emb.filter(expr(s"(vec_id div 10000000) % 3 = $w"))
+        val wn = wave.count()
+        time(s"search-graph wave $w ($wn vecs)") {
+          graft.streaming.StreamingKnn.processBatch(wave.toDF(), w,
+            s"$root/store", s"$root/graph", cfg)
+        }
+      }
+      val g = spark.read.parquet(s"$root/graph")
+      println(s"[probe]   final graph rows: ${g.count()}")
+      spark.stop(); return
+    }
+
+    // s16 stage breakdown
+    if (sys.env.get("PROBE_S16BREAK").contains("1")) {
+      import graft.similarity.Similarity
+      Tables.embeddings(spark, d).count()
+      time("s16 full cold") { Similarity.s16Hnsw(spark, d).count() }
+      time("s16 full warm") { Similarity.s16Hnsw(spark, d).count() }
+      time("s15 full warm") { Similarity.s15GraphSearch(spark, d).count() }
+      val emb = Tables.embeddings(spark, d).filter(col("vec_id") >= 10)
+      time("g0 build alone") {
+        Similarity.searchGraph(spark, d, 16).count()
+      }
+      val lvl = emb.withColumn("level",
+        Similarity.levelOf(col("vec_id"))).localCheckpoint(true)
+      val vecs = graft.dedup.Dedup.embVecs(emb).localCheckpoint(true)
+      (1 to 3).foreach { l =>
+        time(s"upper layer $l build") {
+          val members = lvl.filter(col("level") >= l)
+            .select("vec_id", "label", "embedding")
+          val bits = Similarity.bitsSmall(members.count())
+          Similarity.knnFromPairs(
+            graft.dedup.Dedup.scoredCosine(
+              Similarity.sparseBandPairs(
+                Similarity.sparseBands(members, bits),
+                withinLabel = false), vecs), 8).count()
+        }
+      }
+      spark.stop(); return
+    }
+
     // native sketch-aggregate forms (not registered queries)
     if (sys.env.get("PROBE_SKETCHAGG").contains("1")) {
       Tables.lineitem(spark, d).count()

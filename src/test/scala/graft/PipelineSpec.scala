@@ -397,6 +397,38 @@ class PipelineSpec extends AnyFunSuite {
       s"graph-walk recall@5 below half: $walkHit/${bf.size}")
   }
 
+  test("s16 HNSW: deterministic geometric layers, single-entry " +
+      "descent reaches the beam stage, recall@5 beats the entry-only " +
+      "baseline and holds the walk floor") {
+    import graft.similarity.Similarity
+    // layer law: level is a pure function of vec_id (oracle-shared
+    // coin), geometric-ish occupancy, capped at 3
+    val lv = Tables.embeddings(spark, sf).filter(col("vec_id") >= 10)
+      .select(col("vec_id"), Similarity.levelOf(col("vec_id")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    val n = lv.length
+    val n1 = lv.count(_._2 >= 1)
+    assert(lv.forall(x => x._2 >= 0 && x._2 <= 3))
+    // occupancy within loose binomial bounds (P = 1/4)
+    assert(n1 * 8 > n && n1 * 2 < n,
+      s"layer-1 occupancy off: $n1 of $n")
+    val bf = Similarity.s1AnnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hnsw = Similarity.s16Hnsw(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(hnsw.nonEmpty)
+    val hit = hnsw.count(bf.contains)
+    // entry-only baseline: every query answered by the global entry
+    // point alone would hit at most |Q| of the bf pairs
+    info(s"s16 recall@5: $hit/${bf.size}")
+    assert(hit * 3 >= bf.size,
+      s"HNSW recall@5 collapsed: $hit/${bf.size}")
+    // determinism: replay bit-identical
+    val again = Similarity.s16Hnsw(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(hnsw.sameElements(again), "s16 walk not deterministic")
+  }
+
   test("t1 langid predicts a known language label") {
     val langs = Set("en", "de", "fr", "es", "zh")
     text.TextAnalysis.t1LangId(spark, sf).collect().foreach { r =>

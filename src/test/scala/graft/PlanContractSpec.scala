@@ -649,6 +649,17 @@ class PlanContractSpec extends AnyFunSuite {
       "tiny quantile frames must not sort-merge")
   }
 
+  test("s16: HNSW — final re-rank reads only checkpoints, no " +
+      "cartesian; the 1-row entry broadcast is the only nested loop") {
+    val p = finalPlan("s16_hnsw")
+    // entry/descent/beam rounds all checkpoint: the final top-k
+    // segment reads NO parquet and joins nothing
+    assert(scanCount(p) == 0, s"parquet re-scanned past checkpoints:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert("windowspecdefinition\\(q_id".r.findAllIn(p).nonEmpty,
+      s"final top-k window not partitioned by q_id:\n$p")
+  }
+
   test("d5 prod: cell-confined candidates — the cell self-join is a " +
       "hash equi-join (no pairwise stage) and the 64-dim vectors do " +
       "not ride the cell shuffle") {
