@@ -127,6 +127,39 @@ class StreamingKnnSpec extends AnyFunSuite {
       s"format mismatch not loud: ${bad.getMessage}")
   }
 
+  test("s16's upper layer is a maintained store: 3-wave fold of the " +
+      "level≥1 members under the search cadence at bitsSmall width " +
+      "≡ the one-shot layer-1 graph") {
+    import graft.similarity.Similarity
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sknn_l1").toString
+    val (store, graph) = (s"$root/store", s"$root/graph")
+    val members = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") >= 10)
+      .filter(Similarity.levelOf(col("vec_id")) >= 1)
+    val n1 = members.count()
+    val bits = Similarity.bitsSmall(n1)
+    assert(bits < 8, s"fixture too big — wanted a sub-8-bit layer, got $bits")
+    val cfg = graft.streaming.KnnGraphConfig(bits = bits,
+      withinLabel = false, floor = None, k = 8)
+    val w = (0 until 3).map(i => members.filter(col("vec_id") % 3 === i))
+    w.zipWithIndex.foreach { case (wave, i) =>
+      StreamingKnn.processBatch(wave.toDF(), i, store, graph, cfg)
+    }
+    val expected = Similarity.knnFromPairs(
+        graft.dedup.Dedup.scoredCosine(
+          Similarity.sparseBandPairs(
+            Similarity.sparseBands(members, bits), withinLabel = false),
+          graft.dedup.Dedup.embVecs(members)), 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val got = readGraph(graph)
+    assert(got == expected,
+      s"missing ${(expected -- got).size} / extra ${(got -- expected).size}")
+    assert(got.nonEmpty)
+  }
+
   test("bitsFor: integer log2 law — 8 up to 4096, +1 per doubling, " +
       "capped at 16") {
     import similarity.Similarity.bitsFor
