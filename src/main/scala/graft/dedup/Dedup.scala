@@ -1031,11 +1031,19 @@ object Dedup {
     * ((id mod 2³¹)·2654435761 mod 2³² — c3/c13's coin), NOT xxhash64:
     * the oracle re-derives the exact same cells in SQL. */
   private[graft] def semCells(s: SparkSession, d: String,
+      cellCap: Int): DataFrame =
+    semCellsFrame(Tables.embeddings(s, d), cellCap)
+
+  /** The cell assignment over an ARBITRARY (vec_id, label, embedding)
+    * frame — x1's cell-semantic knob trains cells on the SURVIVORS
+    * (the SemDeDup deployment shape: cells are retrained on the
+    * corpus being deduped, periodically in production). */
+  private[graft] def semCellsFrame(embIn: DataFrame,
       cellCap: Int): DataFrame = {
     // two consumers (sizes + the cells join) — checkpoint or the
     // whole kmeans subtree re-runs once per consumer (the o10 bounds
     // rule)
-    val assign = graft.similarity.Similarity.s5KmeansRefine(s, d)
+    val assign = graft.similarity.Similarity.kmeansAssign(embIn)
       .select(col("vec_id"), col("cluster"))
       .localCheckpoint(true)
     val sizes = assign.groupBy("cluster").agg(count(lit(1)).as("n"))

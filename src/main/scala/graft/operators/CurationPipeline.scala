@@ -23,8 +23,28 @@ import org.apache.spark.sql.functions._
   */
 object CurationPipeline {
 
-  /** Survivor frames per stage (exposed for the spec). */
-  private[graft] def stages(s: SparkSession, d: String)
+  /** Survivor frames per stage (exposed for the spec).
+    *
+    * `cellSemantic` selects the semantic stage's candidate machinery:
+    *  - false (registered default): d5's per-vector sign banding.
+    *    This is the STREAMABLE form — banding is corpus-independent
+    *    per-vector state, which is exactly what StreamingCuration's
+    *    cross-batch sign-band store replays (cells cannot be: k-means
+    *    centroids retrain with the corpus, so a streamed cadence
+    *    can't reproduce them deterministically — production retrains
+    *    cells periodically, a batch job). At the fixture's permissive
+    *    0.3 epsilon the (32, r=3) default admits all same-label
+    *    survivor pairs (the measured selectivity law); at the
+    *    PRODUCTION semantic epsilon (SemDeDup ~0.95) banding with
+    *    r ≈ log₂(survivors) is selective AND ≥0.9-recall — the 100 TB
+    *    streaming-compatible setting.
+    *  - true: the SemDeDup cell-confined batch form — cells TRAINED
+    *    ON THE SURVIVORS ([[graft.dedup.Dedup.semCellsFrame]], the
+    *    paper's deployment shape), Σ|cell|²-bounded pairwise, linear
+    *    at any epsilon. The spec runs both and publishes the
+    *    accounting delta. */
+  private[graft] def stages(s: SparkSession, d: String,
+      cellSemantic: Boolean = false)
       : Seq[(String, DataFrame)] = {
     val raw = Tables.documents(s, d)
     // eval holdout (the d6 benchmark stand-in) + minimal quality gate
@@ -68,7 +88,11 @@ object CurationPipeline {
     val survEmb = graft.Tables.embeddings(s, d)
       .join(nearDup.select(col("doc_id").as("vec_id")), Seq("vec_id"))
       .localCheckpoint(true)
-    val semPairs = Dedup.embeddingPairsFrame(survEmb)
+    val semPairs = (if (cellSemantic)
+        Dedup.verifyCosine(
+          Dedup.semCellPairs(Dedup.semCellsFrame(survEmb, 256)),
+          Dedup.embVecs(survEmb))
+      else Dedup.embeddingPairsFrame(survEmb))
       .select(col("id1").as("src"), col("id2").as("dst"))
     val semLbl = Dedup.connectedComponentsAdaptive(semPairs)
     val sem = nearDup

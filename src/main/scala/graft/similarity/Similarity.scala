@@ -368,9 +368,24 @@ object Similarity {
     * map-side pass + a k-sized aggregate. Clusters that lose all
     * members drop out (both engines mirror this). */
   def s5KmeansRefine(s: SparkSession, d: String, iters: Int = 2): DataFrame = {
-    val vecs = Tables.embeddings(s, d)
+    val emb = Tables.embeddings(s, d)
+    val vecs = emb
       .select(col("vec_id"), V.asDouble(col("embedding")).as("emb"))
-    var cent = Tables.embeddings(s, d)
+    vecs.join(broadcast(kmeansCentroids(emb, iters)))
+      .withColumn("dist", V.l2(col("emb"), col("centroid")))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"),
+        round(min(col("dist")), 3).as("dist2"))
+      .orderBy("vec_id")
+  }
+
+  /** The trained centroid table after `iters` Lloyd rounds
+    * (deterministic label-mean init) — s5's chain over an arbitrary
+    * (vec_id, label, embedding) frame, shared with [[kmeansAssign]]. */
+  private def kmeansCentroids(embIn: DataFrame, iters: Int): DataFrame = {
+    val vecs = embIn
+      .select(col("vec_id"), V.asDouble(col("embedding")).as("emb"))
+    var cent = embIn
       .groupBy(col("label").as("cid"))
       .agg(V.vectorMean(col("embedding"), 64).as("centroid"))
     for (_ <- 1 to iters) {
@@ -382,13 +397,19 @@ object Similarity {
         .groupBy("cid")
         .agg(V.vectorMean(col("emb"), 64).as("centroid"))
     }
-    vecs.join(broadcast(cent))
+    cent
+  }
+
+  /** Final k-means assignment (vec_id, cluster) over an arbitrary
+    * frame — the SemDeDup cell machinery's input; identical cluster
+    * values to [[s5KmeansRefine]] when run on the full corpus. */
+  private[graft] def kmeansAssign(embIn: DataFrame,
+      iters: Int = 2): DataFrame =
+    embIn.select(col("vec_id"), V.asDouble(col("embedding")).as("emb"))
+      .join(broadcast(kmeansCentroids(embIn, iters)))
       .withColumn("dist", V.l2(col("emb"), col("centroid")))
       .groupBy("vec_id")
-      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"),
-        round(min(col("dist")), 3).as("dist2"))
-      .orderBy("vec_id")
-  }
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"))
 
   /** S3: IVF-style ANN — cells = label clusters with mean-vector
     * centroids; each query probes its 2 nearest centroids and searches

@@ -546,6 +546,33 @@ class PipelineSpec extends AnyFunSuite {
       report("split_test") == report("decontam"))
   }
 
+  test("x1 cell-semantic knob: the SemDeDup batch form (cells " +
+      "TRAINED ON SURVIVORS) runs the whole chain; stages still " +
+      "nest; accounting delta vs the streamable banded default " +
+      "published") {
+    val banded = operators.CurationPipeline.stages(spark, sf)
+      .map { case (n, df) => n -> df.select("doc_id").count() }.toMap
+    val st = operators.CurationPipeline
+      .stages(spark, sf, cellSemantic = true)
+      .map { case (n, df) => n ->
+        df.select("doc_id").collect().map(_.getLong(0)).toSet }
+    st.map(_._2).sliding(2).foreach { case Seq(prev, cur) =>
+      assert(cur.subsetOf(prev))
+    }
+    val byName = st.toMap
+    assert(byName("decontam").nonEmpty)
+    // stages BEFORE the semantic stage are identical by construction
+    assert(byName("near_dup").size == banded("near_dup"))
+    val bandedSemDrops = banded("near_dup") - banded("semantic")
+    val cellSemDrops = byName("near_dup").size - byName("semantic").size
+    info(s"semantic drops: banded $bandedSemDrops, " +
+      s"cell-confined $cellSemDrops (cells cross labels)")
+    // the cell form must genuinely dedup on this fixture (it finds
+    // cross-label duplicates the banded form cannot)
+    assert(cellSemDrops >= bandedSemDrops,
+      s"cell form dropped less than banded: $cellSemDrops < $bandedSemDrops")
+  }
+
   test("c6 bucket populations stay bounded under near-constant scores") {
     import spark.implicits._
     // 90% of docs share ONE score value (a clamped quality model), the
