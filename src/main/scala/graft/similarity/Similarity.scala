@@ -777,6 +777,32 @@ object Similarity {
     }
     val g0 = searchGraph(s, d, 16)
       .select("vec_id", "nbr").localCheckpoint(true)
+    s16Walk(s, d, g0, upperGraphs, k, beam, rounds, upperRounds)
+  }
+
+  /** s16's walk against PERSISTED maintained layer graphs — each
+    * layer a [[graft.streaming.StreamingKnn]] search-cadence store
+    * over its level-filtered feed (level is a pure function of
+    * vec_id, so the stream routes without coordination). Spec: the
+    * stored walk answers identically to the inline-build s16. */
+  def s16HnswStored(s: SparkSession, d: String, layer0Path: String,
+      upperPaths: Seq[String], k: Int = 5, beam: Int = 12,
+      rounds: Int = 3, upperRounds: Int = 2): DataFrame = {
+    require(upperPaths.size == 3, "three upper-layer stores expected")
+    val g0 = s.read.parquet(layer0Path)
+      .select("vec_id", "nbr").localCheckpoint(true)
+    val uppers = upperPaths.map(p => s.read.parquet(p)
+      .select("vec_id", "nbr").localCheckpoint(true))
+    s16Walk(s, d, g0, uppers, k, beam, rounds, upperRounds)
+  }
+
+  /** The hierarchical descent + layer-0 beam walk shared by the
+    * inline-build and maintained-store s16 forms. */
+  private def s16Walk(s: SparkSession, d: String, g0: DataFrame,
+      upperGraphs: Seq[DataFrame], k: Int, beam: Int, rounds: Int,
+      upperRounds: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+    val lvl = emb.withColumn("level", levelOf(col("vec_id")))
     val q = queries(s, d)
     val cv = corpus(s, d).select(col("c_id"), col("c_emb"))
     // global entry: the max-level vector, min id — a distributed

@@ -160,6 +160,42 @@ class StreamingKnnSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("s16 END-TO-END on maintained stores: all four layer graphs " +
+      "folded through the search cadence, the stored walk ≡ the " +
+      "inline-build s16") {
+    import graft.similarity.Similarity
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sknn_s16").toString
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") >= 10)
+    val n = emb.count()
+    // layer 0: the s15 search graph (k=16 at bitsFor width)
+    val cfg0 = graft.streaming.KnnGraphConfig(
+      bits = Similarity.bitsFor(n), withinLabel = false,
+      floor = None, k = 16)
+    StreamingKnn.processBatch(emb.toDF(), 0, s"$root/s0", s"$root/g0",
+      cfg0)
+    // layers 1..3: level-filtered feeds at bitsSmall widths, k=8
+    val upperPaths = (1 to 3).map { l =>
+      val members = emb.filter(Similarity.levelOf(col("vec_id")) >= l)
+      val cfg = graft.streaming.KnnGraphConfig(
+        bits = Similarity.bitsSmall(members.count()),
+        withinLabel = false, floor = None, k = 8)
+      StreamingKnn.processBatch(members.toDF(), 0, s"$root/s$l",
+        s"$root/g$l", cfg)
+      s"$root/g$l"
+    }
+    val stored = Similarity
+      .s16HnswStored(spark, sf, s"$root/g0", upperPaths).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val inline = Similarity.s16Hnsw(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(stored == inline,
+      "s16 walk over maintained stores diverged from the inline build")
+    assert(stored.nonEmpty)
+  }
+
   test("bitsFor: integer log2 law — 8 up to 4096, +1 per doubling, " +
       "capped at 16") {
     import similarity.Similarity.bitsFor
