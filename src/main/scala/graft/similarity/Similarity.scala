@@ -367,17 +367,21 @@ object Similarity {
     * shuffles on a low-cardinality key; per-iteration cost is one
     * map-side pass + a k-sized aggregate. Clusters that lose all
     * members drop out (both engines mirror this). */
-  def s5KmeansRefine(s: SparkSession, d: String, iters: Int = 2): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val vecs = emb
-      .select(col("vec_id"), V.asDouble(col("embedding")).as("emb"))
-    vecs.join(broadcast(kmeansCentroids(emb, iters)))
-      .withColumn("dist", V.l2(col("emb"), col("centroid")))
+  def s5KmeansRefine(s: SparkSession, d: String, iters: Int = 2): DataFrame =
+    kmeansFinalCross(Tables.embeddings(s, d), iters)
       .groupBy("vec_id")
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"),
         round(min(col("dist")), 3).as("dist2"))
       .orderBy("vec_id")
-  }
+
+  /** The scored (vec_id, cid, dist) cross against the trained
+    * centroids — ONE body behind both finals, so the s5/c13 oracles
+    * and the SemDeDup cell assignment can never desynchronize on a
+    * tie-break or distance tweak. */
+  private def kmeansFinalCross(embIn: DataFrame, iters: Int): DataFrame =
+    embIn.select(col("vec_id"), V.asDouble(col("embedding")).as("emb"))
+      .join(broadcast(kmeansCentroids(embIn, iters)))
+      .withColumn("dist", V.l2(col("emb"), col("centroid")))
 
   /** The trained centroid table after `iters` Lloyd rounds
     * (deterministic label-mean init) — s5's chain over an arbitrary
@@ -405,9 +409,7 @@ object Similarity {
     * values to [[s5KmeansRefine]] when run on the full corpus. */
   private[graft] def kmeansAssign(embIn: DataFrame,
       iters: Int = 2): DataFrame =
-    embIn.select(col("vec_id"), V.asDouble(col("embedding")).as("emb"))
-      .join(broadcast(kmeansCentroids(embIn, iters)))
-      .withColumn("dist", V.l2(col("emb"), col("centroid")))
+    kmeansFinalCross(embIn, iters)
       .groupBy("vec_id")
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"))
 

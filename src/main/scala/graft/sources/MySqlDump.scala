@@ -40,18 +40,23 @@ object MySqlDump {
   /** Whole dump text; zip-aware (first entry of a `.zip`). One read
     * per dump: the per-table calls ([[schemaOf]]/[[tupleStrings]] via
     * [[table]]) all scan the same artifact, so a SINGLE-ENTRY memo
-    * (last path → text) shares one read across them while bounding
-    * driver memory at one dump (~2× its char size). A multi-GB dump
-    * converts table-by-table within that bound; beyond it the honest
-    * move is splitting the dump before ingest, not a bigger cache. */
-  @volatile private var textMemo: (String, String) = null
+    * shares one read across them while bounding driver memory at one
+    * dump (~2× its char size). The memo keys on (path, length,
+    * mtime), NOT the path alone — a dump replaced at the same path
+    * in a long-lived JVM must re-read, never serve stale text. A
+    * multi-GB dump converts table-by-table within that bound; beyond
+    * it the honest move is splitting the dump before ingest, not a
+    * bigger cache. */
+  @volatile private var textMemo: ((String, Long, Long), String) = null
 
   def readText(path: String): String = {
+    val f = new java.io.File(path)
+    val key = (path, f.length(), f.lastModified())
     val m = textMemo
-    if (m != null && m._1 == path) m._2
+    if (m != null && m._1 == key) m._2
     else {
       val t = readTextUncached(path)
-      textMemo = (path, t)
+      textMemo = (key, t)
       t
     }
   }

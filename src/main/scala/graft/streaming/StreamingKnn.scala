@@ -26,10 +26,13 @@ case class KnnGraphConfig(bits: Int = 8,
     withinLabel: Boolean = true, floor: Option[Double] = Some(0.3),
     k: Int = 5, nb: Int = 64) {
   /** Stamped into the store; any change to the candidate semantics
-    * MUST change this tag. */
+    * OR the fold/layout parameters MUST change this tag — k changes
+    * break the lossless-at-top-k fold (edges pruned at a smaller k
+    * are unrecoverable) and nb changes break the pb partition layout
+    * the surgical writes prune on. */
   def formatTag: String =
     s"sparse-v2:bits=$bits:withinLabel=$withinLabel:" +
-      s"floor=${floor.map(_.toString).getOrElse("none")}"
+      s"floor=${floor.map(_.toString).getOrElse("none")}:k=$k:nb=$nb"
 }
 
 object KnnGraphConfig {
@@ -77,8 +80,12 @@ object StreamingKnn {
     processBatch(batch, batchId, storePath, graphPath,
       KnnGraphConfig(k = k, nb = nb))
 
-  /** Fail-loud format gate: stamp the cadence tag on first write,
-    * verify it on every later batch. */
+  /** Fail-loud format gate: stamp the cadence tag on FIRST write,
+    * verify it on every later batch. A store that already holds band
+    * data but carries NO marker is a pre-marker (or foreign) store —
+    * adopting it by stamping the current tag would silently join
+    * legacy-format signatures against this cadence's, so that case
+    * fails loudly too. */
   private def checkFormat(s: SparkSession, storePath: String,
       tag: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$storePath/_format")
@@ -93,6 +100,11 @@ object StreamingKnn {
           s"cadence expects '$tag' — joining mixed-format signatures " +
           "would silently produce wrong candidates; rebuild the store")
     } else {
+      val bands = new org.apache.hadoop.fs.Path(s"$storePath/bands")
+      require(!fs.exists(bands) || fs.listStatus(bands).isEmpty,
+        s"band store at $storePath holds data but no _format marker " +
+          "(written before format stamping, or by another tool) — " +
+          "its signature format is unknown; rebuild the store")
       val out = fs.create(p, true)
       try out.write(tag.getBytes("UTF-8")) finally out.close()
     }

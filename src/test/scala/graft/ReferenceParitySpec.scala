@@ -101,6 +101,12 @@ class ReferenceParitySpec extends AnyFunSuite {
   /** The real-data bug history (current anchor + reconstructed
     * versions), shared by the round-trip and intermediate-state
     * tests. */
+  /** The ONE field list both the reconstruction (realHist) and the
+    * round-trip assertions iterate — a drifted copy would check
+    * fields the reconstruction never ran with. */
+  private val realSingleFields = Seq("bug_status", "resolution",
+    "priority", "bug_severity", "target_milestone")
+
   private lazy val (realCurrent, realHist) = {
     import org.apache.spark.sql.functions._
     val bugs = MySqlDump.table(spark, dump, "bugs")
@@ -118,8 +124,7 @@ class ReferenceParitySpec extends AnyFunSuite {
     // column value (assigned_to/qa_contact log LOGIN NAMES while bugs
     // stores userids — the reference resolves those via profiles;
     // status/resolution/priority/severity/milestone are verbatim).
-    val singleFields = Seq("bug_status", "resolution", "priority",
-      "bug_severity", "target_milestone")
+    val singleFields = realSingleFields
     // cc and keywords live in side tables keyed by id; activity logs
     // comma-separated display values (logins / keyword names).
     val cc = MySqlDump.table(spark, dump, "cc")
@@ -155,9 +160,6 @@ class ReferenceParitySpec extends AnyFunSuite {
       .localCheckpoint(true)
     (current, hist)
   }
-
-  private val realSingleFields = Seq("bug_status", "resolution",
-    "priority", "bug_severity", "target_milestone")
 
   test("bug-history reconstruction on the REAL bugs/bugs_activity " +
       "tables: forward replay round-trips to the current state") {

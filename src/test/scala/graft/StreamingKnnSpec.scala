@@ -125,6 +125,20 @@ class StreamingKnnSpec extends AnyFunSuite {
     }
     assert(bad.getMessage.contains("rebuild"),
       s"format mismatch not loud: ${bad.getMessage}")
+
+    // a PRE-MARKER store (band data, no _format file) must refuse
+    // adoption too — stamping it would join unknown-format sigs
+    val legacyRoot = java.nio.file.Files
+      .createTempDirectory("graft_sknn_legacy").toString
+    val legacyStore = s"$legacyRoot/store"
+    spark.range(1).toDF("x")
+      .write.parquet(s"$legacyStore/bands/batch_0")
+    val legacy = intercept[IllegalArgumentException] {
+      StreamingKnn.processBatch(w2.toDF(), 1, legacyStore,
+        s"$legacyRoot/graph", cfg)
+    }
+    assert(legacy.getMessage.contains("no _format marker"),
+      s"unstamped store adopted silently: ${legacy.getMessage}")
   }
 
   test("s16's upper layer is a maintained store: 3-wave fold of the " +
