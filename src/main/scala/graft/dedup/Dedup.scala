@@ -989,13 +989,15 @@ object Dedup {
     * exact components within cell; keep = the group's min vec_id
     * (d12's policy). */
   def d12SemDedupProd(s: SparkSession, d: String,
-      cellCap: Int = 256): DataFrame = {
-    val cells = semCells(s, d, cellCap)
-    val pairs = verifyCosine(semCellPairs(cells),
+      cellCap: Int = 256, probes: Int = 1): DataFrame = {
+    val cells = semCells(s, d, cellCap, probes)
+    val pairs = verifyCosine(semCandPairs(cells, probes),
         embVecs(Tables.embeddings(s, d)))
       .select(col("id1").as("src"), col("id2").as("dst"))
     val labels = connectedComponentsAdaptive(pairs)
-    cells.select("vec_id")
+    val universe = if (probes > 1) cells.select("vec_id").distinct()
+      else cells.select("vec_id")
+    universe
       .join(labels.select(col("id").as("vec_id"), col("lbl")),
         Seq("vec_id"), "left")
       .select(col("vec_id"),
@@ -1015,10 +1017,14 @@ object Dedup {
     * invisible by design (the SemDeDup paper's accepted loss); true
     * near-dups (high cosine) co-locate in a cell with high
     * probability, while the 0.3-floor synthetic tail does not — the
-    * spec MEASURES the recovered share instead of hiding it. */
+    * spec MEASURES the recovered share instead of hiding it.
+    * `probes` > 1 is the MULTI-PROBE knob (boundary vectors join
+    * their `probes` nearest cells — the measured recall lever for
+    * the cross-cell blind spot, at ≤ probes× candidate cost; spec
+    * measures the recovery, SURVEY §4a publishes it). */
   def d5EmbeddingProd(s: SparkSession, d: String,
-      cellCap: Int = 256): DataFrame =
-    verifyCosine(semCellPairs(semCells(s, d, cellCap)),
+      cellCap: Int = 256, probes: Int = 1): DataFrame =
+    verifyCosine(semCandPairs(semCells(s, d, cellCap, probes), probes),
         embVecs(Tables.embeddings(s, d)))
       .orderBy("id1", "id2")
 
@@ -1031,19 +1037,23 @@ object Dedup {
     * ((id mod 2³¹)·2654435761 mod 2³² — c3/c13's coin), NOT xxhash64:
     * the oracle re-derives the exact same cells in SQL. */
   private[graft] def semCells(s: SparkSession, d: String,
-      cellCap: Int): DataFrame =
-    semCellsFrame(Tables.embeddings(s, d), cellCap)
+      cellCap: Int, probes: Int = 1): DataFrame =
+    semCellsFrame(Tables.embeddings(s, d), cellCap, probes)
 
   /** The cell assignment over an ARBITRARY (vec_id, label, embedding)
     * frame — x1's cell-semantic knob trains cells on the SURVIVORS
     * (the SemDeDup deployment shape: cells are retrained on the
     * corpus being deduped, periodically in production). */
   private[graft] def semCellsFrame(embIn: DataFrame,
-      cellCap: Int): DataFrame = {
+      cellCap: Int, probes: Int = 1): DataFrame = {
     // two consumers (sizes + the cells join) — checkpoint or the
     // whole kmeans subtree re-runs once per consumer (the o10 bounds
-    // rule)
-    val assign = graft.similarity.Similarity.kmeansAssign(embIn)
+    // rule). probes > 1: each vector holds MEMBERSHIPS in its
+    // `probes` nearest cells (sizes then count memberships, so the
+    // Σ|cell|² sub-shard bound covers the multiplied rows too).
+    val assign = (if (probes <= 1)
+        graft.similarity.Similarity.kmeansAssign(embIn)
+      else graft.similarity.Similarity.kmeansAssignTop(embIn, probes))
       .select(col("vec_id"), col("cluster"))
       .localCheckpoint(true)
     val sizes = assign.groupBy("cluster").agg(count(lit(1)).as("n"))
@@ -1063,6 +1073,16 @@ object Dedup {
         col("a.cell") === col("b.cell") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+
+  /** [[semCellPairs]] with the multi-probe distinct: two vectors
+    * sharing BOTH their probed cells would emit the pair twice —
+    * dedup on the slim pair frame (one shuffle of pairs, never the
+    * corpus) before the cosine verify prices each pair once.
+    * probes = 1 keeps the registered single-probe plan untouched. */
+  private[graft] def semCandPairs(cells: DataFrame,
+      probes: Int): DataFrame =
+    if (probes <= 1) semCellPairs(cells)
+    else semCellPairs(cells).distinct()
 
   /** Connected components by iterative min-label propagation:
     * lbl₀(v) = v; lblₖ₊₁(v) = min(lblₖ(v), min over neighbors

@@ -413,6 +413,24 @@ object Similarity {
       .groupBy("vec_id")
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"))
 
+  /** MULTI-PROBE assignment: each vector's `probes` NEAREST centroids
+    * (rank 1 = [[kmeansAssign]]'s cluster — same (dist, cid) total
+    * order, so probes = 1 reproduces it exactly). The IVF trick (s3
+    * probes 2 cells per QUERY) applied to the SemDeDup cell split:
+    * boundary vectors join both adjacent cells, so near-dup pairs
+    * STRADDLING a cell boundary — invisible to single-probe
+    * confinement by design — get a shared cell to meet in. Cost is
+    * ≤ probes× memberships (still Σ|cell|²-bounded by the same cap);
+    * one hash aggregation over the same broadcast cross, no window. */
+  private[graft] def kmeansAssignTop(embIn: DataFrame, probes: Int,
+      iters: Int = 2): DataFrame =
+    kmeansFinalCross(embIn, iters)
+      .groupBy("vec_id")
+      .agg(slice(sort_array(collect_list(struct(col("dist"), col("cid")))),
+        1, probes).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("tc"))
+      .select(col("vec_id"), col("tc.cid").as("cluster"))
+
   /** S3: IVF-style ANN — cells = label clusters with mean-vector
     * centroids; each query probes its 2 nearest centroids and searches
     * only those cells. Centroid build is a distributed position-wise

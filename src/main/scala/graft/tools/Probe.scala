@@ -68,6 +68,23 @@ object Probe {
       spark.stop(); return
     }
 
+    // the multi-probe cell knob: d5-prod at probes=1 vs probes=2 —
+    // the recall lever's measured COST curve (recall itself is the
+    // SemDedupProdSpec measurement against the exact sf0.001 answer)
+    if (sys.env.get("PROBE_MULTIPROBE").contains("1")) {
+      Tables.embeddings(spark, d).count()
+      Seq(1, 2).foreach { p =>
+        time(s"d5 prod probes=$p cold") {
+          println(s"[probe]   pairs: " +
+            graft.dedup.Dedup.d5EmbeddingProd(spark, d, probes = p).count())
+        }
+        time(s"d5 prod probes=$p warm") {
+          graft.dedup.Dedup.d5EmbeddingProd(spark, d, probes = p).count()
+        }
+      }
+      spark.stop(); return
+    }
+
     // d12's cell-confined production form
     if (sys.env.get("PROBE_D12PROD").contains("1")) {
       Tables.embeddings(spark, d).count()
