@@ -161,4 +161,31 @@ class SemDedupProdSpec extends AnyFunSuite {
       f"candidate cost x${p2.size.toDouble / math.max(1, p1.size)}%.1f)")
     assert(r2 > r1, s"probes=2 did not improve recall: $r1 vs $r2")
   }
+
+  test("d12 prod at probes = 2: one row per vector despite doubled " +
+      "memberships, and extra edges only MERGE epsilon-groups — " +
+      "drops grow monotonically, every group still keyed by its min") {
+    val g1 = Dedup.d12SemDedupProd(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val g2 = Dedup.d12SemDedupProd(spark, sf, probes = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // the multi-membership frame must still dedup to the corpus
+    assert(g2.map(_._1).distinct.length == g2.length &&
+      g2.map(_._1).toSet == g1.map(_._1).toSet,
+      "probes=2 universe is not one row per vector")
+    // pairs only grow (superset law proven above), so components only
+    // merge: a probe-1 drop stays dropped, and keeps can only shrink
+    val drops1 = g1.collect { case (id, _, false) => id }.toSet
+    val drops2 = g2.collect { case (id, _, false) => id }.toSet
+    assert((drops1 -- drops2).isEmpty,
+      s"probe-2 resurrected dropped vectors: ${(drops1 -- drops2).take(3)}")
+    // group invariants hold in the multi-probe output too
+    val byGrp = g2.groupBy(_._2)
+    assert(byGrp.forall { case (grp, members) =>
+      grp == members.map(_._1).min &&
+        members.count(_._3) == (if (members.exists(_._1 == grp)) 1 else 0)
+    }, "a probe-2 group is not keyed by its min with one keep")
+    info(s"d12 prod drops ${drops1.size} -> ${drops2.size} " +
+      s"of ${g1.length} vectors at probes=2")
+  }
 }
