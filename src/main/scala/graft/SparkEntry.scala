@@ -695,8 +695,9 @@ object SparkEntry {
     * Similarity.sparseBands' seed layout: j < 8 keeps the r8 seeds
     * (2000+b·8+j), j ≥ 8 is the widening family (4000+b·8+(j−8))
     * whose signSig lands in the high byte (weight 2^j). Shared by the
-    * s14 oracle (fixed 8-bit: j < 8) and the s15 oracle (auto-width:
-    * j < bits_eff). */
+    * s14 and s15 oracles (both auto-width: j < the beff CTE's bits —
+    * s14 counts the full embeddings table, s15 the vec_id >= 10
+    * corpus, mirroring each engine body's count). */
   private lazy val sparsePlaneRows: String =
     (for (b <- 0 until 12; j <- 0 until 16) yield {
       val seed = if (j < 8) 2000 + b * 8 + j else 4000 + b * 8 + (j - 8)
@@ -741,11 +742,17 @@ object SparkEntry {
        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
        |spt(b, j, w, plane) AS (VALUES
        |$sparsePlaneRows),
+       |nv AS (SELECT count(*) AS n FROM embeddings),
+       |beff AS (
+       |  SELECT 8 + (n > 4096)::INT + (n > 8192)::INT + (n > 16384)::INT
+       |    + (n > 32768)::INT + (n > 65536)::INT + (n > 131072)::INT
+       |    + (n > 262144)::INT + (n > 524288)::INT AS bits FROM nv),
        |sge AS (
        |  SELECT vec_id, label, b,
        |    CAST(sum(CASE WHEN ${seqDot("emb", "plane")} > 0
        |      THEN w ELSE 0 END) AS BIGINT) AS sig
-       |  FROM e CROSS JOIN spt WHERE j < 8 GROUP BY 1, 2, 3),
+       |  FROM e CROSS JOIN spt CROSS JOIN beff
+       |  WHERE j < bits GROUP BY 1, 2, 3),
        |scand AS (
        |  SELECT a.vec_id AS id1, b.vec_id AS id2
        |  FROM sge a JOIN sge b ON a.label = b.label AND a.b = b.b

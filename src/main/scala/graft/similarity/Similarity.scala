@@ -630,9 +630,15 @@ object Similarity {
     val vecs = graft.dedup.Dedup.embVecs(emb).localCheckpoint(true)
     // undirected scored edge set; UNFLOORED internally — descent
     // navigates through mid-cosine edges; the d5 noise floor applies
-    // to the published lists only
+    // to the published lists only. Band width rides the [[bitsFor]]
+    // law like s15's search graph (one bounded count; 8-bit — the r8
+    // layout — at every oracle scale): the 100× probes measured the
+    // fixed 8-bit init at 350 s warm / 200k vectors because drift
+    // chains pack band buckets group-quadratically; the law keeps
+    // expected bucket size ~constant instead.
     var edges = graft.dedup.Dedup.scoredCosine(
-        sparseBandPairs(sparseBands(emb), withinLabel = true), vecs)
+        sparseBandPairs(sparseBands(emb, bitsFor(emb.count())),
+          withinLabel = true), vecs)
       .localCheckpoint(true)
     val descentK = math.max(k, 8)
     for (_ <- 1 to descentRounds) {
