@@ -915,7 +915,7 @@ object SparkEntry {
          |    SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id
          |      ORDER BY cos DESC, c_id) AS rk
          |    FROM (SELECT * FROM u${i - 1} UNION ALL SELECT * FROM usc$i))
-         |  WHERE rk = 1),""".stripMargin
+         |  WHERE rk <= 4),""".stripMargin
     }.mkString("\n")
     val rounds = (1 to 3).map { r =>
       s"""f$r AS (
@@ -968,7 +968,7 @@ object SparkEntry {
        |          UNION ALL SELECT id2, id1, cos FROM sp))
        |  WHERE rk <= 16),
        |lvl AS (
-       |  SELECT vec_id,
+       |  SELECT vec_id, label,
        |    (CASE WHEN $coin < 1073741824 THEN 1 ELSE 0 END +
        |     CASE WHEN $coin < 268435456 THEN 1 ELSE 0 END +
        |     CASE WHEN $coin < 67108864 THEN 1 ELSE 0 END) AS level
@@ -976,12 +976,20 @@ object SparkEntry {
        |$upperLayers
        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
        |ce AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id >= 10),
-       |entry AS (SELECT vec_id AS c_id FROM lvl
-       |          ORDER BY level DESC, vec_id LIMIT 1),
+       |entry AS (
+       |  SELECT vec_id AS c_id FROM (
+       |    SELECT vec_id, row_number() OVER (PARTITION BY label
+       |      ORDER BY level DESC, vec_id) AS rk FROM lvl)
+       |  WHERE rk = 1),
        |u0 AS MATERIALIZED (
-       |  SELECT q.q_id, en.c_id,
-       |    round(list_cosine_similarity(q.q_emb, ce.c_emb), 3) AS cos
-       |  FROM q CROSS JOIN entry en JOIN ce ON ce.c_id = en.c_id),
+       |  SELECT q_id, c_id, cos FROM (
+       |    SELECT q.q_id, en.c_id,
+       |      round(list_cosine_similarity(q.q_emb, ce.c_emb), 3) AS cos,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY round(list_cosine_similarity(q.q_emb, ce.c_emb), 3)
+       |          DESC, en.c_id) AS rk
+       |    FROM q CROSS JOIN entry en JOIN ce ON ce.c_id = en.c_id)
+       |  WHERE rk = 1),
        |$descent
        |v0 AS MATERIALIZED (SELECT q_id, c_id, cos FROM u6),
        |$rounds

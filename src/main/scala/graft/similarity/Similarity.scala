@@ -762,14 +762,24 @@ object Similarity {
     * 125-vector layer needs 3-bit bands to collide at all); layer 0
     * IS s15's navigable search graph.
     *
-    * Search: greedy beam-1 descent — 2 rounds per layer, top level
-    * down — each round expanding the current point's layer-ℓ
-    * neighbors ([[s15Expand]] at beam 1) and keeping the best by
-    * 3-dp cosine + id; then s15's beam-12 NSW rounds on layer 0
-    * seeded from the descent endpoint. Everything (levels, entry =
-    * max-level min-id, every round) is a total order — replays
-    * bit-identically, oracle unrolls all 6 descent steps + 3 beam
-    * rounds as CTEs.
+    * Search: per-LABEL entries (each label's max-level min-id
+    * member — L broadcastable rows; best of L per query after one
+    * scoring pass), then an ef-style beam-4 descent — 2 rounds per
+    * layer, top level down, expanding the per-query top-4 through
+    * the layer graph ([[s15Expand]] at beam 4) — then s15's beam-12
+    * NSW rounds on layer 0. Everything is a total order (3-dp
+    * cosine + id) — replays bit-identically, oracle unrolls entries,
+    * all 6 descent steps and 3 beam rounds as CTEs.
+    *
+    * Measured honestly (§4a walk-recall table): recall@5 vs exact is
+    * 0.74 at sf0.01 but trails the SEEDED walk as the corpus grows
+    * or fragments (0.44 vs 0.72 at sf0.1; 0.16 vs 0.60 at 30×
+    * drift) — entry-descent needs cross-cluster graph connectivity
+    * that batch band-built graphs do not guarantee (true HNSW buys
+    * it with sequential insert-by-search, which does not
+    * distribute). s15 is the recall tier; s16 is the
+    * zero-corpus-touch tier, and that tradeoff is the measured
+    * price.
     *
     * Scale shape: upper-layer builds are the s15 build on 4^-ℓ
     * corpus fractions (bucketed, never pairwise); the walk touches
@@ -826,20 +836,33 @@ object Similarity {
     * inline-build and maintained-store s16 forms. */
   private def s16Walk(s: SparkSession, d: String, g0: DataFrame,
       upperGraphs: Seq[DataFrame], k: Int, beam: Int, rounds: Int,
-      upperRounds: Int): DataFrame = {
+      upperRounds: Int, descentBeam: Int = 4): DataFrame = {
     val emb = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
     val lvl = emb.withColumn("level", levelOf(col("vec_id")))
     val q = queries(s, d)
     val cv = corpus(s, d).select(col("c_id"), col("c_emb"))
-    // global entry: the max-level vector, min id — a distributed
-    // TakeOrdered(1), never a global window sort
-    val entry = lvl.select("level", "vec_id")
-      .orderBy(col("level").desc, col("vec_id").asc).limit(1)
-      .select(col("vec_id").as("c_id"))
+    // PER-LABEL entries: each label's max-level (min-id) member — one
+    // hash aggregation, L broadcastable rows, still a pure corpus
+    // function with zero per-query corpus touch. The r9-close probes
+    // measured the single global entry collapsing on sharded corpora
+    // (recall@5 0.38 at sf0.1, 0.00 at 30× drift: band-collision
+    // edges link only similar vectors, so a batch-built graph has no
+    // cross-region reachability and a walk cannot leave the entry's
+    // component — the connectivity true HNSW buys with its
+    // insert-by-search). Labels ARE the corpus's routing shards;
+    // seeding with the best of L entries (scored once, top-1 per
+    // query) restores a query-adjacent start in every region.
+    val entry = lvl.groupBy(col("label"))
+      .agg(min_by(col("vec_id"),
+        struct((-col("level")).as("nl"), col("vec_id"))).as("c_id"))
+      .select("c_id")
     var cur = q.select("q_id").crossJoin(broadcast(entry))
       .join(cv, "c_id").join(broadcast(q), "q_id")
       .select(col("q_id"), col("c_id"),
         round(V.cosine(col("q_emb"), col("c_emb")), 3).as("cos3"))
+      .withColumn("rk", row_number().over(byQuery))
+      .filter(col("rk") === 1)
+      .select("q_id", "c_id", "cos3")
       .localCheckpoint(true)
     // checkpoint once per LAYER, not per round: the |Q|-row state is
     // referenced 3× per greedy step, so the uncheckpointed subtree
@@ -849,9 +872,9 @@ object Similarity {
     for (l <- 3 to 1 by -1) {
       for (_ <- 1 to upperRounds)
         cur = cur
-          .union(s15Expand(cur, upperGraphs(l - 1), q, cv, 1))
+          .union(s15Expand(cur, upperGraphs(l - 1), q, cv, descentBeam))
           .withColumn("rk", row_number().over(byQuery))
-          .filter(col("rk") === 1)
+          .filter(col("rk") <= descentBeam)
           .select("q_id", "c_id", "cos3")
       cur = cur.localCheckpoint(true)
     }

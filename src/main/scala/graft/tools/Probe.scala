@@ -179,6 +179,30 @@ object Probe {
       spark.stop(); return
     }
 
+    // recall@5 of the graph-walk tiers vs exact brute force at probe
+    // scale — exact ground truth is |Q|·n cosines (10 queries), cheap
+    // at any probe multiple; answers "does the walk still FIND the
+    // true neighbors at 100× with auto-width graphs", which the
+    // sf0.001/0.01 spec recalls cannot
+    if (sys.env.get("PROBE_WALKRECALL").contains("1")) {
+      import graft.similarity.Similarity
+      Tables.embeddings(spark, d).count()
+      val exact = Similarity.s1AnnBruteForce(spark, d)
+        .select(col("q_id"), col("c_id")).localCheckpoint(true)
+      def recall(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val r = time(s"$name run") {
+          exact.join(df.select("q_id", "c_id"),
+              Seq("q_id", "c_id"), "left_semi")
+            .count().toDouble / exact.count()
+        }
+        println(f"[probe]   $name recall@5 vs exact: $r%.2f")
+      }
+      recall("s15", Similarity.s15GraphSearch(spark, d))
+      recall("s16", Similarity.s16Hnsw(spark, d))
+      recall("s2 (lsh tier)", Similarity.s2AnnLsh(spark, d))
+      spark.stop(); return
+    }
+
     // s16 stage breakdown
     if (sys.env.get("PROBE_S16BREAK").contains("1")) {
       import graft.similarity.Similarity
