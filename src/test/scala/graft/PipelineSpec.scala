@@ -397,9 +397,9 @@ class PipelineSpec extends AnyFunSuite {
       s"graph-walk recall@5 below half: $walkHit/${bf.size}")
   }
 
-  test("s16 HNSW: deterministic geometric layers, single-entry " +
-      "descent reaches the beam stage, recall@5 beats the entry-only " +
-      "baseline and holds the walk floor") {
+  test("s16 HNSW: deterministic geometric layers, per-label-entry " +
+      "beam-4 descent reaches the beam stage, recall@5 beats the " +
+      "entry-only baseline and holds the walk floor") {
     import graft.similarity.Similarity
     // layer law: level is a pure function of vec_id (oracle-shared
     // coin), geometric-ish occupancy, capped at 3
@@ -418,8 +418,8 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(hnsw.nonEmpty)
     val hit = hnsw.count(bf.contains)
-    // entry-only baseline: every query answered by the global entry
-    // point alone would hit at most |Q| of the bf pairs
+    // entry-only baseline: every query answered by entry points
+    // alone would hit at most |Q|·L of the bf pairs
     info(s"s16 recall@5: $hit/${bf.size}")
     assert(hit * 3 >= bf.size,
       s"HNSW recall@5 collapsed: $hit/${bf.size}")
