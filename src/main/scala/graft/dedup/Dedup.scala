@@ -1049,18 +1049,29 @@ object Dedup {
     // two consumers (sizes + the cells join) — checkpoint or the
     // whole kmeans subtree re-runs once per consumer (the o10 bounds
     // rule). probes > 1: each vector holds MEMBERSHIPS in its
-    // `probes` nearest cells (sizes then count memberships, so the
-    // Σ|cell|² sub-shard bound covers the multiplied rows too).
+    // `probes` nearest cells. The shard grid is sized by NEAREST
+    // (rank-1) counts only, so every probe-1 cell survives the
+    // probe-2 split verbatim — the recall lever is structurally
+    // MONOTONE (a cell-mate pair can never be lost by resharding;
+    // sizing by memberships would split formerly shared cells). The
+    // price: per-cell membership is cellCap nearest members plus
+    // second-probe inflow — bounded in expectation by the k-means
+    // balance (probes× total volume), no longer a hard per-cell cap.
     val assign = (if (probes <= 1)
         graft.similarity.Similarity.kmeansAssign(embIn)
+          .select(col("vec_id"), col("cluster"), lit(1).as("rk"))
       else graft.similarity.Similarity.kmeansAssignTop(embIn, probes))
-      .select(col("vec_id"), col("cluster"))
       .localCheckpoint(true)
-    val sizes = assign.groupBy("cluster").agg(count(lit(1)).as("n"))
+    val sizes = assign.filter(col("rk") === 1)
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
     val shard = ((col("vec_id") % lit(2147483648L)) * lit(2654435761L)) %
       lit(4294967296L) %
-      greatest(ceil(col("n") / cellCap).cast("long"), lit(1L))
-    assign.join(broadcast(sizes), "cluster")
+      greatest(ceil(coalesce(col("n"), lit(1L)) / cellCap).cast("long"),
+        lit(1L))
+    // left join: a cluster can be someone's SECOND-nearest while
+    // holding no rank-1 members after the final re-assignment — keep
+    // those memberships in a single shard rather than dropping them
+    assign.join(broadcast(sizes), Seq("cluster"), "left")
       .select(col("vec_id"),
         concat(col("cluster").cast("string"), lit("#"),
           shard.cast("string")).as("cell"))

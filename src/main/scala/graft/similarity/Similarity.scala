@@ -428,8 +428,9 @@ object Similarity {
       .groupBy("vec_id")
       .agg(slice(sort_array(collect_list(struct(col("dist"), col("cid")))),
         1, probes).as("top"))
-      .select(col("vec_id"), explode(col("top")).as("tc"))
-      .select(col("vec_id"), col("tc.cid").as("cluster"))
+      .select(col("vec_id"), posexplode(col("top")))
+      .select(col("vec_id"), (col("pos") + 1).as("rk"),
+        col("col.cid").as("cluster"))
 
   /** S3: IVF-style ANN — cells = label clusters with mean-vector
     * centroids; each query probes its 2 nearest centroids and searches
@@ -856,8 +857,8 @@ object Similarity {
       .agg(min_by(col("vec_id"),
         struct((-col("level")).as("nl"), col("vec_id"))).as("c_id"))
       .select("c_id")
-    var cur = q.select("q_id").crossJoin(broadcast(entry))
-      .join(cv, "c_id").join(broadcast(q), "q_id")
+    var cur = broadcast(entry).join(cv, "c_id")
+      .crossJoin(broadcast(q))
       .select(col("q_id"), col("c_id"),
         round(V.cosine(col("q_emb"), col("c_emb")), 3).as("cos3"))
       .withColumn("rk", row_number().over(byQuery))

@@ -36,8 +36,18 @@ case class KnnGraphConfig(bits: Int = 8,
 }
 
 object KnnGraphConfig {
-  /** s14's INIT-graph cadence (descent = periodic batch compaction). */
+  /** s14's INIT-graph cadence (descent = periodic batch compaction)
+    * at the 8-bit default — correct up to bitsFor's 4096-vector
+    * knee; beyond it use [[initAt]] so the maintained store matches
+    * the width-law batch build. */
   val init: KnnGraphConfig = KnnGraphConfig()
+  /** [[init]] at an explicit band width — REQUIRED past 4096 corpus
+    * vectors, where `s14KnnGraph` builds at `Similarity.bitsFor(n)`
+    * (r9 close): an 8-bit store would regenerate exactly the
+    * group-quadratic buckets the width law removes, and the
+    * formatTag stamp makes the width mismatch fail loudly rather
+    * than silently diverge from the batch graph. */
+  def initAt(bits: Int): KnnGraphConfig = KnnGraphConfig(bits = bits)
   /** s15's search-graph cadence at a given band width (wire it to
     * corpus size with `Similarity.bitsFor`). */
   def search(bits: Int): KnnGraphConfig =

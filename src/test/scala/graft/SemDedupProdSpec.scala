@@ -126,16 +126,13 @@ class SemDedupProdSpec extends AnyFunSuite {
       "pairs the single-probe split cannot see: a strict superset of " +
       "the probe-1 pairs here, every extra pair independently true, " +
       "recall strictly above the single-probe floor") {
-    val exact = Dedup.d5EmbeddingDedup(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
     val p1 = Dedup.d5EmbeddingProd(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val p2 = Dedup.d5EmbeddingProd(spark, sf, probes = 2).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // on this corpus every cluster fits one shard in both splits, so
-    // each probe-1 shared cell survives into the probe-2 split and
-    // the pair set can only grow (at larger scale resharding can
-    // reshuffle a boundary; the probe lever still nets out — §4a)
+    // STRUCTURAL since the review fix: the shard grid is sized by
+    // rank-1 counts only, so every probe-1 cell survives the probe-2
+    // split verbatim at ANY scale and the pair set can only grow
     assert((p1 -- p2).isEmpty,
       s"probe-2 lost probe-1 pairs: ${(p1 -- p2).take(3)}")
     // the recovered pairs are TRUE ≥0.3 pairs, re-verified off-engine
