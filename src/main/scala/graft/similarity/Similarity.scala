@@ -793,26 +793,61 @@ object Similarity {
     val emb = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
     val lvl = emb
       .withColumn("level", levelOf(col("vec_id")))
-      .localCheckpoint(true) // consumers: 3 layer builds + the entry
+      .localCheckpoint(true) // consumers: the merged layer build + entry
     val vecs = graft.dedup.Dedup.embVecs(emb).localCheckpoint(true)
-    // ONE bounded action for all three layer sizes (the searchGraph
-    // count rule), not one per layer
+    // ONE bounded action for all four sizes (the searchGraph count
+    // rule): the three layer member counts AND the corpus count that
+    // g0's bitsFor law needs — not one count job per consumer
     val sizes = lvl.agg(
       sum((col("level") >= 1).cast("long")),
       sum((col("level") >= 2).cast("long")),
-      sum((col("level") >= 3).cast("long"))).head()
-    val upperGraphs = (1 to 3).map { l =>
-      val members = lvl.filter(col("level") >= l)
-        .select("vec_id", "label", "embedding")
-      val bits = bitsSmall(if (sizes.isNullAt(l - 1)) 0L
-        else sizes.getLong(l - 1))
-      knnFromPairs(
-        graft.dedup.Dedup.scoredCosine(
-          sparseBandPairs(sparseBands(members, bits),
-            withinLabel = false), vecs),
-        8).select("vec_id", "nbr").localCheckpoint(true)
-    }
-    val g0 = searchGraph(s, d, 16)
+      sum((col("level") >= 3).cast("long")),
+      count(lit(1))).head()
+    def sz(i: Int): Long = if (sizes.isNullAt(i)) 0L else sizes.getLong(i)
+    // ONE bucketed job for all three upper-layer graphs: each layer's
+    // bands at its own bitsSmall width, tagged `lyr`, unioned and
+    // self-joined on (lyr, band, sig). Per-layer pairs, scores and
+    // top-8 lists are bit-identical to three separate builds (lyr in
+    // the join key separates the widths — layers nest, but a member's
+    // sig differs per layer), while 3 banding shuffles + 3 checkpoint
+    // jobs collapse into 1 + 1 and the vector fetch-back joins once.
+    val bandedAll = (1 to 3).map { l =>
+      sparseBands(lvl.filter(col("level") >= l)
+        .select("vec_id", "label", "embedding"), bitsSmall(sz(l - 1)))
+        .withColumn("lyr", lit(l))
+    }.reduce(_.unionByName(_))
+    val pairsAll = bandedAll.as("a")
+      .join(bandedAll.as("b"),
+        col("a.lyr") === col("b.lyr") && col("a.band") === col("b.band") &&
+          col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.lyr").as("lyr"), col("a.vec_id").as("id1"),
+        col("b.vec_id").as("id2"))
+      .distinct()
+    // scoredCosine with the layer tag carried through (same rounding,
+    // same vecs lookup frame)
+    val scoredAll = pairsAll
+      .join(vecs.select(col("vec_id").as("id1"), col("emb").as("e1"),
+        col("nrm").as("n1")), Seq("id1"))
+      .join(vecs.select(col("vec_id").as("id2"), col("emb").as("e2"),
+        col("nrm").as("n2")), Seq("id2"))
+      .select(col("lyr"), col("id1"), col("id2"),
+        round(V.dot(col("e1"), col("e2")) /
+          sqrt(col("n1") * col("n2")), 3).as("cos"))
+    val symAll = scoredAll.select(col("lyr"), col("id1").as("vec_id"),
+        col("id2").as("nbr"), col("cos"))
+      .union(scoredAll.select(col("lyr"), col("id2").as("vec_id"),
+        col("id1").as("nbr"), col("cos")))
+    val layered = symAll
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lyr", "vec_id")
+          .orderBy(col("cos").desc, col("nbr").asc)))
+      .filter(col("rk") <= 8)
+      .select("lyr", "vec_id", "nbr")
+      .localCheckpoint(true)
+    val upperGraphs = (1 to 3).map(l =>
+      layered.filter(col("lyr") === l).select("vec_id", "nbr"))
+    val g0 = searchGraph(s, d, 16, bitsFor(sz(3)))
       .select("vec_id", "nbr").localCheckpoint(true)
     s16Walk(s, d, g0, upperGraphs, k, beam, rounds, upperRounds)
   }
