@@ -864,7 +864,11 @@ object SparkEntry {
 
   /** s16's oracle: levels from the portable coin, the s15 layer-0
     * graph CTEs verbatim, per-layer upper graphs at bitsSmall widths,
-    * the 6 greedy descent steps and all 3 beam rounds unrolled. */
+    * the entry atlas (exact layer-0 components via recursive
+    * min-label propagation — the filter `lbl < u` is lossless for
+    * the final min because a component's minimum is smaller than
+    * every node it must reach — crossed with label), the 6 greedy
+    * descent steps and all 3 beam rounds unrolled. */
   private lazy val s16HnswSql: String = {
     val ptRows = sparsePlaneRows
     val coin = "((vec_id % 2147483648) * 2654435761) % 4294967296"
@@ -901,42 +905,56 @@ object SparkEntry {
     val descent = (1 to 6).map { i =>
       val l = 3 - (i - 1) / 2
       s"""ucand$i AS (
-         |  SELECT DISTINCT u.q_id, g.nbr AS c_id
+         |  SELECT DISTINCT u.q_id, g.nbr AS c_id, u.lane
          |  FROM u${i - 1} u JOIN gL$l g ON g.vec_id = u.c_id
          |  WHERE NOT EXISTS (SELECT 1 FROM u${i - 1} p
-         |    WHERE p.q_id = u.q_id AND p.c_id = g.nbr)),
+         |    WHERE p.q_id = u.q_id AND p.c_id = g.nbr
+         |      AND p.lane = u.lane)),
          |usc$i AS (
          |  SELECT c.q_id, c.c_id,
-         |    round(list_cosine_similarity(q.q_emb, ce.c_emb), 3) AS cos
+         |    round(list_cosine_similarity(q.q_emb, ce.c_emb), 3) AS cos,
+         |    c.lane
          |  FROM ucand$i c JOIN q ON q.q_id = c.q_id
          |  JOIN ce ON ce.c_id = c.c_id),
          |u$i AS MATERIALIZED (
-         |  SELECT q_id, c_id, cos FROM (
-         |    SELECT q_id, c_id, cos, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos DESC, c_id) AS rk
-         |    FROM (SELECT * FROM u${i - 1} UNION ALL SELECT * FROM usc$i))
+         |  SELECT q_id, c_id, cos, lane FROM (
+         |    SELECT q_id, c_id, cos, lane, row_number() OVER (
+         |      PARTITION BY q_id, lane ORDER BY cos DESC, c_id) AS rk
+         |    FROM (SELECT q_id, c_id, cos, lane FROM u${i - 1}
+         |          UNION ALL SELECT q_id, c_id, cos, lane FROM usc$i))
          |  WHERE rk <= 4),""".stripMargin
     }.mkString("\n")
     val rounds = (1 to 3).map { r =>
-      s"""f$r AS (
-         |  SELECT q_id, c_id FROM (
-         |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos DESC, c_id) AS rk FROM v${r - 1})
-         |  WHERE rk <= 12),
+      s"""f$r AS MATERIALIZED (
+         |  SELECT q_id, c_id, cos, lane FROM (
+         |    SELECT v.q_id, v.c_id, v.cos, v.lane, ql.quota,
+         |      row_number() OVER (PARTITION BY v.q_id, v.lane
+         |        ORDER BY v.cos DESC, v.c_id) AS rk
+         |    FROM v${r - 1} v JOIN qlanes ql
+         |      ON ql.q_id = v.q_id AND ql.lane = v.lane
+         |    WHERE NOT EXISTS (SELECT 1 FROM e${r - 1} x
+         |      WHERE x.q_id = v.q_id AND x.c_id = v.c_id
+         |        AND x.lane = v.lane))
+         |  WHERE rk <= quota),
+         |e$r AS MATERIALIZED (
+         |  SELECT q_id, c_id, lane FROM e${r - 1}
+         |  UNION ALL SELECT q_id, c_id, lane FROM f$r),
          |n$r AS (
-         |  SELECT DISTINCT f.q_id, g.nbr AS c_id
+         |  SELECT DISTINCT f.q_id, g.nbr AS c_id, f.lane
          |  FROM f$r f JOIN g ON g.vec_id = f.c_id
          |  WHERE NOT EXISTS (SELECT 1 FROM v${r - 1} v
-         |    WHERE v.q_id = f.q_id AND v.c_id = g.nbr)),
+         |    WHERE v.q_id = f.q_id AND v.c_id = g.nbr
+         |      AND v.lane = f.lane)),
          |sc$r AS (
          |  SELECT n.q_id, n.c_id,
-         |    round(list_cosine_similarity(q.q_emb, ce.c_emb), 3) AS cos
+         |    round(list_cosine_similarity(q.q_emb, ce.c_emb), 3) AS cos,
+         |    n.lane
          |  FROM n$r n JOIN q ON q.q_id = n.q_id
          |  JOIN ce ON ce.c_id = n.c_id),
          |v$r AS MATERIALIZED (
          |  SELECT * FROM v${r - 1} UNION ALL SELECT * FROM sc$r),""".stripMargin
     }.mkString("\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
        |spt(b, j, w, plane) AS (VALUES
        |$ptRows),
        |nv AS (SELECT count(*) AS n FROM embeddings WHERE vec_id >= 10),
@@ -976,27 +994,54 @@ object SparkEntry {
        |$upperLayers
        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
        |ce AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id >= 10),
+       |gsym AS MATERIALIZED (
+       |  SELECT vec_id AS u, nbr AS v FROM g
+       |  UNION SELECT nbr, vec_id FROM g),
+       |lp(id, lbl) AS (
+       |  SELECT u AS id, u AS lbl FROM (SELECT DISTINCT u FROM gsym)
+       |  UNION
+       |  SELECT g2.u AS id, lp.lbl FROM lp JOIN gsym g2 ON g2.v = lp.id
+       |  WHERE lp.lbl < g2.u),
+       |comp AS MATERIALIZED (SELECT id, min(lbl) AS comp FROM lp GROUP BY id),
        |entry AS (
-       |  SELECT vec_id AS c_id FROM (
-       |    SELECT vec_id, row_number() OVER (PARTITION BY label
-       |      ORDER BY level DESC, vec_id) AS rk FROM lvl)
-       |  WHERE rk = 1),
+       |  SELECT vec_id AS c_id, ecomp, csize FROM (
+       |    SELECT l.vec_id, coalesce(c.comp, l.vec_id) AS ecomp,
+       |      count(*) OVER (PARTITION BY coalesce(c.comp, l.vec_id))
+       |        AS csize,
+       |      row_number() OVER (
+       |      PARTITION BY l.label, coalesce(c.comp, l.vec_id)
+       |      ORDER BY l.level DESC, l.vec_id) AS rk
+       |    FROM lvl l LEFT JOIN comp c ON c.id = l.vec_id)
+       |  WHERE rk <= 4),
        |u0 AS MATERIALIZED (
-       |  SELECT q_id, c_id, cos FROM (
-       |    SELECT q.q_id, en.c_id,
-       |      round(list_cosine_similarity(q.q_emb, ce.c_emb), 3) AS cos,
-       |      row_number() OVER (PARTITION BY q.q_id
-       |        ORDER BY round(list_cosine_similarity(q.q_emb, ce.c_emb), 3)
-       |          DESC, en.c_id) AS rk
-       |    FROM q CROSS JOIN entry en JOIN ce ON ce.c_id = en.c_id)
-       |  WHERE rk = 1),
+       |  SELECT q_id, c_id, cos, ecomp AS lane, csize FROM (
+       |    SELECT q_id, c_id, cos, ecomp, csize,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos DESC, c_id) AS rk,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY csize DESC, ecomp) AS rs
+       |    FROM (
+       |      SELECT q.q_id, en.c_id, en.ecomp, en.csize,
+       |        round(list_cosine_similarity(q.q_emb, ce.c_emb), 3) AS cos,
+       |        row_number() OVER (PARTITION BY q.q_id, en.ecomp
+       |          ORDER BY round(list_cosine_similarity(q.q_emb, ce.c_emb), 3)
+       |            DESC, en.c_id) AS rc
+       |      FROM q CROSS JOIN entry en JOIN ce ON ce.c_id = en.c_id)
+       |    WHERE rc = 1)
+       |  WHERE rk <= 4 OR rs = 1),
+       |qlanes AS MATERIALIZED (
+       |  SELECT q_id, lane, greatest(1,
+       |    (12 * csize) // (sum(csize) OVER (PARTITION BY q_id))) AS quota
+       |  FROM u0),
        |$descent
-       |v0 AS MATERIALIZED (SELECT q_id, c_id, cos FROM u6),
+       |v0 AS MATERIALIZED (SELECT q_id, c_id, cos, lane FROM u6),
+       |e0 AS (SELECT q_id, c_id, lane FROM u6 WHERE FALSE),
        |$rounds
        |unused AS (SELECT 1)
        |SELECT q_id, rank, c_id, cos FROM (
        |  SELECT q_id, c_id, cos, CAST(row_number() OVER (PARTITION BY q_id
-       |    ORDER BY cos DESC, c_id) AS BIGINT) AS rank FROM v3)
+       |    ORDER BY cos DESC, c_id) AS BIGINT) AS rank
+       |  FROM (SELECT DISTINCT q_id, c_id, cos FROM v3))
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 

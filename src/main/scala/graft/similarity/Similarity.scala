@@ -746,9 +746,10 @@ object Similarity {
     * neighbor search using Hierarchical Navigable Small World
     * graphs") — the ladder's final rung: s15 seeds its walk from an
     * LSH tier whose bucket probing is a per-query corpus touch; HNSW
-    * replaces that tier with LOG-LAYERED DESCENT from a single global
-    * entry point, so a query's pre-walk cost is O(layers·rounds)
-    * graph hops with no corpus-bucket scan at all.
+    * replaces that tier with LOG-LAYERED DESCENT from a corpus-derived
+    * entry atlas, so a query's pre-walk cost is one broadcast scoring
+    * pass plus O(layers·rounds) graph hops with no corpus-bucket scan
+    * at all.
     *
     * Layers: level(v) is GEOMETRIC with ratio 1/4 — P(level ≥ ℓ) =
     * 4^-ℓ, capped at 3 — assigned by the house portable coin, so the
@@ -763,30 +764,59 @@ object Similarity {
     * 125-vector layer needs 3-bit bands to collide at all); layer 0
     * IS s15's navigable search graph.
     *
-    * Search: per-LABEL entries (each label's max-level min-id
-    * member — L broadcastable rows; best of L per query after one
-    * scoring pass), then an ef-style beam-4 descent — 2 rounds per
-    * layer, top level down, expanding the per-query top-4 through
-    * the layer graph ([[s15Expand]] at beam 4) — then s15's beam-12
-    * NSW rounds on layer 0. Everything is a total order (3-dp
-    * cosine + id) — replays bit-identically, oracle unrolls entries,
-    * all 6 descent steps and 3 beam rounds as CTEs.
+    * Search: an ENTRY ATLAS — [[entryAtlas]]: 4 entries per
+    * (label × layer-0 component) cell by (level desc, id), carrying
+    * component id and size — scored once per query (broadcast), then
+    * seeded as one LANE per component: the best entry of each of the
+    * top-4 components by score, plus the LARGEST component's best
+    * always (the mass seed). The descent runs 2 ef-style beam-4
+    * rounds per layer per lane, top level down; layer 0 runs 3
+    * ef-search rounds where each round expands the top-quota
+    * UNEXPANDED candidates per lane, with quotas mass-proportional
+    * (beam × csize ∕ Σcsize, integer div, floor 1); the final top-k
+    * re-rank is the only global step. Everything is a total order
+    * (3-dp cosine + id) — replays bit-identically; the oracle
+    * unrolls the atlas (exact components via a recursive
+    * min-propagation CTE), the quotas, all 6 descent steps, and all
+    * 3 ef rounds with their expanded sets as CTEs.
     *
-    * Measured honestly (§4a walk-recall table): recall@5 vs exact is
-    * 0.74 at sf0.01 but trails the SEEDED walk as the corpus grows
-    * or fragments (0.44 vs 0.72 at sf0.1; 0.16 vs 0.60 at 30×
-    * drift) — entry-descent needs cross-cluster graph connectivity
-    * that batch band-built graphs do not guarantee (true HNSW buys
-    * it with sequential insert-by-search, which does not
-    * distribute). s15 is the recall tier; s16 is the
-    * zero-corpus-touch tier, and that tradeoff is the measured
-    * price.
+    * Why each piece exists (every one pinned by a 30× diag
+    * measurement, PROBE_S16DIAG): batch band-built graphs FRAGMENT —
+    * collision edges link only similar vectors, so a walk cannot
+    * leave its entry's connected component (the connectivity true
+    * HNSW buys with sequential insert-by-search, which does not
+    * distribute); components are the walk's reachability classes, so
+    * the atlas puts a start in every one BY CONSTRUCTION. Entries
+    * are cosine-blind samples, so a sharp near-dup chain outscores
+    * every sample of the giant organic component that holds the true
+    * neighbors — per-component seeding with a guaranteed mass seed
+    * took the measured seed ceiling from 0.50 to 1.00. And a GLOBAL
+    * beam let exhausted chain members pin every frontier slot
+    * (recall 0 at a 1.00 ceiling) — per-lane quotas plus
+    * expanded-tracking are ef-search's answer: a dup cluster owns
+    * only its own lane, and spent regions release their slots. At
+    * 100 TB those are precisely dup-clusters starving the organic
+    * corpus — dedup-before-index is the system answer this operator
+    * measures the need for.
+    *
+    * Measured honestly (§4a walk-recall table): recall@5 vs exact
+    * 0.84 at sf0.01 and 0.62 at sf0.1 — above the LSH seed tier at
+    * both scales and above the seeded s15 at sf0.01 — but 0.10 on
+    * the 30×/100× drift-chain corpora, where the truth hides behind
+    * every original's own replica fan and no cos-monotone graph path
+    * reaches it from any fixed entry (diag separation: seed ceiling
+    * 1.00, walk conversion 0.10, saturated in rounds). On dup-heavy
+    * corpora s15's per-query bucket probe is the recall tier; s16 is
+    * the zero-corpus-touch tier, and that gap is the measured price.
     *
     * Scale shape: upper-layer builds are the s15 build on 4^-ℓ
-    * corpus fractions (bucketed, never pairwise); the walk touches
-    * |Q| rows per round end-to-end. The per-layer member counts are
-    * bounded driver probes (catalog stats in production, the
-    * searchGraph rule). */
+    * corpus fractions (bucketed, never pairwise); the atlas is a
+    * pure function of g0 (components + per-cell entries — in
+    * production a maintained store refreshed at the graph-fold
+    * cadence; inline it is 3.2 s of the 12.6 s 1× wall); the walk
+    * touches |Q|·lanes rows per round end-to-end. The per-layer
+    * member counts are bounded driver probes (catalog stats in
+    * production, the searchGraph rule). */
   def s16Hnsw(s: SparkSession, d: String, k: Int = 5,
       beam: Int = 12, rounds: Int = 3, upperRounds: Int = 2)
       : DataFrame = {
@@ -877,54 +907,185 @@ object Similarity {
     val lvl = emb.withColumn("level", levelOf(col("vec_id")))
     val q = queries(s, d)
     val cv = corpus(s, d).select(col("c_id"), col("c_emb"))
-    // PER-LABEL entries: each label's max-level (min-id) member — one
-    // hash aggregation, L broadcastable rows, still a pure corpus
-    // function with zero per-query corpus touch. The r9-close probes
-    // measured the single global entry collapsing on sharded corpora
-    // (recall@5 0.38 at sf0.1, 0.00 at 30× drift: band-collision
-    // edges link only similar vectors, so a batch-built graph has no
-    // cross-region reachability and a walk cannot leave the entry's
-    // component — the connectivity true HNSW buys with its
-    // insert-by-search). Labels ARE the corpus's routing shards;
-    // seeding with the best of L entries (scored once, top-1 per
-    // query) restores a query-adjacent start in every region.
-    val entry = lvl.groupBy(col("label"))
-      .agg(min_by(col("vec_id"),
-        struct((-col("level")).as("nl"), col("vec_id"))).as("c_id"))
-      .select("c_id")
-    var cur = broadcast(entry).join(cv, "c_id")
+    // The ENTRY ATLAS: one entry per (label × layer-0 component) cell
+    // — each cell's max-level (min-id) member. Still a pure corpus
+    // function with zero per-query corpus touch (in production the
+    // atlas persists alongside the layer stores; it is a function of
+    // g0 alone). The r9-close probes measured the single global entry
+    // collapsing on sharded corpora (recall@5 0.38 at sf0.1, 0.00 at
+    // 30× drift) and per-label entries only half-fixing it (0.44 /
+    // 0.16): band-collision edges link only similar vectors, so a
+    // batch-built graph FRAGMENTS into per-cluster components and a
+    // walk cannot leave its entry's component — the connectivity true
+    // HNSW buys with sequential insert-by-search, which does not
+    // distribute. Components are exactly the walk's reachability
+    // classes, so an entry per component restores a reachable start
+    // in every region BY CONSTRUCTION; crossing with label keeps the
+    // routing-shard starts that won the organic-corpus measurements
+    // (each label winner still wins its own cell, so the atlas is a
+    // superset of the per-label entries — recall is monotone vs r9).
+    // Atlas size = nonempty cells ≈ max(L, components): labels on
+    // organic corpora (one giant component), chains on drift corpora
+    // — broadcastable in both regimes; the star contraction is the
+    // same O(log² n) build d10 runs, and isolated vectors (no g0
+    // edges) fall back to themselves as singleton entries.
+    val comps = compsOf(g0)
+    val entry = entryAtlas(lvl, comps)
+    // Seed the best entry per COMPONENT (top-`descentBeam` components
+    // by score) PLUS the largest component's best entry always — not
+    // the top-4 entries overall. Components are reachability classes,
+    // so beam slots spent on two entries of one component are
+    // redundant, while the measured failure mode (30× diag) is a
+    // query whose per-comp scores mislead: entries are cosine-blind
+    // samples, and small sharp components (near-dup chains) can
+    // outscore every SAMPLE of the giant organic component that
+    // holds all the true neighbors — ranked overall, half the
+    // queries never seeded the giant at all. The mass seed guarantees
+    // the component holding most of the corpus is always explored.
+    //
+    // Each seed opens a LANE (lane id = the seed's component), and
+    // ALL walk state below is per (q_id, lane): the descent keeps the
+    // best candidate per lane, the layer-0 rounds run an ef-style
+    // top-`laneBeam`-UNEXPANDED-per-lane frontier, and only the final
+    // re-rank is global. Without lanes the 30× diag measured recall 0
+    // with a 1.00 seed ceiling: a sharp near-dup chain outscores the
+    // organic mass everywhere (cos 0.4+ vs an entry's 0.3), so a
+    // GLOBAL beam spends every slot on exhausted chain members and
+    // the giant component's ascending path never expands — at 100 TB
+    // that is precisely a dup-cluster starving the organic corpus.
+    // Expanded-tracking is ef-search's other half: an exhausted
+    // region stops occupying frontier slots instead of pinning them
+    // forever.
+    val seeds = broadcast(entry).join(cv, "c_id")
       .crossJoin(broadcast(q))
-      .select(col("q_id"), col("c_id"),
+      .select(col("q_id"), col("c_id"), col("comp"), col("csize"),
         round(V.cosine(col("q_emb"), col("c_emb")), 3).as("cos3"))
+      .withColumn("rc", row_number().over(
+        Window.partitionBy("q_id", "comp")
+          .orderBy(col("cos3").desc, col("c_id").asc)))
+      .filter(col("rc") === 1)
       .withColumn("rk", row_number().over(byQuery))
-      .filter(col("rk") === 1)
-      .select("q_id", "c_id", "cos3")
-      .localCheckpoint(true)
-    // checkpoint once per LAYER, not per round: the |Q|-row state is
-    // referenced 3× per greedy step, so the uncheckpointed subtree
-    // grows ~9× across a layer's two rounds — still trivial — while
-    // halving the eager-materialization jobs (measured latency-bound
-    // at small scale)
+      .withColumn("rs", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("csize").desc, col("comp").asc)))
+      .filter(col("rk") <= descentBeam || col("rs") === 1)
+      .localCheckpoint(true) // consumers: the walk state AND the quotas
+    var cur = seeds.select(col("q_id"), col("c_id"), col("cos3"),
+      col("comp").as("lane"))
+    // MASS-PROPORTIONAL frontier quotas: each lane's share of the
+    // `beam` expansion budget ∝ its component's size (integer `div`,
+    // floor 1 — exact in both engines). The corpus's answers live
+    // where its mass lives: the giant organic component takes
+    // essentially the whole beam, while a 29-member dup chain keeps
+    // one slot — enough to surface its best member, which the seed
+    // round already scored. A flat per-lane split measured 4× worse
+    // giant-lane conversion at 30× (9 vs 36 expansions).
+    val quotas = seeds
+      .select(col("q_id"), col("comp").as("lane"), col("csize"))
+      .withColumn("tot", sum("csize").over(Window.partitionBy("q_id")))
+      .withColumn("quota",
+        greatest(lit(1L), expr(s"($beam * csize) div tot")))
+      .select("q_id", "lane", "quota")
+      .localCheckpoint(true) // joined by every layer-0 round
+    val byLane = Window.partitionBy("q_id", "lane")
+      .orderBy(col("cos3").desc, col("c_id").asc)
+    // descent: expand every lane head through the upper layer, keep
+    // the best candidate per lane (upper-layer bands are narrower
+    // than g0's, so a hop may leave the lane's g0 component — the
+    // long-range links the hierarchy exists for; the lane TAG stays,
+    // only layer-0 edges confine). One checkpoint per layer: the
+    // per-lane state is referenced 3× per step, so the uncheckpointed
+    // subtree grows ~9× across a layer's two rounds — still trivial —
+    // while halving the eager-materialization jobs.
     for (l <- 3 to 1 by -1) {
       for (_ <- 1 to upperRounds)
         cur = cur
-          .union(s15Expand(cur, upperGraphs(l - 1), q, cv, descentBeam))
-          .withColumn("rk", row_number().over(byQuery))
+          .union(laneExpand(cur, cur, upperGraphs(l - 1), q, cv))
+          .withColumn("rk", row_number().over(byLane))
           .filter(col("rk") <= descentBeam)
-          .select("q_id", "c_id", "cos3")
+          .select("q_id", "c_id", "cos3", "lane")
       cur = cur.localCheckpoint(true)
     }
     var visited = cur
-    for (_ <- 1 to rounds)
-      visited = visited
-        .union(s15Expand(visited, g0, q, cv, beam))
+    var expanded = cur.select("q_id", "c_id", "lane").limit(0)
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      // frontier checkpoints (3 consumers: expanded's union, the
+      // graph expansion, and — via expanded — every later round's
+      // anti-join; leaving either lazy re-derives the window chain
+      // and measured 4 s slower at 1×)
+      val frontier = visited
+        .join(expanded, Seq("q_id", "c_id", "lane"), "left_anti")
+        .withColumn("rk", row_number().over(byLane))
+        .join(quotas, Seq("q_id", "lane"))
+        .filter(col("rk") <= col("quota"))
+        .select("q_id", "c_id", "cos3", "lane")
         .localCheckpoint(true)
+      expanded = expanded.union(frontier.select("q_id", "c_id", "lane"))
+        .localCheckpoint(true)
+      visited = visited
+        .union(laneExpand(frontier, visited, g0, q, cv))
+        .localCheckpoint(true)
+    }
     visited
+      .select("q_id", "c_id", "cos3").distinct()
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), col("cos3").as("cos"))
       .orderBy("q_id", "rank")
   }
+
+  /** One lane-walk round: expand EVERY row of `frontier` through the
+    * graph's neighbor lists, keep candidates UNSEEN in their own
+    * lane (anti-join against `visited`), and exact-score them. The
+    * lane tag rides the expansion — a vector reachable from two
+    * lanes is scored in both (same cosine; the final global re-rank
+    * dedups). */
+  private def laneExpand(frontier: DataFrame, visited: DataFrame,
+      graph: DataFrame, q: DataFrame, cv: DataFrame): DataFrame = {
+    val cand = frontier.select("q_id", "c_id", "lane")
+      .join(graph, col("c_id") === col("vec_id"))
+      .select(col("q_id"), col("nbr").as("c_id"), col("lane")).distinct()
+      .join(visited.select("q_id", "c_id", "lane"),
+        Seq("q_id", "c_id", "lane"), "left_anti")
+    cand
+      .join(cv, "c_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("c_id"),
+        round(V.cosine(col("q_emb"), col("c_emb")), 3).as("cos3"),
+        col("lane"))
+  }
+
+  /** s16's entry atlas: `perCell` entries per (label × layer-0
+    * component) cell, by (level desc, vec_id) within the cell, each
+    * carrying its component id and size — a pure function of
+    * (lvl, g0), so production persists it alongside the layer
+    * stores. Exact components via the star contraction (the same
+    * O(log² n) build d10 runs); vectors with no g0 edges fall back
+    * to themselves as singleton cells. perCell > 1 matters because
+    * entries are cosine-blind samples: a big component's chance of
+    * fielding a competitive seed for a given query grows with its
+    * sample count (measured at 30×: seed ceiling 0.50 → 0.80 going
+    * 1 → 4). */
+  private[graft] def entryAtlas(lvl: DataFrame, comps: DataFrame,
+      perCell: Int = 4): DataFrame = {
+    lvl
+      .join(comps.select(col("id").as("vec_id"), col("lbl")),
+        Seq("vec_id"), "left")
+      .withColumn("comp", coalesce(col("lbl"), col("vec_id")))
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy("comp")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("label", "comp")
+          .orderBy(col("level").desc, col("vec_id"))))
+      .filter(col("rk") <= perCell)
+      .select(col("vec_id").as("c_id"), col("comp"), col("csize"))
+  }
+
+  /** Exact layer-0 components of the search graph — the walk's
+    * reachability classes (star contraction, canonical min-id
+    * labels). */
+  private[graft] def compsOf(g0: DataFrame): DataFrame =
+    graft.dedup.Dedup.connectedComponentsStars(
+      g0.select(col("vec_id").as("src"), col("nbr").as("dst")))
 
   /** HNSW level of a vector id: geometric(1/4) capped at 3, from the
     * house portable coin — deterministic, oracle-replicable, and

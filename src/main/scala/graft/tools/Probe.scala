@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.{GraftSession, Tables}
 
 /** Scratch profiling harness (not part of the driver contract):
@@ -203,6 +204,97 @@ object Probe {
       spark.stop(); return
     }
 
+    // s16 failure-mode separation: is low walk recall a SEEDING
+    // problem (the true top-5's component never enters the top-4
+    // atlas seeds — coverage is a hard upper bound on walk recall)
+    // or a REACH problem (seeded right but the beam rounds cannot
+    // traverse the component to the true neighbors)? Measures
+    // seed-coverage@4 for atlas perCell ∈ {1, 4} plus walk recall at
+    // doubled layer-0 rounds.
+    if (sys.env.get("PROBE_S16DIAG").contains("1")) {
+      import graft.similarity.Similarity
+      Tables.embeddings(spark, d).count()
+      val emb = Tables.embeddings(spark, d).filter(col("vec_id") >= 10)
+      val lvl = emb.withColumn("level",
+        Similarity.levelOf(col("vec_id"))).localCheckpoint(true)
+      val g0 = Similarity.searchGraph(spark, d, 16)
+        .select("vec_id", "nbr").localCheckpoint(true)
+      val comps = Similarity.compsOf(g0).localCheckpoint(true)
+      val cmap = comps.select(col("id").as("c_id"), col("lbl"))
+      val exact = Similarity.s1AnnBruteForce(spark, d)
+        .select("q_id", "c_id").localCheckpoint(true)
+      // component structure: count + the largest sizes
+      val csz = cmap.groupBy("lbl").count().orderBy(col("count").desc)
+        .limit(5).collect().map(_.getLong(1))
+      val nComp = cmap.select("lbl").distinct().count()
+      val nIso = emb.join(cmap, col("vec_id") === col("c_id"), "left_anti")
+        .count()
+      println(s"[probe]   g0 components: $nComp non-trivial, " +
+        s"$nIso isolated vectors; largest: ${csz.mkString(", ")}")
+      // member-level truth: the comp of EVERY true top-5 member
+      val truthM = exact.join(cmap, Seq("c_id"), "left")
+        .select(col("q_id"), col("c_id"),
+          coalesce(col("lbl"), col("c_id")).as("comp"))
+        .localCheckpoint(true)
+      val nExact = truthM.count()
+      val truth = truthM.select("q_id", "comp").distinct().localCheckpoint(true)
+      val nTruth = truth.count()
+      val q = Tables.embeddings(spark, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cv = emb.select(col("vec_id").as("c_id"),
+        col("embedding").as("c_emb"))
+      for (t <- Seq(1, 4)) {
+        val atlas = Similarity.entryAtlas(lvl, comps, t).localCheckpoint(true)
+        val nAtlas = atlas.count()
+        val seeds = broadcast(atlas).join(cv, "c_id")
+          .crossJoin(broadcast(q))
+          .select(col("q_id"), col("c_id"), col("comp"), col("csize"),
+            round(graft.functions.VectorFunctions
+              .cosine(col("q_emb"), col("c_emb")), 3).as("cos3"))
+          .withColumn("rc", row_number().over(
+            Window.partitionBy("q_id", "comp")
+              .orderBy(col("cos3").desc, col("c_id").asc)))
+          .filter(col("rc") === 1)
+          .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("cos3").desc, col("c_id").asc)))
+          .withColumn("rs", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("csize").desc, col("comp").asc)))
+          .filter(col("rk") <= 4 || col("rs") === 1)
+        val seedComp = seeds.select("q_id", "comp").localCheckpoint(true)
+        val cov = truth.join(seedComp, Seq("q_id", "comp"), "left_semi")
+          .count().toDouble / nTruth
+        // member-level: the hard recall ceiling a perfect
+        // within-component walk could reach from these seeds
+        val covM = truthM.join(seedComp, Seq("q_id", "comp"), "left_semi")
+          .count().toDouble / nExact
+        println(f"[probe]   atlas perCell=$t: $nAtlas%d entries, " +
+          f"seed-coverage@4: comps $cov%.2f, recall ceiling $covM%.2f")
+      }
+      for ((r, ur) <- Seq((3, 0), (3, 2), (3, 5), (6, 5))) {
+        val rec = exact.join(Similarity.s16Hnsw(spark, d, 5, 12, r, ur)
+            .select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
+          .count().toDouble / exact.count()
+        println(f"[probe]   s16 walk recall@5 rounds=$r upperRounds=$ur: " +
+          f"$rec%.2f")
+      }
+      // where the walk loses ground: found/total split by giant
+      // component vs the small (chain) components
+      val giantLbl = cmap.groupBy("lbl").count()
+        .orderBy(col("count").desc).head().getLong(0)
+      val res = Similarity.s16Hnsw(spark, d).select("q_id", "c_id")
+        .localCheckpoint(true)
+      val byKind = truthM
+        .withColumn("kind", when(col("comp") === giantLbl, "giant")
+          .otherwise("small"))
+        .join(res.withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left")
+        .groupBy("kind").agg(count(lit(1)).as("total"),
+          sum(coalesce(col("hit"), lit(0))).as("found"))
+        .collect()
+      byKind.foreach(r => println(s"[probe]   truth in ${r.getString(0)} " +
+        s"comp: found ${r.getLong(2)} of ${r.getLong(1)}"))
+      spark.stop(); return
+    }
+
     // s16 stage breakdown
     if (sys.env.get("PROBE_S16BREAK").contains("1")) {
       import graft.similarity.Similarity
@@ -211,8 +303,20 @@ object Probe {
       time("s16 full warm") { Similarity.s16Hnsw(spark, d).count() }
       time("s15 full warm") { Similarity.s15GraphSearch(spark, d).count() }
       val emb = Tables.embeddings(spark, d).filter(col("vec_id") >= 10)
+      var g0break: org.apache.spark.sql.DataFrame = null
       time("g0 build alone") {
-        Similarity.searchGraph(spark, d, 16).count()
+        g0break = Similarity.searchGraph(spark, d, 16)
+          .select("vec_id", "nbr").localCheckpoint(true)
+        g0break.count()
+      }
+      var compsBreak: org.apache.spark.sql.DataFrame = null
+      time("g0 components (star contraction)") {
+        compsBreak = Similarity.compsOf(g0break).localCheckpoint(true)
+        compsBreak.count()
+      }
+      time("entry atlas") {
+        Similarity.entryAtlas(emb.withColumn("level",
+          Similarity.levelOf(col("vec_id"))), compsBreak).count()
       }
       val lvl = emb.withColumn("level",
         Similarity.levelOf(col("vec_id"))).localCheckpoint(true)

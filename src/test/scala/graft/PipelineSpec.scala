@@ -397,9 +397,10 @@ class PipelineSpec extends AnyFunSuite {
       s"graph-walk recall@5 below half: $walkHit/${bf.size}")
   }
 
-  test("s16 HNSW: deterministic geometric layers, per-label-entry " +
-      "beam-4 descent reaches the beam stage, recall@5 beats the " +
-      "entry-only baseline and holds the walk floor") {
+  test("s16 HNSW: deterministic geometric layers, entry-atlas " +
+      "(label × component) beam-4 descent reaches the beam stage, " +
+      "recall@5 beats the entry-only baseline and holds the walk " +
+      "floor") {
     import graft.similarity.Similarity
     // layer law: level is a pure function of vec_id (oracle-shared
     // coin), geometric-ish occupancy, capped at 3
@@ -427,6 +428,61 @@ class PipelineSpec extends AnyFunSuite {
     val again = Similarity.s16Hnsw(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(hnsw.sameElements(again), "s16 walk not deterministic")
+  }
+
+  test("s16 entry atlas is component-complete and the mass lane is " +
+      "always seeded") {
+    import graft.similarity.Similarity
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") >= 10)
+    val lvl = emb.withColumn("level", Similarity.levelOf(col("vec_id")))
+    val g0 = Similarity.searchGraph(spark, sf, 16).select("vec_id", "nbr")
+      .localCheckpoint(true)
+    val comps = Similarity.compsOf(g0).localCheckpoint(true)
+    val atlas = Similarity.entryAtlas(lvl, comps).localCheckpoint(true)
+    // every reachability class has an entry: comp ids of the atlas ==
+    // comp ids of every corpus vector (incl. isolated self-labels)
+    val allComps = emb
+      .join(comps.select(col("id").as("vec_id"), col("lbl")),
+        Seq("vec_id"), "left")
+      .select(coalesce(col("lbl"), col("vec_id")).as("comp"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val atlasComps = atlas.select("comp").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(atlasComps == allComps,
+      s"atlas misses components: ${(allComps -- atlasComps).take(5)}")
+    // atlas stays broadcast-small: bounded by 4 · (label × comp) cells
+    val cells = lvl
+      .join(comps.select(col("id").as("vec_id"), col("lbl")),
+        Seq("vec_id"), "left")
+      .select(col("label"), coalesce(col("lbl"), col("vec_id")).as("comp"))
+      .distinct().count()
+    assert(atlas.count() <= 4 * cells)
+    // the mass seed: replaying the seed rule, every query's seed set
+    // includes the LARGEST component — even when its cosine-blind
+    // entries are outscored everywhere (the measured 30× failure)
+    val giant = comps.groupBy("lbl").count()
+      .orderBy(col("count").desc, col("lbl").asc).head().getLong(0)
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cv = emb.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+    val seeds = broadcast(atlas).join(cv, "c_id").crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"), col("comp"), col("csize"),
+        round(graft.functions.VectorFunctions
+          .cosine(col("q_emb"), col("c_emb")), 3).as("cos3"))
+      .withColumn("rc", row_number().over(w.partitionBy("q_id", "comp")
+        .orderBy(col("cos3").desc, col("c_id").asc)))
+      .filter(col("rc") === 1)
+      .withColumn("rk", row_number().over(w.partitionBy("q_id")
+        .orderBy(col("cos3").desc, col("c_id").asc)))
+      .withColumn("rs", row_number().over(w.partitionBy("q_id")
+        .orderBy(col("csize").desc, col("comp").asc)))
+      .filter(col("rk") <= 4 || col("rs") === 1)
+    val qWithGiant = seeds.filter(col("comp") === giant)
+      .select("q_id").distinct().count()
+    val nq = q.count()
+    assert(qWithGiant == nq,
+      s"mass lane missing for ${nq - qWithGiant} of $nq queries")
   }
 
   test("t1 langid predicts a known language label") {

@@ -650,7 +650,7 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("s16: HNSW — final re-rank reads only checkpoints, no " +
-      "cartesian; the 1-row entry broadcast is the only nested loop") {
+      "cartesian; the entry-atlas broadcast is the only nested loop") {
     val p = finalPlan("s16_hnsw")
     // entry/descent/beam rounds all checkpoint: the final top-k
     // segment reads NO parquet and joins nothing
