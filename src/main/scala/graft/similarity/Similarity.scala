@@ -820,6 +820,17 @@ object Similarity {
   def s16Hnsw(s: SparkSession, d: String, k: Int = 5,
       beam: Int = 12, rounds: Int = 3, upperRounds: Int = 2)
       : DataFrame = {
+    val (upperGraphs, n) = s16Layers(s, d)
+    val g0 = searchGraph(s, d, 16, bitsFor(n))
+      .select("vec_id", "nbr").localCheckpoint(true)
+    s16Walk(s, d, g0, upperGraphs, k, beam, rounds, upperRounds)
+  }
+
+  /** s16's three upper-layer graphs (one bucketed build) plus the
+    * corpus count — shared by [[s16Hnsw]] and the diag probes that
+    * walk experimental layer-0 graphs. */
+  private[graft] def s16Layers(s: SparkSession, d: String)
+      : (Seq[DataFrame], Long) = {
     val emb = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
     val lvl = emb
       .withColumn("level", levelOf(col("vec_id")))
@@ -875,11 +886,8 @@ object Similarity {
       .filter(col("rk") <= 8)
       .select("lyr", "vec_id", "nbr")
       .localCheckpoint(true)
-    val upperGraphs = (1 to 3).map(l =>
-      layered.filter(col("lyr") === l).select("vec_id", "nbr"))
-    val g0 = searchGraph(s, d, 16, bitsFor(sz(3)))
-      .select("vec_id", "nbr").localCheckpoint(true)
-    s16Walk(s, d, g0, upperGraphs, k, beam, rounds, upperRounds)
+    ((1 to 3).map(l =>
+      layered.filter(col("lyr") === l).select("vec_id", "nbr")), sz(3))
   }
 
   /** s16's walk against PERSISTED maintained layer graphs — each
@@ -900,7 +908,7 @@ object Similarity {
 
   /** The hierarchical descent + layer-0 beam walk shared by the
     * inline-build and maintained-store s16 forms. */
-  private def s16Walk(s: SparkSession, d: String, g0: DataFrame,
+  private[graft] def s16Walk(s: SparkSession, d: String, g0: DataFrame,
       upperGraphs: Seq[DataFrame], k: Int, beam: Int, rounds: Int,
       upperRounds: Int, descentBeam: Int = 4): DataFrame = {
     val emb = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
@@ -1086,6 +1094,46 @@ object Similarity {
   private[graft] def compsOf(g0: DataFrame): DataFrame =
     graft.dedup.Dedup.connectedComponentsStars(
       g0.select(col("vec_id").as("src"), col("nbr").as("dst")))
+
+  /** RNG/α neighbor diversification (Malkov & Yashunin 2016 Alg. 4,
+    * the select-neighbors heuristic; same rule as DiskANN's robust
+    * prune at α = 1): scan a node's candidates best-first and keep
+    * candidate c only if NO already-kept neighbor k is closer to c
+    * than the node itself (prune when cos(c, k) > cos(c, u)). The
+    * kept list holds one representative per DIRECTION instead of
+    * `keep` members of the node's densest cluster — the edge-level
+    * answer to the own-chain monopoly the 30× drift probes measured.
+    * Pure Catalyst HOFs over a per-node sorted candidate array (the
+    * sequential keep-scan is per-node imperative logic, ≤ cand rows
+    * deep — no UDF, no extra shuffle beyond the candidate
+    * collect). Input: a [[knnFromPairs]]-shaped frame (vec_id, rk,
+    * nbr, cos) and an [[graft.dedup.Dedup.embVecs]] lookup frame;
+    * output: (vec_id, nbr) diversified lists. */
+  private[graft] def rngPrune(knn: DataFrame, vecs: DataFrame,
+      keep: Int): DataFrame = {
+    val cand = knn
+      .join(vecs.select(col("vec_id").as("nbr"), col("emb").as("nemb"),
+        col("nrm").as("nnrm")), Seq("nbr"))
+      .groupBy("vec_id")
+      .agg(sort_array(collect_list(struct(
+        col("rk"), col("nbr"), col("cos"), col("nemb"),
+        col("nnrm")))).as("cs"))
+    cand
+      .select(col("vec_id"), explode(expr(
+        s"""aggregate(cs,
+           |  cast(array() as
+           |    array<struct<nbr:bigint, nemb:array<double>, nnrm:double>>),
+           |  (kept, c) -> if(
+           |    size(kept) >= $keep OR exists(kept, k ->
+           |      aggregate(zip_with(c.nemb, k.nemb, (x, y) -> x * y),
+           |        0D, (acc, x) -> acc + x) / sqrt(c.nnrm * k.nnrm)
+           |        > c.cos),
+           |    kept,
+           |    array_append(kept, named_struct(
+           |      'nbr', c.nbr, 'nemb', c.nemb, 'nnrm', c.nnrm))))
+           |""".stripMargin)).as("kp"))
+      .select(col("vec_id"), col("kp.nbr").as("nbr"))
+  }
 
   /** HNSW level of a vector id: geometric(1/4) capped at 3, from the
     * house portable coin — deterministic, oracle-replicable, and

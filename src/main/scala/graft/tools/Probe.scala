@@ -295,6 +295,36 @@ object Probe {
       spark.stop(); return
     }
 
+    // EXPERIMENT: does RNG edge diversification (HNSW Alg. 4) make
+    // the dup-chain topology walkable? Build layer-0 from 32
+    // candidates robust-pruned to 16 and run the s16 lane walk on it.
+    if (sys.env.get("PROBE_S16DIVERSE").contains("1")) {
+      import graft.similarity.Similarity
+      Tables.embeddings(spark, d).count()
+      val emb = Tables.embeddings(spark, d).filter(col("vec_id") >= 10)
+      val vecs = graft.dedup.Dedup.embVecs(emb).localCheckpoint(true)
+      val exact = Similarity.s1AnnBruteForce(spark, d)
+        .select("q_id", "c_id").localCheckpoint(true)
+      var gDiv: org.apache.spark.sql.DataFrame = null
+      time("diversified g0 (cand 32 -> RNG prune 16)") {
+        gDiv = Similarity.rngPrune(
+          Similarity.searchGraph(spark, d, 32), vecs, 16)
+          .localCheckpoint(true)
+        gDiv.count()
+      }
+      val comps = Similarity.compsOf(gDiv).localCheckpoint(true)
+      val csz = comps.groupBy("lbl").count().orderBy(col("count").desc)
+        .limit(3).collect().map(_.getLong(1))
+      println(s"[probe]   gDiv components largest: ${csz.mkString(", ")}")
+      val (uppers, _) = Similarity.s16Layers(spark, d)
+      val rec = exact.join(
+        Similarity.s16Walk(spark, d, gDiv, uppers, 5, 12, 3, 2)
+          .select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
+        .count().toDouble / exact.count()
+      println(f"[probe]   s16 walk on DIVERSIFIED g0 recall@5: $rec%.2f")
+      spark.stop(); return
+    }
+
     // s16 stage breakdown
     if (sys.env.get("PROBE_S16BREAK").contains("1")) {
       import graft.similarity.Similarity

@@ -485,6 +485,40 @@ class PipelineSpec extends AnyFunSuite {
       s"mass lane missing for ${nq - qWithGiant} of $nq queries")
   }
 
+  test("rngPrune keeps the best candidate, prunes dominated ones, " +
+      "keeps diverse directions, and respects the keep cap") {
+    import graft.similarity.Similarity
+    import spark.implicits._
+    // u looks along e1; A ~ e1 (best), B hugs A (dominated: closer to
+    // A than to u), C is a diverse direction (kept), D hugs C
+    // (dominated by C)
+    val embs = Map(
+      1L -> Seq(1.0, 0.02, 0.0),  // A
+      2L -> Seq(1.0, 0.06, 0.0),  // B (cos(B,A) > cos(B,u))
+      3L -> Seq(0.35, -1.0, 0.0), // C (diverse: cos(C,A) < cos(C,u))
+      4L -> Seq(0.3, -1.0, 0.0))  // D (cos(D,C) > cos(D,u))
+    val u = Seq(1.0, 0.0, 0.0)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val vecs = embs.toSeq.map { case (id, e) =>
+      (id, e, e.map(x => x * x).sum) }
+      .toDF("vec_id", "emb", "nrm")
+    val knn = embs.toSeq
+      .map { case (id, e) => (10L, id, math.rint(cos(u, e) * 1000) / 1000) }
+      .sortBy(-_._3).zipWithIndex
+      .map { case ((v, n, c), i) => (v, (i + 1).toLong, n, c) }
+      .toDF("vec_id", "rk", "nbr", "cos")
+    val kept = Similarity.rngPrune(knn, vecs, 16).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(kept == Set(1L, 3L), s"expected {A, C}, got $kept")
+    // cap: keep = 1 retains only the best
+    val one = Similarity.rngPrune(knn, vecs, 1).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(one == Set(1L))
+  }
+
   test("t1 langid predicts a known language label") {
     val langs = Set("en", "de", "fr", "es", "zh")
     text.TextAnalysis.t1LangId(spark, sf).collect().foreach { r =>
