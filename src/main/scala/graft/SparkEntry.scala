@@ -783,11 +783,16 @@ object SparkEntry {
       s"CASE WHEN d$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
     val ptRows = sparsePlaneRows
     val rounds = (1 to 3).map { r =>
-      s"""f$r AS (
+      s"""f$r AS MATERIALIZED (
          |  SELECT q_id, c_id FROM (
          |    SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos DESC, c_id) AS rk FROM v${r - 1})
+         |      ORDER BY cos DESC, c_id) AS rk FROM v${r - 1} v
+         |    WHERE NOT EXISTS (SELECT 1 FROM e${r - 1} x
+         |      WHERE x.q_id = v.q_id AND x.c_id = v.c_id))
          |  WHERE rk <= 12),
+         |e$r AS MATERIALIZED (
+         |  SELECT q_id, c_id FROM e${r - 1}
+         |  UNION ALL SELECT q_id, c_id FROM f$r),
          |n$r AS (
          |  SELECT DISTINCT f.q_id, g.nbr AS c_id
          |  FROM f$r f JOIN g ON g.vec_id = f.c_id
@@ -854,6 +859,7 @@ object SparkEntry {
        |                 c_id ASC) AS rk
        |    FROM cb JOIN qp USING (bucket))
        |  WHERE rk <= 12),
+       |e0 AS (SELECT q_id, c_id FROM v0 WHERE FALSE),
        |$rounds
        |unused AS (SELECT 1)
        |SELECT q_id, rank, c_id, cos FROM (

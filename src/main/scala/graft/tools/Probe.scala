@@ -295,6 +295,28 @@ object Probe {
       spark.stop(); return
     }
 
+    // s15 recall ladder: the registered ef walk (r9 close-2:
+    // frontier = top-beam UNEXPANDED, measured 0.72 -> 0.90 at sf0.1
+    // over the pre-ef walk) at rounds 3 and 5 vs the seed tier.
+    if (sys.env.get("PROBE_S15EF").contains("1")) {
+      import graft.similarity.Similarity
+      Tables.embeddings(spark, d).count()
+      val exact = Similarity.s1AnnBruteForce(spark, d)
+        .select("q_id", "c_id").localCheckpoint(true)
+      def recall(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val r = time(s"$name run") {
+          exact.join(df.select("q_id", "c_id"), Seq("q_id", "c_id"),
+            "left_semi").count().toDouble / exact.count()
+        }
+        println(f"[probe]   $name recall@5: $r%.2f")
+      }
+      recall("s2 seed tier", Similarity.s2AnnLsh(spark, d))
+      recall("s15 (ef, rounds=3)", Similarity.s15GraphSearch(spark, d))
+      recall("s15 (ef, rounds=5)",
+        Similarity.s15GraphSearch(spark, d, rounds = 5))
+      spark.stop(); return
+    }
+
     // EXPERIMENT: does RNG edge diversification (HNSW Alg. 4) make
     // the dup-chain topology walkable? Build layer-0 from 32
     // candidates robust-pruned to 16 and run the s16 lane walk on it.
