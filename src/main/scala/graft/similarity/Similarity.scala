@@ -822,8 +822,9 @@ object Similarity {
     *
     * Measured honestly (§4a walk-recall table): recall@5 vs exact
     * 0.84 at sf0.01 and 0.62 at sf0.1 — above the LSH seed tier at
-    * both scales and above the seeded s15 at sf0.01 — but 0.10 on
-    * the 30×/100× drift-chain corpora, where the truth hides behind
+    * both scales (the seeded ef s15 reaches 0.90, with the per-query
+    * corpus touch) — but 0.10 on the 30×/100× drift-chain corpora,
+    * where the truth hides behind
     * every original's own replica fan and no cos-monotone graph path
     * reaches it from any fixed entry (diag separation: seed ceiling
     * 1.00, walk conversion 0.10, saturated in rounds). On dup-heavy
