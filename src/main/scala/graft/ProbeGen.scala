@@ -27,13 +27,24 @@ import org.apache.spark.sql.functions._
   * replicas (the default) stay for the non-near-dup family, whose
   * history/join fan-outs they scale correctly.
   *
-  * Usage: runMain graft.ProbeGen <srcSfDir> <outDir> <copies> [mutate]
+  * An optional 5th arg overrides the embedding drift step (default
+  * 0.25 — adversarial chains for the dedup family). A SMALL step
+  * (e.g. 0.02) keeps every replica inside its original's cosine
+  * neighborhood: the corpus becomes an ORGANIC-density cloud at N×
+  * scale where replicas ARE legitimate near neighbors — the missing
+  * walkable-topology cell for the walk-recall table (drift chains
+  * answer "what if the corpus is dup-polluted"; jitter answers
+  * "does walk recall hold on a navigable corpus 30× bigger").
+  *
+  * Usage: runMain graft.ProbeGen <srcSfDir> <outDir> <copies>
+  *   [mutate [driftStep]]
   */
 object ProbeGen {
   def main(args: Array[String]): Unit = {
-    val (src, out, copies, mutate) = args match {
-      case Array(s, o, c)      => (s, o, c.toInt, false)
-      case Array(s, o, c, "mutate") => (s, o, c.toInt, true)
+    val (src, out, copies, mutate, driftStep) = args match {
+      case Array(s, o, c)      => (s, o, c.toInt, false, 0.25)
+      case Array(s, o, c, "mutate") => (s, o, c.toInt, true, 0.25)
+      case Array(s, o, c, "mutate", d) => (s, o, c.toInt, true, d.toDouble)
     }
     val spark = GraftSession.local()
 
@@ -92,7 +103,7 @@ object ProbeGen {
         mutated.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
       }.reduce(_.unionAll(_))
         .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
-      // fixed per-(vec, dim) drift direction, magnitude i * 0.25
+      // fixed per-(vec, dim) drift direction, magnitude i * driftStep
       val embs = Tables.load(spark, src, "embeddings")
       (0 until copies).map { i =>
         val drifted =
@@ -100,7 +111,7 @@ object ProbeGen {
           else embs.withColumn("embedding",
             transform(col("embedding"), (x, j) =>
               (x + (pmod(xxhash64(col("vec_id"), j), lit(2001))
-                .cast("double") / 1000.0 - 1.0) * lit(i * 0.25))
+                .cast("double") / 1000.0 - 1.0) * lit(i * driftStep))
                 .cast("float")))
         drifted.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
       }.reduce(_.unionAll(_))
