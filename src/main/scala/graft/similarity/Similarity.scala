@@ -919,48 +919,54 @@ object Similarity {
     * stored walk answers identically to the inline-build s16. */
   def s16HnswStored(s: SparkSession, d: String, layer0Path: String,
       upperPaths: Seq[String], k: Int = 5, beam: Int = 12,
-      rounds: Int = 3, upperRounds: Int = 2): DataFrame = {
+      rounds: Int = 3, upperRounds: Int = 2,
+      atlasPath: Option[String] = None): DataFrame = {
     require(upperPaths.size == 3, "three upper-layer stores expected")
     val g0 = s.read.parquet(layer0Path)
       .select("vec_id", "nbr").localCheckpoint(true)
     val uppers = upperPaths.map(p => s.read.parquet(p)
       .select("vec_id", "nbr").localCheckpoint(true))
-    s16Walk(s, d, g0, uppers, k, beam, rounds, upperRounds)
+    // with a persisted atlas the stored walk touches NO corpus-sized
+    // computation at all: seeds come from the atlas store, hops from
+    // the layer stores
+    val entry = atlasPath.map(p => s.read.parquet(p)
+      .select("c_id", "comp", "csize").localCheckpoint(true))
+    s16Walk(s, d, g0, uppers, k, beam, rounds, upperRounds,
+      entry = entry)
+  }
+
+  /** Refresh the PERSISTED entry atlas from a persisted layer-0
+    * store — the maintained form of [[entryAtlas]], run at the same
+    * cadence that folds the layer stores (the atlas is a pure
+    * function of the graph, so any fold that changes g0 refreshes it
+    * with one call). */
+  def s16WriteAtlas(s: SparkSession, d: String, layer0Path: String,
+      atlasPath: String): Unit = {
+    val g0 = s.read.parquet(layer0Path).select("vec_id", "nbr")
+    val lvl = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+      .withColumn("level", levelOf(col("vec_id")))
+    entryAtlas(lvl, compsOf(g0))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(atlasPath)
   }
 
   /** The hierarchical descent + layer-0 beam walk shared by the
     * inline-build and maintained-store s16 forms. */
   private[graft] def s16Walk(s: SparkSession, d: String, g0: DataFrame,
       upperGraphs: Seq[DataFrame], k: Int, beam: Int, rounds: Int,
-      upperRounds: Int, descentBeam: Int = 4): DataFrame = {
+      upperRounds: Int, descentBeam: Int = 4,
+      entry: Option[DataFrame] = None): DataFrame = {
     val emb = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
     val lvl = emb.withColumn("level", levelOf(col("vec_id")))
     val q = queries(s, d)
     val cv = corpus(s, d).select(col("c_id"), col("c_emb"))
-    // The ENTRY ATLAS: one entry per (label × layer-0 component) cell
-    // — each cell's max-level (min-id) member. Still a pure corpus
-    // function with zero per-query corpus touch (in production the
-    // atlas persists alongside the layer stores; it is a function of
-    // g0 alone). The r9-close probes measured the single global entry
-    // collapsing on sharded corpora (recall@5 0.38 at sf0.1, 0.00 at
-    // 30× drift) and per-label entries only half-fixing it (0.44 /
-    // 0.16): band-collision edges link only similar vectors, so a
-    // batch-built graph FRAGMENTS into per-cluster components and a
-    // walk cannot leave its entry's component — the connectivity true
-    // HNSW buys with sequential insert-by-search, which does not
-    // distribute. Components are exactly the walk's reachability
-    // classes, so an entry per component restores a reachable start
-    // in every region BY CONSTRUCTION; crossing with label keeps the
-    // routing-shard starts that won the organic-corpus measurements
-    // (each label winner still wins its own cell, so the atlas is a
-    // superset of the per-label entries — recall is monotone vs r9).
-    // Atlas size = nonempty cells ≈ max(L, components): labels on
-    // organic corpora (one giant component), chains on drift corpora
-    // — broadcastable in both regimes; the star contraction is the
-    // same O(log² n) build d10 runs, and isolated vectors (no g0
-    // edges) fall back to themselves as singleton entries.
-    val comps = compsOf(g0)
-    val entry = entryAtlas(lvl, comps)
+    // The ENTRY ATLAS ([[entryAtlas]] — why it exists and what each
+    // piece buys is measured at the [[s16Hnsw]] scaladoc): a pure
+    // function of g0, so a maintained deployment passes the
+    // PERSISTED atlas ([[s16WriteAtlas]], refreshed at the layer
+    // fold cadence) and this walk touches no corpus-sized
+    // computation at all; the inline forms derive it here.
+    val atlas = entry.getOrElse(entryAtlas(lvl, compsOf(g0)))
     // Seed the best entry per COMPONENT (top-`descentBeam` components
     // by score) PLUS the largest component's best entry always — not
     // the top-4 entries overall. Components are reachability classes,
@@ -986,7 +992,7 @@ object Similarity {
     // Expanded-tracking is ef-search's other half: an exhausted
     // region stops occupying frontier slots instead of pinning them
     // forever.
-    val seeds = broadcast(entry).join(cv, "c_id")
+    val seeds = broadcast(atlas).join(cv, "c_id")
       .crossJoin(broadcast(q))
       .select(col("q_id"), col("c_id"), col("comp"), col("csize"),
         round(V.cosine(col("q_emb"), col("c_emb")), 3).as("cos3"))

@@ -208,6 +208,17 @@ class StreamingKnnSpec extends AnyFunSuite {
     assert(stored == inline,
       "s16 walk over maintained stores diverged from the inline build")
     assert(stored.nonEmpty)
+    // the PERSISTED atlas: refresh it from the layer-0 store (the
+    // fold-cadence call) and walk with it — no corpus-sized
+    // computation left in the stored walk, answers still identical
+    Similarity.s16WriteAtlas(spark, sf, s"$root/g0", s"$root/atlas")
+    val storedAtlas = Similarity
+      .s16HnswStored(spark, sf, s"$root/g0", upperPaths,
+        atlasPath = Some(s"$root/atlas")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    assert(storedAtlas == inline,
+      "s16 walk over the persisted atlas diverged from the inline build")
   }
 
   test("bitsFor: integer log2 law — 8 up to 4096, +1 per doubling, " +
