@@ -51,7 +51,6 @@ object SparkEntry {
     "o10_quantile_prod" -> ((s: SparkSession, d: String) =>
       operators.Sketches.o10QuantileSketchProd(s, d)),
     "o11_bloom_filter" -> (operators.Sketches.o11BloomFilter _),
-    "o12_source_similarity" -> (operators.Sketches.o12SourceSimilarity _),
     "o12_source_similarity_prod" -> ((s: SparkSession, d: String) =>
       operators.Sketches.o12SourceSimilarityProd(s, d)),
     "c6_curriculum_order" -> (operators.Curation.c6CurriculumOrder _),
@@ -3371,54 +3370,6 @@ object SparkEntry {
         |SELECT s.doc_id, s.chunk_idx, s.h, s.n_docs
         |FROM (SELECT spans.*, shared.n_docs FROM spans JOIN shared USING (h)) s
         |ORDER BY doc_id, chunk_idx, h""".stripMargin,
-    "o12_source_similarity" -> {
-      val a = graft.expressions.MinHashParams.A.take(32)
-        .mkString("[", ", ", "]")
-      val b = graft.expressions.MinHashParams.B.take(32)
-        .mkString("[", ", ", "]")
-      // the d2 sketch machinery re-derived per SOURCE: element-wise
-      // min over the source's shingle-hash union ≡ the engine's fold
-      // of per-doc signatures; exact branch = distinct 32-bit shingle
-      // hashes per source (certification)
-      s"""WITH sh AS (
-         |  SELECT source, unnest(CASE WHEN length(text) <= 5 THEN [text]
-         |    ELSE list_distinct(list_transform(range(1, length(text) - 3),
-         |      i -> substr(text, CAST(i AS INT), 5))) END) AS shingle
-         |  FROM documents WHERE text IS NOT NULL),
-         |hx AS MATERIALIZED (
-         |  SELECT DISTINCT source,
-         |    CAST(md5_number_lower(shingle) % 4294967296 AS BIGINT) AS x
-         |  FROM sh),
-         |mh AS (
-         |  SELECT source, j, min((A[j + 1] * x + B[j + 1]) % 2147483647) AS h
-         |  FROM hx CROSS JOIN range(32) r(j)
-         |  CROSS JOIN (SELECT $a AS A, $b AS B) p
-         |  GROUP BY 1, 2),
-         |sig AS (SELECT source, list(h ORDER BY j) AS sig FROM mh
-         |        GROUP BY source),
-         |sizes AS (SELECT source, count(*) AS n FROM hx GROUP BY source),
-         |inter AS (
-         |  SELECT a.source AS src1, b.source AS src2, count(*) AS n_common
-         |  FROM hx a JOIN hx b ON a.x = b.x AND a.source < b.source
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT a.source AS src1, b.source AS src2,
-         |    len(list_filter(range(32), i -> a.sig[i + 1] = b.sig[i + 1]))
-         |      / 32.0 AS est
-         |  FROM sig a JOIN sig b ON a.source < b.source)
-         |SELECT p.src1, p.src2, round(est, 6) AS est_jac,
-         |  s1.n AS n1, s2.n AS n2,
-         |  CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
-         |  round(CAST(coalesce(i.n_common, 0) AS DOUBLE) /
-         |    (s1.n + s2.n - coalesce(i.n_common, 0)), 6) AS exact_jac,
-         |  round(abs(est - CAST(coalesce(i.n_common, 0) AS DOUBLE) /
-         |    (s1.n + s2.n - coalesce(i.n_common, 0))), 6) AS abs_err
-         |FROM pairs p
-         |JOIN sizes s1 ON s1.source = p.src1
-         |JOIN sizes s2 ON s2.source = p.src2
-         |LEFT JOIN inter i ON i.src1 = p.src1 AND i.src2 = p.src2
-         |ORDER BY p.src1, p.src2""".stripMargin
-    },
     // r9: o12's production form — signature fold + pair estimates
     // only, no exact shingle-set certification branch
     "o12_source_similarity_prod" -> {

@@ -510,8 +510,13 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("o12: sketch fold is a map-side-combined min aggregate; both " +
-      "branches derive from checkpoints — no parquet in the final plan") {
-    val p = finalPlan("o12_source_similarity")
+      "branches derive from checkpoints — no parquet in the final plan " +
+      "(certification form — retired to spec status r9 close-2, the " +
+      "prod form is the registered query)") {
+    val df = operators.Sketches.o12SourceSimilarity(spark, sf)
+    df.queryExecution.executedPlan.execute().count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
     // signature + distinct-hash frames each checkpointed: the final
     // pair assembly reads NO parquet
