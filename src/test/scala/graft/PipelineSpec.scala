@@ -392,9 +392,11 @@ class PipelineSpec extends AnyFunSuite {
     info(s"recall@5: seed $seedHit/${bf.size}, graph walk $walkHit/${bf.size}")
     assert(walkHit > seedHit,
       s"graph walk added nothing over the seed: $walkHit <= $seedHit")
-    // floor a broken walk would break (seed alone measures ~38%)
-    assert(walkHit * 2 >= bf.size,
-      s"graph-walk recall@5 below half: $walkHit/${bf.size}")
+    // floor a broken walk would break — the walk is deterministic on
+    // this corpus, so the floor tracks the measured level (ef walk:
+    // 0.92 here; seed alone ~38%) with a small margin
+    assert(walkHit * 5 >= bf.size * 4,
+      s"graph-walk recall@5 below 0.8: $walkHit/${bf.size}")
   }
 
   test("s16 HNSW: deterministic geometric layers, entry-atlas " +
@@ -422,8 +424,10 @@ class PipelineSpec extends AnyFunSuite {
     // entry-only baseline: every query answered by entry points
     // alone would hit at most |Q|·L of the bf pairs
     info(s"s16 recall@5: $hit/${bf.size}")
-    assert(hit * 3 >= bf.size,
-      s"HNSW recall@5 collapsed: $hit/${bf.size}")
+    // deterministic walk on this corpus — floor tracks the measured
+    // level (atlas + lane walk: 0.80 here) with a margin
+    assert(hit * 3 >= bf.size * 2,
+      s"HNSW recall@5 below 2/3: $hit/${bf.size}")
     // determinism: replay bit-identical
     val again = Similarity.s16Hnsw(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2)))
