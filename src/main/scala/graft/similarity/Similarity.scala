@@ -840,41 +840,47 @@ object Similarity {
     * member counts are bounded driver probes (catalog stats in
     * production, the searchGraph rule). */
   def s16Hnsw(s: SparkSession, d: String, k: Int = 5,
-      beam: Int = 12, rounds: Int = 3, upperRounds: Int = 2)
-      : DataFrame = {
-    val (upperGraphs, n) = s16Layers(s, d)
+      beam: Int = 12, rounds: Int = 3, upperRounds: Int = 2,
+      levels: Int = 3): DataFrame = {
+    val (upperGraphs, n) = s16Layers(s, d, levels)
     val g0 = searchGraph(s, d, 16, bitsFor(n))
       .select("vec_id", "nbr").localCheckpoint(true)
     s16Walk(s, d, g0, upperGraphs, k, beam, rounds, upperRounds)
   }
 
-  /** s16's three upper-layer graphs (one bucketed build) plus the
-    * corpus count — shared by [[s16Hnsw]] and the diag probes that
-    * walk experimental layer-0 graphs. */
-  private[graft] def s16Layers(s: SparkSession, d: String)
-      : (Seq[DataFrame], Long) = {
+  /** s16's upper-layer graphs (one bucketed build for ALL of them)
+    * plus the corpus count — shared by [[s16Hnsw]] and the diag
+    * probes that walk experimental layer-0 graphs. `levels` is the
+    * hierarchy depth: 3 is the registered default; [[levelsFor]] is
+    * the log₄(n) law a big corpus wants (the 100×-survivor diag
+    * measured the cap-3 descent reach-limited on a 20k-node
+    * navigable component — a deeper hierarchy keeps every layer's
+    * greedy hop count O(1)). */
+  private[graft] def s16Layers(s: SparkSession, d: String,
+      levels: Int = 3): (Seq[DataFrame], Long) = {
     val emb = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
     val lvl = emb
-      .withColumn("level", levelOf(col("vec_id")))
+      .withColumn("level", levelOf(col("vec_id"), levels))
       .localCheckpoint(true) // consumers: the merged layer build + entry
     val vecs = graft.dedup.Dedup.embVecs(emb).localCheckpoint(true)
-    // ONE bounded action for all four sizes (the searchGraph count
-    // rule): the three layer member counts AND the corpus count that
+    // ONE bounded action for all the sizes (the searchGraph count
+    // rule): every layer's member count AND the corpus count that
     // g0's bitsFor law needs — not one count job per consumer
     val sizes = lvl.agg(
       sum((col("level") >= 1).cast("long")),
-      sum((col("level") >= 2).cast("long")),
-      sum((col("level") >= 3).cast("long")),
-      count(lit(1))).head()
+      (2 to levels).map(l =>
+        sum((col("level") >= l).cast("long"))) :+ count(lit(1)): _*)
+      .head()
     def sz(i: Int): Long = if (sizes.isNullAt(i)) 0L else sizes.getLong(i)
-    // ONE bucketed job for all three upper-layer graphs: each layer's
+    // ONE bucketed job for all upper-layer graphs: each layer's
     // bands at its own bitsSmall width, tagged `lyr`, unioned and
     // self-joined on (lyr, band, sig). Per-layer pairs, scores and
-    // top-8 lists are bit-identical to three separate builds (lyr in
+    // top-8 lists are bit-identical to per-layer builds (lyr in
     // the join key separates the widths — layers nest, but a member's
-    // sig differs per layer), while 3 banding shuffles + 3 checkpoint
-    // jobs collapse into 1 + 1 and the vector fetch-back joins once.
-    val bandedAll = (1 to 3).map { l =>
+    // sig differs per layer), while `levels` banding shuffles +
+    // checkpoint jobs collapse into 1 + 1 and the vector fetch-back
+    // joins once.
+    val bandedAll = (1 to levels).map { l =>
       sparseBands(lvl.filter(col("level") >= l)
         .select("vec_id", "label", "embedding"), bitsSmall(sz(l - 1)))
         .withColumn("lyr", lit(l))
@@ -908,8 +914,9 @@ object Similarity {
       .filter(col("rk") <= 8)
       .select("lyr", "vec_id", "nbr")
       .localCheckpoint(true)
-    ((1 to 3).map(l =>
-      layered.filter(col("lyr") === l).select("vec_id", "nbr")), sz(3))
+    ((1 to levels).map(l =>
+      layered.filter(col("lyr") === l).select("vec_id", "nbr")),
+      sz(levels))
   }
 
   /** s16's walk against PERSISTED maintained layer graphs — each
@@ -921,7 +928,7 @@ object Similarity {
       upperPaths: Seq[String], k: Int = 5, beam: Int = 12,
       rounds: Int = 3, upperRounds: Int = 2,
       atlasPath: Option[String] = None): DataFrame = {
-    require(upperPaths.size == 3, "three upper-layer stores expected")
+    require(upperPaths.nonEmpty, "at least one upper-layer store expected")
     val g0 = s.read.parquet(layer0Path)
       .select("vec_id", "nbr").localCheckpoint(true)
     val uppers = upperPaths.map(p => s.read.parquet(p)
@@ -956,8 +963,9 @@ object Similarity {
       upperGraphs: Seq[DataFrame], k: Int, beam: Int, rounds: Int,
       upperRounds: Int, descentBeam: Int = 4,
       entry: Option[DataFrame] = None): DataFrame = {
+    val levels = upperGraphs.size
     val emb = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
-    val lvl = emb.withColumn("level", levelOf(col("vec_id")))
+    val lvl = emb.withColumn("level", levelOf(col("vec_id"), levels))
     val q = queries(s, d)
     val cv = corpus(s, d).select(col("c_id"), col("c_emb"))
     // The ENTRY ATLAS ([[entryAtlas]] — why it exists and what each
@@ -1032,7 +1040,7 @@ object Similarity {
     // per-lane state is referenced 3× per step, so the uncheckpointed
     // subtree grows ~9× across a layer's two rounds — still trivial —
     // while halving the eager-materialization jobs.
-    for (l <- 3 to 1 by -1) {
+    for (l <- levels to 1 by -1) {
       for (_ <- 1 to upperRounds)
         cur = cur
           .union(laneExpand(cur, cur, upperGraphs(l - 1), q, cv))
@@ -1163,16 +1171,27 @@ object Similarity {
       .select(col("vec_id"), col("kp.nbr").as("nbr"))
   }
 
-  /** HNSW level of a vector id: geometric(1/4) capped at 3, from the
-    * house portable coin — deterministic, oracle-replicable, and
-    * stream-routable (level is a pure function of the id). */
-  private[graft] def levelOf(vecId: Column): Column = {
+  /** HNSW level of a vector id: geometric(1/4) capped at `cap`, from
+    * the house portable coin — deterministic, oracle-replicable, and
+    * stream-routable (level is a pure function of the id). cap = 3 is
+    * the registered default; TRUE HNSW scales the level count with
+    * log(n) (Malkov & Yashunin 2016 §4: mL·ln(n) expected layers), and
+    * [[levelsFor]] is that law — the 100×-survivor diag measured the
+    * cap-3 descent reach-limited on a 20k-node navigable component. */
+  private[graft] def levelOf(vecId: Column, cap: Int = 3): Column = {
     val coin = (vecId % lit(2147483648L)) * lit(2654435761L) %
       lit(4294967296L)
-    (coin < lit(1073741824L)).cast("int") +
-      (coin < lit(268435456L)).cast("int") +
-      (coin < lit(67108864L)).cast("int")
+    (1 to cap).map(l =>
+      (coin < lit(4294967296L / (1L << (2 * l)))).cast("int"))
+      .reduce(_ + _)
   }
+
+  /** The level-count law: enough geometric(1/4) layers that the top
+    * layer holds ~O(1) vectors — ceil(log₄ n) as integer threshold
+    * tests (the bitsFor pattern), floored at the registered default
+    * 3, capped at 8 (4⁸ = 65k× the top layer). */
+  private[graft] def levelsFor(n: Long): Int =
+    3 + (3 to 7).count(l => n > (1L << (2 * l)))
 
   /** [[bitsFor]] extended BELOW the 8-bit floor for small member
     * sets (HNSW upper layers): 2 + one bit per doubling past 64,

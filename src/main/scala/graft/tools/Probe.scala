@@ -204,6 +204,44 @@ object Probe {
       spark.stop(); return
     }
 
+    // The DEDUP-BEFORE-INDEX capstone: run the engine's own semantic
+    // dedup (d12-prod, group-min keep policy) on the dup-polluted
+    // corpus, index ONLY the survivors, and measure walk recall vs
+    // exact-on-survivors — the payoff of the §4a law, demonstrated
+    // end-to-end with registered operators.
+    if (sys.env.get("PROBE_DEDUPINDEX").contains("1")) {
+      import graft.similarity.Similarity
+      Tables.embeddings(spark, d).count()
+      val emb = Tables.embeddings(spark, d)
+      val n0 = emb.count()
+      var outDir: String = null
+      time("d12-prod dedup pass") {
+        val kept = graft.dedup.Dedup.d12SemDedupProd(spark, d)
+          .filter(col("keep")).select("vec_id")
+        outDir = sys.env.getOrElse("PROBE_DEDUPINDEX_OUT",
+          java.nio.file.Files
+            .createTempDirectory("graft_dedupindex").toString)
+        emb.join(kept, Seq("vec_id"), "left_semi")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outDir/embeddings.parquet")
+      }
+      val n1 = Tables.embeddings(spark, outDir).count()
+      println(s"[probe]   survivors: $n1 of $n0")
+      val exact = Similarity.s1AnnBruteForce(spark, outDir)
+        .select("q_id", "c_id").localCheckpoint(true)
+      def recall(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+        val r = time(s"$name run") {
+          exact.join(df.select("q_id", "c_id"), Seq("q_id", "c_id"),
+            "left_semi").count().toDouble / exact.count()
+        }
+        println(f"[probe]   $name recall@5 vs exact-on-survivors: $r%.2f")
+      }
+      recall("s2 seed tier", Similarity.s2AnnLsh(spark, outDir))
+      recall("s15", Similarity.s15GraphSearch(spark, outDir))
+      recall("s16", Similarity.s16Hnsw(spark, outDir))
+      spark.stop(); return
+    }
+
     // s16 failure-mode separation: is low walk recall a SEEDING
     // problem (the true top-5's component never enters the top-4
     // atlas seeds — coverage is a hard upper bound on walk recall)
@@ -270,12 +308,16 @@ object Probe {
         println(f"[probe]   atlas perCell=$t: $nAtlas%d entries, " +
           f"seed-coverage@4: comps $cov%.2f, recall ceiling $covM%.2f")
       }
-      for ((r, ur) <- Seq((3, 0), (3, 2), (3, 5), (6, 5))) {
-        val rec = exact.join(Similarity.s16Hnsw(spark, d, 5, 12, r, ur)
+      val nAll = emb.count()
+      val lv = Similarity.levelsFor(nAll)
+      for ((r, ur, lvls) <- Seq((3, 2, 3), (6, 2, 3), (6, 5, 3),
+          (6, 2, lv))) {
+        val rec = exact.join(
+          Similarity.s16Hnsw(spark, d, 5, 12, r, ur, lvls)
             .select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
           .count().toDouble / exact.count()
-        println(f"[probe]   s16 walk recall@5 rounds=$r upperRounds=$ur: " +
-          f"$rec%.2f")
+        println(f"[probe]   s16 walk recall@5 rounds=$r upperRounds=$ur " +
+          f"levels=$lvls: $rec%.2f")
       }
       // where the walk loses ground: found/total split by giant
       // component vs the small (chain) components
