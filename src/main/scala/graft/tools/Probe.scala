@@ -310,14 +310,31 @@ object Probe {
       }
       val nAll = emb.count()
       val lv = Similarity.levelsFor(nAll)
-      for ((r, ur, lvls) <- Seq((3, 2, 3), (6, 2, 3), (6, 5, 3),
-          (6, 2, lv))) {
+      for ((r, ur, lvls) <- Seq((3, 2, 3), (6, 2, 3), (12, 2, 3),
+          (6, 5, 3), (6, 2, lv))) {
         val rec = exact.join(
           Similarity.s16Hnsw(spark, d, 5, 12, r, ur, lvls)
             .select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
           .count().toDouble / exact.count()
         println(f"[probe]   s16 walk recall@5 rounds=$r upperRounds=$ur " +
           f"levels=$lvls: $rec%.2f")
+      }
+      // atlas-richness lever: same walk, denser entry atlas
+      val (uppersPc, nPc) = Similarity.s16Layers(spark, d)
+      val g0pc = Similarity.searchGraph(spark, d, 16,
+        Similarity.bitsFor(nPc)).select("vec_id", "nbr")
+        .localCheckpoint(true)
+      val compsPc = Similarity.compsOf(g0pc).localCheckpoint(true)
+      for (pc <- Seq(4, 16, 64)) {
+        val a = Similarity.entryAtlas(lvl, compsPc, pc)
+          .localCheckpoint(true)
+        val rec = exact.join(
+          Similarity.s16Walk(spark, d, g0pc, uppersPc, 5, 12, 3, 2,
+            entry = Some(a)).select("q_id", "c_id"),
+          Seq("q_id", "c_id"), "left_semi")
+          .count().toDouble / exact.count()
+        println(f"[probe]   s16 walk recall@5 atlas perCell=$pc " +
+          f"(${a.count()}%d entries): $rec%.2f")
       }
       // where the walk loses ground: found/total split by giant
       // component vs the small (chain) components
