@@ -656,6 +656,9 @@ class PlanContractSpec extends AnyFunSuite {
 
   test("s16: HNSW — final re-rank reads only checkpoints, no " +
       "cartesian; the entry-atlas broadcast is the only nested loop") {
+    // the registered query is the STORED walk (r10): layer graphs +
+    // atlas read from build-if-absent persisted stores, so this
+    // drive also proves the walk-only invocation path end-to-end
     val p = finalPlan("s16_hnsw")
     // entry/descent/beam rounds all checkpoint: the final top-k
     // segment reads NO parquet and joins nothing

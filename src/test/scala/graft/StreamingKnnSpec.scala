@@ -221,6 +221,46 @@ class StreamingKnnSpec extends AnyFunSuite {
       "s16 walk over the persisted atlas diverged from the inline build")
   }
 
+  test("registered s16_hnsw IS the stored walk: build-if-absent " +
+      "stores + persisted atlas answer identically to the inline " +
+      "build, and a second invocation reuses the stores") {
+    import graft.similarity.Similarity
+    val (g0P, upperPs, atlasP) = Similarity.s16EnsureStores(spark, sf)
+    val marker = new java.io.File(
+      new java.io.File(g0P).getParentFile, "_built")
+    assert(marker.exists(), "store build left no completion marker")
+    val stamp = marker.lastModified()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val reg = rows(SparkEntry.queries("s16_hnsw")(spark, sf))
+    val inline = rows(Similarity.s16Hnsw(spark, sf))
+    assert(reg == inline,
+      "registered stored walk diverged from the inline build")
+    assert(reg.nonEmpty)
+    // reuse: same paths back, no rebuild landed over the marker
+    val again = Similarity.s16EnsureStores(spark, sf)
+    assert(again == ((g0P, upperPs, atlasP)))
+    assert(marker.lastModified() == stamp,
+      "second invocation rebuilt the persisted stores")
+  }
+
+  test("s16WriteAtlas threads the level cap: a levels=4 deployment's " +
+      "persisted atlas + stores walk identically to the inline " +
+      "levels=4 build (atlas entry ordering depends on the cap)") {
+    import graft.similarity.Similarity
+    val (g0P, upperPs, atlasP) =
+      Similarity.s16EnsureStores(spark, sf, levels = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val stored = rows(Similarity.s16HnswStored(spark, sf, g0P, upperPs,
+      atlasPath = Some(atlasP)))
+    val inline = rows(Similarity.s16Hnsw(spark, sf, levels = 4))
+    assert(stored == inline,
+      "levels=4 stored walk diverged — atlas level cap not threaded")
+  }
+
   test("bitsFor: integer log2 law — 8 up to 4096, +1 per doubling, " +
       "capped at 16") {
     import similarity.Similarity.bitsFor
