@@ -47,7 +47,8 @@ object SparkEntry {
     "c14_unimax" -> (operators.Curation.c14Unimax _),
     "o9_packing_report" -> ((s: SparkSession, d: String) =>
       operators.Sketches.o9PackingReport(s, d)),
-    "o10_quantile_sketch" -> (operators.Sketches.o10QuantileSketch _),
+    // r10: o10's certification twin retired to spec status (the prod
+    // form below is the registered query — the r9 d5/d12/o12 move)
     "o10_quantile_prod" -> ((s: SparkSession, d: String) =>
       operators.Sketches.o10QuantileSketchProd(s, d)),
     "o11_bloom_filter" -> (operators.Sketches.o11BloomFilter _),
@@ -68,8 +69,11 @@ object SparkEntry {
     "o4_heavy_hitters" -> ((s: SparkSession, d: String) =>
       operators.Curation.o4HeavyHitters(s, d)),
     "o5_source_report" -> (operators.Curation.o5SourceReport _),
-    "o6_hll_distinct" -> (operators.Sketches.o6HllDistinct _),
-    "o7_cms_freq" -> (operators.Sketches.o7CmsFreq _),
+    // r10: o6/o7 certification forms (exact branch beside the
+    // estimator) retired to spec status; the registered queries are
+    // the sketch-only production forms
+    "o6_hll_prod" -> (operators.Sketches.o6HllProd _),
+    "o7_cms_prod" -> (operators.Sketches.o7CmsProd _),
     "c10_weighted_reservoir" -> ((s: SparkSession, d: String) =>
       operators.Sketches.c10WeightedReservoir(s, d)),
     "n1_nested_flatten" -> (operators.Nested.n1NestedFlatten _),
@@ -2879,7 +2883,10 @@ object SparkEntry {
         |  round(sum(n_punct)::DOUBLE / sum(len), 6) AS punct_share,
         |  count(DISTINCT lang) AS n_langs
         |FROM p GROUP BY source ORDER BY source""".stripMargin,
-    "o6_hll_distinct" ->
+    // r10: o6's production form — register fold only, no exact
+    // countDistinct certification branch (the oracle keeps the
+    // explicit 64-register spine as the independent derivation)
+    "o6_hll_prod" ->
       """WITH keyed AS (
         |  SELECT l_returnflag AS flag,
         |    CAST(((l_orderkey % 2147483648) * 2654435761)
@@ -2903,21 +2910,15 @@ object SparkEntry {
         |agg AS (
         |  SELECT flag, sum(1.0 / CAST(1 << mr AS DOUBLE)) AS ssum,
         |    sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS v0
-        |  FROM full_regs GROUP BY 1),
-        |exact AS (
-        |  SELECT l_returnflag AS flag,
-        |    count(DISTINCT l_orderkey) AS n_exact
-        |  FROM lineitem GROUP BY 1),
-        |est AS (
-        |  SELECT agg.flag, n_exact,
-        |    round(CASE WHEN (0.709 * 4096) / ssum <= 160.0 AND v0 > 0
-        |      THEN 64.0 * ln(64.0 / v0)
-        |      ELSE (0.709 * 4096) / ssum END, 4) AS hll_est
-        |  FROM agg JOIN exact ON agg.flag = exact.flag)
-        |SELECT flag, n_exact, hll_est,
-        |  round((hll_est - n_exact) / n_exact, 6) AS rel_err
-        |FROM est ORDER BY flag""".stripMargin,
-    "o7_cms_freq" ->
+        |  FROM full_regs GROUP BY 1)
+        |SELECT flag,
+        |  round(CASE WHEN (0.709 * 4096) / ssum <= 160.0 AND v0 > 0
+        |    THEN 64.0 * ln(64.0 / v0)
+        |    ELSE (0.709 * 4096) / ssum END, 4) AS hll_est
+        |FROM agg ORDER BY flag""".stripMargin,
+    // r10: o7's production form — per-key estimates only; the exact
+    // count feeds the sketch build but never rides to the output
+    "o7_cms_prod" ->
       """WITH cnts AS (
         |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
         |cells AS (
@@ -2935,9 +2936,7 @@ object SparkEntry {
         |est AS (
         |  SELECT user_id, min(csum) AS cms_est
         |  FROM cells JOIN sketch USING (i, cell) GROUP BY 1)
-        |SELECT user_id, cnt, cms_est,
-        |  CAST(cms_est - cnt AS BIGINT) AS overcount
-        |FROM cnts JOIN est USING (user_id)
+        |SELECT user_id, cms_est FROM est
         |ORDER BY user_id""".stripMargin,
     "c10_weighted_reservoir" ->
       """WITH keyed AS (
@@ -3503,60 +3502,6 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS BIGINT) AS n_copies
         |FROM documents d JOIN rates USING (source)
         |ORDER BY d.doc_id""".stripMargin,
-    "o10_quantile_sketch" ->
-      """WITH b AS (
-        |  SELECT l_returnflag AS flag, min(l_extendedprice) AS lo,
-        |    max(l_extendedprice) AS hi, count(*) AS n
-        |  FROM lineitem GROUP BY 1),
-        |binned AS (
-        |  SELECT b.flag,
-        |    CASE WHEN hi = lo THEN 0
-        |      ELSE least(CAST(floor((l_extendedprice - lo) /
-        |        ((hi - lo) / 256)) AS BIGINT), 255)
-        |    END AS bin,
-        |    count(*) AS cnt
-        |  FROM lineitem l JOIN b ON l.l_returnflag = b.flag
-        |  GROUP BY 1, 2),
-        |cum AS (
-        |  SELECT flag, bin, cnt,
-        |    CAST(sum(cnt) OVER (PARTITION BY flag ORDER BY bin) AS BIGINT)
-        |      AS cum
-        |  FROM binned),
-        |est AS (
-        |  SELECT c.flag,
-        |    max(CASE WHEN cum - cnt < CAST(ceil(0.5 * n) AS BIGINT)
-        |          AND cum >= CAST(ceil(0.5 * n) AS BIGINT)
-        |      THEN lo + (hi - lo) / 256 * (bin +
-        |        (CAST(ceil(0.5 * n) AS BIGINT) - (cum - cnt)) /
-        |        CAST(cnt AS DOUBLE)) END) AS e50,
-        |    max(CASE WHEN cum - cnt < CAST(ceil(0.9 * n) AS BIGINT)
-        |          AND cum >= CAST(ceil(0.9 * n) AS BIGINT)
-        |      THEN lo + (hi - lo) / 256 * (bin +
-        |        (CAST(ceil(0.9 * n) AS BIGINT) - (cum - cnt)) /
-        |        CAST(cnt AS DOUBLE)) END) AS e90,
-        |    max(CASE WHEN cum - cnt < CAST(ceil(0.99 * n) AS BIGINT)
-        |          AND cum >= CAST(ceil(0.99 * n) AS BIGINT)
-        |      THEN lo + (hi - lo) / 256 * (bin +
-        |        (CAST(ceil(0.99 * n) AS BIGINT) - (cum - cnt)) /
-        |        CAST(cnt AS DOUBLE)) END) AS e99
-        |  FROM cum c JOIN b USING (flag) GROUP BY 1),
-        |exact AS (
-        |  SELECT l_returnflag AS flag,
-        |    round(quantile_disc(l_extendedprice, 0.5), 2) AS p50_exact,
-        |    round(quantile_disc(l_extendedprice, 0.9), 2) AS p90_exact,
-        |    round(quantile_disc(l_extendedprice, 0.99), 2) AS p99_exact
-        |  FROM lineitem GROUP BY 1)
-        |SELECT flag, n,
-        |  round(e50, 4) AS p50_est, round(e90, 4) AS p90_est,
-        |  round(e99, 4) AS p99_est,
-        |  p50_exact, p90_exact, p99_exact,
-        |  round((e50 - p50_exact) / p50_exact, 6) AS err50,
-        |  round((e90 - p90_exact) / p90_exact, 6) AS err90,
-        |  round((e99 - p99_exact) / p99_exact, 6) AS err99
-        |FROM est JOIN b USING (flag) JOIN exact USING (flag)
-        |ORDER BY flag""".stripMargin,
-    // r9: o10's production form — the same histogram estimator CTEs,
-    // no exact-percentile certification branch
     "o10_quantile_prod" ->
       """WITH b AS (
         |  SELECT l_returnflag AS flag, min(l_extendedprice) AS lo,

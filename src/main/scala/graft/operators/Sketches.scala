@@ -43,6 +43,34 @@ object Sketches {
   def o6HllDistinct(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_returnflag").as("flag"), col("l_orderkey"))
+    val exact = li.groupBy("flag")
+      .agg(countDistinct("l_orderkey").as("n_exact"))
+    hllRegisters(s, d).join(exact, "flag")
+      .selectExpr("flag", "n_exact", hllEstExpr)
+      .selectExpr("flag", "n_exact", "hll_est",
+        "round((hll_est - n_exact) / n_exact, 6) as rel_err")
+      .orderBy("flag")
+  }
+
+  /** O6 PRODUCTION form: the per-flag HLL estimate alone — the
+    * register fold's one corpus scan, no exact countDistinct branch
+    * (that branch exists only to certify the estimator; at 100 TB it
+    * IS the cost the sketch exists to avoid). Registered as
+    * `o6_hll_prod`; the certification form is spec-covered
+    * ([[o6HllDistinct]], SketchAggSpec + its plan contract). */
+  def o6HllProd(s: SparkSession, d: String): DataFrame =
+    hllRegisters(s, d).selectExpr("flag", hllEstExpr).orderBy("flag")
+
+  private val hllEstExpr =
+    "round(case when (0.709 * 4096) / ssum <= 160.0 and v0 > 0 " +
+      "then 64.0 * ln(64.0 / v0) " +
+      "else (0.709 * 4096) / ssum end, 4) as hll_est"
+
+  /** o6's register fold — the per-flag (ssum, v0) aggregate both the
+    * certification and production forms read. */
+  private def hllRegisters(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("flag"), col("l_orderkey"))
     val keyed = li.selectExpr("flag",
       // reduce mod 2^31 BEFORE the Knuth multiply: the product then
       // tops out at 2^31 * 2654435761 ~= 5.7e18 < int64 max, so the
@@ -67,20 +95,10 @@ object Sketches {
     // to folding the explicit spine — the oracle keeps the spine form
     // as an independent derivation. Removes the spine's second corpus
     // scan, the crossJoin, and the left join from the plan.
-    val agg = regs.groupBy("flag").agg(
+    regs.groupBy("flag").agg(
       (sum(expr("1.0 / cast(1 << mr as double)")) +
         (lit(64) - count(lit(1)))).as("ssum"),
       (lit(64) - count(lit(1))).cast("bigint").as("v0"))
-    val exact = li.groupBy("flag")
-      .agg(countDistinct("l_orderkey").as("n_exact"))
-    agg.join(exact, "flag")
-      .selectExpr("flag", "n_exact",
-        "round(case when (0.709 * 4096) / ssum <= 160.0 and v0 > 0 " +
-          "then 64.0 * ln(64.0 / v0) " +
-          "else (0.709 * 4096) / ssum end, 4) as hll_est")
-      .selectExpr("flag", "n_exact", "hll_est",
-        "round((hll_est - n_exact) / n_exact, 6) as rel_err")
-      .orderBy("flag")
   }
 
   /** O7: count-min frequency sketch — per user_id event frequencies
@@ -96,6 +114,27 @@ object Sketches {
     * join. Hashes are (a·x+b) mod p mod w with p = 2^31−1 — the
     * classic pairwise-independent family, deterministic literals. */
   def o7CmsFreq(s: SparkSession, d: String): DataFrame = {
+    val (cnts, est) = cmsParts(s, d)
+    cnts.join(est, "user_id")
+      .selectExpr("user_id", "cnt", "cms_est",
+        "cms_est - cnt as overcount")
+      .orderBy("user_id")
+  }
+
+  /** O7 PRODUCTION form: the per-key CMS estimates alone — the exact
+    * count still feeds the SKETCH (cell(i,c) = Σ cnt(key) is how the
+    * one-scan build works) but never rides to the output, so the
+    * certification report join is gone. Registered as `o7_cms_prod`;
+    * the certification form is spec-covered ([[o7CmsFreq]],
+    * SketchAggSpec + its plan contract). */
+  def o7CmsProd(s: SparkSession, d: String): DataFrame =
+    cmsParts(s, d)._2.select("user_id", "cms_est").orderBy("user_id")
+
+  /** o7's shared build: (per-key exact counts, per-key CMS estimates)
+    * — the certification form joins them for the overcount report,
+    * the production form keeps only the estimates. */
+  private def cmsParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     // explicit isnotnull on the key: the estimate and report joins
     // push IsNotNull(user_id) into THEIR copies of this aggregate
     // subtree but the sketch branch doesn't, which de-canonicalizes
@@ -123,10 +162,7 @@ object Sketches {
     val est = cells.filter(col("cnt") >= 1).select("user_id", "i", "cell")
       .join(broadcast(sketch), Seq("i", "cell"))
       .groupBy("user_id").agg(min("csum").as("cms_est"))
-    cnts.join(est, "user_id")
-      .selectExpr("user_id", "cnt", "cms_est",
-        "cms_est - cnt as overcount")
-      .orderBy("user_id")
+    (cnts, est)
   }
 
   /** C10: weighted reservoir sample — k=20 documents per source with

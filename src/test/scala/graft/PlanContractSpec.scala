@@ -258,8 +258,13 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("o6: registers aggregate in one corpus scan (no spine rescan); " +
-      "only the certification-only exact branch scans again") {
-    val p = finalPlan("o6_hll_distinct")
+      "only the certification-only exact branch scans again " +
+      "(certification form — retired to spec status r10, the prod " +
+      "form is the registered query)") {
+    val df = operators.Sketches.o6HllDistinct(spark, sf)
+    df.queryExecution.executedPlan.execute().count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     // register branch + exact branch; the production profile (drop
     // the exact certification column) is the register branch alone
     assert(scanCount(p) == 2, s"expected 2 lineitem scans:\n$p")
@@ -270,14 +275,45 @@ class PlanContractSpec extends AnyFunSuite {
       "tiny sketch frames must join as broadcasts")
   }
 
+  test("o6 prod: register fold ONLY — the exact countDistinct " +
+      "certification branch is ABSENT (one corpus scan)") {
+    val p = finalPlan("o6_hll_prod")
+    assert(scanCount(p) == 1, s"expected 1 lineitem scan:\n$p")
+    assert(!p.toLowerCase.contains("distinct"),
+      s"exact countDistinct branch survived into the prod plan:\n$p")
+    assert(p.contains("partial_max"), "register max not map-side partial")
+    assert(!p.contains("SortMergeJoin"),
+      "tiny sketch frames must join as broadcasts")
+  }
+
   test("o7: ONE corpus scan — the per-key count exchange is reused by " +
-      "sketch, estimate, and report branches; sketch broadcasts") {
-    val p = finalPlan("o7_cms_freq")
+      "sketch, estimate, and report branches; sketch broadcasts " +
+      "(certification form — retired to spec status r10, the prod " +
+      "form is the registered query)") {
+    val df = operators.Sketches.o7CmsFreq(spark, sf)
+    df.queryExecution.executedPlan.execute().count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(scanCount(p) == 1, s"expected 1 events scan:\n$p")
     assert("ReusedExchange".r.findAllIn(p).length >= 2,
       s"count aggregate not shared across all three branches:\n$p")
     assert(p.contains("BroadcastHashJoin"), "2048-cell sketch not broadcast")
     assert(!p.contains("SortMergeJoin"), "sketch join degenerated to SMJ")
+  }
+
+  test("o7 prod: estimates only — ONE corpus scan, count exchange " +
+      "reused between the sketch and estimate branches, no exact " +
+      "report join (the certification branch is ABSENT)") {
+    val p = finalPlan("o7_cms_prod")
+    assert(scanCount(p) == 1, s"expected 1 events scan:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"count aggregate not shared between sketch and estimate:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "2048-cell sketch not broadcast")
+    assert(!p.contains("SortMergeJoin"), "sketch join degenerated to SMJ")
+    // exactly the sketch+estimate joins: the report join carrying the
+    // exact count to the output is gone
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 1,
+      s"extra join beyond the sketch estimate lookup:\n$p")
   }
 
   test("c10: salted two-phase top-k — map-side WindowGroupLimit prunes " +
@@ -637,8 +673,13 @@ class PlanContractSpec extends AnyFunSuite {
 
   test("o10: histogram sketch — bounds broadcast onto the scan, bin " +
       "counts are a map-side-combined hash aggregate, quantile " +
-      "derivation runs on the tiny ≤groups×256 frame") {
-    val p = finalPlan("o10_quantile_sketch")
+      "derivation runs on the tiny ≤groups×256 frame " +
+      "(certification form — retired to spec status r10, the prod " +
+      "form is the registered query)") {
+    val df = operators.Sketches.o10QuantileSketch(spark, sf)
+    df.queryExecution.executedPlan.execute().count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
     assert(p.contains("BroadcastHashJoin"),

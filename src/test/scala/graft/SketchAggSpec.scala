@@ -100,6 +100,26 @@ class SketchAggSpec extends AnyFunSuite {
     assert(prod.nonEmpty && prod == full)
   }
 
+  test("o6 production form ≡ o6's hll_est column (register fold " +
+      "only, no exact countDistinct branch)") {
+    val prod = Sketches.o6HllProd(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val full = Sketches.o6HllDistinct(spark, sf)
+      .select("flag", "hll_est")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(prod.nonEmpty && prod == full)
+  }
+
+  test("o7 production form ≡ o7's cms_est column (no exact report " +
+      "join — the count feeds the sketch, not the output)") {
+    val prod = Sketches.o7CmsProd(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = Sketches.o7CmsFreq(spark, sf)
+      .select("user_id", "cms_est")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(prod.nonEmpty && prod == full)
+  }
+
   test("o12: source-signature fold ≡ union minhash (independent scala " +
       "re-derivation); identical sources est=exact=1, disjoint exact=0") {
     import spark.implicits._
