@@ -45,6 +45,11 @@ object ProbeGen {
       case Array(s, o, c)      => (s, o, c.toInt, false, 0.25)
       case Array(s, o, c, "mutate") => (s, o, c.toInt, true, 0.25)
       case Array(s, o, c, "mutate", d) => (s, o, c.toInt, true, d.toDouble)
+      case _ =>
+        System.err.println(
+          "usage: runMain graft.ProbeGen <srcSfDir> <outDir> <copies> " +
+            "[mutate [driftStep]]")
+        sys.exit(2)
     }
     val spark = GraftSession.local()
 

@@ -1200,7 +1200,10 @@ object Similarity {
     * the select-neighbors heuristic; same rule as DiskANN's robust
     * prune at α = 1): scan a node's candidates best-first and keep
     * candidate c only if NO already-kept neighbor k is closer to c
-    * than the node itself (prune when cos(c, k) > cos(c, u)). The
+    * than the node itself (prune when cos(c, k) > cos(c, u); both
+    * sides 3-dp rounded — c.cos arrives quantized from the knn
+    * frame, so the kept-vs-candidate cosine rounds to the same
+    * precision before comparing). The
     * kept list holds one representative per DIRECTION instead of
     * `keep` members of the node's densest cluster — the edge-level
     * answer to the own-chain monopoly the 30× drift probes measured.
@@ -1226,9 +1229,10 @@ object Similarity {
            |    array<struct<nbr:bigint, nemb:array<double>, nnrm:double>>),
            |  (kept, c) -> if(
            |    size(kept) >= $keep OR exists(kept, k ->
-           |      aggregate(zip_with(c.nemb, k.nemb, (x, y) -> x * y),
-           |        0D, (acc, x) -> acc + x) / sqrt(c.nnrm * k.nnrm)
-           |        > c.cos),
+           |      round(
+           |        aggregate(zip_with(c.nemb, k.nemb, (x, y) -> x * y),
+           |          0D, (acc, x) -> acc + x) / sqrt(c.nnrm * k.nnrm),
+           |        3) > c.cos),
            |    kept,
            |    array_append(kept, named_struct(
            |      'nbr', c.nbr, 'nemb', c.nemb, 'nnrm', c.nnrm))))

@@ -41,22 +41,45 @@ object MySqlDump {
     * per dump: the per-table calls ([[schemaOf]]/[[tupleStrings]] via
     * [[table]]) all scan the same artifact, so a SINGLE-ENTRY memo
     * shares one read across them while bounding driver memory at one
-    * dump (~2× its char size). The memo keys on (path, length,
-    * mtime), NOT the path alone — a dump replaced at the same path
-    * in a long-lived JVM must re-read, never serve stale text. A
-    * multi-GB dump converts table-by-table within that bound; beyond
-    * it the honest move is splitting the dump before ingest, not a
-    * bigger cache. */
-  @volatile private var textMemo: ((String, Long, Long), String) = null
+    * dump (~2× its char size). The memo keys on (path, length, mtime,
+    * content fingerprint), NOT the path alone — a dump replaced at
+    * the same path in a long-lived JVM must re-read, never serve
+    * stale text, even when the replacement has the identical byte
+    * length within filesystem mtime granularity (the fingerprint —
+    * first+last 4 KiB of the raw file — catches that case without
+    * hashing the whole artifact). The text is held via SoftReference,
+    * so a memory-pressured driver reclaims the cache instead of
+    * OOMing; a reclaimed entry simply re-reads. A multi-GB dump
+    * converts table-by-table within that bound; beyond it the honest
+    * move is splitting the dump before ingest, not a bigger cache. */
+  @volatile private var textMemo
+      : ((String, Long, Long, Long), java.lang.ref.SoftReference[String]) =
+    null
+
+  private def fingerprint(f: java.io.File): Long = {
+    if (!f.isFile) return 0L
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val n = raf.length()
+      val head = new Array[Byte](math.min(4096L, n).toInt)
+      raf.readFully(head)
+      val tail = new Array[Byte](math.min(4096L, n).toInt)
+      raf.seek(n - tail.length)
+      raf.readFully(tail)
+      java.util.Arrays.hashCode(head) * 1000003L +
+        java.util.Arrays.hashCode(tail)
+    } finally raf.close()
+  }
 
   def readText(path: String): String = {
     val f = new java.io.File(path)
-    val key = (path, f.length(), f.lastModified())
+    val key = (path, f.length(), f.lastModified(), fingerprint(f))
     val m = textMemo
-    if (m != null && m._1 == key) m._2
+    val cached = if (m != null && m._1 == key) m._2.get() else null
+    if (cached != null) cached
     else {
       val t = readTextUncached(path)
-      textMemo = (key, t)
+      textMemo = (key, new java.lang.ref.SoftReference(t))
       t
     }
   }

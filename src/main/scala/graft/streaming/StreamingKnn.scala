@@ -100,23 +100,39 @@ object StreamingKnn {
       tag: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$storePath/_format")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
+    val bands = new org.apache.hadoop.fs.Path(s"$storePath/bands")
+    def bandsEmpty =
+      !fs.exists(bands) || fs.listStatus(bands).isEmpty
+    val existing = if (fs.exists(p)) {
       val in = fs.open(p)
-      val existing =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      require(existing == tag,
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    } else null
+    if (existing != null && existing != tag) {
+      // an EMPTY marker over an EMPTY store is a crashed first-write
+      // (the pre-atomic stamp's failure mode): nothing was adopted
+      // yet, so restamp instead of wedging every later batch
+      require(existing.isEmpty && bandsEmpty,
         s"band store at $storePath was written as '$existing' but this " +
           s"cadence expects '$tag' — joining mixed-format signatures " +
           "would silently produce wrong candidates; rebuild the store")
-    } else {
-      val bands = new org.apache.hadoop.fs.Path(s"$storePath/bands")
-      require(!fs.exists(bands) || fs.listStatus(bands).isEmpty,
-        s"band store at $storePath holds data but no _format marker " +
-          "(written before format stamping, or by another tool) — " +
-          "its signature format is unknown; rebuild the store")
-      val out = fs.create(p, true)
+    }
+    if (existing == null || existing.isEmpty) {
+      if (existing == null)
+        require(bandsEmpty,
+          s"band store at $storePath holds data but no _format marker " +
+            "(written before format stamping, or by another tool) — " +
+            "its signature format is unknown; rebuild the store")
+      // atomic stamp: write to a temp name, then rename into place —
+      // a crash mid-write can no longer leave a half-written marker
+      // that wedges the store
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$storePath/._format.tmp-${System.nanoTime()}")
+      val out = fs.create(tmp, true)
       try out.write(tag.getBytes("UTF-8")) finally out.close()
+      fs.delete(p, false)
+      require(fs.rename(tmp, p),
+        s"could not land the _format marker at $p")
     }
   }
 

@@ -376,4 +376,22 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(r.getAs[java.sql.Timestamp]("bug_when").getTime ==
       895647600000L)
   }
+
+  test("MySqlDump memo: a dump replaced at the same path with the " +
+      "SAME byte length and mtime re-reads (content fingerprint), " +
+      "an untouched dump serves the memo") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dumpmemo")
+    val p = dir.resolve("d.sql")
+    val a = "CREATE TABLE `t` (\n  `id` int\n) ENGINE=X;\n-- AAAA\n"
+    val b = a.replace("AAAA", "BBBB") // identical byte length
+    java.nio.file.Files.writeString(p, a)
+    val mtime = p.toFile.lastModified()
+    assert(MySqlDump.readText(p.toString) == a)
+    // untouched: memo hit (same text back)
+    assert(MySqlDump.readText(p.toString) == a)
+    java.nio.file.Files.writeString(p, b)
+    p.toFile.setLastModified(mtime) // defeat (path, length, mtime)
+    assert(MySqlDump.readText(p.toString) == b,
+      "same-length same-mtime replacement served stale text")
+  }
 }

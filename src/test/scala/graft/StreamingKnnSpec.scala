@@ -139,6 +139,31 @@ class StreamingKnnSpec extends AnyFunSuite {
     }
     assert(legacy.getMessage.contains("no _format marker"),
       s"unstamped store adopted silently: ${legacy.getMessage}")
+
+    // ADVICE r9: an EMPTY marker over an EMPTY store is the crashed
+    // first-write (pre-atomic stamp) — it must restamp and proceed,
+    // not wedge every later batch
+    val crashRoot = java.nio.file.Files
+      .createTempDirectory("graft_sknn_crash").toString
+    val crashStore = s"$crashRoot/store"
+    new java.io.File(crashStore).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$crashStore/_format"), "")
+    StreamingKnn.processBatch(w2.toDF(), 0, crashStore,
+      s"$crashRoot/graph", cfg)
+    val restamped = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$crashStore/_format"))
+    assert(restamped.nonEmpty,
+      "empty crash marker not restamped on an empty store")
+    // but an empty marker over a store WITH data stays a loud refusal
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$legacyStore/_format"), "")
+    val badCrash = intercept[IllegalArgumentException] {
+      StreamingKnn.processBatch(w2.toDF(), 1, legacyStore,
+        s"$legacyRoot/graph2", graft.streaming.KnnGraphConfig.init)
+    }
+    assert(badCrash.getMessage.contains("rebuild"),
+      s"empty marker over non-empty store adopted: ${badCrash.getMessage}")
   }
 
   test("s16's upper layer is a maintained store: 3-wave fold of the " +
