@@ -60,6 +60,11 @@ object SparkEntry {
       operators.Curation.c8Dsir(s, d)),
     "x1_curation_pipeline" ->
       (operators.CurationPipeline.x1CurationPipeline _),
+    // r10: the measured dedup-before-index law as a registered
+    // composition — d12-prod survivors → survivor-width search graph
+    // → s15's seeded ef walk
+    "x2_dedup_index" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.x2DedupIndex(s, d)),
     "e1_embedding_quantize" -> (operators.Curation.e1EmbeddingQuantize _),
     "e2_matryoshka_truncate" -> ((s: SparkSession, d: String) =>
       operators.Curation.e2MatryoshkaTruncate(s, d)),
@@ -786,7 +791,41 @@ object SparkEntry {
        |WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin
   }
 
-  private lazy val s15GraphSearchSql: String = {
+  private lazy val s15GraphSearchSql: String = s15WalkSqlOver(
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+      |nv AS (SELECT count(*) AS n FROM embeddings WHERE vec_id >= 10)"""
+      .stripMargin, "e")
+
+  /** x2's oracle: the d12-prod CTE chain (k-means cells → sub-shard →
+    * within-cell verified pairs → recursive closure) derives the
+    * SURVIVOR set, then s15's full walk SQL runs over it — graph
+    * width from the survivor count (the beff CTE), LSH seed and ef
+    * rounds on survivors only. The whole composition re-derived
+    * independently, end-to-end. */
+  private lazy val x2DedupIndexSql: String = s15WalkSqlOver(
+    s"""WITH RECURSIVE $semCellsCteBody,
+       |p0 AS MATERIALIZED (
+       |$semCellPairsSelect),
+       |eg AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM p0
+       |      UNION SELECT id2, id1 FROM p0),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM eg
+       |  UNION
+       |  SELECT r.u, eg.v FROM reach r JOIN eg ON r.v = eg.u),
+       |lbl AS (SELECT u AS id, least(u, min(v)) AS lbl
+       |        FROM reach GROUP BY u),
+       |es AS MATERIALIZED (
+       |  SELECT x.vec_id, x.emb FROM e x LEFT JOIN lbl l ON l.id = x.vec_id
+       |  WHERE l.lbl IS NULL OR l.lbl = x.vec_id),
+       |nv AS (SELECT count(*) AS n FROM es WHERE vec_id >= 10)"""
+      .stripMargin, "es")
+
+  /** s15's walk SQL over a parameterized corpus CTE `src`: `header`
+    * must open the WITH chain and define `src(vec_id, emb)` plus
+    * `nv(n)` — the ≥10 corpus count feeding the bitsFor width law.
+    * The registered s15 passes the whole embeddings table; x2 passes
+    * the d12-survivor subset. */
+  private def s15WalkSqlOver(header: String, src: String): String = {
     val planes = (0 until 4).map(j =>
       doubleList(graft.functions.VectorFunctions.planeValues(j, 64)))
     val dots = (0 until 4).map(j =>
@@ -818,10 +857,9 @@ object SparkEntry {
          |v$r AS MATERIALIZED (
          |  SELECT * FROM v${r - 1} UNION ALL SELECT * FROM sc$r),""".stripMargin
     }.mkString("\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s"""$header,
        |spt(b, j, w, plane) AS (VALUES
        |$ptRows),
-       |nv AS (SELECT count(*) AS n FROM embeddings WHERE vec_id >= 10),
        |beff AS (
        |  SELECT 8 + (n > 4096)::INT + (n > 8192)::INT + (n > 16384)::INT
        |    + (n > 32768)::INT + (n > 65536)::INT + (n > 131072)::INT
@@ -830,7 +868,7 @@ object SparkEntry {
        |  SELECT vec_id, b,
        |    CAST(sum(CASE WHEN ${seqDot("emb", "plane")} > 0
        |      THEN w ELSE 0 END) AS BIGINT) AS sig
-       |  FROM e CROSS JOIN spt CROSS JOIN beff
+       |  FROM $src CROSS JOIN spt CROSS JOIN beff
        |  WHERE vec_id >= 10 AND j < bits GROUP BY 1, 2),
        |scand AS (
        |  SELECT a.vec_id AS id1, b.vec_id AS id2
@@ -840,8 +878,8 @@ object SparkEntry {
        |sp AS MATERIALIZED (
        |  SELECT id1, id2,
        |    round(list_cosine_similarity(e1.emb, e2.emb), 3) AS cos
-       |  FROM scand JOIN e e1 ON e1.vec_id = id1
-       |  JOIN e e2 ON e2.vec_id = id2),
+       |  FROM scand JOIN $src e1 ON e1.vec_id = id1
+       |  JOIN $src e2 ON e2.vec_id = id2),
        |g AS MATERIALIZED (
        |  SELECT vec_id, nbr FROM (
        |    SELECT vec_id, nbr, row_number() OVER (PARTITION BY vec_id
@@ -853,13 +891,14 @@ object SparkEntry {
        |  SELECT vec_id, emb, $bucket AS bucket FROM (
        |    SELECT vec_id, emb,
        |    $dots
-       |    FROM e)),
+       |    FROM $src)),
        |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS b0
        |      FROM bkt WHERE vec_id < 10),
        |qp AS (SELECT q_id, q_emb, unnest(
        |    [b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
        |  FROM q),
-       |ce AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id >= 10),
+       |ce AS (SELECT vec_id AS c_id, emb AS c_emb FROM $src
+       |       WHERE vec_id >= 10),
        |cb AS (SELECT vec_id AS c_id, emb AS c_emb, bucket
        |      FROM bkt WHERE vec_id >= 10),
        |v0 AS MATERIALIZED (
@@ -1368,6 +1407,7 @@ object SparkEntry {
         |WHERE hamming <= 10 ORDER BY id1, id2""".stripMargin,
     "s2_ann_lsh" -> s2AnnSql,
     "s15_graph_search" -> s15GraphSearchSql,
+    "x2_dedup_index" -> x2DedupIndexSql,
     "s16_hnsw" -> s16HnswSql,
     "s6_ann_recall" ->
       s"""WITH exact AS (SELECT q_id, c_id FROM ($s1AnnSql)),

@@ -20,11 +20,21 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   private def queries(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    queriesOf(Tables.embeddings(s, d))
 
   private def corpus(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+    corpusOf(Tables.embeddings(s, d))
+
+  /** Query/corpus splits over an ARBITRARY embeddings-shaped frame —
+    * the x2 composition walks a SURVIVOR subset, so the walk
+    * plumbing is frame-parameterized with the table readers
+    * delegating. */
+  private def queriesOf(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  private def corpusOf(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
         col("label"))
 
@@ -33,7 +43,12 @@ object Similarity {
 
   /** S1: brute-force cosine top-k — the exact baseline. */
   def s1AnnBruteForce(s: SparkSession, d: String): DataFrame =
-    corpus(s, d).join(broadcast(queries(s, d)))
+    s1AnnBruteForceOn(Tables.embeddings(s, d))
+
+  /** [[s1AnnBruteForce]] over an arbitrary embeddings-shaped frame —
+    * the exact ground truth on a SURVIVOR subset (x2's spec). */
+  private[graft] def s1AnnBruteForceOn(emb: DataFrame): DataFrame =
+    corpusOf(emb).join(broadcast(queriesOf(emb)))
       .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= 5)
@@ -64,14 +79,19 @@ object Similarity {
     * s2's own answer at beam 5, and the SEED tier of s15's graph
     * walk at a wider beam. */
   private[graft] def lshShortlist(s: SparkSession, d: String,
+      beam: Int): DataFrame =
+    lshShortlistOn(Tables.embeddings(s, d), beam)
+
+  private[graft] def lshShortlistOn(emb: DataFrame,
       beam: Int): DataFrame = {
     val dim = 64; val planes = 4
-    val q = queries(s, d)
+    val q = queriesOf(emb)
       .withColumn("bucket0", lshBucket(col("q_emb"), planes, dim))
       .select(col("q_id"), col("q_emb"), explode(array(
         (col("bucket0") +: (0 until planes).map(j =>
           col("bucket0").bitwiseXOR(lit(1L << j)))): _*)).as("bucket"))
-    val c = corpus(s, d).withColumn("bucket", lshBucket(col("c_emb"), planes, dim))
+    val c = corpusOf(emb)
+      .withColumn("bucket", lshBucket(col("c_emb"), planes, dim))
     c.join(broadcast(q), Seq("bucket"))
       .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
       .withColumn("rk", row_number().over(byQuery))
@@ -737,10 +757,16 @@ object Similarity {
     * 0.72 → 0.90 at sf0.1, unchanged 0.60/0.56 on the seed-bound
     * 30×/100× drift corpora (PROBE_S15EF). */
   private def s15Walk(s: SparkSession, d: String, graph: DataFrame,
+      k: Int, beam: Int, rounds: Int): DataFrame =
+    s15WalkOn(Tables.embeddings(s, d), graph, k, beam, rounds)
+
+  /** [[s15Walk]] over an arbitrary embeddings-shaped frame — the x2
+    * composition's survivor walk. */
+  private def s15WalkOn(emb: DataFrame, graph: DataFrame,
       k: Int, beam: Int, rounds: Int): DataFrame = {
-    val q = queries(s, d)
-    val cv = corpus(s, d).select(col("c_id"), col("c_emb"))
-    var visited = lshShortlist(s, d, beam).localCheckpoint(true)
+    val q = queriesOf(emb)
+    val cv = corpusOf(emb).select(col("c_id"), col("c_emb"))
+    var visited = lshShortlistOn(emb, beam).localCheckpoint(true)
     var expanded = visited.select("q_id", "c_id").limit(0)
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
@@ -1283,17 +1309,58 @@ object Similarity {
     * shape as d5: only (band, sig, vec_id) rides the self-join,
     * pairs dedup before scoring, vectors fetch back by id. */
   private[graft] def searchGraph(s: SparkSession, d: String,
+      k: Int, bits: Int = 0): DataFrame =
+    searchGraphOn(Tables.embeddings(s, d), k, bits)
+
+  /** [[searchGraph]] over an arbitrary embeddings-shaped frame — x2
+    * indexes the d12 SURVIVORS, width from the survivor count. */
+  private[graft] def searchGraphOn(embIn: DataFrame,
       k: Int, bits: Int = 0): DataFrame = {
     // bits = 0 ⇒ auto-width from corpus size ([[bitsFor]] — the one
     // count() is a bounded driver probe; a production run reads the
     // same number from catalog stats instead)
-    val emb = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+    val emb = embIn.filter(col("vec_id") >= 10)
     val b = if (bits > 0) bits else bitsFor(emb.count())
     knnFromPairs(
       graft.dedup.Dedup.scoredCosine(
         sparseBandPairs(sparseBands(emb, b), withinLabel = false),
         graft.dedup.Dedup.embVecs(emb)),
       k)
+  }
+
+  /** X2: DEDUP-BEFORE-INDEX — the measured r9 capstone law as a
+    * registered, driver-benched composition: [[graft.dedup.Dedup
+    * .d12SemDedupProd]]'s cell-confined semantic pass dedups the
+    * corpus, the SURVIVORS get their own navigable search graph
+    * (band width from the survivor count — the bitsFor law), and
+    * s15's seeded ef walk answers over it.
+    *
+    * Why this is an operator and not just a probe: on dup-polluted
+    * corpora every walk tier saturates at its seed (the true
+    * neighbors hide behind each original's replica fan — no
+    * cos-monotone path reaches them; measured at 30×/100×, §4a),
+    * while on the deduped survivors the walk's rounds resume adding
+    * recall over the seed (+0.08/+0.12). A 100 TB ANN deployment
+    * therefore indexes AFTER semantic dedup — this query is that
+    * deployment shape end-to-end, and its oracle re-derives the
+    * whole composition (k-means cells → closure → survivors →
+    * survivor-width graph → seeded ef walk) independently.
+    *
+    * Scale shape: each stage is the registered operator's own plan —
+    * cell-confined candidates (Σ|cell|² bounded), one banding scan
+    * of the survivors, query-proportional walk rounds; the survivor
+    * frame is checkpointed once and feeds the graph build and all
+    * walk consumers (x1's survivor rule). */
+  def x2DedupIndex(s: SparkSession, d: String, k: Int = 5,
+      beam: Int = 12, rounds: Int = 3): DataFrame = {
+    val kept = graft.dedup.Dedup.d12SemDedupProd(s, d)
+      .filter(col("keep")).select("vec_id")
+    val embS = Tables.embeddings(s, d)
+      .join(kept, Seq("vec_id"), "left_semi")
+      .localCheckpoint(true)
+    val graph = searchGraphOn(embS, 16).select("vec_id", "nbr")
+      .localCheckpoint(true)
+    s15WalkOn(embS, graph, k, beam, rounds)
   }
 
   /** s14's INIT graph — the sparse-band candidate top-k with the d5

@@ -399,6 +399,37 @@ class PipelineSpec extends AnyFunSuite {
       s"graph-walk recall@5 below 0.8: $walkHit/${bf.size}")
   }
 
+  test("x2 dedup-before-index: every returned neighbor is a d12 " +
+      "survivor, ranks are dense per surviving query, and the walk " +
+      "answers the survivor-exact top-1 for most queries") {
+    import org.apache.spark.sql.functions.col
+    val kept = dedup.Dedup.d12SemDedupProd(spark, sf)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    val out = similarity.Similarity.x2DedupIndex(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (q, _, c) => kept(q) && kept(c) },
+      "a deduped vector appeared in the survivor walk's answer")
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length),
+        s"ranks not dense for query $q")
+    }
+    // survivor-exact ground truth: the walk's top-1 should be the
+    // true top-1 for most surviving queries (seed+3 ef rounds; the
+    // measured sf0.001 level is all of them — floor at half leaves
+    // noise margin)
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("vec_id").isin(kept.toSeq.map(Long.box): _*))
+    val exact1 = similarity.Similarity
+      .s1AnnBruteForceOn(emb).filter(col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val top1 = out.filter(_._2 == 1L).map(t => (t._1, t._3))
+    val hit = top1.count { case (q, c) => exact1.get(q).contains(c) }
+    info(s"survivor-exact top-1 hits: $hit/${top1.length}")
+    assert(hit * 2 >= top1.length,
+      s"walk top-1 wrong for most queries: $hit/${top1.length}")
+  }
+
   test("s16 HNSW: deterministic geometric layers, entry-atlas " +
       "(label × component) beam-4 descent reaches the beam stage, " +
       "recall@5 beats the entry-only baseline and holds the walk " +

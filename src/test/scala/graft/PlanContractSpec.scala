@@ -709,6 +709,16 @@ class PlanContractSpec extends AnyFunSuite {
       s"final top-k window not partitioned by q_id:\n$p")
   }
 
+  test("x2: dedup-before-index composition — the walk's final " +
+      "re-rank reads only checkpoints (survivor frame and survivor " +
+      "graph both materialized once), no cartesian") {
+    val p = finalPlan("x2_dedup_index")
+    assert(scanCount(p) == 0, s"parquet re-scanned past checkpoints:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert("windowspecdefinition\\(q_id".r.findAllIn(p).nonEmpty,
+      s"final top-k window not partitioned by q_id:\n$p")
+  }
+
   test("d5 prod: cell-confined candidates — the cell self-join is a " +
       "hash equi-join (no pairwise stage) and the 64-dim vectors do " +
       "not ride the cell shuffle") {
