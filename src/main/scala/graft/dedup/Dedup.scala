@@ -1176,7 +1176,9 @@ object Dedup {
     * latency story). maxRounds bounds a pathological input. Returns
     * (id, lbl) like [[connectedComponents]]. */
   def connectedComponentsStars(edges: DataFrame,
-      maxRounds: Int = 30): DataFrame = {
+      maxRounds: Int = 30,
+      roundProbe: (Int, DataFrame) => Unit = null,
+      setAsideEdges: Long = 2000000L): DataFrame = {
     var e = edges
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
@@ -1209,6 +1211,26 @@ object Dedup {
       math.min(sessionParallelism.toLong, eDigest._1 / 2000000L + 1)).toInt
     var done = false
     var round = 0
+    // SETTLED-STAR SET-ASIDE (r10 — the ef-frontier lesson applied to
+    // the star fold): a component whose active edges form a perfect
+    // star with members appearing NOWHERE else in the active set is
+    // FINAL — edges never cross components and the contraction
+    // preserves within-component connectivity, so no later round can
+    // reference it; its (member, min) rows leave the active set
+    // instead of riding every remaining round's shuffles. Measured at
+    // 30× mutated (dup-chain-heavy, the 100 TB shape): 96% of round
+    // 2's 142k-edge volume was settled stars that the pre-set-aside
+    // fold re-shuffled for three more rounds. BUT the filter itself
+    // costs ~3 jobs per round, and below ~10⁶ edges a round is
+    // SCHEDULING-latency-bound, not volume-bound — measured +2.4 s at
+    // sf0.1 organic and ±0 at 30× (157k edges) for the unconditional
+    // form. So the set-aside GATES on round volume (the same 2M-edge
+    // constant the roundParallelism law targets per partition): it
+    // activates exactly where a round's shuffle volume is the cost —
+    // the 100 TB regime the audit numbers describe — and stays out of
+    // the way below it. Settled frames defer to ONE union at the end
+    // (their parents are checkpointed).
+    val settledParts = scala.collection.mutable.ListBuffer[DataFrame]()
     while (!done && round < maxRounds) {
       // large-star over the symmetrized neighborhood; the explicit
       // u-hash repartition pins the round's parallelism and is reused
@@ -1239,17 +1261,47 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .repartition(roundParallelism, col("u"), col("v")).distinct()
         .localCheckpoint(true)
+      // measurement hook (the r10 frontier audit) — null in every
+      // production path, wired only by graft.tools.Probe
+      if (roundProbe != null) roundProbe(round, small)
       // fixpoint: the canonical edge set stopped changing — digest
       // compare first (one job), exact exceptAll only on digest match
       val smallDigest = digest(small)
       done = smallDigest == eDigest && small.exceptAll(e).isEmpty
-      e = small
-      eDigest = smallDigest
+      if (done || smallDigest._1 <= setAsideEdges) {
+        e = small
+        eDigest = smallDigest
+      } else {
+        // settled-star detection on the round's output: member
+        // degree 1 everywhere, root degree = star size (so neither
+        // the root nor any member is referenced by any other edge)
+        val nodeDeg = small
+          .select(explode(array(col("u"), col("v"))).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+        val rootOk = small
+          .join(nodeDeg.withColumnRenamed("id", "u")
+            .withColumnRenamed("deg", "du"), "u")
+          .groupBy("v").agg(count(lit(1)).as("sz"),
+            max("du").as("maxdu"))
+          .join(nodeDeg.withColumnRenamed("id", "v"), "v")
+          .filter(col("maxdu") === 1 && col("deg") === col("sz"))
+          .select(col("v"))
+        // the settled half is only read by the final union — its
+        // parents (small) are checkpointed, so defer it; the active
+        // half drives the next round and checkpoints now
+        settledParts += small.join(rootOk, Seq("v"), "left_semi")
+        e = small.join(rootOk, Seq("v"), "left_anti")
+          .localCheckpoint(true)
+        eDigest = digest(e)
+        done = eDigest._1 == 0L
+      }
       round += 1
     }
-    val roots = e.select(col("v").as("id")).distinct()
-      .join(e.select(col("u").as("id")).distinct(), Seq("id"), "left_anti")
-    e.select(col("u").as("id"), col("v").as("lbl"))
+    val all = (settledParts :+ e).reduceLeft(_ unionAll _)
+      .localCheckpoint(true) // consumers: roots anti-join + the output
+    val roots = all.select(col("v").as("id")).distinct()
+      .join(all.select(col("u").as("id")).distinct(), Seq("id"), "left_anti")
+    all.select(col("u").as("id"), col("v").as("lbl"))
       .union(roots.select(col("id"), col("id").as("lbl")))
   }
 

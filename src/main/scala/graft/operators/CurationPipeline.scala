@@ -146,7 +146,18 @@ object CurationPipeline {
     * (four id-frame joins on the same key — exchanges reuse) feed a
     * single aggregate, then the row unpivots — counting each stage
     * with its own aggregate branch re-derived the chain prefix per
-    * stage (8 recomputations; measured 7.0 → 1.5 s at sf0.1). */
+    * stage (8 recomputations; measured 7.0 → 1.5 s at sf0.1).
+    *
+    * STAGE-ORDER LAW (the r9 capstone, re-examined r10): every dedup
+    * stage here runs BEFORE any index-building consumer of the
+    * curated corpus — walk-tier ANN indexes built on a dup-polluted
+    * corpus saturate at their seed (measured: s16 0.10 on 30× drift
+    * chains vs 0.58 on the deduped survivors), so the pipeline's
+    * contract is dedup-then-index, never the reverse. The registered
+    * composition [[graft.similarity.Similarity.x2DedupIndex]] IS
+    * that contract end-to-end (its spec pins every returned neighbor
+    * to the survivor set), and x1's own semantic stage runs strictly
+    * before the `curated` split any indexer would consume. */
   def x1CurationPipeline(s: SparkSession, d: String): DataFrame = {
     val st = stages(s, d).toMap
     def ids(df: DataFrame, flag: String) =

@@ -209,6 +209,40 @@ object Probe {
     // corpus, index ONLY the survivors, and measure walk recall vs
     // exact-on-survivors — the payoff of the §4a law, demonstrated
     // end-to-end with registered operators.
+    // star-contraction frontier audit (r10, the ef-frontier lesson
+    // applied to d8/d10's iterative fold): per round, how much of the
+    // shuffled edge volume already belongs to SETTLED components —
+    // perfect stars whose members appear nowhere else in the active
+    // set, which no later round can change? If the settled share is
+    // high early, a set-aside filter (the cc analog of ef's
+    // expanded-tracking) pays; if not, the negative result is pinned.
+    if (sys.env.get("PROBE_CCFRONTIER").contains("1")) {
+      import graft.dedup.Dedup
+      Tables.documents(spark, d).count()
+      val pairs = Dedup.minhashPairs(Tables.documents(spark, d))
+        .select(col("id1").as("src"), col("id2").as("dst"))
+      time("d10 cc rounds, instrumented") {
+        Dedup.connectedComponentsStars(pairs, 30, (r, e) => {
+          val nodeDeg = e
+            .select(explode(array(col("u"), col("v"))).as("id"))
+            .groupBy("id").agg(count(lit(1)).as("deg"))
+          val byRoot = e
+            .join(nodeDeg.withColumnRenamed("id", "u")
+              .withColumnRenamed("deg", "du"), "u")
+            .groupBy("v").agg(count(lit(1)).as("sz"),
+              max("du").as("maxdu"))
+          val s2 = byRoot
+            .join(nodeDeg.withColumnRenamed("id", "v"), "v")
+            .filter(col("maxdu") === 1 && col("deg") === col("sz"))
+            .agg(coalesce(sum("sz"), lit(0L)), count(lit(1))).head()
+          val tot = e.count()
+          println(s"[probe]   round $r: edges $tot, settled " +
+            s"${s2.getLong(0)} in ${s2.getLong(1)} star comps")
+        }).count()
+      }
+      spark.stop(); return
+    }
+
     if (sys.env.get("PROBE_DEDUPINDEX").contains("1")) {
       import graft.similarity.Similarity
       Tables.embeddings(spark, d).count()

@@ -849,6 +849,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaStars == labels, "large-graph fallback diverged")
   }
 
+  test("settled-star set-aside (forced via setAsideEdges = 0) ≡ the " +
+      "ungated fold on random graphs, a mixed star+chain graph, and " +
+      "a long chain — final components identical either path") {
+    import spark.implicits._
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val raw = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(e => e._1 != e._2)
+      val exp = dedup.Dedup.connectedComponentsStars(raw.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = dedup.Dedup.connectedComponentsStars(
+        raw.toDF("src", "dst"), setAsideEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == exp, s"seed $seed: set-aside path diverged")
+    }
+    // stars settle round 1 and leave; the chain keeps contracting —
+    // the mixed case exercises settled accumulation + active rounds
+    val mixed = (Seq.tabulate(8)(i => (100L, 101L + i)) ++
+      Seq.tabulate(6)(i => (200L, 201L + i)) ++
+      (0L until 40L).map(i => (i, i + 1))).toDF("src", "dst")
+    val exp = dedup.Dedup.connectedComponentsStars(mixed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = dedup.Dedup.connectedComponentsStars(mixed,
+      setAsideEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == exp && got.size == 9 + 7 + 41)
+    assert((101L to 108L).forall(got(_) == 100L) && got(100L) == 100L)
+    val chain = (0L until 300L).map(i => (i, i + 1)).toDF("src", "dst")
+    val viaAside = dedup.Dedup.connectedComponentsStars(chain,
+      setAsideEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaAside.size == 301 && viaAside.values.forall(_ == 0L))
+  }
+
   test("star contraction closes a 1000-hop chain in O(log²) rounds " +
       "(the case fixed-round propagation cannot)") {
     import spark.implicits._
