@@ -1509,19 +1509,33 @@ object SparkEntry {
     "m5_phash_dedup" -> {
       val P = 1000000007L
       // the 60-bit stub code as a sum of six disjoint 10-bit pieces
-      // (|= over disjoint ranges ≡ +), constants Scala-folded
+      // (|= over disjoint ranges ≡ +), constants Scala-folded; the
+      // extension code uses the independent (k+7) constant family
       val phTerms = (0 until 6).map { k =>
         val c = ((k + 1) * 2654435761L) % P
         s"((hv * $c) % $P % 1024) * ${1L << (10 * k)}"
       }.mkString(" + ")
+      val extTerms = (0 until 6).map { k =>
+        val c = ((k + 7) * 2654435761L) % P
+        s"((hv * $c) % $P % 1024) * ${1L << (10 * k)}"
+      }.mkString(" + ")
+      // the width law (extraBitsFor): one extra band bit per corpus
+      // doubling past 2^14, capped at 10 — integer threshold tests
+      val xbSum = (14 to 23).map(t => s"(n > ${1L << t})::INT")
+        .mkString(" + ")
       s"""WITH h AS (
          |  SELECT doc_id, $payloadHashSql AS hv FROM documents WHERE text IS NOT NULL),
+         |nd AS (SELECT count(*) AS n FROM h),
+         |xb AS (SELECT least(10, $xbSum) AS x FROM nd),
          |p AS MATERIALIZED (
-         |  SELECT doc_id, $phTerms AS ph FROM h),
+         |  SELECT doc_id, $phTerms AS ph, $extTerms AS ph2 FROM h),
          |bb AS (
          |  SELECT doc_id, ph, band,
-         |    (ph >> CAST(band * 10 AS INT)) & 1023 AS bv
-         |  FROM p CROSS JOIN (SELECT unnest(range(6)) AS band)),
+         |    ((ph >> CAST(band * 10 AS INT)) & 1023) +
+         |      (((ph2 >> CAST(band * 10 AS INT)) & 1023) % (1 << x))
+         |        * 1024 AS bv
+         |  FROM p CROSS JOIN (SELECT unnest(range(6)) AS band)
+         |  CROSS JOIN xb),
          |cand AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2,
          |    CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming

@@ -163,7 +163,7 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  case class MediaHash(doc_id: Long, phash: Long)
+  case class MediaHash(doc_id: Long, phash: Long, phext: Long)
 
   /** STUB perceptual hash — a 60-bit code assembled from six 10-bit
     * integer mixes of the payload hash. A real pHash (DCT
@@ -184,6 +184,32 @@ object Multimodal {
     ph
   }
 
+  /** The EXTENSION half of the stub code — six more 10-bit pieces
+    * from an independent constant family ((k+7)·Knuth), the bits a
+    * real 128-bit pHash would carry beyond the first 64. Only ever
+    * used to WIDEN m5's band buckets (the width law); the reported
+    * Hamming metric stays on the 60-bit code. */
+  private[graft] def phashExtStub(h: Long): Long = {
+    var ph = 0L
+    var k = 0
+    while (k < 6) {
+      val c = ((k + 7) * 2654435761L) % P
+      ph |= ((h * c) % P % 1024L) << (10 * k)
+      k += 1
+    }
+    ph
+  }
+
+  /** m5's band-width law (the bitsFor pattern on the 10-bit floor):
+    * extra band bits = one per corpus doubling past 2^14, capped at
+    * 10 — expected bucket size n/2^(10+x) stays ≤ ~16, so the band
+    * self-join stays ~linear. Integer threshold tests, replicated by
+    * the oracle as a CTE. 0 at every oracle scale (≤ 5000 docs), so
+    * the registered outputs are bit-identical to the fixed-width
+    * form there. */
+  private[graft] def extraBitsFor(n: Long): Int =
+    math.min(10, (14 to 23).count(t => n > (1L << t)))
+
   /** M5: PERCEPTUAL-HASH media dedup — d3's pigeonhole-banded Hamming
     * machinery applied to the media column: each payload's 60-bit
     * perceptual code (codec stubbed, see [[phashStub]]) splits into 6
@@ -196,12 +222,19 @@ object Multimodal {
     *
     * Scale shape: the code computes in the batched partition map (one
     * decoder per partition, the m1 rule), the band self-join keys on
-    * high-cardinality (band, 10-bit value) buckets, pairs dedup AFTER
+    * high-cardinality (band, value) buckets, pairs dedup AFTER
     * the cheap Hamming filter (hamming rides the join projection —
     * d2's pattern), and nothing pairwise exists outside band
-    * buckets. */
-  def m5PhashDedup(s: SparkSession, d: String, maxHamming: Int = 5)
-      : DataFrame = {
+    * buckets. r10 — the WIDTH LAW: fixed 10-bit buckets stop pruning
+    * once n ≫ 2^10·16 (the Σ bucket² law; measured 20.6 s warm at
+    * 100× ≈ 500k docs, 9× the 30× wall on 3.3× the data), so band
+    * values widen with corpus size ([[extraBitsFor]], one bit per
+    * doubling past 2^14) using [[phashExtStub]]'s extension pieces —
+    * the bits a longer production pHash carries. Oracle replicates
+    * the law as a CTE; every oracle scale sits below the first
+    * threshold, bit-identical to the fixed-width form. */
+  def m5PhashDedup(s: SparkSession, d: String, maxHamming: Int = 5,
+      extraBits: Int = -1): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d)
       .filter(col("text").isNotNull) // null payload would NPE in the partition map
@@ -209,11 +242,29 @@ object Multimodal {
         col("source"), length(col("text")).as("n_chars"))
       .as[MediaIn]
     val hashed = media.mapPartitions { batch =>
-      batch.map(m => MediaHash(m.doc_id, phashStub(payloadHash(m.payload))))
-    }.toDF()
+      batch.map { m =>
+        val h = payloadHash(m.payload)
+        MediaHash(m.doc_id, phashStub(h), phashExtStub(h))
+      }
+    }.toDF().localCheckpoint(true) // consumers: the width count + bands
+    // band width from corpus size ([[extraBitsFor]] — one bounded
+    // count, the searchGraph rule; 0 at every oracle scale). The
+    // extension bits REFINE the bucket key only: recall stays exact
+    // for identical PAYLOADS (equal hash ⟹ equal extension), stub
+    // aliases (distinct payloads colliding in the 60-bit code)
+    // separate — as a longer real pHash would separate them — and a
+    // 1..maxHamming near-miss must also agree on one widened band:
+    // the stub's avalanche extension can't model the bit-correlation
+    // a real pHash's extra DCT bits have, so at probe scale the
+    // widened buckets trade a measured share of the near-miss tail
+    // for the n/2^(10+x) bucket bound (measured at the §4a table;
+    // the d5-prod cell-confinement trade, at the band level).
+    val x = if (extraBits >= 0) extraBits else extraBitsFor(hashed.count())
     val banded = hashed.select(col("doc_id"), col("phash"),
       posexplode(array((0 until 6).map(k =>
-        shiftright(col("phash"), 10 * k).bitwiseAND(lit(1023L))): _*)))
+        shiftright(col("phash"), 10 * k).bitwiseAND(lit(1023L)) +
+          (shiftright(col("phext"), 10 * k).bitwiseAND(lit(1023L)) %
+            lit(1L << x)) * lit(1024L)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
     banded.as("a")
       .join(banded.as("b"),

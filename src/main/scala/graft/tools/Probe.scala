@@ -156,6 +156,31 @@ object Probe {
       spark.stop(); return
     }
 
+    // streaming SPAN stage (d15 continuously inside StreamingCuration)
+    // on probe data: 3 waves by replica index mod 3 — replica chains
+    // SPAN waves, so later batches probe a span store holding the
+    // earlier replicas' 16-token spans (the cross-batch dedup shape)
+    if (sys.env.get("PROBE_STREAMSPAN").contains("1")) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_probe_span").toString
+      val docs = Tables.documents(spark, d)
+      val embs = Tables.embeddings(spark, d)
+      docs.count(); embs.count()
+      (0 until 3).foreach { w =>
+        val wave = docs.filter(expr(s"(doc_id div 10000000) % 3 = $w"))
+        val n = wave.count()
+        time(s"span-curation wave $w ($n docs)") {
+          graft.streaming.StreamingCuration.processBatch(wave.toDF(),
+            w, root, embs, spanStage = true)
+        }
+      }
+      val out = graft.streaming.StoreFs
+        .priorBatchDirs(spark, s"$root/curated", Long.MaxValue)
+        .map(spark.read.parquet(_).count()).sum
+      println(s"[probe]   curated rows: $out")
+      spark.stop(); return
+    }
+
     // maintained SEARCH-graph cadence (StreamingKnn, s15's graph) on
     // probe data: 3 waves by replica index mod 3 (drift chains span
     // waves), auto band width from the full corpus size

@@ -1418,6 +1418,49 @@ class PipelineSpec extends AnyFunSuite {
       assert(got.contains((i1, i2, 0)), s"missed duplicate $i1-$i2") }
   }
 
+  test("m5 width law: extraBitsFor integer thresholds; widened bands " +
+      "only REFINE buckets (pairs ⊆ fixed-width) and keep every " +
+      "identical-payload pair") {
+    import multimodal.Multimodal
+    assert(Multimodal.extraBitsFor(5000) == 0 &&
+      Multimodal.extraBitsFor(16384) == 0)
+    assert(Multimodal.extraBitsFor(16385) == 1 &&
+      Multimodal.extraBitsFor(150000) == 4 &&
+      Multimodal.extraBitsFor(500000) == 5)
+    assert(Multimodal.extraBitsFor((1L << 24) + 1) == 10 &&
+      Multimodal.extraBitsFor(Long.MaxValue / 2) == 10)
+    def pairs(x: Int) =
+      Multimodal.m5PhashDedup(spark, sf, extraBits = x).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fixed = pairs(0)
+    val wide = pairs(5)
+    assert(wide.subsetOf(fixed),
+      "widened buckets produced a pair the fixed-width form lacks")
+    // every IDENTICAL-PAYLOAD pair survives: equal payload hash ⟹
+    // equal extension pieces ⟹ same widened bucket. (Hamming-0 stub
+    // ALIASES — distinct payloads colliding in the 60-bit code — may
+    // drop, exactly as a longer real pHash separates them; sf0.001
+    // has only aliases, so the duplicate pin runs on a fixture.)
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_m5fix").toString
+    val texts = (0 until 24).map(i => s"media payload nr $i distinct") ++
+      Seq.fill(3)("media payload duplicated alpha") ++
+      Seq.fill(2)("media payload duplicated beta")
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, "src", t, t.length.toLong) }
+      .toDF("doc_id", "source", "text", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    def fx(x: Int) = Multimodal.m5PhashDedup(spark, dir, extraBits = x)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val dupPairs = Set((24L, 25L, 0), (24L, 26L, 0), (25L, 26L, 0),
+      (27L, 28L, 0))
+    val (f0, f5) = (fx(0), fx(5))
+    assert(dupPairs.subsetOf(f0) && dupPairs.subsetOf(f5),
+      "an identical-payload pair was lost by bucket widening")
+    assert(f5.subsetOf(f0))
+  }
+
   test("d17 chunk dedup catches the cross-document quoted passage " +
       "that whole-document minhash dilutes below threshold") {
     import spark.implicits._
