@@ -159,6 +159,10 @@ object SparkEntry {
     "s1_ann_bruteforce" -> (graft.similarity.Similarity.s1AnnBruteForce _),
     "s2_ann_lsh" -> (graft.similarity.Similarity.s2AnnLsh _),
     "s3_ivf_ann" -> (graft.similarity.Similarity.s3IvfAnn _),
+    "s17_filtered_ann" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.s17FilteredAnn(s, d)),
+    "r1_rrf_fusion" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.r1RrfFusion(s, d)),
     "s6_ann_recall" -> (graft.similarity.Similarity.s6AnnRecall _),
     "s4_pq_encode" -> (graft.similarity.Similarity.s4PqEncode _),
     "s7_two_stage" -> (graft.similarity.Similarity.s7TwoStage _),
@@ -441,6 +445,44 @@ object SparkEntry {
       |  JOIN e e1 ON e1.vec_id = a.vec_id
       |  JOIN e e2 ON e2.vec_id = b.vec_id)
       |WHERE cos >= 0.3""".stripMargin
+
+  /** t12's BM25 CTE chain (corpus tf/df/dl/avgdl, query terms, the
+    * quantized score fold, the per-query rank) — shared by the t12
+    * oracle (rk ≤ 5) and r1's fusion oracle (rk ≤ 20 text arm). */
+  private lazy val bm25Ctes: String =
+    """tf0 AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tf0
+      |       WHERE term <> '' GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |st AS (SELECT count(*) AS n,
+      |  CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
+      |    AS DOUBLE) / count(*) AS avgdl
+      |  FROM documents WHERE doc_id % 97 <> 0),
+      |qt AS (
+      |  SELECT doc_id AS query_id,
+      |    unnest(list_distinct(string_split(text, ' '))) AS term
+      |  FROM documents WHERE doc_id % 97 = 0),
+      |w AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+      |      (tf::DOUBLE * 2.2) /
+      |      (tf::DOUBLE + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl))
+      |      AS w
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
+      |sc AS (
+      |  SELECT q.query_id, w.doc_id,
+      |    round(CAST(sum(CAST(floor(w * 1048576.0 + 0.5) AS BIGINT))
+      |      AS DOUBLE) / 1048576.0, 4) AS score
+      |  FROM w JOIN (SELECT query_id, term FROM qt WHERE term <> '') q
+      |    USING (term)
+      |  GROUP BY 1, 2),
+      |rk AS (SELECT query_id, doc_id, score,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+      |  FROM sc)""".stripMargin
 
   /** s1's exact brute-force oracle — also the baseline side of s6. */
   private lazy val s1AnnSql: String =
@@ -1506,6 +1548,36 @@ object SparkEntry {
         |               c.vec_id ASC) AS BIGINT) AS rank
         |  FROM pr JOIN e c ON c.label = pr.label AND c.vec_id >= 10)
         |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    // r10: filtered ANN — centroids, probe, and re-rank all over the
+    // predicate-filtered corpus (the pre-filter form)
+    "s17_filtered_ann" ->
+      """WITH f AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings
+        |  WHERE vec_id >= 10 AND label IN (0, 2, 4, 6, 8)),
+        |cpos AS (
+        |  SELECT label, i, avg(emb[i + 1]) AS c
+        |  FROM f CROSS JOIN range(64) r(i) GROUP BY 1, 2),
+        |cent AS (SELECT label, list(c ORDER BY i) AS centroid FROM cpos
+        |         GROUP BY label),
+        |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+        |      FROM embeddings WHERE vec_id < 10),
+        |pr AS (
+        |  SELECT q_id, q_emb, label FROM (
+        |    SELECT q.q_id, q.q_emb, c.label,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.q_emb, c.centroid) DESC,
+        |                 c.label ASC) AS crank
+        |    FROM q CROSS JOIN cent c)
+        |  WHERE crank <= 2)
+        |SELECT q_id, rank, c_id, cos FROM (
+        |  SELECT pr.q_id, c.vec_id AS c_id,
+        |    round(list_cosine_similarity(pr.q_emb, c.emb), 3) AS cos,
+        |    CAST(row_number() OVER (PARTITION BY pr.q_id
+        |      ORDER BY round(list_cosine_similarity(pr.q_emb, c.emb), 3) DESC,
+        |               c.vec_id ASC) AS BIGINT) AS rank
+        |  FROM pr JOIN f c ON c.label = pr.label)
+        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
     "m5_phash_dedup" -> {
       val P = 1000000007L
       // the 60-bit stub code as a sum of six disjoint 10-bit pieces
@@ -2176,41 +2248,39 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, ppl, ppl <= 30.1 AS keep
         |FROM p ORDER BY doc_id""".stripMargin,
     "t12_bm25" ->
-      """WITH tf0 AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |  FROM documents WHERE doc_id % 97 <> 0),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tf0
-        |       WHERE term <> '' GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |st AS (SELECT count(*) AS n,
-        |  CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> '')))
-        |    AS DOUBLE) / count(*) AS avgdl
-        |  FROM documents WHERE doc_id % 97 <> 0),
-        |qt AS (
-        |  SELECT doc_id AS query_id,
-        |    unnest(list_distinct(string_split(text, ' '))) AS term
-        |  FROM documents WHERE doc_id % 97 = 0),
-        |w AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    ln((n - df + 0.5) / (df + 0.5) + 1.0) *
-        |      (tf::DOUBLE * 2.2) /
-        |      (tf::DOUBLE + 1.2 * (0.25 + (0.75 * CAST(dl AS DOUBLE)) / avgdl))
-        |      AS w
-        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st),
-        |sc AS (
-        |  SELECT q.query_id, w.doc_id,
-        |    round(CAST(sum(CAST(floor(w * 1048576.0 + 0.5) AS BIGINT))
-        |      AS DOUBLE) / 1048576.0, 4) AS score
-        |  FROM w JOIN (SELECT query_id, term FROM qt WHERE term <> '') q
-        |    USING (term)
-        |  GROUP BY 1, 2),
-        |rk AS (SELECT query_id, doc_id, score,
-        |  CAST(row_number() OVER (PARTITION BY query_id
-        |    ORDER BY score DESC, doc_id) AS BIGINT) AS rk
-        |  FROM sc)
-        |SELECT query_id, rk, doc_id, score FROM rk WHERE rk <= 5
-        |ORDER BY query_id, rk""".stripMargin,
+      s"""WITH $bm25Ctes
+         |SELECT query_id, rk, doc_id, score FROM rk WHERE rk <= 5
+         |ORDER BY query_id, rk""".stripMargin,
+    // r10: hybrid retrieval — BM25 top-20 and cosine top-20 fused by
+    // integer reciprocal rank (1e6 div (60 + rank), exact BIGINT)
+    "r1_rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+         |bmtop AS (SELECT query_id, doc_id, rk FROM rk WHERE rk <= 20),
+         |qv AS (
+         |  SELECT d.doc_id AS query_id, e.embedding::DOUBLE[] AS q_emb
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |  WHERE d.doc_id % 97 = 0),
+         |cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS c_emb
+         |       FROM embeddings WHERE vec_id % 97 <> 0),
+         |vrk AS (
+         |  SELECT query_id, doc_id, rk FROM (
+         |    SELECT q.query_id, c.doc_id,
+         |      CAST(row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY round(list_cosine_similarity(q.q_emb, c.c_emb), 3)
+         |          DESC, c.doc_id ASC) AS BIGINT) AS rk
+         |    FROM qv q CROSS JOIN cv c)
+         |  WHERE rk <= 20),
+         |fused AS (
+         |  SELECT query_id, doc_id,
+         |    CAST(sum(1000000 // (60 + rk)) AS BIGINT) AS rrf
+         |  FROM (SELECT * FROM bmtop UNION ALL SELECT * FROM vrk)
+         |  GROUP BY 1, 2)
+         |SELECT query_id, rk, doc_id, rrf FROM (
+         |  SELECT query_id, doc_id, rrf,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rk
+         |  FROM fused)
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
         |           FROM documents),

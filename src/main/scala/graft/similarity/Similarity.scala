@@ -475,6 +475,96 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** S17: FILTERED ANN (r10) — top-k under a METADATA PREDICATE, the
+    * query shape every production vector store serves ("nearest
+    * neighbors among docs where license = permissive / lang = en"):
+    * here the predicate is `label IN (0,2,4,6,8)`, a parquet-pushable
+    * In filter standing in for any partition-column predicate.
+    *
+    * This is the PRE-FILTER form — the predicate reaches the parquet
+    * SCAN (plan contract: `In(label, ...)` in PushedFilters, so at
+    * 100 TB only matching row groups / partitions are read at all)
+    * and the IVF index view is built over the FILTERED corpus
+    * (centroids per surviving cell): k results are guaranteed to
+    * satisfy the predicate by construction, and selective predicates
+    * make the search CHEAPER. The alternative — POST-filtering an
+    * unfiltered index's top-m — reads the whole index, under-fills k
+    * whenever the predicate is selective (m·selectivity < k), and is
+    * what this operator exists to avoid; the trade is that
+    * per-predicate index views only pay off for predicates known at
+    * partition time (partition-column shards), which is exactly the
+    * parquet layout story. Oracle re-derives filtered centroids +
+    * probe + re-rank independently. */
+  def s17FilteredAnn(s: SparkSession, d: String, k: Int = 5,
+      nprobe: Int = 2): DataFrame = {
+    val filtered = Tables.embeddings(s, d)
+      .filter(col("vec_id") >= 10 && col("label").isin(0, 2, 4, 6, 8))
+    val centroids = filtered.groupBy("label")
+      .agg(V.vectorMean(col("embedding"), 64).as("centroid"))
+    val probed = queries(s, d).join(broadcast(centroids))
+      .withColumn("ccos", V.cosine(col("q_emb"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("q_id")
+          .orderBy(col("ccos").desc, col("label").asc)))
+      .filter(col("crank") <= nprobe)
+      .select("q_id", "q_emb", "label")
+    filtered
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        col("label"))
+      .join(broadcast(probed), Seq("label"))
+      .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
+      .withColumn("rank", row_number().over(byQuery).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id"), col("cos3").as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** R1: HYBRID RETRIEVAL by reciprocal-rank fusion (r10) — the
+    * two-arm ranker every retrieval-backed curation stage (decontam
+    * lookup, eval-set mining, RAG training pairs) actually deploys:
+    * BM25's lexical top-n (t12's machinery, same query set — the
+    * `doc_id % 97` docs used as queries) and the embedding cosine
+    * top-n, fused per (query, doc) by RRF (Cormack et al. 2009):
+    * score = Σ_arms 1e6 div (60 + rank) — an INTEGER fold, so the
+    * fused ranking is exact in both engines (float 1/(60+r) sums
+    * would round-tie). A doc present in one arm only keeps that
+    * arm's contribution (the corpora legitimately differ: every doc
+    * has text, only some have vectors — the missing-modality path is
+    * exercised at sf0.1 where 3 of 5 queries have no vector).
+    *
+    * Scale shape: each arm is its own registered operator's plan
+    * (BM25: one tf exchange reused; cosine: query-broadcast corpus
+    * scan, no shuffle of the corpus); the fusion stage touches only
+    * 2·n rows per query. */
+  def r1RrfFusion(s: SparkSession, d: String, k: Int = 5,
+      n: Int = 20, c0: Int = 60): DataFrame = {
+    val bm = graft.text.TextAnalysis.t12Bm25(s, d, n)
+      .select(col("query_id"), col("doc_id"), col("rk"))
+    val emb = Tables.embeddings(s, d)
+    val qv = Tables.documents(s, d).filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"))
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb")), Seq("query_id"))
+    val cv = emb.filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("c_emb"))
+    val vec = cv.join(broadcast(qv))
+      .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos3").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= n)
+      .select("query_id", "doc_id", "rk")
+    bm.unionByName(vec)
+      .groupBy("query_id", "doc_id")
+      .agg(sum(expr(s"1000000 div ($c0 + rk)")).as("rrf"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("rrf").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "doc_id", "rrf")
+      .orderBy("query_id", "rk")
+  }
+
   /** S6: index-quality evaluation — recall@k of the LSH index (s2)
     * against the exact brute-force baseline (s1), per query. The
     * metric every ANN deployment watches before trading exactness for

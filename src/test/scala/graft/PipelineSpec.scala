@@ -430,6 +430,83 @@ class PipelineSpec extends AnyFunSuite {
       s"walk top-1 wrong for most queries: $hit/${top1.length}")
   }
 
+  test("s17 filtered ANN: every result satisfies the predicate and " +
+      "fills k; post-filtering the unfiltered IVF top-k under-fills " +
+      "— the measured reason the pre-filter form exists") {
+    import org.apache.spark.sql.functions.col
+    val evens = Set(0, 2, 4, 6, 8)
+    val labelOf = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = similarity.Similarity.s17FilteredAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (_, _, c) => evens(labelOf(c)) },
+      "a result violates the predicate")
+    // every query fills k = 5 under the pre-filter form
+    got.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length == 5, s"query $q under-filled: ${rs.length}") }
+    // POST-filtering the unfiltered index's top-5 under-fills k for
+    // at least one query (selectivity 0.5 ⇒ expected ~2.5 of 5
+    // survive) — the production argument for predicate pushdown
+    val post = similarity.Similarity.s3IvfAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .filter { case (_, c) => evens(labelOf(c)) }
+      .groupBy(_._1)
+    assert(post.exists(_._2.length < 5),
+      "post-filter unexpectedly filled k for every query — fixture " +
+        "no longer demonstrates the under-fill trade")
+  }
+
+  test("r1 RRF fusion ≡ integer reciprocal-rank fold over the two " +
+      "arms' own rank lists (re-derived off-engine); union " +
+      "semantics: one-arm docs keep that arm's contribution") {
+    import org.apache.spark.sql.functions.col
+    val bm = text.TextAnalysis.t12Bm25(spark, sf, 20).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
+    // vector arm re-derived in scala: cosine of every (query, corpus
+    // vector) pair, 3-dp rank, top-20
+    val embs = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var (d0, na, nb) = (0.0, 0.0, 0.0)
+      for (i <- a.indices) {
+        d0 += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+      }
+      BigDecimal(d0 / math.sqrt(na * nb))
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val qids = embs.keys.filter(_ % 97 == 0).toSeq.sorted
+    val cids = embs.keys.filter(_ % 97 != 0).toSeq
+    val vec = qids.flatMap { q =>
+      cids.map(c => (q, c, cos(embs(q), embs(c))))
+        .sortBy { case (_, c, s) => (-s, c) }.take(20).zipWithIndex
+        .map { case ((_, c, _), i) => ((q, c), i + 1L) }
+    }.toMap
+    val expected = (bm.keySet ++ vec.keySet).groupBy(_._1)
+      .flatMap { case (q, keys) =>
+        keys.map { k =>
+          val rrf = bm.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+            vec.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L)
+          (q, k._2, rrf)
+        }.toSeq.sortBy { case (_, c, s) => (-s, c) }.take(5)
+          .zipWithIndex.map { case ((qq, c, s), i) => (qq, i + 1L, c, s) }
+      }.toSet
+    val got = similarity.Similarity.r1RrfFusion(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected,
+      s"missing ${(expected -- got).size} / extra ${(got -- expected).size}")
+    assert(got.nonEmpty)
+    // at least one fused doc came from a single arm (union semantics)
+    val oneArm = got.exists { case (q, _, c, _) =>
+      bm.contains((q, c)) ^ vec.contains((q, c)) }
+    assert(oneArm, "no single-arm doc in the fused top-5 — fixture " +
+      "no longer exercises union semantics")
+  }
+
   test("s16 HNSW: deterministic geometric layers, entry-atlas " +
       "(label × component) beam-4 descent reaches the beam stage, " +
       "recall@5 beats the entry-only baseline and holds the walk " +

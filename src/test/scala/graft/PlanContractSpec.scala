@@ -709,6 +709,29 @@ class PlanContractSpec extends AnyFunSuite {
       s"final top-k window not partitioned by q_id:\n$p")
   }
 
+  test("s17: filtered ANN — the label predicate reaches the parquet " +
+      "scan (PushedFilters In), probe/re-rank tiny frames broadcast") {
+    val p = finalPlan("s17_filtered_ann")
+    assert("PushedFilters: \\[[^\\]]*In\\(label".r.findAllIn(p).nonEmpty,
+      s"label predicate not pushed into the embeddings scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "probe/centroid frames must broadcast, not sort-merge")
+  }
+
+  test("r1: RRF fusion — the BM25 arm keeps t12's reused tf " +
+      "exchange, the vector arm's only nested loop is the query " +
+      "broadcast, no cartesian") {
+    val p = finalPlan("r1_rrf_fusion")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // two allowed: t12's 1-row corpus-stats cross + the query-vector
+    // broadcast; anything more is a corpus-sized nested loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
+      s"more than the stats + query-broadcast nested loops:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"t12's tf exchange no longer reused inside the fusion plan:\n$p")
+  }
+
   test("x2: dedup-before-index composition — the walk's final " +
       "re-rank reads only checkpoints (survivor frame and survivor " +
       "graph both materialized once), no cartesian") {
