@@ -636,13 +636,15 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
-  test("m5: banded equi-join only (no pairwise stage); one corpus scan " +
-      "feeds both band sides") {
+  test("m5: banded equi-join only (no pairwise stage); the hashed " +
+      "code frame checkpoints once (r10 width law: it feeds the " +
+      "width count and both band sides) so no parquet re-scan") {
     val p = finalPlanNoBroadcast("m5_phash_dedup")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"pairwise stage appeared in the pHash plan:\n$p")
-    assert(scanCount(p) == 1, s"expected 1 documents scan:\n$p")
+    assert(scanCount(p) == 0,
+      s"parquet re-scanned past the hashed-code checkpoint:\n$p")
     assert(p.contains("ReusedExchange"), "band exchange not reused")
     // pair dedup is a map-side-combined hash aggregate on slim rows
     assert(p.contains("partial_min"),
