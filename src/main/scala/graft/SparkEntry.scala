@@ -448,9 +448,11 @@ object SparkEntry {
 
   /** t12's BM25 CTE chain (corpus tf/df/dl/avgdl, query terms, the
     * quantized score fold, the per-query rank) — shared by the t12
-    * oracle (rk ≤ 5) and r1's fusion oracle (rk ≤ 20 text arm). */
-  private lazy val bm25Ctes: String =
-    """tf0 AS (
+    * oracle (rk ≤ 5, unbounded query set) and r1's fusion oracle
+    * (rk ≤ 20 text arm, fixed 64-slot query workload via qPred). */
+  private def bm25Ctes(
+      qPred: String = "doc_id % 97 = 0"): String =
+    s"""tf0 AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
       |  FROM documents WHERE doc_id % 97 <> 0),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tf0
@@ -464,7 +466,7 @@ object SparkEntry {
       |qt AS (
       |  SELECT doc_id AS query_id,
       |    unnest(list_distinct(string_split(text, ' '))) AS term
-      |  FROM documents WHERE doc_id % 97 = 0),
+      |  FROM documents WHERE $qPred),
       |w AS (
       |  SELECT tf.doc_id, tf.term,
       |    ln((n - df + 0.5) / (df + 0.5) + 1.0) *
@@ -2248,18 +2250,20 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, ppl, ppl <= 30.1 AS keep
         |FROM p ORDER BY doc_id""".stripMargin,
     "t12_bm25" ->
-      s"""WITH $bm25Ctes
+      s"""WITH ${bm25Ctes()}
          |SELECT query_id, rk, doc_id, score FROM rk WHERE rk <= 5
          |ORDER BY query_id, rk""".stripMargin,
     // r10: hybrid retrieval — BM25 top-20 and cosine top-20 fused by
-    // integer reciprocal rank (1e6 div (60 + rank), exact BIGINT)
+    // integer reciprocal rank (1e6 div (60 + rank), exact BIGINT);
+    // the query workload is the FIXED first-64-slot set (no-op at
+    // every oracle scale — sf0.1 has 51 queries)
     "r1_rrf_fusion" ->
-      s"""WITH $bm25Ctes,
+      s"""WITH ${bm25Ctes("doc_id % 97 = 0 AND doc_id < 6208")},
          |bmtop AS (SELECT query_id, doc_id, rk FROM rk WHERE rk <= 20),
          |qv AS (
          |  SELECT d.doc_id AS query_id, e.embedding::DOUBLE[] AS q_emb
          |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
-         |  WHERE d.doc_id % 97 = 0),
+         |  WHERE d.doc_id % 97 = 0 AND d.doc_id < 6208),
          |cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS c_emb
          |       FROM embeddings WHERE vec_id % 97 <> 0),
          |vrk AS (

@@ -271,7 +271,15 @@ object TextAnalysis {
     * aggregation inside whole-stage codegen, which matters here
     * because matched (query,doc,term) triples are the one frame that
     * can dwarf the corpus when queries share vocabulary). */
-  def t12Bm25(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+  def t12Bm25(s: SparkSession, d: String, k: Int = 5,
+      qBound: Long = Long.MaxValue): DataFrame = {
+    // qBound caps the QUERY WORKLOAD at a fixed id range (r1 passes
+    // 97·64): scoring cost is Σ_term df·qf, so a query set that
+    // grows with the corpus (every 97th doc — the probe protocol)
+    // measures an n² regime no deployment has; a production query
+    // BATCH is fixed-size. Default unbounded = t12's own semantics.
+    // The CORPUS split stays the unbounded %97 rule either way, so
+    // the two never overlap and the arm corpora stay aligned.
     val k1 = 1.2; val b = 0.75
     val isQuery = col("doc_id") % 97 === 0
     val docs = Tables.documents(s, d)
@@ -287,7 +295,7 @@ object TextAnalysis {
       count(lit(1)).as("n"),
       (sum(size(filter(T.tokens(col("text")), t => t =!= "")))
         .cast("double") / count(lit(1))).as("avgdl"))
-    val qterms = docs.filter(isQuery)
+    val qterms = docs.filter(isQuery && col("doc_id") < qBound)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(T.tokens(col("text")))).as("term"))
       .filter(col("term") =!= "")
