@@ -156,6 +156,55 @@ object Probe {
       spark.stop(); return
     }
 
+    // s16's MAINTAINED-STORE refresh cadence at probe scale (the one
+    // s16 path previously proven only at spec scale): 3 waves fold
+    // all four layer graphs through StreamingKnn's search cadence,
+    // the atlas refreshes after each layer-0 fold (the documented
+    // cadence), then the stored walk runs — the production
+    // refresh-wall vs query-wall split, measured
+    if (sys.env.get("PROBE_S16REFRESH").contains("1")) {
+      import graft.similarity.Similarity
+      import graft.streaming.{KnnGraphConfig, StreamingKnn}
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_probe_s16r").toString
+      val emb = Tables.embeddings(spark, d).filter(col("vec_id") >= 10)
+      val n = emb.count()
+      val cfg0 = KnnGraphConfig(bits = Similarity.bitsFor(n),
+        withinLabel = false, floor = None, k = 16)
+      val mc = (1 to 3).map(l =>
+        emb.filter(Similarity.levelOf(col("vec_id")) >= l).count())
+      println(s"[probe] corpus $n; layer sizes ${mc.mkString("/")}; " +
+        s"g0 ${cfg0.bits}-bit, uppers " +
+        (1 to 3).map(l => Similarity.bitsSmall(mc(l - 1))).mkString("/") +
+        "-bit")
+      (0 until 3).foreach { w =>
+        val wave = emb.filter(expr(s"(vec_id div 10000000) % 3 = $w"))
+        time(s"wave $w: layer-0 fold") {
+          StreamingKnn.processBatch(wave.toDF(), w, s"$root/s0",
+            s"$root/g0", cfg0)
+        }
+        time(s"wave $w: layer 1-3 folds") {
+          (1 to 3).foreach { l =>
+            val members = wave
+              .filter(Similarity.levelOf(col("vec_id")) >= l)
+            StreamingKnn.processBatch(members.toDF(), w, s"$root/s$l",
+              s"$root/g$l", KnnGraphConfig(
+                bits = Similarity.bitsSmall(mc(l - 1)),
+                withinLabel = false, floor = None, k = 8))
+          }
+        }
+        time(s"wave $w: atlas refresh") {
+          Similarity.s16WriteAtlas(spark, d, s"$root/g0", s"$root/atlas")
+        }
+      }
+      time("stored walk (the per-query cost)") {
+        Similarity.s16HnswStored(spark, d, s"$root/g0",
+          (1 to 3).map(l => s"$root/g$l"),
+          atlasPath = Some(s"$root/atlas")).count()
+      }
+      spark.stop(); return
+    }
+
     // streaming SPAN stage (d15 continuously inside StreamingCuration)
     // on probe data: 3 waves by replica index mod 3 — replica chains
     // SPAN waves, so later batches probe a span store holding the
