@@ -860,8 +860,8 @@ object Similarity {
     s15WalkOn(Tables.embeddings(s, d), graph, k, beam, rounds)
 
   /** [[s15Walk]] over an arbitrary embeddings-shaped frame — the x2
-    * composition's survivor walk. */
-  private def s15WalkOn(emb: DataFrame, graph: DataFrame,
+    * composition's survivor walk (also the filtered-walk probes). */
+  private[graft] def s15WalkOn(emb: DataFrame, graph: DataFrame,
       k: Int, beam: Int, rounds: Int): DataFrame = {
     val q = queriesOf(emb)
     val cv = corpusOf(emb).select(col("c_id"), col("c_emb"))

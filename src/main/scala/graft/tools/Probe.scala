@@ -156,6 +156,47 @@ object Probe {
       spark.stop(); return
     }
 
+    // filtered WALK tiers (r10 — s17's pre-vs-post-filter question at
+    // the graph-walk tier): PRE = survivor-style, the search graph is
+    // built ON the predicate-filtered corpus and s15's walk runs over
+    // it; POST = the unfiltered registered walk's top-12, predicate-
+    // filtered, cut to 5. Reports recall@5 vs the filtered-exact
+    // baseline and walls for both.
+    if (sys.env.get("PROBE_FILTEREDWALK").contains("1")) {
+      import graft.similarity.Similarity
+      val emb = Tables.embeddings(spark, d)
+      emb.count()
+      val keep = col("vec_id") < 10 ||
+        col("label").isin(0, 2, 4, 6, 8)
+      val evens = emb.filter(keep).localCheckpoint(true)
+      val exact = Similarity.s1AnnBruteForceOn(evens)
+        .select("q_id", "c_id").localCheckpoint(true)
+      val nex = exact.count()
+      def recall(df: org.apache.spark.sql.DataFrame): Double =
+        exact.join(df.select("q_id", "c_id"), Seq("q_id", "c_id"),
+          "left_semi").count().toDouble / nex
+      val pre = time("PRE-filter: graph on filtered corpus + walk") {
+        val g = Similarity.searchGraphOn(evens, 16)
+          .select("vec_id", "nbr").localCheckpoint(true)
+        Similarity.s15WalkOn(evens, g, 5, 12, 3).localCheckpoint(true)
+      }
+      println(f"[probe]   pre-filter recall@5: ${recall(pre)}%.2f " +
+        s"(rows ${pre.count()})")
+      val labels = emb.select("vec_id", "label")
+      val post = time("POST-filter: unfiltered walk top-12, filtered") {
+        Similarity.s15GraphSearch(spark, d, k = 12)
+          .join(labels.select(col("vec_id").as("c_id"), col("label")),
+            Seq("c_id"))
+          .filter(col("label").isin(0, 2, 4, 6, 8))
+          .withColumn("rk", row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("rank").asc)))
+          .filter(col("rk") <= 5).localCheckpoint(true)
+      }
+      println(f"[probe]   post-filter recall@5: ${recall(post)}%.2f " +
+        s"(rows ${post.count()} of ${nex} — under-fill shows here)")
+      spark.stop(); return
+    }
+
     // s16's MAINTAINED-STORE refresh cadence at probe scale (the one
     // s16 path previously proven only at spec scale): 3 waves fold
     // all four layer graphs through StreamingKnn's search cadence,
