@@ -507,6 +507,32 @@ class PipelineSpec extends AnyFunSuite {
       "no longer exercises union semantics")
   }
 
+  test("x2's amortized production shape: the walk stage over a " +
+      "PERSISTED survivor graph answers identically to the " +
+      "registered composition (the s15/s16 stored-walk story " +
+      "extends to the survivor index)") {
+    import org.apache.spark.sql.functions.col
+    val kept = dedup.Dedup.d12SemDedupProd(spark, sf)
+      .filter(col("keep")).select("vec_id")
+    val embS = Tables.embeddings(spark, sf)
+      .join(kept, Seq("vec_id"), "left_semi").localCheckpoint(true)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_x2store").toString
+    similarity.Similarity.searchGraphOn(embS, 16)
+      .select("vec_id", "nbr").write.parquet(s"$root/g")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val stored = rows(similarity.Similarity.s15WalkOn(embS,
+      spark.read.parquet(s"$root/g").select("vec_id", "nbr")
+        .localCheckpoint(true), 5, 12, 3))
+    val reg = rows(similarity.Similarity.x2DedupIndex(spark, sf))
+    assert(stored == reg,
+      "walk over the persisted survivor graph diverged from the " +
+        "registered x2 composition")
+    assert(stored.nonEmpty)
+  }
+
   test("s16 HNSW: deterministic geometric layers, entry-atlas " +
       "(label × component) beam-4 descent reaches the beam stage, " +
       "recall@5 beats the entry-only baseline and holds the walk " +
