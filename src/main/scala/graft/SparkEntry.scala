@@ -51,7 +51,10 @@ object SparkEntry {
     // form below is the registered query — the r9 d5/d12/o12 move)
     "o10_quantile_prod" -> ((s: SparkSession, d: String) =>
       operators.Sketches.o10QuantileSketchProd(s, d)),
-    "o11_bloom_filter" -> (operators.Sketches.o11BloomFilter _),
+    // r10: o11's certification form (exact count + FP probe sweep)
+    // retired to spec status; the registered query is the
+    // filter-stats production form — completing the o6/o7/o10/o12 set
+    "o11_bloom_prod" -> (operators.Sketches.o11BloomProd _),
     "o12_source_similarity_prod" -> ((s: SparkSession, d: String) =>
       operators.Sketches.o12SourceSimilarityProd(s, d)),
     "c6_curriculum_order" -> (operators.Curation.c6CurriculumOrder _),
@@ -3535,9 +3538,11 @@ object SparkEntry {
          |FROM sig a JOIN sig b ON a.source < b.source
          |ORDER BY src1, src2""".stripMargin
     },
-    "o11_bloom_filter" ->
-      """WITH h AS MATERIALIZED (
-        |  SELECT doc_id, source,
+    // r10: o11's production form — filter occupancy + estimate only,
+    // no exact countDistinct, no FP probe sweep
+    "o11_bloom_prod" ->
+      """WITH h AS (
+        |  SELECT source,
         |    CAST(md5_number_lower(text) & 2147483647 AS BIGINT) AS hh
         |  FROM documents WHERE text IS NOT NULL),
         |pos AS (
@@ -3546,51 +3551,18 @@ object SparkEntry {
         |      * hh + CASE i WHEN 0 THEN 17 WHEN 1 THEN 29 ELSE 71 END)
         |      % 2147483647) % 2048 AS BIGINT) AS p
         |  FROM h CROSS JOIN range(3) r(i)),
-        |words AS MATERIALIZED (
+        |words AS (
         |  SELECT source, CAST(p // 32 AS BIGINT) AS w,
         |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
         |  FROM pos GROUP BY 1, 2),
         |stats AS (
         |  SELECT source, CAST(sum(bit_count(bits)) AS BIGINT) AS bits_set
-        |  FROM words GROUP BY 1),
-        |exact AS (
-        |  SELECT source, count(DISTINCT hh) AS n_distinct FROM h
-        |  GROUP BY 1),
-        |probes AS MATERIALIZED (
-        |  SELECT doc_id, source AS psrc, hh FROM h WHERE doc_id % 31 = 0),
-        |cand AS (
-        |  SELECT b.source AS bsrc, pp.doc_id, pp.hh,
-        |    CAST(((CASE r.i WHEN 0 THEN 101 WHEN 1 THEN 1009
-        |      ELSE 10007 END * pp.hh + CASE r.i WHEN 0 THEN 17
-        |      WHEN 1 THEN 29 ELSE 71 END)
-        |      % 2147483647) % 2048 AS BIGINT) AS p
-        |  FROM probes pp CROSS JOIN range(3) r(i)
-        |  CROSS JOIN (SELECT DISTINCT source FROM h) b
-        |  WHERE b.source <> pp.psrc),
-        |hits AS (
-        |  SELECT bsrc, doc_id, hh FROM cand c
-        |  JOIN words w ON w.source = c.bsrc AND w.w = c.p // 32
-        |  WHERE (w.bits >> CAST(c.p % 32 AS INT)) & 1 = 1
-        |  GROUP BY 1, 2, 3 HAVING count(*) = 3),
-        |eh AS (SELECT DISTINCT source, hh FROM h),
-        |fps AS (
-        |  SELECT hits.bsrc AS source, count(*) AS fp_probes
-        |  FROM hits LEFT JOIN eh
-        |    ON eh.source = hits.bsrc AND eh.hh = hits.hh
-        |  WHERE eh.hh IS NULL GROUP BY 1),
-        |nprobes AS (
-        |  SELECT b.source, count(*) AS n_probes
-        |  FROM (SELECT DISTINCT source FROM h) b
-        |  JOIN probes p ON p.psrc <> b.source GROUP BY 1)
-        |SELECT s.source, n_distinct, bits_set,
+        |  FROM words GROUP BY 1)
+        |SELECT source, bits_set,
         |  CASE WHEN bits_set >= 2048 THEN NULL ELSE
         |    round(-2048.0 / 3.0 * ln(1.0 - bits_set / 2048.0), 2)
-        |  END AS est_n,
-        |  n_probes, COALESCE(fp_probes, 0) AS fp_probes
-        |FROM stats s JOIN exact USING (source)
-        |JOIN nprobes USING (source)
-        |LEFT JOIN fps USING (source)
-        |ORDER BY s.source""".stripMargin,
+        |  END AS est_n
+        |FROM stats ORDER BY source""".stripMargin,
     "c14_unimax" ->
       """WITH counts AS MATERIALIZED (
         |  SELECT source, count(*) AS n, count(*) * 2 AS cap

@@ -415,6 +415,38 @@ object Sketches {
   def o11BloomFilter(s: SparkSession, d: String): DataFrame =
     bloomFrame(Tables.documents(s, d), 2048, 31)
 
+  /** O11 PRODUCTION form: the packed filter's occupancy stats +
+    * Swamidass–Baldi cardinality estimate alone — ONE corpus scan,
+    * two hash aggregates, zero joins. The registered o11 query; the
+    * certification machinery ([[o11BloomFilter]]: exact
+    * countDistinct beside the estimate, the cross-source probe
+    * membership sweep and the truth-set anti-join measuring the FP
+    * rate) exists to CERTIFY the filter and retires to spec status
+    * (function-driven plan contract + the prod ≡ cert equivalence
+    * spec), the o6/o7/o10/o12 move — completing the sketch set. */
+  def o11BloomProd(s: SparkSession, d: String): DataFrame =
+    bloomProdFrame(Tables.documents(s, d), 2048)
+
+  private[graft] def bloomProdFrame(docsIn: DataFrame,
+      m: Int): DataFrame = {
+    import graft.functions.{TextFunctions => T}
+    // the lean single-chain build: no checkpoints (nothing has a
+    // second consumer here — the cert form's bloomCore checkpoints
+    // exist for ITS probe/exact branches)
+    val h = docsIn.filter(col("text").isNotNull)
+      .select(col("source"),
+        T.md5Lo64(col("text")).bitwiseAND(lit(2147483647L)).as("hh"))
+    val words = h.selectExpr("source", bloomPosStack(m, "hh"))
+      .groupBy(col("source"), expr("p div 32").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p % 32 as int)))").as("bits"))
+    words.groupBy("source")
+      .agg(sum(bit_count(col("bits"))).cast("bigint").as("bits_set"))
+      .selectExpr("source", "bits_set",
+        s"case when bits_set >= $m then null else " +
+          s"round(-$m.0 / 3.0 * ln(1.0 - bits_set / $m.0), 2) end as est_n")
+      .orderBy("source")
+  }
+
   /** o11's body with explicit filter width and probe modulus —
     * exposed so the spec can drive a deliberately saturated filter
     * (small m ⇒ guaranteed false positives) and pin membership

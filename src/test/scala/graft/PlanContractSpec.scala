@@ -454,9 +454,24 @@ class PlanContractSpec extends AnyFunSuite {
     assert(scanCount(p) == 2, s"expected 2 events scans:\n$p")
   }
 
+  test("o11 prod: filter stats only — ONE corpus scan, two hash " +
+      "aggregates, ZERO joins (no exact branch, no probe sweep)") {
+    val p = finalPlan("o11_bloom_prod")
+    assert(scanCount(p) == 1, s"expected 1 documents scan:\n$p")
+    assert(!p.contains("Join"), s"a join appeared in the prod plan:\n$p")
+    assert(p.toLowerCase.contains("partial_bit_or") ||
+      p.toLowerCase.contains("partial_bitor"),
+      s"word build lost its map-side partial:\n$p")
+  }
+
   test("o11: bloom words build as ONE map-side-combined bit_or " +
-      "aggregate; the filter table broadcasts for membership") {
-    val p = finalPlan("o11_bloom_filter")
+      "aggregate; the filter table broadcasts for membership " +
+      "(certification form — retired to spec status r10, the prod " +
+      "form is the registered query)") {
+    val df = operators.Sketches.o11BloomFilter(spark, sf)
+    df.queryExecution.executedPlan.execute().count()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
     // the hash frame and the packed words each checkpointed (the
     // word build — a map-side bit_or hash agg — paid there), so the
@@ -474,7 +489,7 @@ class PlanContractSpec extends AnyFunSuite {
     // Asserted on the OPTIMIZED logical plan: at test scale the FP
     // branch is empty and AQE's empty-relation propagation erases the
     // anti-join from the final physical plan entirely.
-    val lp = SparkEntry.queries("o11_bloom_filter")(spark, sf)
+    val lp = operators.Sketches.o11BloomFilter(spark, sf)
       .queryExecution.optimizedPlan.toString
     assert(lp.contains("t_hh"),
       s"truth-set anti-join lost its disambiguating rename:\n$lp")

@@ -100,6 +100,20 @@ class SketchAggSpec extends AnyFunSuite {
     assert(prod.nonEmpty && prod == full)
   }
 
+  test("o11 production form ≡ o11's (bits_set, est_n) columns " +
+      "(filter stats only — no exact count, no FP probe sweep)") {
+    val prod = Sketches.o11BloomProd(spark, sf)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    val full = Sketches.o11BloomFilter(spark, sf)
+      .select("source", "bits_set", "est_n")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(prod.nonEmpty && prod == full)
+  }
+
   test("o6 production form ≡ o6's hll_est column (register fold " +
       "only, no exact countDistinct branch)") {
     val prod = Sketches.o6HllProd(spark, sf)
