@@ -172,8 +172,14 @@ object SparkEntry {
     "s13_ivf_pq" -> (graft.similarity.Similarity.s13IvfPq _),
     "s14_knn_graph" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s14KnnGraph(s, d)),
-    "s15_graph_search" -> ((s: SparkSession, d: String) =>
-      graft.similarity.Similarity.s15GraphSearch(s, d)),
+    // r10: the registered s15 is the STORED walk too — its navigable
+    // graph IS s16's layer 0, so one ensure-store root serves both
+    // walk tiers (exactly the production shape: one maintained graph
+    // family, two query tiers); stored ≡ inline is spec-pinned
+    "s15_graph_search" -> ((s: SparkSession, d: String) => {
+      val (g0, _, _) = graft.similarity.Similarity.s16EnsureStores(s, d)
+      graft.similarity.Similarity.s15GraphSearchStored(s, d, g0)
+    }),
     // the REGISTERED s16 is the production shape: a walk over
     // persisted maintained stores + atlas (built once per corpus by
     // s16EnsureStores — nobody rebuilds an ANN index per query);

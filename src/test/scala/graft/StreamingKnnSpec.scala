@@ -270,6 +270,20 @@ class StreamingKnnSpec extends AnyFunSuite {
       "second invocation rebuilt the persisted stores")
   }
 
+  test("registered s15_graph_search IS the stored walk over the " +
+      "SHARED ensure-store root (one maintained graph family, two " +
+      "walk tiers): identical to the inline build") {
+    import graft.similarity.Similarity
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val reg = rows(SparkEntry.queries("s15_graph_search")(spark, sf))
+    val inline = rows(Similarity.s15GraphSearch(spark, sf))
+    assert(reg == inline,
+      "registered stored s15 walk diverged from the inline build")
+    assert(reg.nonEmpty)
+  }
+
   test("s16WriteAtlas threads the level cap: a levels=4 deployment's " +
       "persisted atlas + stores walk identically to the inline " +
       "levels=4 build (atlas entry ordering depends on the cap)") {
