@@ -46,8 +46,16 @@ object MySqlDump {
     * the same path in a long-lived JVM must re-read, never serve
     * stale text, even when the replacement has the identical byte
     * length within filesystem mtime granularity (the fingerprint —
-    * first+last 4 KiB of the raw file — catches that case without
-    * hashing the whole artifact). The text is held via SoftReference,
+    * eight 4 KiB blocks strided evenly across the raw file, head and
+    * tail included — catches that case without hashing the whole
+    * artifact; interior strides mean a mid-dump edit flips it too,
+    * which a head+tail-only sample could not promise. Known blind
+    * spot, stated honestly: a file larger than 32 KiB has unsampled
+    * gaps between strides, so an edit confined ENTIRELY to a gap with
+    * identical length and mtime can still serve the memo — full
+    * certainty requires hashing the whole artifact, which would read
+    * the dump twice per replacement for a cache whose point is
+    * avoiding re-reads). The text is held via SoftReference,
     * so a memory-pressured driver reclaims the cache instead of
     * OOMing; a reclaimed entry simply re-reads. A multi-GB dump
     * converts table-by-table within that bound; beyond it the honest
@@ -61,13 +69,22 @@ object MySqlDump {
     val raf = new java.io.RandomAccessFile(f, "r")
     try {
       val n = raf.length()
-      val head = new Array[Byte](math.min(4096L, n).toInt)
-      raf.readFully(head)
-      val tail = new Array[Byte](math.min(4096L, n).toInt)
-      raf.seek(n - tail.length)
-      raf.readFully(tail)
-      java.util.Arrays.hashCode(head) * 1000003L +
-        java.util.Arrays.hashCode(tail)
+      val block = math.min(4096L, n).toInt
+      // 8 blocks strided across the whole file (offsets 0 .. n-block
+      // inclusive): an interior-only edit — one table rewritten in the
+      // middle of a multi-MB dump with identical length — still flips
+      // the fingerprint, which head+tail sampling alone cannot promise
+      val buf = new Array[Byte](block)
+      var acc = 1125899906842597L
+      var i = 0
+      while (i < 8) {
+        val off = if (n <= block) 0L else (n - block) * i / 7
+        raf.seek(off)
+        raf.readFully(buf)
+        acc = acc * 1000003L + java.util.Arrays.hashCode(buf)
+        i += 1
+      }
+      acc
     } finally raf.close()
   }
 

@@ -96,18 +96,23 @@ object StreamingKnn {
     * adopting it by stamping the current tag would silently join
     * legacy-format signatures against this cadence's, so that case
     * fails loudly too. */
-  private def checkFormat(s: SparkSession, storePath: String,
+  private[graft] def checkFormat(s: SparkSession, storePath: String,
       tag: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$storePath/_format")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val bands = new org.apache.hadoop.fs.Path(s"$storePath/bands")
     def bandsEmpty =
       !fs.exists(bands) || fs.listStatus(bands).isEmpty
-    val existing = if (fs.exists(p)) {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    } else null
+    // null = no marker; tolerant of a concurrent writer deleting the
+    // marker between our exists() and open() (mid delete→rename swap)
+    def readMarker(): String =
+      if (!fs.exists(p)) null
+      else try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => null }
+    val existing = readMarker()
     if (existing != null && existing != tag) {
       // an EMPTY marker over an EMPTY store is a crashed first-write
       // (the pre-atomic stamp's failure mode): nothing was adopted
@@ -131,8 +136,38 @@ object StreamingKnn {
       val out = fs.create(tmp, true)
       try out.write(tag.getBytes("UTF-8")) finally out.close()
       fs.delete(p, false)
-      require(fs.rename(tmp, p),
-        s"could not land the _format marker at $p")
+      // landing loop: a lost rename race against a concurrent
+      // initializer that stamped the SAME tag proceeds (the store is
+      // fine either way); a momentarily-absent marker means the other
+      // writer is mid delete→rename swap — retry, don't abort the
+      // batch. Only a genuinely DIFFERENT landed tag is an error.
+      var landedOk = false
+      var attempts = 0
+      while (!landedOk) {
+        attempts += 1
+        if (fs.rename(tmp, p)) landedOk = true
+        else {
+          val landed = readMarker()
+          if (landed == tag) { fs.delete(tmp, false); landedOk = true }
+          else if (landed != null && landed.nonEmpty) {
+            fs.delete(tmp, false)
+            require(false,
+              s"could not land the _format marker at $p (concurrent " +
+                s"writer stamped '$landed', this cadence expects '$tag')")
+          } else if (attempts >= 1000) {
+            fs.delete(tmp, false)
+            require(false,
+              s"could not land the _format marker at $p after " +
+                s"$attempts attempts (marker flapping)")
+          } else if (landed == null && fs.exists(tmp)) {
+            // marker momentarily absent: retry the rename
+          } else {
+            // empty landed marker (another writer's crashed
+            // first-write): remove it and retry
+            fs.delete(p, false)
+          }
+        }
+      }
     }
   }
 

@@ -394,4 +394,29 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(MySqlDump.readText(p.toString) == b,
       "same-length same-mtime replacement served stale text")
   }
+
+  test("MySqlDump memo: an INTERIOR edit (outside the head and tail " +
+      "4 KiB) with identical length, mtime, head, and tail re-reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dumpmid")
+    val p = dir.resolve("d.sql")
+    val n = 64 * 1024
+    val body = new StringBuilder
+    body.append("CREATE TABLE `t` (\n  `id` int\n) ENGINE=X;\n")
+    while (body.length < n) body.append("-- pad line\n")
+    body.setLength(n)
+    val a = body.toString
+    // flip one char inside fingerprint stride block 3 — interior of
+    // the file, untouched head/tail 4 KiB blocks
+    val off = ((n - 4096).toLong * 3 / 7).toInt + 10
+    val b = a.substring(0, off) +
+      (if (a.charAt(off) == 'x') 'y' else 'x') + a.substring(off + 1)
+    java.nio.file.Files.writeString(p, a)
+    val mtime = p.toFile.lastModified()
+    assert(MySqlDump.readText(p.toString) == a)
+    java.nio.file.Files.writeString(p, b)
+    p.toFile.setLastModified(mtime)
+    assert(MySqlDump.readText(p.toString) == b,
+      "interior edit with identical length/mtime/head/tail served " +
+        "stale text — the strided fingerprint must catch it")
+  }
 }

@@ -166,6 +166,41 @@ class StreamingKnnSpec extends AnyFunSuite {
       s"empty marker over non-empty store adopted: ${badCrash.getMessage}")
   }
 
+  test("ADVICE r10: concurrent first-writers stamping the SAME tag " +
+      "all succeed — a lost rename race against an identical landed " +
+      "marker proceeds instead of aborting the batch") {
+    val tag = "race-tag-v1"
+    (1 to 30).foreach { i =>
+      val store = java.nio.file.Files
+        .createTempDirectory(s"graft_sknn_race$i").toString
+      val threads = (1 to 8).map { _ =>
+        new Thread(() =>
+          StreamingKnn.checkFormat(spark, store, tag))
+      }
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      threads.foreach(_.setUncaughtExceptionHandler((_, e) => errs.add(e)))
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty,
+        s"concurrent same-tag stamp failed: ${Option(errs.peek())}")
+      val landed = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$store/_format"))
+      assert(landed == tag, s"marker corrupted: '$landed'")
+      // losers must clean up their temp markers
+      val strays = new java.io.File(store).listFiles()
+        .filter(_.getName.startsWith("._format.tmp-"))
+      assert(strays.isEmpty,
+        s"stray temp markers left behind: ${strays.map(_.getName).toSeq}")
+    }
+    // and a DIFFERENT landed tag still refuses loudly
+    val store2 = java.nio.file.Files
+      .createTempDirectory("graft_sknn_race_bad").toString
+    StreamingKnn.checkFormat(spark, store2, "tag-a")
+    val bad2 = intercept[IllegalArgumentException] {
+      StreamingKnn.checkFormat(spark, store2, "tag-b")
+    }
+    assert(bad2.getMessage.contains("rebuild"))
+  }
+
   test("s16's upper layer is a maintained store: 3-wave fold of the " +
       "level≥1 members under the search cadence at bitsSmall width " +
       "≡ the one-shot layer-1 graph") {
