@@ -1593,13 +1593,10 @@ object SparkEntry {
       val P = 1000000007L
       // the 60-bit stub code as a sum of six disjoint 10-bit pieces
       // (|= over disjoint ranges ≡ +), constants Scala-folded; the
-      // extension code uses the independent (k+7) constant family
+      // width-law extension bits come from the CODE ITSELF — band k
+      // widened with the next band's low-x bits (Multimodal.widenedBand)
       val phTerms = (0 until 6).map { k =>
         val c = ((k + 1) * 2654435761L) % P
-        s"((hv * $c) % $P % 1024) * ${1L << (10 * k)}"
-      }.mkString(" + ")
-      val extTerms = (0 until 6).map { k =>
-        val c = ((k + 7) * 2654435761L) % P
         s"((hv * $c) % $P % 1024) * ${1L << (10 * k)}"
       }.mkString(" + ")
       // the width law (extraBitsFor): one extra band bit per corpus
@@ -1611,12 +1608,12 @@ object SparkEntry {
          |nd AS (SELECT count(*) AS n FROM h),
          |xb AS (SELECT least(10, $xbSum) AS x FROM nd),
          |p AS MATERIALIZED (
-         |  SELECT doc_id, $phTerms AS ph, $extTerms AS ph2 FROM h),
+         |  SELECT doc_id, $phTerms AS ph FROM h),
          |bb AS (
          |  SELECT doc_id, ph, band,
          |    ((ph >> CAST(band * 10 AS INT)) & 1023) +
-         |      (((ph2 >> CAST(band * 10 AS INT)) & 1023) % (1 << x))
-         |        * 1024 AS bv
+         |      (((ph >> CAST(((band + 1) % 6) * 10 AS INT)) & 1023)
+         |        % (1 << x)) * 1024 AS bv
          |  FROM p CROSS JOIN (SELECT unnest(range(6)) AS band)
          |  CROSS JOIN xb),
          |cand AS (

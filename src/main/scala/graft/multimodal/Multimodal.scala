@@ -163,7 +163,7 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  case class MediaHash(doc_id: Long, phash: Long, phext: Long)
+  case class MediaHash(doc_id: Long, phash: Long)
 
   /** STUB perceptual hash — a 60-bit code assembled from six 10-bit
     * integer mixes of the payload hash. A real pHash (DCT
@@ -184,21 +184,24 @@ object Multimodal {
     ph
   }
 
-  /** The EXTENSION half of the stub code — six more 10-bit pieces
-    * from an independent constant family ((k+7)·Knuth), the bits a
-    * real 128-bit pHash would carry beyond the first 64. Only ever
-    * used to WIDEN m5's band buckets (the width law); the reported
-    * Hamming metric stays on the 60-bit code. */
-  private[graft] def phashExtStub(h: Long): Long = {
-    var ph = 0L
-    var k = 0
-    while (k < 6) {
-      val c = ((k + 7) * 2654435761L) % P
-      ph |= ((h * c) % P % 1024L) << (10 * k)
-      k += 1
-    }
-    ph
-  }
+  /** The widened (band, value) key for m5's width law: band k's own
+    * 10 bits plus the low `x` bits of band (k+1) mod 6 of the SAME
+    * 60-bit code, shifted above them. Deriving the extension from the
+    * code itself (ADVICE r10) keeps it CORRELATED under small Hamming
+    * distance — a near-miss pair loses a clean band's widened bucket
+    * only when a differing bit lands inside the next band's sampled
+    * low-x window, never with the ~2^-x-per-band probability an
+    * independent avalanche family (the retired payload-hash
+    * extension) would impose. Provable floor: a pair at Hamming d has
+    * ≥ 6−2d surviving widened buckets (≤ d dirty bands, each dirtying
+    * at most one predecessor's window), so Hamming ≤ 2 keeps ZERO
+    * false negatives at ANY width; d = 3..5 can lose only
+    * adversarially-placed tails (measured at the §4a probe table).
+    * At x = 0 the key is the band value itself — the exact 6-band
+    * pigeonhole, bit-identical at every oracle scale. */
+  private[graft] def widenedBand(code: Long, band: Int, x: Int): Long =
+    ((code >> (10 * band)) & 1023L) +
+      (((code >> (10 * ((band + 1) % 6))) & 1023L) % (1L << x)) * 1024L
 
   /** m5's band-width law (the bitsFor pattern on the 10-bit floor):
     * extra band bits = one per corpus doubling past 2^14, capped at
@@ -229,10 +232,16 @@ object Multimodal {
     * once n ≫ 2^10·16 (the Σ bucket² law; measured 20.6 s warm at
     * 100× ≈ 500k docs, 9× the 30× wall on 3.3× the data), so band
     * values widen with corpus size ([[extraBitsFor]], one bit per
-    * doubling past 2^14) using [[phashExtStub]]'s extension pieces —
-    * the bits a longer production pHash carries. Oracle replicates
-    * the law as a CTE; every oracle scale sits below the first
-    * threshold, bit-identical to the fixed-width form. */
+    * doubling past 2^14). r11 (ADVICE r10): the extension bits come
+    * from the 60-bit code ITSELF ([[widenedBand]] — band k widened
+    * with the next band's low-x bits), keeping them correlated under
+    * small Hamming distance: Hamming ≤ 2 provably loses nothing at
+    * any width, d = 3..5 keeps ≥ 6−2d of its 6 buckets. The retired
+    * payload-hash extension family was avalanche — uncorrelated
+    * between near-identical payloads — degenerating m5 to
+    * exact-payload dedup at large x. Oracle replicates the law as a
+    * CTE; every oracle scale sits below the first threshold,
+    * bit-identical to the fixed-width form. */
   def m5PhashDedup(s: SparkSession, d: String, maxHamming: Int = 5,
       extraBits: Int = -1): DataFrame = {
     import s.implicits._
@@ -243,28 +252,23 @@ object Multimodal {
       .as[MediaIn]
     val hashed = media.mapPartitions { batch =>
       batch.map { m =>
-        val h = payloadHash(m.payload)
-        MediaHash(m.doc_id, phashStub(h), phashExtStub(h))
+        MediaHash(m.doc_id, phashStub(payloadHash(m.payload)))
       }
     }.toDF().localCheckpoint(true) // consumers: the width count + bands
     // band width from corpus size ([[extraBitsFor]] — one bounded
     // count, the searchGraph rule; 0 at every oracle scale). The
-    // extension bits REFINE the bucket key only: recall stays exact
-    // for identical PAYLOADS (equal hash ⟹ equal extension), stub
-    // aliases (distinct payloads colliding in the 60-bit code)
-    // separate — as a longer real pHash would separate them — and a
-    // 1..maxHamming near-miss must also agree on one widened band:
-    // the stub's avalanche extension can't model the bit-correlation
-    // a real pHash's extra DCT bits have, so at probe scale the
-    // widened buckets trade a measured share of the near-miss tail
-    // for the n/2^(10+x) bucket bound (measured at the §4a table;
-    // the d5-prod cell-confinement trade, at the band level).
+    // extension bits REFINE the bucket key only and come from the
+    // code itself ([[widenedBand]]): recall stays exact for identical
+    // codes, provably exact through Hamming 2 at any width, and
+    // ≥ 6−2d buckets survive at Hamming d — the correlated-extension
+    // trade for the n/2^(10+x) bucket bound (measured at the §4a
+    // table; the d5-prod cell-confinement trade, at the band level).
     val x = if (extraBits >= 0) extraBits else extraBitsFor(hashed.count())
     val banded = hashed.select(col("doc_id"), col("phash"),
       posexplode(array((0 until 6).map(k =>
         shiftright(col("phash"), 10 * k).bitwiseAND(lit(1023L)) +
-          (shiftright(col("phext"), 10 * k).bitwiseAND(lit(1023L)) %
-            lit(1L << x)) * lit(1024L)): _*)))
+          (shiftright(col("phash"), 10 * ((k + 1) % 6))
+            .bitwiseAND(lit(1023L)) % lit(1L << x)) * lit(1024L)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
     banded.as("a")
       .join(banded.as("b"),

@@ -1539,11 +1539,11 @@ class PipelineSpec extends AnyFunSuite {
     val wide = pairs(5)
     assert(wide.subsetOf(fixed),
       "widened buckets produced a pair the fixed-width form lacks")
-    // every IDENTICAL-PAYLOAD pair survives: equal payload hash ⟹
-    // equal extension pieces ⟹ same widened bucket. (Hamming-0 stub
-    // ALIASES — distinct payloads colliding in the 60-bit code — may
-    // drop, exactly as a longer real pHash separates them; sf0.001
-    // has only aliases, so the duplicate pin runs on a fixture.)
+    // every IDENTICAL-PAYLOAD pair survives: equal payload ⟹ equal
+    // 60-bit code ⟹ equal widened key (the extension bits are the
+    // code's own bits — ADVICE r10). Hamming-0 stub ALIASES (distinct
+    // payloads colliding in the 60-bit code) now ALSO survive any
+    // width, since equal codes have equal extensions by construction.
     import spark.implicits._
     val dir = java.nio.file.Files
       .createTempDirectory("graft_m5fix").toString
@@ -1562,6 +1562,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(dupPairs.subsetOf(f0) && dupPairs.subsetOf(f5),
       "an identical-payload pair was lost by bucket widening")
     assert(f5.subsetOf(f0))
+  }
+
+  test("m5 widened bands stay CORRELATED under small Hamming " +
+      "distance (ADVICE r10): Hamming ≤ 2 always shares a widened " +
+      "bucket at ANY width; random d ≤ 5 near-misses retain ≥ 6−2d " +
+      "buckets, ≥ 90% pair recall at x = 4 and ≥ 80% at x = 10") {
+    import multimodal.Multimodal
+    def shared(c1: Long, c2: Long, x: Int): Int =
+      (0 until 6).count(k =>
+        Multimodal.widenedBand(c1, k, x) == Multimodal.widenedBand(c2, k, x))
+    val rnd = new scala.util.Random(41)
+    def code() = rnd.nextLong() & ((1L << 60) - 1)
+    def flip(c: Long, d: Int): Long = {
+      var v = c
+      rnd.shuffle((0 until 60).toList).take(d)
+        .foreach(b => v ^= 1L << b)
+      v
+    }
+    // identical codes: all 6 buckets at every width
+    (0 to 10).foreach { x =>
+      val c = code(); assert(shared(c, c, x) == 6)
+    }
+    var ret4 = 0; var ret10 = 0; var total = 0
+    (1 to 5).foreach { d =>
+      (1 to 400).foreach { _ =>
+        val c1 = code(); val c2 = flip(c1, d)
+        (0 to 10).foreach { x =>
+          val sh = shared(c1, c2, x)
+          assert(sh >= math.max(0, 6 - 2 * d),
+            s"floor broken: d=$d x=$x shared=$sh")
+          if (d <= 2) assert(sh >= 1,
+            s"Hamming ≤ 2 lost every widened bucket: d=$d x=$x")
+        }
+        total += 1
+        if (shared(c1, c2, 4) >= 1) ret4 += 1
+        if (shared(c1, c2, 10) >= 1) ret10 += 1
+      }
+    }
+    // the avalanche extension this replaces measured ~2^-x per band —
+    // near-total loss at large x; the code-derived extension keeps
+    // the bulk of the d ≤ 5 tail even at the extreme width (x = 10
+    // samples the ENTIRE next band — the n > 16M regime)
+    assert(ret4 >= (total * 0.90).toInt,
+      s"near-miss retention too low at x=4: $ret4/$total")
+    assert(ret10 >= (total * 0.80).toInt,
+      s"near-miss retention too low at x=10: $ret10/$total")
   }
 
   test("d17 chunk dedup catches the cross-document quoted passage " +
