@@ -1090,39 +1090,103 @@ object Similarity {
       .parquet(atlasPath)
   }
 
+  /** The maintained-store root. `spark.graft.storeRoot` (or the
+    * GRAFT_STORE_ROOT env var) names where ensure-built index stores
+    * live; it defaults to the JVM temp dir, which is correct only on
+    * a single machine. On a cluster this MUST be a shared-filesystem
+    * URI every executor and driver resolves identically (hdfs://,
+    * or an object store mounted behind a rename-capable layer — the
+    * build lands via a directory rename, so a store without atomic
+    * rename needs a consistent-commit wrapper). All store I/O here
+    * goes through the Hadoop FileSystem API, so any scheme the
+    * session's Hadoop conf resolves works unchanged. */
+  private[graft] def storeRoot(s: SparkSession): String =
+    s.conf.getOption("spark.graft.storeRoot")
+      .orElse(sys.env.get("GRAFT_STORE_ROOT"))
+      .getOrElse(System.getProperty("java.io.tmpdir"))
+
+  /** Content identity of the corpus a store was built from: a fold
+    * of the embeddings parquet's file names, lengths, and mtimes
+    * (one FS listing — the MySqlDump memo-key pattern). Folded into
+    * the store directory name, so REGENERATING the corpus at the
+    * same path (ProbeGen rerun, fixture rebuild) keys a fresh build
+    * instead of silently answering from the stale graph/atlas. */
+  private[graft] def corpusFingerprint(s: SparkSession, d: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).sortBy(_.getPath.getName)
+      .foldLeft(1125899906842597L) { (a, st) =>
+        ((a * 1000003L + st.getPath.getName.hashCode) * 1000003L +
+          st.getLen) * 1000003L + st.getModificationTime
+      }
+  }
+
   /** Build-if-absent persisted store set for the REGISTERED s16
     * query: layer-0 search graph, `levels` upper-layer graphs, and
-    * the entry atlas, written once per (corpus dir, levels) under
-    * the JVM temp root and reused by every later invocation — the
-    * registered `s16_hnsw` is the STORED walk, so the driver's bench
-    * measures what production pays per query (the walk), not an
-    * index rebuild per invocation. The graphs written here are
-    * bit-identical to the [[graft.streaming.StreamingKnn]]
+    * the entry atlas, written once per (corpus path, levels, corpus
+    * fingerprint) under [[storeRoot]] and reused by every later
+    * invocation — the registered `s16_hnsw` is the STORED walk, so
+    * the driver's bench measures what production pays per query (the
+    * walk), not an index rebuild per invocation. The graphs written
+    * here are bit-identical to the [[graft.streaming.StreamingKnn]]
     * search-cadence stores (StreamingKnnSpec proves the store ≡
     * inline identity both ways), so this is exactly the maintained
     * store's content, materialized eagerly when no stream has run.
+    *
+    * Store identity (ADVICE r10): the directory name carries (a) the
+    * FS-qualified ABSOLUTE corpus path — relative invocations of the
+    * same corpus share the store, cwd can't alias it; (b) a hex hash
+    * of that full path — the readable sanitized segment alone would
+    * collide 'a/b' with 'a_b'; (c) [[corpusFingerprint]] — replacing
+    * the corpus at the same path keys a rebuild, never stale reuse;
+    * (d) `levels` and the fmtTag. The JVM memo shares the same key,
+    * so a mid-JVM regeneration re-keys too.
     *
     * Build atomicity: everything lands in a `.build-<nonce>` dir
     * that renames into place; a concurrent builder that loses the
     * race discards its attempt and reads the winner. `fmtTag` is a
     * content-version stamp — bumping it on any build-code change
     * orphans stale stores instead of silently reusing them. */
-  private val s16FmtTag = "s16store-v1"
+  private val s16FmtTag = "s16store-v2"
   private val s16Stores =
     scala.collection.mutable.Map[String, (String, Seq[String], String)]()
+  /** The store directory for (corpus, levels) — see the identity
+    * contract at [[s16EnsureStores]]. Pure derivation, no build. */
+  private[graft] def s16StoreRootFor(s: SparkSession, d: String,
+      levels: Int): org.apache.hadoop.fs.Path = {
+    import org.apache.hadoop.fs.Path
+    val hconf = s.sparkContext.hadoopConfiguration
+    val dQual = {
+      val p = new Path(d)
+      p.getFileSystem(hconf).makeQualified(p).toString
+    }
+    val fp = corpusFingerprint(s, d)
+    val safe = dQual.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(80)
+    val pathKey = (dQual.hashCode.toLong & 0xffffffffL).toHexString
+    new Path(storeRoot(s),
+      s"graft-$s16FmtTag-$safe-$pathKey-L$levels" +
+        s"-fp${java.lang.Long.toHexString(fp)}")
+  }
+
   def s16EnsureStores(s: SparkSession, d: String,
       levels: Int = 3): (String, Seq[String], String) = synchronized {
-    s16Stores.getOrElseUpdate(s"$d|$levels", {
-      val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
-      val root = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft-$s16FmtTag-$safe-L$levels")
-      def paths(r: java.io.File) = (
-        new java.io.File(r, "g0").toString,
-        (1 to levels).map(l => new java.io.File(r, s"g$l").toString),
-        new java.io.File(r, "atlas").toString)
-      if (!new java.io.File(root, "_built").exists()) {
-        val tmp = new java.io.File(root.getParentFile,
+    import org.apache.hadoop.fs.Path
+    val hconf = s.sparkContext.hadoopConfiguration
+    val dQual = {
+      val p = new Path(d)
+      p.getFileSystem(hconf).makeQualified(p).toString
+    }
+    val fp = corpusFingerprint(s, d)
+    s16Stores.getOrElseUpdate(s"$dQual|$levels|$fp", {
+      val root = s16StoreRootFor(s, d, levels)
+      val fs = root.getFileSystem(hconf)
+      def paths(r: Path) = (
+        new Path(r, "g0").toString,
+        (1 to levels).map(l => new Path(r, s"g$l").toString),
+        new Path(r, "atlas").toString)
+      val builtMarker = new Path(root, "_built")
+      if (!fs.exists(builtMarker)) {
+        val tmp = new Path(root.getParent,
           root.getName + ".build-" + System.nanoTime())
         val (g0P, upperPs, atlasP) = paths(tmp)
         val (uppers, n) = s16Layers(s, d, levels)
@@ -1130,18 +1194,26 @@ object Similarity {
           .write.parquet(g0P)
         uppers.zip(upperPs).foreach { case (g, p) => g.write.parquet(p) }
         s16WriteAtlas(s, d, g0P, atlasP, levels)
-        java.nio.file.Files.writeString(
-          new java.io.File(tmp, "_built").toPath, s16FmtTag)
-        if (!tmp.renameTo(root)) {
-          // lost the race (or a stale root without a marker): keep
-          // the winner if complete, else fail loudly
-          if (!new java.io.File(root, "_built").exists())
+        val out = fs.create(new Path(tmp, "_built"), true)
+        try out.write(s16FmtTag.getBytes("UTF-8")) finally out.close()
+        if (fs.exists(builtMarker)) {
+          // a concurrent builder landed while we built: keep the
+          // winner, discard this attempt
+          fs.delete(tmp, true)
+        } else if (!fs.rename(tmp, root)) {
+          // lost the race at the rename itself (or a stale root
+          // without a marker): keep the winner if complete, else
+          // fail loudly
+          if (!fs.exists(builtMarker))
             sys.error(s"s16 store build could not land at $root")
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete()
-          }
-          rm(tmp)
+          fs.delete(tmp, true)
         }
+        // Hadoop rename moves src INTO an existing destination dir
+        // (POSIX mv semantics) instead of failing — if a winner
+        // landed between our marker check and the rename, our build
+        // dir nested itself inside the store; sweep it
+        val nested = new Path(root, tmp.getName)
+        if (fs.exists(nested)) fs.delete(nested, true)
       }
       paths(root)
     })

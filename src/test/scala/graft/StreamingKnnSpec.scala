@@ -335,6 +335,55 @@ class StreamingKnnSpec extends AnyFunSuite {
       "levels=4 stored walk diverged — atlas level cap not threaded")
   }
 
+  test("ADVICE r10 store identity: regenerated corpus re-keys the " +
+      "store, relative ≡ absolute path, sanitizer collisions " +
+      "disambiguated, storeRoot conf honored") {
+    import graft.similarity.Similarity
+    def emb(dir: String, seed: Int, n: Int): Unit = {
+      import spark.implicits._
+      val rnd = new scala.util.Random(seed)
+      // vec_id < 10 = queries, >= 10 = corpus (the house convention)
+      ((0L until 2L) ++ (10L until (10L + n))).map(i =>
+          (i, (i % 2).toInt, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+        .toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_sid").toString
+    val dirA = s"$base/a/b"; val dirB = s"$base/a_b"
+    emb(dirA, 1, 30); emb(dirB, 1, 30)
+    val rootA = Similarity.s16StoreRootFor(spark, dirA, 3).toString
+    val rootB = Similarity.s16StoreRootFor(spark, dirB, 3).toString
+    assert(rootA != rootB,
+      s"sanitizer collision: 'a/b' and 'a_b' share the store $rootA")
+    // relative path to the same corpus resolves to the same store
+    val cwd = new java.io.File(".").getCanonicalPath
+    if (dirA.startsWith(cwd + "/")) {
+      val rel = dirA.stripPrefix(cwd + "/")
+      assert(Similarity.s16StoreRootFor(spark, rel, 3).toString == rootA,
+        "relative invocation of the same corpus keyed a different store")
+    }
+    // regeneration at the SAME path re-keys (content fingerprint):
+    // a different row count forces a different file length, so fs
+    // mtime granularity can't mask it
+    emb(dirA, 7, 40)
+    val rootA2 = Similarity.s16StoreRootFor(spark, dirA, 3).toString
+    assert(rootA2 != rootA,
+      "regenerated corpus at the same path reuses the stale store")
+    // the configured root prefixes the store path
+    spark.conf.set("spark.graft.storeRoot", s"$base/stores")
+    try {
+      val rooted = Similarity.s16StoreRootFor(spark, dirA, 3).toString
+      assert(rooted.startsWith(s"$base/stores/"),
+        s"spark.graft.storeRoot not honored: $rooted")
+      // and the full ensure-build lands under it and answers
+      val (g0P, _, _) = Similarity.s16EnsureStores(spark, dirA)
+      assert(g0P.startsWith(s"$base/stores/"))
+      assert(new java.io.File(
+        new java.io.File(g0P).getParentFile, "_built").exists())
+    } finally spark.conf.unset("spark.graft.storeRoot")
+  }
+
   test("bitsFor: integer log2 law — 8 up to 4096, +1 per doubling, " +
       "capped at 16") {
     import similarity.Similarity.bitsFor
