@@ -164,6 +164,12 @@ object SparkEntry {
     "s3_ivf_ann" -> (graft.similarity.Similarity.s3IvfAnn _),
     "s17_filtered_ann" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s17FilteredAnn(s, d)),
+    // r11: filtered ANN at the WALK tier — s15's stored-walk shape
+    // over a per-predicate graph shard (ensure-built once per
+    // (corpus, predicate)); stored ≡ inline is spec-pinned, the
+    // oracle re-derives the filtered graph + walk from scratch
+    "s18_filtered_walk" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.s18FilteredWalk(s, d)),
     "r1_rrf_fusion" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.r1RrfFusion(s, d)),
     "s6_ann_recall" -> (graft.similarity.Similarity.s6AnnRecall _),
@@ -849,6 +855,20 @@ object SparkEntry {
       |nv AS (SELECT count(*) AS n FROM embeddings WHERE vec_id >= 10)"""
       .stripMargin, "e")
 
+  /** s18's oracle: the s15 walk SQL verbatim over the PREDICATE-
+    * FILTERED corpus (queries kept, corpus label-filtered) — graph
+    * width from the filtered count, LSH seed and ef rounds on
+    * surviving vectors only; re-derives the shard build the
+    * registered query amortizes behind the ensure-store. */
+  private lazy val s18FilteredWalkSql: String = {
+    val inList = graft.similarity.Similarity.s18Labels.mkString(", ")
+    s15WalkSqlOver(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+         |  FROM embeddings WHERE vec_id < 10 OR label IN ($inList)),
+         |nv AS (SELECT count(*) AS n FROM e WHERE vec_id >= 10)"""
+        .stripMargin, "e")
+  }
+
   /** x2's oracle: the d12-prod CTE chain (k-means cells → sub-shard →
     * within-cell verified pairs → recursive closure) derives the
     * SURVIVOR set, then s15's full walk SQL runs over it — graph
@@ -1460,6 +1480,7 @@ object SparkEntry {
         |WHERE hamming <= 10 ORDER BY id1, id2""".stripMargin,
     "s2_ann_lsh" -> s2AnnSql,
     "s15_graph_search" -> s15GraphSearchSql,
+    "s18_filtered_walk" -> s18FilteredWalkSql,
     "x2_dedup_index" -> x2DedupIndexSql,
     "s16_hnsw" -> s16HnswSql,
     "s6_ann_recall" ->

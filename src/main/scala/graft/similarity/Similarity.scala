@@ -494,7 +494,14 @@ object Similarity {
     * per-predicate index views only pay off for predicates known at
     * partition time (partition-column shards), which is exactly the
     * parquet layout story. Oracle re-derives filtered centroids +
-    * probe + re-rank independently. */
+    * probe + re-rank independently.
+    *
+    * The view here builds per invocation — one pushed-down aggregate
+    * over the filtered scan, linear and cheap at the IVF tier. The
+    * WALK tier's analogue, [[s18FilteredWalk]], amortizes its (much
+    * heavier) per-predicate graph shard behind the ensure-store root
+    * instead — the consistent end state for any filtered index whose
+    * build cost exceeds one aggregate. */
   def s17FilteredAnn(s: SparkSession, d: String, k: Int = 5,
       nprobe: Int = 2): DataFrame = {
     val filtered = Tables.embeddings(s, d)
@@ -517,6 +524,102 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), col("cos3").as("cos"))
       .orderBy("q_id", "rank")
+  }
+
+  /** The partition predicate s18 (and s17) shard on — `label` stands
+    * in for any partition-column predicate a production deployment
+    * shards its filtered indexes by. One constant serves the Spark
+    * side, the oracle SQL, and the contracts. */
+  private[graft] val s18Labels: Seq[Int] = Seq(0, 2, 4, 6, 8)
+
+  /** Queries (vec_id < 10) plus the predicate-filtered corpus — one
+    * disjunctive filter, so both sides of the Or push into the
+    * parquet scan (the s18 contract pins `In(label, …)` there). */
+  private[graft] def filteredEmb(s: SparkSession, d: String,
+      labels: Seq[Int] = s18Labels): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < 10 || col("label").isin(labels: _*))
+
+  /** Build-if-absent per-predicate GRAPH SHARD for the registered
+    * s18: the navigable search graph built over the predicate-
+    * filtered corpus only, persisted under [[storeRoot]] with the
+    * same identity contract as [[s16EnsureStores]] (qualified
+    * absolute path + path hash + corpus fingerprint + the predicate
+    * itself). Shard width follows the FILTERED corpus size (the
+    * bitsFor law inside [[searchGraphOn]]) — a selective predicate
+    * gets a cheaper, denser graph, exactly the pre-filter win the
+    * probe measured. */
+  private val s18FmtTag = "s18store-v1"
+  private val s18Stores = scala.collection.mutable.Map[String, String]()
+  def s18EnsureStore(s: SparkSession, d: String,
+      labels: Seq[Int] = s18Labels): String = synchronized {
+    import org.apache.hadoop.fs.Path
+    val hconf = s.sparkContext.hadoopConfiguration
+    val dQual = {
+      val p = new Path(d)
+      p.getFileSystem(hconf).makeQualified(p).toString
+    }
+    val fp = corpusFingerprint(s, d)
+    val pred = labels.sorted.mkString("_")
+    s18Stores.getOrElseUpdate(s"$dQual|$pred|$fp", {
+      val root = storeDirFor(s, d, s18FmtTag, s"p$pred")
+      val fs = root.getFileSystem(hconf)
+      if (!fs.exists(new Path(root, "_built"))) {
+        val tmp = new Path(root.getParent,
+          root.getName + ".build-" + System.nanoTime())
+        searchGraphOn(filteredEmb(s, d, labels), 16)
+          .select("vec_id", "nbr")
+          .write.parquet(new Path(tmp, "graph").toString)
+        landBuild(fs, tmp, root, s18FmtTag)
+      }
+      new Path(root, "graph").toString
+    })
+  }
+
+  /** S18: FILTERED ANN at the WALK tier (r11) — s17's query shape
+    * ("top-k among docs where label ∈ …") answered by the graph-walk
+    * ladder rung instead of IVF: s15's seeded ef walk runs over a
+    * PER-PREDICATE GRAPH SHARD ([[s18EnsureStore]] — the search
+    * graph built on the predicate-filtered corpus, persisted under
+    * the ensure-store root the way s15/s16 persist theirs).
+    *
+    * PRE-filter is the law at this tier too, and it was MEASURED
+    * before registration (PROBE_FILTEREDWALK, §4a): the filtered
+    * graph fills all k slots with recall 0.80/0.50 at sf0.1/30×,
+    * while post-filtering the unfiltered walk's top-12 under-fills
+    * 24% of slots at recall 0.76/0.38 on the same wall — a walk
+    * cannot post-filter its way out of neighbors the unfiltered
+    * graph routed through excluded vectors. The predicate reaches
+    * the parquet scan (contract: `In(label, …)` in PushedFilters),
+    * every walk stage sees only surviving vectors, and k results
+    * satisfy the predicate by construction.
+    *
+    * Scale shape: the shard builds once per (corpus, predicate) —
+    * the partition-column story: a deployment shards by the
+    * predicates its corpus layout already partitions on — and the
+    * query pays s15's walk over a SMALLER graph: query-proportional
+    * rounds, zero corpus-sized work at query time (final-plan
+    * contract: zero parquet past checkpoints; behavioral spec: a
+    * second invocation reuses the store). */
+  def s18FilteredWalk(s: SparkSession, d: String, k: Int = 5,
+      beam: Int = 12, rounds: Int = 3,
+      labels: Seq[Int] = s18Labels): DataFrame = {
+    val gp = s18EnsureStore(s, d, labels)
+    s15WalkOn(filteredEmb(s, d, labels),
+      s.read.parquet(gp).select("vec_id", "nbr").localCheckpoint(true),
+      k, beam, rounds)
+  }
+
+  /** The inline-build twin of [[s18FilteredWalk]] — spec-only, pins
+    * stored ≡ inline the way s15/s16's stored forms are pinned. */
+  private[graft] def s18FilteredWalkInline(s: SparkSession, d: String,
+      k: Int = 5, beam: Int = 12, rounds: Int = 3,
+      labels: Seq[Int] = s18Labels): DataFrame = {
+    val emb = filteredEmb(s, d, labels)
+    s15WalkOn(emb,
+      searchGraphOn(emb, 16).select("vec_id", "nbr")
+        .localCheckpoint(true),
+      k, beam, rounds)
   }
 
   /** R1: HYBRID RETRIEVAL by reciprocal-rank fusion (r10) — the
@@ -1150,10 +1253,12 @@ object Similarity {
   private val s16FmtTag = "s16store-v2"
   private val s16Stores =
     scala.collection.mutable.Map[String, (String, Seq[String], String)]()
-  /** The store directory for (corpus, levels) — see the identity
-    * contract at [[s16EnsureStores]]. Pure derivation, no build. */
-  private[graft] def s16StoreRootFor(s: SparkSession, d: String,
-      levels: Int): org.apache.hadoop.fs.Path = {
+  /** The store directory for (corpus, store family, variant) under
+    * [[storeRoot]] — the identity contract documented at
+    * [[s16EnsureStores]], shared by every ensure-built store. Pure
+    * derivation, no build. */
+  private[graft] def storeDirFor(s: SparkSession, d: String,
+      tag: String, suffix: String): org.apache.hadoop.fs.Path = {
     import org.apache.hadoop.fs.Path
     val hconf = s.sparkContext.hadoopConfiguration
     val dQual = {
@@ -1164,8 +1269,39 @@ object Similarity {
     val safe = dQual.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(80)
     val pathKey = (dQual.hashCode.toLong & 0xffffffffL).toHexString
     new Path(storeRoot(s),
-      s"graft-$s16FmtTag-$safe-$pathKey-L$levels" +
+      s"graft-$tag-$safe-$pathKey-$suffix" +
         s"-fp${java.lang.Long.toHexString(fp)}")
+  }
+
+  /** The store directory for (corpus, levels) — see the identity
+    * contract at [[s16EnsureStores]]. Pure derivation, no build. */
+  private[graft] def s16StoreRootFor(s: SparkSession, d: String,
+      levels: Int): org.apache.hadoop.fs.Path =
+    storeDirFor(s, d, s16FmtTag, s"L$levels")
+
+  /** Land a completed `.build-<nonce>` dir at `root` atomically,
+    * marker-last: write the `_built` marker INTO the build dir, then
+    * rename the whole dir into place. A concurrent builder that
+    * landed first wins; this attempt is discarded. Hadoop rename
+    * moves src INTO an existing destination dir (POSIX mv semantics)
+    * instead of failing, so a build dir that nested itself inside a
+    * winner's store is swept. */
+  private def landBuild(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, root: org.apache.hadoop.fs.Path,
+      tag: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val builtMarker = new Path(root, "_built")
+    val out = fs.create(new Path(tmp, "_built"), true)
+    try out.write(tag.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(builtMarker)) {
+      fs.delete(tmp, true)
+    } else if (!fs.rename(tmp, root)) {
+      if (!fs.exists(builtMarker))
+        sys.error(s"store build could not land at $root")
+      fs.delete(tmp, true)
+    }
+    val nested = new Path(root, tmp.getName)
+    if (fs.exists(nested)) fs.delete(nested, true)
   }
 
   def s16EnsureStores(s: SparkSession, d: String,
@@ -1194,26 +1330,7 @@ object Similarity {
           .write.parquet(g0P)
         uppers.zip(upperPs).foreach { case (g, p) => g.write.parquet(p) }
         s16WriteAtlas(s, d, g0P, atlasP, levels)
-        val out = fs.create(new Path(tmp, "_built"), true)
-        try out.write(s16FmtTag.getBytes("UTF-8")) finally out.close()
-        if (fs.exists(builtMarker)) {
-          // a concurrent builder landed while we built: keep the
-          // winner, discard this attempt
-          fs.delete(tmp, true)
-        } else if (!fs.rename(tmp, root)) {
-          // lost the race at the rename itself (or a stale root
-          // without a marker): keep the winner if complete, else
-          // fail loudly
-          if (!fs.exists(builtMarker))
-            sys.error(s"s16 store build could not land at $root")
-          fs.delete(tmp, true)
-        }
-        // Hadoop rename moves src INTO an existing destination dir
-        // (POSIX mv semantics) instead of failing — if a winner
-        // landed between our marker check and the rename, our build
-        // dir nested itself inside the store; sweep it
-        val nested = new Path(root, tmp.getName)
-        if (fs.exists(nested)) fs.delete(nested, true)
+        landBuild(fs, tmp, root, s16FmtTag)
       }
       paths(root)
     })

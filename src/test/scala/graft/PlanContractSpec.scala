@@ -736,6 +736,29 @@ class PlanContractSpec extends AnyFunSuite {
       "probe/centroid frames must broadcast, not sort-merge")
   }
 
+  test("s18: filtered walk — final re-rank reads only checkpoints " +
+      "(zero corpus-sized work at query time: graph from the shard " +
+      "store, every stage checkpointed), no cartesian; the label " +
+      "predicate reaches the parquet scan of the seed stage") {
+    val p = finalPlan("s18_filtered_walk")
+    assert(scanCount(p) == 0, s"parquet re-scanned past checkpoints:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert("windowspecdefinition\\(q_id".r.findAllIn(p).nonEmpty,
+      s"final top-k window not partitioned by q_id:\n$p")
+    // the walk's interior stages checkpoint, hiding their scans from
+    // the final plan — audit the SEED stage's scan directly: the
+    // disjunctive (queries OR label-filtered corpus) predicate must
+    // push both sides into the embeddings read
+    import org.apache.spark.sql.functions._
+    val seed = similarity.Similarity.lshShortlistOn(
+      similarity.Similarity.filteredEmb(spark, sf), 12)
+    seed.queryExecution.executedPlan.execute().count()
+    val sp = seed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("PushedFilters: \\[[^\\]]*In\\(label".r.findAllIn(sp).nonEmpty,
+      s"label predicate not pushed into the seed-stage scan:\n$sp")
+  }
+
   test("r1: RRF fusion — the BM25 arm keeps t12's reused tf " +
       "exchange, the vector arm's only nested loop is the query " +
       "broadcast, no cartesian") {

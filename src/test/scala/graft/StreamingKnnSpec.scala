@@ -335,6 +335,38 @@ class StreamingKnnSpec extends AnyFunSuite {
       "levels=4 stored walk diverged — atlas level cap not threaded")
   }
 
+  test("registered s18_filtered_walk IS the stored walk over the " +
+      "per-predicate graph shard: identical to the inline filtered " +
+      "build, second invocation reuses the shard, and every answer " +
+      "satisfies the predicate") {
+    import graft.similarity.Similarity
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val gp = Similarity.s18EnsureStore(spark, sf)
+    val marker = new java.io.File(
+      new java.io.File(gp).getParentFile, "_built")
+    assert(marker.exists(), "shard build left no completion marker")
+    val stamp = marker.lastModified()
+    val reg = rows(SparkEntry.queries("s18_filtered_walk")(spark, sf))
+    val inline = rows(Similarity.s18FilteredWalkInline(spark, sf))
+    assert(reg == inline,
+      "registered stored filtered walk diverged from the inline build")
+    assert(reg.nonEmpty)
+    // the predicate holds by construction on every answered row
+    val okLabels = Similarity.s18Labels.toSet
+    val labelOf = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    reg.foreach { case (_, _, cId, _) =>
+      assert(okLabels.contains(labelOf(cId)),
+        s"answer $cId violates the shard predicate") }
+    // reuse: same path back, no rebuild landed over the marker
+    assert(Similarity.s18EnsureStore(spark, sf) == gp)
+    assert(marker.lastModified() == stamp,
+      "second invocation rebuilt the per-predicate shard")
+  }
+
   test("ADVICE r10 store identity: regenerated corpus re-keys the " +
       "store, relative ≡ absolute path, sanitizer collisions " +
       "disambiguated, storeRoot conf honored") {
