@@ -1180,7 +1180,13 @@ object SparkEntry {
   /** Shared minhash sketch CTE chain (through `band`) — the oracle
     * twin of Dedup.mhBands, reused by d2 (self-join) and d9
     * (batch-vs-corpus). */
-  private def minhashBandCte(from: String = "documents"): String = {
+  private def minhashBandCte(from: String = "documents",
+      countFrom: String = ""): String = {
+    // the width-law unit count — d17 counts DOCUMENTS (its banded
+    // units are chunks, but the engine's law counts docs to avoid
+    // materializing the chunk pipeline twice; the mirror must count
+    // the same frame)
+    val cf = if (countFrom.isEmpty) from else countFrom
     val a = graft.expressions.MinHashParams.A.take(32)
       .mkString("[", ", ", "]")
     val b = graft.expressions.MinHashParams.B.take(32)
@@ -1200,9 +1206,14 @@ object SparkEntry {
        |  CROSS JOIN (SELECT $a AS A, $b AS B) p
        |  GROUP BY 1, 2),
        |sig AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM mh GROUP BY doc_id),
+       |ndw AS (SELECT count(*) AS n FROM $cf WHERE text IS NOT NULL),
+       |xw AS (SELECT (n > 8192)::INT + (n > 32768)::INT
+       |  + (n > 131072)::INT + (n > 524288)::INT AS x FROM ndw),
        |band AS MATERIALIZED (
-       |  SELECT doc_id, sig, b AS band, sig[b * 4 + 1 : b * 4 + 4] AS bv
-       |  FROM sig CROSS JOIN range(8) r(b))""".stripMargin
+       |  SELECT doc_id, sig, b AS band,
+       |    sig[b * 4 + 1 : b * 4 + 4] ||
+       |      sig[((b + 1) % 8) * 4 + 1 : ((b + 1) % 8) * 4 + x] AS bv
+       |  FROM sig CROSS JOIN range(8) r(b) CROSS JOIN xw)""".stripMargin
   }
 
   /** Exact-components oracle shared by d10 and d11: round-free
@@ -2284,7 +2295,13 @@ object SparkEntry {
     // integer reciprocal rank (1e6 div (60 + rank), exact BIGINT);
     // the query workload is the FIXED first-64-slot set (no-op at
     // every oracle scale — sf0.1 has 51 queries)
-    "r1_rrf_fusion" ->
+    "r1_rrf_fusion" -> {
+      // the binary arm's packed sign codes — e3's fold verbatim
+      def half(src: String, sl: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform($src[$sl],
+           |      x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)),
+           |    (a, x) -> a * 2 + x)""".stripMargin
       s"""WITH ${bm25Ctes("doc_id % 97 = 0 AND doc_id < 6208")},
          |bmtop AS (SELECT query_id, doc_id, rk FROM rk WHERE rk <= 20),
          |qv AS (
@@ -2301,17 +2318,32 @@ object SparkEntry {
          |          DESC, c.doc_id ASC) AS BIGINT) AS rk
          |    FROM qv q CROSS JOIN cv c)
          |  WHERE rk <= 20),
+         |qb AS (SELECT query_id, ${half("q_emb", "1:32")} AS q_hi,
+         |              ${half("q_emb", "33:64")} AS q_lo FROM qv),
+         |cb AS (SELECT doc_id, ${half("c_emb", "1:32")} AS c_hi,
+         |              ${half("c_emb", "33:64")} AS c_lo FROM cv),
+         |brk AS (
+         |  SELECT query_id, doc_id, rk FROM (
+         |    SELECT q.query_id, c.doc_id,
+         |      CAST(row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY bit_count(xor(c.c_hi, q.q_hi))
+         |          + bit_count(xor(c.c_lo, q.q_lo)) ASC, c.doc_id ASC)
+         |        AS BIGINT) AS rk
+         |    FROM qb q CROSS JOIN cb c)
+         |  WHERE rk <= 20),
          |fused AS (
          |  SELECT query_id, doc_id,
          |    CAST(sum(1000000 // (60 + rk)) AS BIGINT) AS rrf
-         |  FROM (SELECT * FROM bmtop UNION ALL SELECT * FROM vrk)
+         |  FROM (SELECT * FROM bmtop UNION ALL SELECT * FROM vrk
+         |        UNION ALL SELECT * FROM brk)
          |  GROUP BY 1, 2)
          |SELECT query_id, rk, doc_id, rrf FROM (
          |  SELECT query_id, doc_id, rrf,
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rk
          |  FROM fused)
-         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+    },
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
         |           FROM documents),
@@ -3381,7 +3413,7 @@ object SparkEntry {
          |    array_to_string(list_slice(toks, chunk_id * 48 + 1,
          |      least(chunk_id * 48 + 64, n)), ' ') AS text
          |  FROM st),
-         |${minhashBandCte("ch")},
+         |${minhashBandCte("ch", countFrom = "documents")},
          |cand AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2,
          |    len(list_filter(range(32), i -> a.sig[i + 1] = b.sig[i + 1])) / 32.0 AS jac

@@ -62,17 +62,58 @@ object Dedup {
   def d2MinhashLsh(s: SparkSession, d: String): DataFrame =
     minhashPairs(Tables.documents(s, d)).orderBy("id1", "id2")
 
+  /** d2/d17's band-width law (r11 — the m5 width-law recipe at the
+    * minhash tier, closing the last ledgered 100× knee): extra band
+    * ROWS = one per corpus QUADRUPLING past 2^13 banded units,
+    * capped at 4. Fixed (8 band × 4 row) keys stop pruning once
+    * dup-group size grows with the corpus — every group member
+    * shares band buckets, so the self-join output goes Σ group²
+    * (measured 14–71 s at 100× mutated). Widening a band with the
+    * FIRST x ROWS of the next band is the classic LSH r-knob: the
+    * extension rows are minhash rows of the SAME signature, so for a
+    * genuinely similar pair each agrees with probability j — the
+    * correlated family, never avalanche — and per-band collision
+    * falls j⁴ → j⁴⁺ˣ. Identical texts (equal signatures) collide at
+    * EVERY width; the borderline-j candidate tail thins exactly as
+    * the LSH S-curve predicts (at j = 0.9: ≥ 0.98 through x = 4; at
+    * the 0.5 threshold the banding was already 40%-recall at x = 0 —
+    * the oracle mirrors the law, so both engines agree at every
+    * scale). Integer threshold tests; 0 at every oracle scale
+    * (≤ 6,923 banded units), so registered outputs stay
+    * bit-identical there. */
+  private[graft] def extraRowsFor(n: Long): Int =
+    Seq(13, 15, 17, 19).count(t => n > (1L << t))
+
   /** The d2 pair body over an arbitrary documents frame (composable —
-    * the curation pipeline runs it on exact-dedup survivors). */
-  private[graft] def minhashPairs(docs: DataFrame): DataFrame =
-    pairsFromBands(mhBands(docs))
+    * the curation pipeline runs it on exact-dedup survivors). Band
+    * width from the unit count ([[extraRowsFor]] — one bounded count
+    * action, the m5 rule); `extraRows` ≥ 0 forces a width (specs,
+    * fixed-width stores). */
+  private[graft] def minhashPairs(docs: DataFrame,
+      extraRows: Int = -1): DataFrame = {
+    val x = if (extraRows >= 0) extraRows
+      else extraRowsFor(docs.filter(col("text").isNotNull).count())
+    pairsFromBands(mhBands(docs), x)
+  }
 
   /** d2's band self-join over an ALREADY-BANDED frame — callers that
     * reuse one sketch for several joins (d11 folds the corpus bands
     * into pairs AND a store-side band join) checkpoint the bands once
-    * and feed them here. */
-  private[graft] def pairsFromBands(banded: DataFrame): DataFrame = {
+    * and feed them here. `extraRows` > 0 widens each band key with
+    * the first x rows of the NEXT band ([[extraRowsFor]]); the
+    * widened key is derived from the `sig` column the banded frame
+    * already carries, so persisted band STORES need no schema change
+    * — the streaming cadences keep x = 0 (their joins are
+    * batch-proportional, never corpus self-joins). x = 0 leaves the
+    * plan byte-identical to the pre-law form. */
+  private[graft] def pairsFromBands(banded: DataFrame,
+      extraRows: Int = 0): DataFrame = {
     val k = MhK
+    val wide = if (extraRows <= 0) banded
+      else banded.withColumn("bhx", slice(col("sig"),
+        (col("band") + 1) % MhBands * 4 + 1, lit(extraRows)))
+    def extraCond = if (extraRows <= 0) lit(true)
+      else col("a.bhx") === col("b.bhx")
     // The Jaccard estimate is a pure function of the pair, so it is
     // computed inside the join projection (identical value for every
     // band a pair collides in) and the duplicate-collision dedup
@@ -81,10 +122,10 @@ object Dedup {
     // both 256-byte signatures through a SortAggregate (first() on
     // array types forces the sort-based path). Filtering < 0.5 BEFORE
     // the pair shuffle also drops most collisions map-side.
-    banded.as("a")
-      .join(banded.as("b"),
+    wide.as("a")
+      .join(wide.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+          extraCond && col("a.doc_id") < col("b.doc_id"))
       // n/32 is exactly representable in float64 in BOTH engines, so
       // the estimate ships unrounded and hash-checks bit-for-bit.
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
@@ -1604,7 +1645,17 @@ object Dedup {
   private[graft] def chunkDedupFrame(docsIn: DataFrame,
       chunk: Int, stride: Int): DataFrame = {
     val K = ChunkK
-    pairsFromBands(mhBands(chunkFrame(docsIn, chunk, stride)))
+    // the width law counts DOCUMENTS, not chunks: a chunk count would
+    // need the tokenize+explode pipeline materialized twice (or an
+    // eager checkpoint, measured +0.6 s warm at sf0.1 — the d13
+    // standalone-pipeline lesson), while the document count is one
+    // pushed-down parquet count. Chunks-per-doc is bounded (~1.4×
+    // here) and the quadrupling thresholds are coarse, so the law
+    // fires within one step of the chunk-exact form; the oracle
+    // mirrors the SAME count (documents), so both engines always
+    // agree on x.
+    val x = extraRowsFor(docsIn.filter(col("text").isNotNull).count())
+    pairsFromBands(mhBands(chunkFrame(docsIn, chunk, stride)), x)
       .filter(expr(s"id1 div $K <> id2 div $K"))
       .select(expr(s"id1 div $K").as("doc1"),
         (col("id1") % K).as("chunk1"),

@@ -622,23 +622,27 @@ object Similarity {
       k, beam, rounds)
   }
 
-  /** R1: HYBRID RETRIEVAL by reciprocal-rank fusion (r10) — the
-    * two-arm ranker every retrieval-backed curation stage (decontam
-    * lookup, eval-set mining, RAG training pairs) actually deploys:
-    * BM25's lexical top-n (t12's machinery, same query set — the
-    * `doc_id % 97` docs used as queries) and the embedding cosine
-    * top-n, fused per (query, doc) by RRF (Cormack et al. 2009):
-    * score = Σ_arms 1e6 div (60 + rank) — an INTEGER fold, so the
-    * fused ranking is exact in both engines (float 1/(60+r) sums
-    * would round-tie). A doc present in one arm only keeps that
-    * arm's contribution (the corpora legitimately differ: every doc
-    * has text, only some have vectors — the missing-modality path is
-    * exercised at sf0.1 where 3 of 5 queries have no vector).
+  /** R1: HYBRID RETRIEVAL by reciprocal-rank fusion (r10; r11 = the
+    * THREE-ARM production form) — the ranker every retrieval-backed
+    * curation stage (decontam lookup, eval-set mining, RAG training
+    * pairs) actually deploys: BM25's lexical top-n (t12's machinery,
+    * same query set — the `doc_id % 97` docs used as queries), the
+    * embedding cosine top-n, and the binary Hamming memory tier's
+    * top-n (s11's packed sign codes — the arm a deployment serves
+    * from RAM when the float vectors live on disk), fused per
+    * (query, doc) by RRF (Cormack et al. 2009): score = Σ_arms
+    * 1e6 div (60 + rank) — an INTEGER fold, so the fused ranking is
+    * exact in both engines (float 1/(60+r) sums would round-tie).
+    * Per-arm missing-modality semantics: a doc present in some arms
+    * only keeps those arms' contributions (every doc has text, only
+    * some have vectors — the vector-less path is exercised at sf0.1
+    * where 3 of 5 queries have no dense or binary arm at all).
     *
     * Scale shape: each arm is its own registered operator's plan
-    * (BM25: one tf exchange reused; cosine: query-broadcast corpus
-    * scan, no shuffle of the corpus); the fusion stage touches only
-    * 2·n rows per query. */
+    * (BM25: one tf exchange reused; cosine and Hamming: query-
+    * broadcast corpus scans, no shuffle of the corpus — the Hamming
+    * arm's scan carries 16 bytes/row, the memory-tier shape); the
+    * fusion stage touches only 3·n rows per query. */
   def r1RrfFusion(s: SparkSession, d: String, k: Int = 5,
       n: Int = 20, c0: Int = 60): DataFrame = {
     // FIXED QUERY WORKLOAD (r10 — the 100× probe caught the %97
@@ -666,7 +670,29 @@ object Similarity {
           .orderBy(col("cos3").desc, col("doc_id").asc)).cast("long"))
       .filter(col("rk") <= n)
       .select("query_id", "doc_id", "rk")
-    bm.unionByName(vec)
+    // third arm (r11): the binary Hamming memory tier — s11's packed
+    // sign codes, ranked Hamming-ascending; packing happens in the
+    // scan projection (once per row), the join carries 16 bytes/row
+    import graft.operators.Curation.binaryHalf
+    def packed(df: DataFrame, idCol: String, embCol: String,
+        pre: String) = {
+      val e = V.asDouble(col(embCol))
+      df.select(col(idCol),
+        binaryHalf(slice(e, 1, 32)).as(s"${pre}_hi"),
+        binaryHalf(slice(e, 33, 32)).as(s"${pre}_lo"))
+    }
+    val bin = packed(cv, "doc_id", "c_emb", "c")
+      .join(broadcast(packed(qv, "query_id", "q_emb", "q")))
+      .select(col("query_id"), col("doc_id"),
+        (bit_count(col("c_hi").bitwiseXOR(col("q_hi"))) +
+          bit_count(col("c_lo").bitwiseXOR(col("q_lo"))))
+          .cast("long").as("hamming"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("hamming").asc, col("doc_id").asc)).cast("long"))
+      .filter(col("rk") <= n)
+      .select("query_id", "doc_id", "rk")
+    bm.unionByName(vec).unionByName(bin)
       .groupBy("query_id", "doc_id")
       .agg(sum(expr(s"1000000 div ($c0 + rk)")).as("rrf"))
       .withColumn("rk", row_number().over(
@@ -1334,6 +1360,47 @@ object Similarity {
       }
       paths(root)
     })
+  }
+
+  /** The s16 store family's REFRESH cadence as a first-class entry
+    * point (r11, VERDICT #5 — previously only a probe row): fold one
+    * ingest wave into all `levels`+1 maintained layer graphs
+    * ([[graft.streaming.StreamingKnn]]'s search cadence per layer —
+    * layer membership is a FILTER on the deterministic level coin,
+    * so a wave routes to its layers without coordination), then
+    * refresh the entry atlas from the new layer-0 graph. This is the
+    * job a deployment schedules per ingest batch so the store the
+    * REGISTERED s16 walks stays current; the walk itself never pays
+    * it. Layout mirrors [[s16EnsureStores]]: band stores `s0..sL`,
+    * graphs `g0..gL`, atlas `atlas` under `root`.
+    *
+    * Widths come from the SAME laws as the batch build — layer 0 at
+    * [[bitsFor]](corpus), uppers at [[bitsSmall]](member count) —
+    * the r9 lesson wired in: a width-law change lands in build and
+    * cadence together, and when the corpus crosses a width threshold
+    * mid-stream the store's format stamp fails the fold LOUDLY
+    * (rebuild at the new width) instead of regenerating the blow-up
+    * the law removed. Spec: fold-then-walk ≡ rebuild-then-walk on a
+    * drifted corpus (drift arriving in later waves). Measured at 10×
+    * (PROBE_S16REFRESH, §4a): per-wave folds 9.0+7.8+5.5 s, atlas
+    * batch-flat, stored walk ~9 s flat 10×→30×. */
+  def s16RefreshWave(s: SparkSession, d: String, wave: DataFrame,
+      batchId: Long, root: String, levels: Int = 3): Unit = {
+    import graft.streaming.{KnnGraphConfig, StreamingKnn}
+    val emb = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
+    val w = wave.filter(col("vec_id") >= 10)
+    StreamingKnn.processBatch(w.toDF(), batchId, s"$root/s0",
+      s"$root/g0", KnnGraphConfig(bits = bitsFor(emb.count()),
+        withinLabel = false, floor = None, k = 16))
+    (1 to levels).foreach { l =>
+      val mcl = emb.filter(levelOf(col("vec_id"), levels) >= l).count()
+      StreamingKnn.processBatch(
+        w.filter(levelOf(col("vec_id"), levels) >= l).toDF(), batchId,
+        s"$root/s$l", s"$root/g$l",
+        KnnGraphConfig(bits = bitsSmall(mcl),
+          withinLabel = false, floor = None, k = 8))
+    }
+    s16WriteAtlas(s, d, s"$root/g0", s"$root/atlas", levels)
   }
 
   /** The hierarchical descent + layer-0 beam walk shared by the

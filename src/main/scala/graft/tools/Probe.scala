@@ -16,6 +16,22 @@ object Probe {
       println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
+    // r11 (VERDICT #4): recall FLOORS as probe-mode assertions — a
+    // graph/atlas change that silently costs recall now FAILS the
+    // probe run loudly, the way plan contracts guard shuffles.
+    // PROBE_RECALL_FLOORS="s15=0.8,s16=0.6" keys on the recall
+    // line's name; unset = report-only (the floors are per-corpus
+    // facts — organic sf0.1 vs mutated drift have different
+    // ceilings — so the campaign runner sets them per corpus).
+    val recallFloors: Map[String, Double] =
+      sys.env.get("PROBE_RECALL_FLOORS").map(_.split(",").map { kv =>
+        val Array(k, v) = kv.split("="); k -> v.toDouble
+      }.toMap).getOrElse(Map.empty)
+    def assertFloor(name: String, r: Double): Unit =
+      recallFloors.get(name).foreach { f =>
+        require(r >= f,
+          f"recall floor broken: $name measured $r%.3f < floor $f%.2f")
+      }
     // generic mode: PROBE_QUERIES=name1,name2 times each registered
     // query (cold, then warm) on SPARK_GRAFT_SF_DIR
     sys.env.get("PROBE_QUERIES").foreach { qs =>
@@ -27,6 +43,55 @@ object Probe {
         }
         time(s"$name warm") {
           graft.SparkEntry.queries(name)(spark, d).count()
+        }
+      }
+      spark.stop(); return
+    }
+
+    // d2 width diagnostic: candidate (join-output) volume and true
+    // output rows per width x — separates bucket-collision cost a
+    // width law CAN remove from true-pair volume it cannot
+    if (sys.env.get("PROBE_D2DIAG").contains("1")) {
+      import graft.dedup.Dedup
+      val docs = Tables.documents(spark, d)
+      println(s"[probe] docs ${docs.filter(col("text").isNotNull).count()}")
+      (Seq(0, 2, 3, 4)).foreach { x =>
+        val out = time(s"d2 pairs x=$x") {
+          Dedup.minhashPairs(docs, extraRows = x).count()
+        }
+        println(s"[probe]   x=$x output pairs: $out")
+      }
+      spark.stop(); return
+    }
+
+    // d2/d17 width law (r11): PROBE_D2WIDTH=0 times the FIXED-width
+    // forms (pre-law), PROBE_D2WIDTH=law the width-law forms — run
+    // each in its own JVM (the one-JVM inflation rule) for the
+    // before/after wall at each probe scale
+    sys.env.get("PROBE_D2WIDTH").foreach { mode =>
+      import graft.dedup.Dedup
+      Tables.documents(spark, d).count()
+      val docs = Tables.documents(spark, d)
+      if (mode == "0") {
+        time("d2 pairs FIXED width cold") {
+          Dedup.minhashPairs(docs, extraRows = 0).count()
+        }
+        time("d2 pairs FIXED width warm") {
+          Dedup.minhashPairs(docs, extraRows = 0).count()
+        }
+        time("d17 chunk FIXED width cold") {
+          Dedup.pairsFromBands(
+            Dedup.mhBands(Dedup.chunkFrame(docs, 64, 48)), 0).count()
+        }
+      } else {
+        time("d2 pairs width-law cold") {
+          Dedup.minhashPairs(docs).count()
+        }
+        time("d2 pairs width-law warm") {
+          Dedup.minhashPairs(docs).count()
+        }
+        time("d17 chunk width-law cold") {
+          Dedup.chunkDedupFrame(docs, 64, 48).count()
         }
       }
       spark.stop(); return
@@ -312,6 +377,7 @@ object Probe {
             .count().toDouble / exact.count()
         }
         println(f"[probe]   $name recall@5 vs exact: $r%.2f")
+        assertFloor(name, r)
       }
       recall("s15", Similarity.s15GraphSearch(spark, d))
       recall("s16", Similarity.s16Hnsw(spark, d))
@@ -384,6 +450,7 @@ object Probe {
             "left_semi").count().toDouble / exact.count()
         }
         println(f"[probe]   $name recall@5 vs exact-on-survivors: $r%.2f")
+        assertFloor(name, r)
       }
       recall("s2 seed tier", Similarity.s2AnnLsh(spark, outDir))
       recall("s15", Similarity.s15GraphSearch(spark, outDir))

@@ -15,6 +15,52 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("d2/d17 width law (r11): extraRowsFor integer thresholds; " +
+      "widened bands only REFINE the candidate set (pairs ⊆ " +
+      "fixed-width at every x) and identical texts pair at ANY width") {
+    import dedup.Dedup
+    // one extra band row per corpus QUADRUPLING past 2^13, cap 4 —
+    // 0 at every oracle scale (sf0.1: 5000 docs / 6923 chunks)
+    assert(Dedup.extraRowsFor(5000) == 0 && Dedup.extraRowsFor(8192) == 0)
+    assert(Dedup.extraRowsFor(8193) == 1 &&
+      Dedup.extraRowsFor(50000) == 2 &&   // 10× mutated docs
+      Dedup.extraRowsFor(150000) == 3 &&  // 30× mutated docs
+      Dedup.extraRowsFor(600000) == 4 &&  // 100× mutated docs
+      Dedup.extraRowsFor(Long.MaxValue / 2) == 4)
+    val docs = Tables.documents(spark, sf)
+    def pairs(x: Int) = Dedup.minhashPairs(docs, extraRows = x)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = pairs(0)
+    (1 to 4).foreach { x =>
+      assert(pairs(x).subsetOf(fixed),
+        s"widened bands at x=$x produced a pair fixed-width lacks")
+    }
+    // identical texts have equal signatures, so every widened band
+    // key agrees — the duplicate core of every dup group survives
+    import spark.implicits._
+    val dup = Seq.fill(3)("the same media document body repeated") ++
+      (0 until 20).map(i => s"filler document number $i with words")
+    val dupDf = dup.zipWithIndex
+      .map { case (t, i) => (i.toLong, "s", t) }
+      .toDF("doc_id", "source", "text")
+    val dupPairs = Set((0L, 1L), (0L, 2L), (1L, 2L))
+    (0 to 4).foreach { x =>
+      val got = Dedup.minhashPairs(dupDf, extraRows = x)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(dupPairs.subsetOf(got),
+        s"an identical-text pair was lost at width x=$x")
+    }
+    // d17's registered body threads the law (chunk count as the
+    // banded unit) — at spec scale x=0, so it equals the fixed form
+    val viaLaw = Dedup.chunkDedupFrame(docs, 64, 48).collect().toSeq
+    val viaFixed = Dedup.pairsFromBands(
+        Dedup.mhBands(Dedup.chunkFrame(docs, 64, 48)), 0)
+      .filter(expr(s"id1 div ${Dedup.ChunkK} <> id2 div ${Dedup.ChunkK}"))
+      .count()
+    assert(viaLaw.size.toLong == viaFixed,
+      "d17's width law changed results at an oracle scale")
+  }
+
   test("d2 finds the pairs a full-pairwise scan would (high-sim recall)") {
     import graft.functions.{TextFunctions => T}
     // ground truth: all pairs with true shingle jaccard >= 0.8
@@ -458,9 +504,10 @@ class PipelineSpec extends AnyFunSuite {
         "no longer demonstrates the under-fill trade")
   }
 
-  test("r1 RRF fusion ≡ integer reciprocal-rank fold over the two " +
+  test("r1 RRF fusion ≡ integer reciprocal-rank fold over the THREE " +
       "arms' own rank lists (re-derived off-engine); union " +
-      "semantics: one-arm docs keep that arm's contribution") {
+      "semantics: a doc missing from some arms keeps the others' " +
+      "contributions") {
     import org.apache.spark.sql.functions.col
     val bm = text.TextAnalysis.t12Bm25(spark, sf, 20).collect()
       .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
@@ -485,11 +532,24 @@ class PipelineSpec extends AnyFunSuite {
         .sortBy { case (_, c, s) => (-s, c) }.take(20).zipWithIndex
         .map { case ((_, c, _), i) => ((q, c), i + 1L) }
     }.toMap
-    val expected = (bm.keySet ++ vec.keySet).groupBy(_._1)
+    // binary arm (r11): s11's packed sign codes, Hamming ascending
+    def packHalf(v: Array[Double], from: Int): Long =
+      (from until from + 32).foldLeft(0L)((a, i) =>
+        a * 2 + (if (v(i) > 0) 1L else 0L))
+    def hamming(a: Array[Double], b: Array[Double]): Int =
+      java.lang.Long.bitCount(packHalf(a, 0) ^ packHalf(b, 0)) +
+        java.lang.Long.bitCount(packHalf(a, 32) ^ packHalf(b, 32))
+    val bin = qids.flatMap { q =>
+      cids.map(c => (q, c, hamming(embs(q), embs(c))))
+        .sortBy { case (_, c, h) => (h, c) }.take(20).zipWithIndex
+        .map { case ((_, c, _), i) => ((q, c), i + 1L) }
+    }.toMap
+    val expected = (bm.keySet ++ vec.keySet ++ bin.keySet).groupBy(_._1)
       .flatMap { case (q, keys) =>
         keys.map { k =>
           val rrf = bm.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L) +
-            vec.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L)
+            vec.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+            bin.get(k).map(r => 1000000L / (60 + r)).getOrElse(0L)
           (q, k._2, rrf)
         }.toSeq.sortBy { case (_, c, s) => (-s, c) }.take(5)
           .zipWithIndex.map { case ((qq, c, s), i) => (qq, i + 1L, c, s) }
@@ -500,11 +560,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected,
       s"missing ${(expected -- got).size} / extra ${(got -- expected).size}")
     assert(got.nonEmpty)
-    // at least one fused doc came from a single arm (union semantics)
-    val oneArm = got.exists { case (q, _, c, _) =>
-      bm.contains((q, c)) ^ vec.contains((q, c)) }
-    assert(oneArm, "no single-arm doc in the fused top-5 — fixture " +
-      "no longer exercises union semantics")
+    // at least one fused doc is missing from ≥ 1 arm (union semantics)
+    val partialArm = got.exists { case (q, _, c, _) =>
+      val in = Seq(bm.contains((q, c)), vec.contains((q, c)),
+        bin.contains((q, c)))
+      in.contains(true) && in.contains(false)
+    }
+    assert(partialArm, "no partial-arm doc in the fused top-5 — " +
+      "fixture no longer exercises union semantics")
   }
 
   test("x2's amortized production shape: the walk stage over a " +

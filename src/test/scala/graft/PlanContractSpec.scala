@@ -759,15 +759,16 @@ class PlanContractSpec extends AnyFunSuite {
       s"label predicate not pushed into the seed-stage scan:\n$sp")
   }
 
-  test("r1: RRF fusion — the BM25 arm keeps t12's reused tf " +
-      "exchange, the vector arm's only nested loop is the query " +
-      "broadcast, no cartesian") {
+  test("r1: RRF fusion (3-arm) — the BM25 arm keeps t12's reused tf " +
+      "exchange, the dense and binary arms' only nested loops are " +
+      "their query broadcasts, no cartesian") {
     val p = finalPlan("r1_rrf_fusion")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
-    // two allowed: t12's 1-row corpus-stats cross + the query-vector
-    // broadcast; anything more is a corpus-sized nested loop
-    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
-      s"more than the stats + query-broadcast nested loops:\n$p")
+    // three allowed: t12's 1-row corpus-stats cross + the dense
+    // query-vector broadcast + the binary packed-query broadcast;
+    // anything more is a corpus-sized nested loop
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 3,
+      s"more than the stats + two query-broadcast nested loops:\n$p")
     assert(p.contains("ReusedExchange"),
       s"t12's tf exchange no longer reused inside the fusion plan:\n$p")
   }

@@ -335,6 +335,48 @@ class StreamingKnnSpec extends AnyFunSuite {
       "levels=4 stored walk diverged — atlas level cap not threaded")
   }
 
+  test("r11: s16RefreshWave — the store family's refresh cadence as " +
+      "a first-class entry point: fold-then-walk ≡ rebuild-then-walk " +
+      "on a DRIFTED corpus, drift arriving in later waves") {
+    import graft.similarity.Similarity
+    import spark.implicits._
+    val base = Tables.embeddings(spark, sf)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    // drifted replicas of 40 corpus vectors: new ids, deterministic
+    // small per-dim drift — the near-dup ingest the cadence exists for
+    val drift = base.filter(_._1 >= 10).take(40).map { case (id, l, e) =>
+      (id + 1000000L, l, e.zipWithIndex.map { case (x, i) =>
+        x + (((id + i) % 7).toFloat - 3f) * 0.01f })
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_s16refresh").toString
+    (base ++ drift).toSeq.toDF("vec_id", "label", "embedding")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_s16refresh_store").toString
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.s16RefreshWave(spark, dir,
+      emb.filter(col("vec_id") < 1000000L).toDF(), 0, root)
+    Similarity.s16RefreshWave(spark, dir,
+      emb.filter(col("vec_id") >= 1000000L && col("vec_id") % 2 === 0)
+        .toDF(), 1, root)
+    Similarity.s16RefreshWave(spark, dir,
+      emb.filter(col("vec_id") >= 1000000L && col("vec_id") % 2 === 1)
+        .toDF(), 2, root)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val folded = rows(Similarity.s16HnswStored(spark, dir, s"$root/g0",
+      (1 to 3).map(l => s"$root/g$l"),
+      atlasPath = Some(s"$root/atlas")))
+    val rebuilt = rows(Similarity.s16Hnsw(spark, dir))
+    assert(folded == rebuilt,
+      "walk over the wave-folded store family diverged from the " +
+        "rebuild-from-scratch walk on the drifted corpus")
+    assert(folded.nonEmpty)
+  }
+
   test("registered s18_filtered_walk IS the stored walk over the " +
       "per-predicate graph shard: identical to the inline filtered " +
       "build, second invocation reuses the shard, and every answer " +
