@@ -229,6 +229,8 @@ object SparkEntry {
       graft.multimodal.Multimodal.m3FeatureExtract(s, d)),
     "m4_crossmodal_gate" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.m4CrossModalGate(s, d)),
+    "m6_frame_dedup" -> ((s: SparkSession, d: String) =>
+      graft.multimodal.Multimodal.m6FrameDedup(s, d)),
     "m5_phash_dedup" -> ((s: SparkSession, d: String) =>
       graft.multimodal.Multimodal.m5PhashDedup(s, d)),
   )
@@ -1656,6 +1658,35 @@ object SparkEntry {
          |SELECT id1, id2, min(hamming) AS hamming FROM cand
          |WHERE hamming <= 5 GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin
     },
+    "m6_frame_dedup" ->
+      // m2's frame cadence with CONTENT-ONLY signatures (no doc_id in
+      // the mix), consecutive-pair grams, integer 2n >= union verdict
+      s"""WITH h AS (
+         |  SELECT doc_id, $payloadHashSql AS hv FROM documents WHERE text IS NOT NULL),
+         |fr AS (
+         |  SELECT doc_id, hv, 1 + (hv // 307200) % 32 AS frames FROM h),
+         |sig AS (
+         |  SELECT doc_id, f,
+         |    ((hv * 131) % 1000000007 + f * 977) % 1000000007 AS fsig
+         |  FROM fr, unnest(range(0, frames, 8)) AS t(f)),
+         |g AS MATERIALIZED (
+         |  SELECT DISTINCT a.doc_id, a.fsig AS h1, b.fsig AS h2
+         |  FROM sig a JOIN sig b
+         |    ON b.doc_id = a.doc_id AND b.f = a.f + 8),
+         |sz AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+         |cand AS (
+         |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+         |    count(*) AS n_common
+         |  FROM g a JOIN g b
+         |    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc1, doc2, CAST(n_common AS BIGINT) AS n_common,
+         |  CAST(sa.ng + sb.ng - n_common AS BIGINT) AS n_union
+         |FROM cand
+         |JOIN sz sa ON sa.doc_id = doc1
+         |JOIN sz sb ON sb.doc_id = doc2
+         |WHERE n_common * 2 >= sa.ng + sb.ng - n_common
+         |ORDER BY doc1, doc2""".stripMargin,
     "m1_multimodal_meta" ->
       s"""WITH h AS (
          |  SELECT doc_id, source, CAST(length(text) AS INT) AS n_chars,

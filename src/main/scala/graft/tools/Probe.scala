@@ -48,6 +48,19 @@ object Probe {
       spark.stop(); return
     }
 
+    // m5 width sweep: wall + output per extra-bit width on one corpus
+    sys.env.get("PROBE_M5WIDTH").foreach { xs =>
+      import graft.multimodal.Multimodal
+      Tables.documents(spark, d).count()
+      xs.split(",").map(_.toInt).foreach { x =>
+        val out = time(s"m5 x=$x") {
+          Multimodal.m5PhashDedup(spark, d, extraBits = x).count()
+        }
+        println(s"[probe]   x=$x output pairs: $out")
+      }
+      spark.stop(); return
+    }
+
     // d2 width diagnostic: candidate (join-output) volume and true
     // output rows per width x — separates bucket-collision cost a
     // width law CAN remove from true-pair volume it cannot

@@ -1701,6 +1701,63 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("m6 frame dedup ≡ brute-force Jaccard over the re-derived " +
+      "frame-gram sets; duplicate payloads with ≥ 2 sampled frames " +
+      "pair at n_common = n_union") {
+    import multimodal.Multimodal
+    val P = 1000000007L
+    def gramsOf(text: String): Set[(Long, Long)] = {
+      val hv = Multimodal.payloadHash(
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val frames = (1 + (hv / 307200) % 32).toInt
+      val sigs = (0 until frames by 8)
+        .map(f => ((hv * 131) % P + f * 977L) % P)
+      sigs.sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))).toSet
+    }
+    // brute force over sf0.1 (the scale with non-empty results)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      .filter(col("text").isNotNull)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), gramsOf(r.getString(1))))
+      .filter(_._2.nonEmpty)
+    val brute = (for {
+      (i1, g1) <- docs; (i2, g2) <- docs if i1 < i2
+      n = (g1 & g2).size; u = g1.size + g2.size - n
+      if n * 2 >= u && u > 0
+    } yield (i1, i2, n.toLong, u.toLong)).toSet
+    val got = Multimodal.m6FrameDedup(spark, "/root/testdata/sf0.1")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == brute,
+      s"missing ${(brute -- got).size} / extra ${(got -- brute).size}")
+    assert(got.nonEmpty, "sf0.1 fixture lost its frame-dup pairs")
+    // duplicate payloads (the stub's only match class, exactly as a
+    // content-hash signature should behave): full-overlap pairs
+    got.foreach { case (_, _, n, u) =>
+      assert(n == u, "stub signatures derive from the whole payload " +
+        "hash, so any pair must share its entire gram set") }
+    // and a constructed duplicate corpus pairs every copy
+    import spark.implicits._
+    val long = (0 until 400).map(i => s"frame body token $i").mkString(" ")
+    val texts = Seq.tabulate(6)(i =>
+      if (i < 3) long else s"$long unique suffix $i")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_m6fix").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, "s", t, t.length.toLong) }
+      .toDF("doc_id", "source", "text", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val fx = Multimodal.m6FrameDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hv0 = Multimodal.payloadHash(
+      long.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (1 + (hv0 / 307200) % 32 >= 9) // ≥ 2 sampled frames
+      assert(Set((0L, 1L), (0L, 2L), (1L, 2L)).subsetOf(fx),
+        s"identical payloads did not pair: $fx")
+  }
+
   test("m1 multimodal plumbing yields typed metadata for every doc") {
     val n = Tables.documents(spark, sf).count()
     val rows = multimodal.Multimodal.m1MultimodalMeta(spark, sf).collect()

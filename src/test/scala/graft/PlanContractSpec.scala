@@ -736,6 +736,17 @@ class PlanContractSpec extends AnyFunSuite {
       "probe/centroid frames must broadcast, not sort-merge")
   }
 
+  test("m6: frame dedup — the gram self-join is a hash equi-join on " +
+      "the checkpointed gram frame (one decode pass), sizes " +
+      "broadcast, no cartesian") {
+    val p = finalPlanNoBroadcast("m6_frame_dedup")
+    assert(scanCount(p) == 0,
+      s"parquet re-scanned past the gram checkpoint:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in the gram join:\n$p")
+  }
+
   test("s18: filtered walk — final re-rank reads only checkpoints " +
       "(zero corpus-sized work at query time: graph from the shard " +
       "store, every stage checkpointed), no cartesian; the label " +
