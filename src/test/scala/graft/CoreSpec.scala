@@ -27,7 +27,12 @@ class CoreSpec extends AnyFunSuite {
   }
 
   test("every declared query executes") {
-    val empties = Set("q8_anti_join", "h3_incremental_delta") // may be empty at sf0.001
+    // may be empty at sf0.001 — m6's stub signatures pair only
+    // identical payloads with ≥ 2 sampled frames, and the small
+    // corpora hold none (sf0.1 has 6 pairs; PipelineSpec pins the
+    // brute-force equivalence there)
+    val empties =
+      Set("q8_anti_join", "h3_incremental_delta", "m6_frame_dedup")
     for ((name, fn) <- SparkEntry.queries) {
       val n = fn(spark, sf).count()
       assert(empties.contains(name) || n > 0, s"$name returned 0 rows")

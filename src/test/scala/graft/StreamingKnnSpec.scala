@@ -335,6 +335,48 @@ class StreamingKnnSpec extends AnyFunSuite {
       "levels=4 stored walk diverged — atlas level cap not threaded")
   }
 
+  test("r11: s18's per-predicate shard is MAINTAINABLE by the same " +
+      "search cadence on the filtered feed — 3-wave fold ≡ the " +
+      "ensure-built shard, and the stored walk over the maintained " +
+      "shard ≡ the registered s18") {
+    import graft.similarity.Similarity
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sknn_s18").toString
+    val (store, graph) = (s"$root/store", s"$root/graph")
+    // the filtered feed: s18's predicate applied at ingest — the
+    // partition-column shard a deployment maintains per predicate
+    val feed = Similarity.filteredEmb(spark, sf)
+      .filter(col("vec_id") >= 10)
+    val cfg = graft.streaming.KnnGraphConfig.search(
+      bits = Similarity.bitsFor(feed.count()))
+    (0 until 3).foreach { w =>
+      StreamingKnn.processBatch(
+        feed.filter(col("vec_id") % 3 === w).toDF(), w, store, graph,
+        cfg)
+    }
+    val got = readGraph(graph)
+    val expected = Similarity
+      .searchGraphOn(Similarity.filteredEmb(spark, sf), 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == expected,
+      s"missing ${(expected -- got).size} / extra ${(got -- expected).size}")
+    assert(got.nonEmpty)
+    // walk over the maintained shard ≡ the registered stored s18
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val walked = rows(Similarity.s15WalkOn(
+      Similarity.filteredEmb(spark, sf),
+      spark.read.parquet(graph).select("vec_id", "nbr")
+        .localCheckpoint(true), 5, 12, 3))
+    val reg = rows(SparkEntry.queries("s18_filtered_walk")(spark, sf))
+    assert(walked == reg,
+      "walk over the maintained filtered shard diverged from the " +
+        "registered s18")
+  }
+
   test("r11: s16RefreshWave — the store family's refresh cadence as " +
       "a first-class entry point: fold-then-walk ≡ rebuild-then-walk " +
       "on a DRIFTED corpus, drift arriving in later waves") {
