@@ -135,7 +135,8 @@ object SparkEntry {
     // Dedup family
     "d1_exact_dedup" -> (graft.dedup.Dedup.d1ExactDedup _),
     "d2_minhash_lsh" -> (graft.dedup.Dedup.d2MinhashLsh _),
-    "d3_simhash" -> (graft.dedup.Dedup.d3Simhash _),
+    "d3_simhash" -> ((s: SparkSession, d: String) =>
+      graft.dedup.Dedup.d3Simhash(s, d)),
     "d4_ngram_jaccard" -> (graft.dedup.Dedup.d4NgramJaccard _),
     // r9: the REGISTERED d5/d12 are the measured-linear cell-confined
     // prod forms (r8 verdict #1); the banded exact forms stay as
@@ -1461,8 +1462,28 @@ object SparkEntry {
     // components from scratch — the strongest possible check that the
     // incremental fold loses nothing.
     "d11_cluster_maintain" -> ccExactSql,
-    "d3_simhash" ->
-      """WITH t AS (
+    "d3_simhash" -> {
+      // r11: the oracle mirrors the BANDED candidate generation with
+      // the width law as a CTE (the d5/m5 precedent: the hash check
+      // gates the query's actual LSH semantics; the banded ≡
+      // all-pairs recall bound lives in PipelineSpec, and every
+      // oracle scale runs x = 0 where the ≤ 10 pigeonhole is exact)
+      def bandSql(k: Int): String = {
+        val (off, w) = graft.dedup.Dedup.d3BandDefs(k)
+        if (off + w <= 64) s"((lo >> $off) & ${(1L << w) - 1})"
+        else if (off >= 64) s"((hi >> ${off - 64}) & ${(1L << w) - 1})"
+        else s"(((lo >> $off) & ${(1L << (64 - off)) - 1}) + " +
+          s"((hi & ${(1L << (w - (64 - off))) - 1}) * ${1L << (64 - off)}))"
+      }
+      val bandCase = graft.dedup.Dedup.d3BandDefs.indices.map { k =>
+        val w = graft.dedup.Dedup.d3BandDefs(k)._2
+        s"WHEN $k THEN ${bandSql(k)} + " +
+          s"((${bandSql((k + 1) % 11)} & ((CAST(1 AS BIGINT) << x) - 1))" +
+          s" * ${1L << w})"
+      }.mkString("\n        |      ")
+      val xSum = (14 to 23).map(t => s"(n > ${1L << t})::INT")
+        .mkString(" + ")
+      s"""WITH t AS (
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
         |  FROM documents WHERE text IS NOT NULL),
         |hb AS (
@@ -1474,7 +1495,7 @@ object SparkEntry {
         |      THEN CASE WHEN (lo >> b) & 1 = 1 THEN 1 ELSE -1 END
         |      ELSE CASE WHEN (hi >> (b - 64)) & 1 = 1 THEN 1 ELSE -1 END END) AS v
         |  FROM hb CROSS JOIN range(128) r(b) GROUP BY 1, 2),
-        |sig AS (
+        |sig AS MATERIALIZED (
         |  SELECT doc_id,
         |    CAST(sum(CASE WHEN v > 0 AND b < 64 THEN
         |      CASE WHEN b = 63 THEN -9223372036854775808
@@ -1484,13 +1505,24 @@ object SparkEntry {
         |      CASE WHEN b = 127 THEN -9223372036854775808
         |           ELSE (CAST(1 AS BIGINT) << CAST(b - 64 AS INT)) END
         |      ELSE 0 END) AS BIGINT) AS hi
-        |  FROM votes GROUP BY doc_id)
-        |SELECT id1, id2, hamming FROM (
+        |  FROM votes GROUP BY doc_id),
+        |nd3 AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+        |xw3 AS (SELECT least(10, $xSum) AS x FROM nd3),
+        |bd AS MATERIALIZED (
+        |  SELECT doc_id, lo, hi, b AS band,
+        |    CASE b
+        |      $bandCase
+        |    END AS bv
+        |  FROM sig CROSS JOIN range(11) r(b) CROSS JOIN xw3),
+        |cand AS (
         |  SELECT a.doc_id AS id1, b.doc_id AS id2,
         |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
         |      AS hamming
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
-        |WHERE hamming <= 10 ORDER BY id1, id2""".stripMargin,
+        |  FROM bd a JOIN bd b
+        |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT id1, id2, min(hamming) AS hamming FROM cand
+        |WHERE hamming <= 10 GROUP BY id1, id2 ORDER BY id1, id2""".stripMargin
+    },
     "s2_ann_lsh" -> s2AnnSql,
     "s15_graph_search" -> s15GraphSearchSql,
     "s18_filtered_walk" -> s18FilteredWalkSql,

@@ -148,11 +148,43 @@ object Dedup {
     * every band is ≥ 11 bits (≥ 2048 values), which removes the
     * 64-bit variant's 5–6-bit band ceiling (quadratic within-bucket
     * pair growth at corpus scale). */
-  def d3Simhash(s: SparkSession, d: String): DataFrame = {
-    // 11 disjoint bands over the 128 bits; band 5 (offset 60, width 12)
-    // crosses the lo/hi boundary and is assembled from both halves.
-    val bandDefs = Seq((0, 12), (12, 12), (24, 12), (36, 12), (48, 12),
+  /** d3's 11 disjoint bands over the 128 simhash bits; band 5
+    * (offset 60, width 12) crosses the lo/hi boundary and is
+    * assembled from both halves. Shared with the oracle builder and
+    * the width-law spec. */
+  private[graft] val d3BandDefs: Seq[(Int, Int)] =
+    Seq((0, 12), (12, 12), (24, 12), (36, 12), (48, 12),
       (60, 12), (72, 12), (84, 11), (95, 11), (106, 11), (117, 11))
+
+  /** Scalar twin of d3's band extraction — the width-law property
+    * spec runs on it. */
+  private[graft] def d3BandVal(lo: Long, hi: Long, band: Int): Long = {
+    val (off, w) = d3BandDefs(band)
+    if (off + w <= 64) (lo >>> off) & ((1L << w) - 1)
+    else if (off >= 64) (hi >>> (off - 64)) & ((1L << w) - 1)
+    else (lo >>> off) | ((hi & ((1L << (w - (64 - off))) - 1)) << (64 - off))
+  }
+
+  /** d3's widened (band, value) key — the m5 width-law recipe on the
+    * 128-bit simhash (r11, closing the knee d3's own 100× probe
+    * found: 69 s warm on 3.3× the 30× data — band MULTIPLICITY, a
+    * true pair colliding in up to 11 buckets, amplifies the
+    * group-quadratic join): band k's own bits plus the low `x` bits
+    * of band (k+1) mod 11 of the SAME code, shifted above them.
+    * Correlated under small Hamming distance: a pair at Hamming d
+    * keeps ≥ 11 − 2d of its 11 widened buckets, so Hamming ≤ 5 loses
+    * NOTHING at any width — and every oracle scale runs x = 0, where
+    * the key is the band value itself and the full ≤ 10 pigeonhole
+    * guarantee stands. */
+  private[graft] def d3WidenedBand(lo: Long, hi: Long, band: Int,
+      x: Int): Long =
+    d3BandVal(lo, hi, band) +
+      (d3BandVal(lo, hi, (band + 1) % 11) & ((1L << x) - 1)) *
+        (1L << d3BandDefs(band)._2)
+
+  def d3Simhash(s: SparkSession, d: String,
+      extraBits: Int = -1): DataFrame = {
+    val bandDefs = d3BandDefs
     def bandVal(lo: org.apache.spark.sql.Column,
         hi: org.apache.spark.sql.Column, off: Int, w: Int) =
       if (off + w <= 64)
@@ -162,6 +194,15 @@ object Dedup {
       else // crossing band: low bits from lo's top, high bits from hi's bottom
         shiftrightunsigned(lo, off).bitwiseOR(
           shiftleft(hi.bitwiseAND(lit((1L << (w - (64 - off))) - 1)), 64 - off))
+    // band width from corpus size — m5's extraBitsFor law verbatim
+    // (same code-banding pigeonhole, same thresholds: one bit per
+    // doubling past 2^14, cap 10); 0 at every oracle scale, where
+    // the widened key degenerates to the band value and the full
+    // Hamming ≤ 10 pigeonhole holds — which is why the ORACLE can
+    // stay the banded mirror with the law as a CTE
+    val x = if (extraBits >= 0) extraBits
+      else graft.multimodal.Multimodal.extraBitsFor(
+        Tables.documents(s, d).filter(col("text").isNotNull).count())
     // knownNotNull: the band values become join keys, and without it
     // the inferred isnotnull(key) constraint re-evaluates the sketch
     // per row inside the scan filter — doubling its cost. The explicit
@@ -180,8 +221,14 @@ object Dedup {
       .select(col("doc_id"),
         T.knownNotNull(T.simhashText(col("text"))).as("sh"))
       .select(col("doc_id"), col("sh"),
-        posexplode(array(bandDefs.map { case (off, w) =>
-          bandVal(col("sh.lo"), col("sh.hi"), off, w)
+        posexplode(array(bandDefs.zipWithIndex.map { case ((off, w), k) =>
+          val base = bandVal(col("sh.lo"), col("sh.hi"), off, w)
+          if (x == 0) base
+          else {
+            val (offN, wN) = bandDefs((k + 1) % bandDefs.size)
+            base + bandVal(col("sh.lo"), col("sh.hi"), offN, wN)
+              .bitwiseAND(lit((1L << x) - 1)) * lit(1L << w)
+          }
         }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
     banded.as("a")
@@ -213,11 +260,24 @@ object Dedup {
     * asserts banded ≡ all-pairs at this threshold). */
   def d4NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val banded = mhBands(docs).select("doc_id", "band", "bh")
+    // candidates ride d2's band machinery, so they ride its width
+    // law too ([[extraRowsFor]] — the oracle's shared band CTE
+    // already carries it); the widened key computes BEFORE the slim
+    // (band, bh[, bhx], id) projection, keeping the candidate
+    // shuffle token-free
+    val x = extraRowsFor(docs.filter(col("text").isNotNull).count())
+    val banded0 = mhBands(docs)
+    val banded = (if (x <= 0) banded0
+      else banded0.withColumn("bhx", slice(col("sig"),
+        (col("band") + 1) % MhBands * 4 + 1, lit(x))))
+      .select((Seq("doc_id", "band", "bh") ++
+        (if (x > 0) Seq("bhx") else Nil)).map(col): _*)
+    def extraCond = if (x <= 0) lit(true)
+      else col("a.bhx") === col("b.bhx")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+          extraCond && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
     val toks = docs.filter(col("text").isNotNull)

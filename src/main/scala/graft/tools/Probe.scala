@@ -48,6 +48,19 @@ object Probe {
       spark.stop(); return
     }
 
+    // d3 width sweep: wall + output per extra-bit width on one corpus
+    sys.env.get("PROBE_D3WIDTH").foreach { xs =>
+      import graft.dedup.Dedup
+      Tables.documents(spark, d).count()
+      xs.split(",").map(_.toInt).foreach { x =>
+        val out = time(s"d3 x=$x") {
+          Dedup.d3Simhash(spark, d, extraBits = x).count()
+        }
+        println(s"[probe]   x=$x output pairs: $out")
+      }
+      spark.stop(); return
+    }
+
     // m5 width sweep: wall + output per extra-bit width on one corpus
     sys.env.get("PROBE_M5WIDTH").foreach { xs =>
       import graft.multimodal.Multimodal

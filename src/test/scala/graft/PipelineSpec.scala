@@ -80,6 +80,47 @@ class PipelineSpec extends AnyFunSuite {
       s"LSH missed ${missed.size} of ${truth.size} high-sim pairs")
   }
 
+  test("d3 width law (r11): widened bands stay CORRELATED — " +
+      "Hamming ≤ 5 always shares a widened bucket at ANY width " +
+      "(≥ 11−2d buckets at Hamming d), identical codes keep all 11; " +
+      "registered pairs ⊆ fixed-width and sf output is x-invariant") {
+    import dedup.Dedup
+    def shared(l1: Long, h1: Long, l2: Long, h2: Long, x: Int): Int =
+      (0 until 11).count(k =>
+        Dedup.d3WidenedBand(l1, h1, k, x) == Dedup.d3WidenedBand(l2, h2, k, x))
+    val rnd = new scala.util.Random(43)
+    (0 to 10).foreach { x =>
+      val (l, h) = (rnd.nextLong(), rnd.nextLong())
+      assert(shared(l, h, l, h, x) == 11)
+    }
+    (1 to 10).foreach { d =>
+      (1 to 300).foreach { _ =>
+        val (l1, h1) = (rnd.nextLong(), rnd.nextLong())
+        var (l2, h2) = (l1, h1)
+        rnd.shuffle((0 until 128).toList).take(d).foreach { b =>
+          if (b < 64) l2 ^= 1L << b else h2 ^= 1L << (b - 64)
+        }
+        (0 to 10).foreach { x =>
+          val sh = shared(l1, h1, l2, h2, x)
+          assert(sh >= math.max(0, 11 - 2 * d),
+            s"floor broken: d=$d x=$x shared=$sh")
+          if (d <= 5) assert(sh >= 1,
+            s"Hamming ≤ 5 lost every widened bucket: d=$d x=$x")
+        }
+      }
+    }
+    // registered form: widened candidates refine fixed-width, and at
+    // this corpus size x = 0, so the registered output is x-invariant
+    // vs the law (the oracle's xw3 CTE mirrors the same thresholds)
+    def pairs(x: Int) = dedup.Dedup.d3Simhash(spark, sf, extraBits = x)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = pairs(0)
+    assert(pairs(6).subsetOf(fixed),
+      "widened d3 bands produced a pair the fixed form lacks")
+    assert(dedup.Dedup.d3Simhash(spark, sf).collect().length ==
+      fixed.size, "the width law changed results at an oracle scale")
+  }
+
   test("d4 banded recall: finds the d2-design-range pairs passing the " +
       "exact 0.7 token filter") {
     import graft.functions.{TextFunctions => T}
