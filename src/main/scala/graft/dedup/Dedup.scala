@@ -106,12 +106,23 @@ object Dedup {
     * — the streaming cadences keep x = 0 (their joins are
     * batch-proportional, never corpus self-joins). x = 0 leaves the
     * plan byte-identical to the pre-law form. */
+  /** The width law's key extension on an already-banded frame: the
+    * first `extraRows` rows of the NEXT band, derived from the `sig`
+    * column the frame already carries (so persisted band STORES need
+    * no schema change). Shared by the corpus self-joins
+    * ([[pairsFromBands]]) AND the incremental batch↔store joins
+    * (d9/d11) so the whole dedup family — and the oracle's shared
+    * band CTE — agree on ONE widened key at every scale. */
+  private[graft] def widenBands(banded: DataFrame,
+      extraRows: Int): DataFrame =
+    if (extraRows <= 0) banded
+    else banded.withColumn("bhx", slice(col("sig"),
+      (col("band") + 1) % MhBands * 4 + 1, lit(extraRows)))
+
   private[graft] def pairsFromBands(banded: DataFrame,
       extraRows: Int = 0): DataFrame = {
     val k = MhK
-    val wide = if (extraRows <= 0) banded
-      else banded.withColumn("bhx", slice(col("sig"),
-        (col("band") + 1) % MhBands * 4 + 1, lit(extraRows)))
+    val wide = widenBands(banded, extraRows)
     def extraCond = if (extraRows <= 0) lit(true)
       else col("a.bhx") === col("b.bhx")
     // The Jaccard estimate is a pure function of the pair, so it is
@@ -147,7 +158,18 @@ object Dedup {
     * Scale: per-band bucket population is corpus/2^width per value;
     * every band is ≥ 11 bits (≥ 2048 values), which removes the
     * 64-bit variant's 5–6-bit band ceiling (quadratic within-bucket
-    * pair growth at corpus scale). */
+    * pair growth at corpus scale).
+    *
+    * OUTPUT CONTRACT under the width law (r12, per the r11 advisor):
+    * at x = 0 — every oracle scale, i.e. corpora ≤ 2^14 docs — the
+    * 11-band pigeonhole is exact and recall is 100% through the
+    * emitted Hamming ≤ 10 threshold. At x > 0 the widened key keeps
+    * ≥ 11 − 2d surviving buckets, so recall stays PROVABLY exact only
+    * through Hamming ≤ 5; pairs at Hamming 6–10 are still emitted but
+    * approximately (measured −0.023% of output at the 100× probe).
+    * Callers needing exact recall past Hamming 5 at width-law scales
+    * should route through the incremental cadence, whose
+    * batch↔store joins keep x = 0. */
   /** d3's 11 disjoint bands over the 128 simhash bits; band 5
     * (offset 60, width 12) crosses the lo/hi boundary and is
     * assembled from both halves. Shared with the oracle builder and
@@ -1485,11 +1507,24 @@ object Dedup {
     * lowest id on ties). `batchIds` is the batch universe, so docs
     * with no match still get a row (is_dup = false). */
   def incrementalMatch(batchBands: DataFrame, storeBands: DataFrame,
-      batchIds: DataFrame): DataFrame = {
-    val hits = batchBands.as("n")
-      .join(storeBands.as("c"),
+      batchIds: DataFrame, extraRows: Int = 0): DataFrame = {
+    // extraRows > 0 applies the d2 band-width law to the batch↔store
+    // join (the widened key derives from `sig`, so persisted stores
+    // need no schema change and the extension only PRUNES — the
+    // store-side bucketing on bkey still satisfies the clustered
+    // distribution, no new exchange). The registered d9 form widens
+    // from the full corpus count so the engine mirrors the oracle's
+    // widened band CTE past 8192 docs; pure streaming cadences keep
+    // the default 0 (their joins are batch-proportional).
+    val nb = widenBands(batchBands, extraRows)
+    val cb = widenBands(storeBands, extraRows)
+    def extraCond = if (extraRows <= 0) lit(true)
+      else col("n.bhx") === col("c.bhx")
+    val hits = nb.as("n")
+      .join(cb.as("c"),
         col("n.bkey") === col("c.bkey") &&
           col("n.band") === col("c.band") && col("n.bh") === col("c.bh") &&
+          extraCond &&
           // a doc must never match itself: a store that (wrongly or
           // transiently) contains the batch's own sketches would
           // otherwise report every doc as its own dup at jac = 1.0
@@ -1527,10 +1562,16 @@ object Dedup {
     * it returns the identical frame. */
   def d9IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // width from the FULL corpus count — the oracle's shared band CTE
+    // widens from the documents table, and the mirror must agree past
+    // 8192 docs (r12: before this the engine kept x = 0, so its
+    // candidate set was a strict superset of the oracle's at 10×+ and
+    // best-match rows could silently diverge)
+    val x = extraRowsFor(docs.filter(col("text").isNotNull).count())
     incrementalMatch(
       mhBands(docs.filter(col("doc_id") % 10 === 0)),
       mhBands(docs.filter(col("doc_id") % 10 =!= 0)),
-      docs.filter(col("doc_id") % 10 === 0).select("doc_id"))
+      docs.filter(col("doc_id") % 10 === 0).select("doc_id"), x)
   }
 
   /** ALL store matches ≥ the d2 threshold for an arriving batch —
@@ -1541,16 +1582,21 @@ object Dedup {
     * Same join shape (store side bucket-co-located, estimate filtered
     * before the pair shuffle). */
   private[graft] def incrementalEdges(batchBands: DataFrame,
-      storeBands: DataFrame): DataFrame =
-    batchBands.as("n")
-      .join(storeBands.as("c"),
+      storeBands: DataFrame, extraRows: Int = 0): DataFrame = {
+    val nb = widenBands(batchBands, extraRows)
+    val cb = widenBands(storeBands, extraRows)
+    def extraCond = if (extraRows <= 0) lit(true)
+      else col("n.bhx") === col("c.bhx")
+    nb.as("n")
+      .join(cb.as("c"),
         col("n.bkey") === col("c.bkey") &&
           col("n.band") === col("c.band") && col("n.bh") === col("c.bh") &&
-          col("n.doc_id") =!= col("c.doc_id"))
+          extraCond && col("n.doc_id") =!= col("c.doc_id"))
       .select(col("n.doc_id").as("src"), col("c.doc_id").as("dst"),
         T.minhashJaccardEst(col("n.sig"), col("c.sig"), MhK).as("jac"))
       .filter(col("jac") >= 0.5)
       .select("src", "dst").distinct()
+  }
 
   /** D11 core: fold a batch's new edges into a PERSISTED doc→cluster
     * map WITHOUT recomputing components for the corpus. The corpus
@@ -1614,7 +1660,15 @@ object Dedup {
     // of an explode, not a cheap codegen'd scan)
     val cb = mhBands(corpus).localCheckpoint(true)
     val bb = mhBands(batch).localCheckpoint(true)
-    val corpusPairs = pairsFromBands(cb)
+    // ONE width for all three joins, from the FULL corpus count —
+    // the oracle (ccExactSql over the shared widened band CTE) and
+    // d10 both widen from the documents table, and d11 is documented
+    // as producing EXACTLY the same component map, so every edge
+    // source (corpus self-join, batch self-join, cross edges) must
+    // ride the same widened key or the maps silently diverge past
+    // 8192 docs (r12, closing the r11 ADVICE-high)
+    val x = extraRowsFor(docs.filter(col("text").isNotNull).count())
+    val corpusPairs = pairsFromBands(cb, x)
       .select(col("id1").as("src"), col("id2").as("dst"))
     val corpusLbl = connectedComponentsAdaptive(corpusPairs)
     val corpusMap = corpus.select("doc_id")
@@ -1622,8 +1676,8 @@ object Dedup {
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster"),
         col("lbl").isNotNull.as("was_dup"))
-    val newEdges = incrementalEdges(bb, cb)
-      .union(pairsFromBands(bb)
+    val newEdges = incrementalEdges(bb, cb, x)
+      .union(pairsFromBands(bb, x)
         .select(col("id1").as("src"), col("id2").as("dst")))
       .localCheckpoint(true)
     val merged = mergeClusters(corpusMap.select("doc_id", "cluster"),

@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
@@ -308,10 +309,15 @@ object Multimodal {
     * (one decoder per partition, the m1 rule); grams per doc are
     * bounded by frames/8 ≤ 4 at the stub's 32-frame cap (a real
     * corpus's long videos fan out linearly in duration); the gram
-    * self-join is an equi-join on the pair key; sizes and the
-    * verdict ride two broadcast-sized aggregates. Docs with fewer
-    * than 2 sampled frames carry no gram and exit — a still image
-    * is not a video near-dup candidate. */
+    * self-join is an equi-join on the pair key. The per-doc gram
+    * count rides ON the gram frame itself (one window over the
+    * checkpoint) so the verdict needs NO corpus-sized join at all —
+    * the r11 plan broadcast the (corpus-proportional) per-doc count
+    * frame under an explicit hint, which at 100 TB is billions of
+    * rows force-hinted past AQE's size check; the plan contract now
+    * pins the absence of any corpus-derived broadcast. Docs with
+    * fewer than 2 sampled frames carry no gram and exit — a still
+    * image is not a video near-dup candidate. */
   def m6FrameDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d)
@@ -328,18 +334,19 @@ object Multimodal {
         sigs.sliding(2).withFilter(_.size == 2)
           .map(p => FrameGram(m.doc_id, p(0), p(1))).toSeq.distinct
       }
-    }.toDF().localCheckpoint(true) // consumers: sizes + both join sides
-    val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("ng"))
-    grams.as("a")
-      .join(grams.as("b"),
+    }.toDF().localCheckpoint(true) // consumers: both join sides
+    // per-doc gram count carried on the gram frame (window over the
+    // checkpoint): the pair verdict then aggregates na/nb alongside
+    // n_common — no join against a corpus-proportional count frame
+    val gramsN = grams.withColumn("ng",
+      count(lit(1)).over(Window.partitionBy("doc_id")))
+    gramsN.as("a")
+      .join(gramsN.as("b"),
         col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc1"),
-        col("ng").as("na"))), Seq("doc1"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc2"),
-        col("ng").as("nb"))), Seq("doc2"))
+      .agg(count(lit(1)).as("n_common"),
+        max(col("a.ng")).as("na"), max(col("b.ng")).as("nb"))
       .select(col("doc1"), col("doc2"),
         col("n_common").cast("long").as("n_common"),
         (col("na") + col("nb") - col("n_common")).cast("long")

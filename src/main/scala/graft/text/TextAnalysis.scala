@@ -674,9 +674,12 @@ object TextAnalysis {
     * the class prior.
     *
     * Plan shape for 100 TB: the token-frequency frame is computed once
-    * and feeds both the weight table (vocabulary-sized → BROADCAST
-    * back) and the per-document scoring aggregate; the corpus is
-    * scanned, never self-joined. Weights are quantized to 1e-6
+    * and feeds both the weight table and the per-document scoring
+    * aggregate; the corpus is scanned, never self-joined. The weight
+    * table is VOCABULARY-sized (one row per distinct corpus term), so
+    * it joins back to the token frame by a SHUFFLE on term — t5's "no
+    * dictionary broadcast" law; only the 1-row corpus totals and the
+    * 1-row class prior broadcast. Weights are quantized to 1e-6
     * fixed-point LONGS before the per-document sum, so the aggregate
     * is an exact integer sum — order-independent, safe to distribute,
     * and bit-replayable in the oracle (the c8 fixed-point pattern).
@@ -706,7 +709,13 @@ object TextAnalysis {
         // inf/NaN, so the unsmoothed prior diverges between engines.
         "cast(round(ln((dp + 1) / cast(dn + 1 as double)) * 1000000) " +
           "as bigint) as prior6")
-    val scored = tf.join(broadcast(wtab), "term")
+    // the weight table is one row per DISTINCT CORPUS TERM — t5's
+    // ledger law applies ("no dictionary broadcast"): at 100 TB the
+    // vocabulary is far past any broadcast budget, so the tf↔weight
+    // join shuffles on term exactly like t5/t11 (the r11 plan carried
+    // an explicit broadcast hint here; the plan contract now pins the
+    // absence of any term-table broadcast)
+    val scored = tf.join(wtab, "term")
       .groupBy("doc_id").agg(sum("w6").as("sw6"))
     docs.join(scored, Seq("doc_id"), "left")
       .crossJoin(broadcast(prior))

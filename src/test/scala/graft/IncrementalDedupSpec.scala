@@ -357,4 +357,51 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(pruned > 0, "a mostly-new batch should prune some rows")
     assert(pruned + verdicts.values.count(identity) == verdicts.size)
   }
+
+  test("d9/d11 width law (r12): the widened batch↔store joins mirror " +
+      "the widened full self-join at every forced width — the oracle's " +
+      "widened band CTE — and widening only prunes") {
+    val full = docs.select("doc_id", "source", "text")
+    val bb = Dedup.mhBands(docs.filter(isBatch)).localCheckpoint(true)
+    val cb = Dedup.mhBands(docs.filter(!isBatch)).localCheckpoint(true)
+    def edgesAt(x: Int) = Dedup.incrementalEdges(bb, cb, x).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    def mixedAt(x: Int) = Dedup.minhashPairs(full, extraRows = x)
+      .filter((col("id1") % 10 === 0) =!= (col("id2") % 10 === 0))
+    val e0 = edgesAt(0)
+    assert(e0.nonEmpty, "fixture carries no cross pairs")
+    (0 to 4).foreach { x =>
+      val e = edgesAt(x)
+      val m = mixedAt(x).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(e == m,
+        s"widened cross edges diverge from the widened self-join at x=$x")
+      assert(e.subsetOf(e0), s"widening ADDED an edge at x=$x")
+    }
+    // incrementalMatch at width x ≡ best-match over the widened mixed
+    // pairs (jac desc, match_id asc — the d9 oracle's ranking)
+    val ids = docs.filter(isBatch).select("doc_id")
+    (0 to 4).foreach { x =>
+      val got = Dedup.incrementalMatch(bb, cb, ids, x).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      val hits = mixedAt(x).select(
+          when(col("id1") % 10 === 0, col("id1")).otherwise(col("id2"))
+            .as("doc_id"),
+          when(col("id1") % 10 === 0, col("id2")).otherwise(col("id1"))
+            .as("match_id"),
+          col("jaccard_est"))
+      val best = hits.withColumn("rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("doc_id")
+            .orderBy(col("jaccard_est").desc, col("match_id").asc)))
+        .filter(col("rk") === 1)
+      val expect = ids.join(best, Seq("doc_id"), "left").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got == expect,
+        s"widened incrementalMatch diverges from the widened mirror at x=$x")
+    }
+  }
 }

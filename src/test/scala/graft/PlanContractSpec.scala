@@ -737,14 +737,39 @@ class PlanContractSpec extends AnyFunSuite {
   }
 
   test("m6: frame dedup — the gram self-join is a hash equi-join on " +
-      "the checkpointed gram frame (one decode pass), sizes " +
-      "broadcast, no cartesian") {
+      "the checkpointed gram frame (one decode pass), NO broadcast of " +
+      "any corpus-derived build side (per-doc counts ride the gram " +
+      "frame, r12), no cartesian") {
     val p = finalPlanNoBroadcast("m6_frame_dedup")
     assert(scanCount(p) == 0,
       s"parquet re-scanned past the gram checkpoint:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"nested loop in the gram join:\n$p")
+    // with auto-broadcast disabled, ANY broadcast join left in the
+    // plan is an explicit hint — and every frame here (grams, per-doc
+    // counts) is corpus-proportional, so none may broadcast (the r11
+    // plan force-hinted the per-doc count frame: a driver OOM wall at
+    // 100 TB)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"corpus-derived frame broadcast under an explicit hint:\n$p")
+  }
+
+  test("t19: NB filter — the vocabulary-sized weight table joins the " +
+      "token frame by SHUFFLE on term (t5's no-dictionary-broadcast " +
+      "law); only the 1-row totals/prior broadcast") {
+    val p = finalPlanNoBroadcast("t19_nb_filter")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // with auto-broadcast disabled, a BroadcastHashJoin can only come
+    // from an explicit hint — and the only equi-join here is
+    // tf ⋈ weight-table on term, which must shuffle (the r11 plan
+    // hinted the vocabulary-sized table: past any broadcast budget at
+    // 100 TB)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"term-table broadcast under an explicit hint:\n$p")
+    // allowed: the two 1-row cross joins (corpus totals, class prior)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
+      s"more than the totals + prior 1-row broadcasts:\n$p")
   }
 
   test("s18: filtered walk — final re-rank reads only checkpoints " +
