@@ -20,6 +20,13 @@ object Bench {
     // and "medians" the per-query median of the measured passes.
     val warmups = sys.env.get("SPARK_GRAFT_WARMUP").map(_.toInt).getOrElse(1)
     val iters = sys.env.get("SPARK_GRAFT_ITERS").map(_.toInt).getOrElse(2).max(1)
+    // Box-load provenance (r12): a single loaded driver run must not
+    // masquerade as a code regression (r11's artifact read +62% purely
+    // from box drift), so the artifact carries the 1-min load average
+    // at start and end of the measured set.
+    def loadAvg: Double = math.round(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage * 100) / 100.0
+    val loadStart = loadAvg
     val results = SparkEntry.queries.filterNot(q => exclude(q._1))
       .map { case (name, fn) =>
         def once(): Double = {
@@ -36,13 +43,16 @@ object Bench {
     val med = results.map { case (k, v) => s"\"" + k + "\":" + v._2 }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val loadEnd = loadAvg
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""medians":$med,"warmups":$warmups,"iters":$iters,"sf":"$sfDir"}""")
+      s""""medians":$med,"warmups":$warmups,"iters":$iters,""" +
+      s""""load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     // Totals-only duplicate LAST: a tail-truncating log capture (the
     // driver keeps ~2 kB) always retains the headline numbers even
     // when the per-query map above is cut mid-line.
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n_queries":${results.size},"sf":"$sfDir"}""")
+      s""""n_queries":${results.size},""" +
+      s""""load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -151,6 +151,7 @@ object SparkEntry {
     "d8_dup_clusters" -> ((s: SparkSession, d: String) =>
       graft.dedup.Dedup.d8DupClusters(s, d)),
     "d9_incremental_dedup" -> (graft.dedup.Dedup.d9IncrementalDedup _),
+    "x3_incremental_dedup" -> (graft.dedup.Dedup.x3IncrementalDedup _),
     "d10_cc_stars" -> (graft.dedup.Dedup.d10CcStars _),
     "d11_cluster_maintain" -> (graft.dedup.Dedup.d11ClusterMaintain _),
     "d12_semdedup_prod" -> ((s: SparkSession, d: String) =>
@@ -173,6 +174,8 @@ object SparkEntry {
       graft.similarity.Similarity.s18FilteredWalk(s, d)),
     "r1_rrf_fusion" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.r1RrfFusion(s, d)),
+    "r1_rrf_prod" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.r1RrfProd(s, d)),
     "s6_ann_recall" -> (graft.similarity.Similarity.s6AnnRecall _),
     "s4_pq_encode" -> (graft.similarity.Similarity.s4PqEncode _),
     "s7_two_stage" -> (graft.similarity.Similarity.s7TwoStage _),
@@ -901,7 +904,56 @@ object SparkEntry {
     * `nv(n)` — the ≥10 corpus count feeding the bitsFor width law.
     * The registered s15 passes the whole embeddings table; x2 passes
     * the d12-survivor subset. */
-  private def s15WalkSqlOver(header: String, src: String): String = {
+  /** r1's fusion SQL around a caller-supplied dense-arm body (a
+    * SELECT yielding (query_id, doc_id, rk ≤ 20)) — shared by the
+    * exact certification form and the walk-tier production form. */
+  private def r1FusionSqlWith(denseVrk: String): String = {
+    // the binary arm's packed sign codes — e3's fold verbatim
+    def half(src: String, sl: String) =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform($src[$sl],
+         |      x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)),
+         |    (a, x) -> a * 2 + x)""".stripMargin
+    s"""WITH ${bm25Ctes("doc_id % 97 = 0 AND doc_id < 6208")},
+       |bmtop AS (SELECT query_id, doc_id, rk FROM rk WHERE rk <= 20),
+       |qv AS (
+       |  SELECT d.doc_id AS query_id, e.embedding::DOUBLE[] AS q_emb
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+       |  WHERE d.doc_id % 97 = 0 AND d.doc_id < 6208),
+       |cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS c_emb
+       |       FROM embeddings WHERE vec_id % 97 <> 0),
+       |vrk AS (
+       |  $denseVrk),
+       |qb AS (SELECT query_id, ${half("q_emb", "1:32")} AS q_hi,
+       |              ${half("q_emb", "33:64")} AS q_lo FROM qv),
+       |cbin AS (SELECT doc_id, ${half("c_emb", "1:32")} AS c_hi,
+       |              ${half("c_emb", "33:64")} AS c_lo FROM cv),
+       |brk AS (
+       |  SELECT query_id, doc_id, rk FROM (
+       |    SELECT q.query_id, c.doc_id,
+       |      CAST(row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY bit_count(xor(c.c_hi, q.q_hi))
+       |          + bit_count(xor(c.c_lo, q.q_lo)) ASC, c.doc_id ASC)
+       |        AS BIGINT) AS rk
+       |    FROM qb q CROSS JOIN cbin c)
+       |  WHERE rk <= 20),
+       |fused AS (
+       |  SELECT query_id, doc_id,
+       |    CAST(sum(1000000 // (60 + rk)) AS BIGINT) AS rrf
+       |  FROM (SELECT * FROM bmtop UNION ALL SELECT * FROM vrk
+       |        UNION ALL SELECT * FROM brk)
+       |  GROUP BY 1, 2)
+       |SELECT query_id, rk, doc_id, rrf FROM (
+       |  SELECT query_id, doc_id, rrf,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rk
+       |  FROM fused)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+  }
+
+  private def s15WalkSqlOver(header: String, src: String,
+      qPred: String = "vec_id < 10", cPred: String = "vec_id >= 10",
+      kOut: Int = 5): String = {
     val planes = (0 until 4).map(j =>
       doubleList(graft.functions.VectorFunctions.planeValues(j, 64)))
     val dots = (0 until 4).map(j =>
@@ -945,7 +997,7 @@ object SparkEntry {
        |    CAST(sum(CASE WHEN ${seqDot("emb", "plane")} > 0
        |      THEN w ELSE 0 END) AS BIGINT) AS sig
        |  FROM $src CROSS JOIN spt CROSS JOIN beff
-       |  WHERE vec_id >= 10 AND j < bits GROUP BY 1, 2),
+       |  WHERE ($cPred) AND j < bits GROUP BY 1, 2),
        |scand AS (
        |  SELECT a.vec_id AS id1, b.vec_id AS id2
        |  FROM sge a JOIN sge b ON a.b = b.b AND a.sig = b.sig
@@ -969,14 +1021,14 @@ object SparkEntry {
        |    $dots
        |    FROM $src)),
        |q AS (SELECT vec_id AS q_id, emb AS q_emb, bucket AS b0
-       |      FROM bkt WHERE vec_id < 10),
+       |      FROM bkt WHERE $qPred),
        |qp AS (SELECT q_id, q_emb, unnest(
        |    [b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS bucket
        |  FROM q),
        |ce AS (SELECT vec_id AS c_id, emb AS c_emb FROM $src
-       |       WHERE vec_id >= 10),
+       |       WHERE $cPred),
        |cb AS (SELECT vec_id AS c_id, emb AS c_emb, bucket
-       |      FROM bkt WHERE vec_id >= 10),
+       |      FROM bkt WHERE $cPred),
        |v0 AS MATERIALIZED (
        |  SELECT q_id, c_id, cos FROM (
        |    SELECT q_id, c_id,
@@ -992,7 +1044,7 @@ object SparkEntry {
        |SELECT q_id, rank, c_id, cos FROM (
        |  SELECT q_id, c_id, cos, CAST(row_number() OVER (PARTITION BY q_id
        |    ORDER BY cos DESC, c_id) AS BIGINT) AS rank FROM v3)
-       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+       |WHERE rank <= $kOut ORDER BY q_id, rank""".stripMargin
   }
 
   /** s16's oracle: levels from the portable coin, the s15 layer-0
@@ -1527,6 +1579,11 @@ object SparkEntry {
     "s15_graph_search" -> s15GraphSearchSql,
     "s18_filtered_walk" -> s18FilteredWalkSql,
     "x2_dedup_index" -> x2DedupIndexSql,
+    // x3 replays the ingest cadence (3 arrival waves, accumulated
+    // band store) and must land row-identical to d2 on the union —
+    // so its oracle IS d2's SQL: the strongest possible check that
+    // the cadence loses no pair across wave boundaries.
+    "x3_incremental_dedup" -> d2MinhashSql,
     "s16_hnsw" -> s16HnswSql,
     "s6_ann_recall" ->
       s"""WITH exact AS (SELECT q_id, c_id FROM ($s1AnnSql)),
@@ -2358,55 +2415,29 @@ object SparkEntry {
     // integer reciprocal rank (1e6 div (60 + rank), exact BIGINT);
     // the query workload is the FIXED first-64-slot set (no-op at
     // every oracle scale — sf0.1 has 51 queries)
-    "r1_rrf_fusion" -> {
-      // the binary arm's packed sign codes — e3's fold verbatim
-      def half(src: String, sl: String) =
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |    list_transform($src[$sl],
-           |      x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)),
-           |    (a, x) -> a * 2 + x)""".stripMargin
-      s"""WITH ${bm25Ctes("doc_id % 97 = 0 AND doc_id < 6208")},
-         |bmtop AS (SELECT query_id, doc_id, rk FROM rk WHERE rk <= 20),
-         |qv AS (
-         |  SELECT d.doc_id AS query_id, e.embedding::DOUBLE[] AS q_emb
-         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
-         |  WHERE d.doc_id % 97 = 0 AND d.doc_id < 6208),
-         |cv AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS c_emb
-         |       FROM embeddings WHERE vec_id % 97 <> 0),
-         |vrk AS (
-         |  SELECT query_id, doc_id, rk FROM (
-         |    SELECT q.query_id, c.doc_id,
-         |      CAST(row_number() OVER (PARTITION BY q.query_id
-         |        ORDER BY round(list_cosine_similarity(q.q_emb, c.c_emb), 3)
-         |          DESC, c.doc_id ASC) AS BIGINT) AS rk
-         |    FROM qv q CROSS JOIN cv c)
-         |  WHERE rk <= 20),
-         |qb AS (SELECT query_id, ${half("q_emb", "1:32")} AS q_hi,
-         |              ${half("q_emb", "33:64")} AS q_lo FROM qv),
-         |cb AS (SELECT doc_id, ${half("c_emb", "1:32")} AS c_hi,
-         |              ${half("c_emb", "33:64")} AS c_lo FROM cv),
-         |brk AS (
-         |  SELECT query_id, doc_id, rk FROM (
-         |    SELECT q.query_id, c.doc_id,
-         |      CAST(row_number() OVER (PARTITION BY q.query_id
-         |        ORDER BY bit_count(xor(c.c_hi, q.q_hi))
-         |          + bit_count(xor(c.c_lo, q.q_lo)) ASC, c.doc_id ASC)
-         |        AS BIGINT) AS rk
-         |    FROM qb q CROSS JOIN cb c)
-         |  WHERE rk <= 20),
-         |fused AS (
-         |  SELECT query_id, doc_id,
-         |    CAST(sum(1000000 // (60 + rk)) AS BIGINT) AS rrf
-         |  FROM (SELECT * FROM bmtop UNION ALL SELECT * FROM vrk
-         |        UNION ALL SELECT * FROM brk)
-         |  GROUP BY 1, 2)
-         |SELECT query_id, rk, doc_id, rrf FROM (
-         |  SELECT query_id, doc_id, rrf,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY rrf DESC, doc_id ASC) AS BIGINT) AS rk
-         |  FROM fused)
-         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
-    },
+    "r1_rrf_fusion" -> r1FusionSqlWith(
+      // the EXACT dense arm: every (query, corpus) cosine
+      """SELECT query_id, doc_id, rk FROM (
+        |    SELECT q.query_id, c.doc_id,
+        |      CAST(row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_cosine_similarity(q.q_emb, c.c_emb), 3)
+        |          DESC, c.doc_id ASC) AS BIGINT) AS rk
+        |    FROM qv q CROSS JOIN cv c)
+        |  WHERE rk <= 20""".stripMargin),
+    // the production form: the dense arm is the s15 walk SQL verbatim
+    // under r1's query protocol (parameterized q/c predicates, top-20)
+    // — re-derives the graph the engine amortizes in its ensure-store
+    "r1_rrf_prod" -> r1FusionSqlWith(
+      s"""SELECT q_id AS query_id, c_id AS doc_id, rank AS rk FROM (
+         |${s15WalkSqlOver(
+            """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+              |  FROM embeddings),
+              |nv AS (SELECT count(*) AS n FROM embeddings
+              |       WHERE vec_id % 97 <> 0)""".stripMargin,
+            "e",
+            qPred = "vec_id % 97 = 0 AND vec_id < 6208",
+            cPred = "vec_id % 97 <> 0",
+            kOut = 20)})""".stripMargin),
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
         |           FROM documents),

@@ -1598,6 +1598,67 @@ object Dedup {
       .select("src", "dst").distinct()
   }
 
+  /** The cross half of the ingest cadence in d2's OUTPUT contract —
+    * every (id1 < id2, jaccard_est) pair with one endpoint in the
+    * batch and one in the store, widened by the same law as the
+    * corpus self-join. [[incrementalEdges]] keeps the edge-list shape
+    * cluster maintenance wants; this keeps the verified-pair shape so
+    * wave-accumulated pairs can be compared 1:1 against d2 on the
+    * union (x3's contract). */
+  private[graft] def incrementalPairs(batchBands: DataFrame,
+      storeBands: DataFrame, extraRows: Int = 0): DataFrame = {
+    val nb = widenBands(batchBands, extraRows)
+    val cb = widenBands(storeBands, extraRows)
+    def extraCond = if (extraRows <= 0) lit(true)
+      else col("n.bhx") === col("c.bhx")
+    nb.as("n")
+      .join(cb.as("c"),
+        col("n.bkey") === col("c.bkey") &&
+          col("n.band") === col("c.band") && col("n.bh") === col("c.bh") &&
+          extraCond && col("n.doc_id") =!= col("c.doc_id"))
+      .select(least(col("n.doc_id"), col("c.doc_id")).as("id1"),
+        greatest(col("n.doc_id"), col("c.doc_id")).as("id2"),
+        T.minhashJaccardEst(col("n.sig"), col("c.sig"), MhK).as("jac"))
+      .filter(col("jac") >= 0.5)
+      .groupBy("id1", "id2").agg(max("jac").as("jaccard_est"))
+  }
+
+  /** X3: the INGEST-CADENCE near-dup form as a registered, benched
+    * query — the regime the width laws' output-bound 100× walls are
+    * routed to, measured instead of asserted (r12, per the r11
+    * verdict). The corpus arrives in three waves (doc_id % 3); each
+    * wave sketches ONLY itself, pairs intra-wave via the banded
+    * self-join, and band-joins the ACCUMULATED store of prior waves'
+    * sketches for cross pairs — so per-wave cost is O(wave +
+    * collisions), never a corpus re-sketch or full self-join, and the
+    * store union is sketch rows, not text. Every pair is generated
+    * exactly once (intra-wave at its wave, cross at the later
+    * endpoint's wave), and all three join families ride ONE width
+    * from the full corpus count, so the accumulated output is
+    * row-identical to d2 on the union — the oracle IS d2's SQL (the
+    * wave≡batch spec promoted to the driver gate). In production the
+    * store is the persisted bucketed band store (IncrementalDedupSpec
+    * proves the no-exchange store join); here it accumulates inline
+    * so the driver can replay the whole cadence from the parquet
+    * tables. */
+  def x3IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val x = extraRowsFor(docs.filter(col("text").isNotNull).count())
+    val waves = (0 until 3).map(i =>
+      mhBands(docs.filter(col("doc_id") % 3 === i)).localCheckpoint(true))
+    var store = waves(0)
+    var pairs = pairsFromBands(waves(0), x)
+    for (i <- 1 until 3) {
+      pairs = pairs.union(pairsFromBands(waves(i), x))
+        .union(incrementalPairs(waves(i), store, x))
+      store = store.union(waves(i))
+    }
+    // a pair lands in exactly one wave's family, so this final group
+    // only restores d2's one-row-per-pair contract shape
+    pairs.groupBy("id1", "id2").agg(max("jaccard_est").as("jaccard_est"))
+      .orderBy("id1", "id2")
+  }
+
   /** D11 core: fold a batch's new edges into a PERSISTED doc→cluster
     * map WITHOUT recomputing components for the corpus. The corpus
     * endpoints of the new edges are PROJECTED to their cluster labels

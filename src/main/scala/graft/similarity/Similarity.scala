@@ -83,14 +83,24 @@ object Similarity {
     lshShortlistOn(Tables.embeddings(s, d), beam)
 
   private[graft] def lshShortlistOn(emb: DataFrame,
+      beam: Int): DataFrame =
+    lshShortlistQC(queriesOf(emb),
+      corpusOf(emb).select("c_id", "c_emb"), beam)
+
+  /** [[lshShortlistOn]] with the query/corpus frames EXPLICIT
+    * ((q_id, q_emb) / (c_id, c_emb)) — r1's production dense arm
+    * walks with r1's own query protocol (doc_id % 97), not the
+    * vec_id < 10 table convention, so the seed tier is
+    * frame-parameterized the way the walk body is. */
+  private[graft] def lshShortlistQC(qIn: DataFrame, cIn: DataFrame,
       beam: Int): DataFrame = {
     val dim = 64; val planes = 4
-    val q = queriesOf(emb)
+    val q = qIn
       .withColumn("bucket0", lshBucket(col("q_emb"), planes, dim))
       .select(col("q_id"), col("q_emb"), explode(array(
         (col("bucket0") +: (0 until planes).map(j =>
           col("bucket0").bitwiseXOR(lit(1L << j)))): _*)).as("bucket"))
-    val c = corpusOf(emb)
+    val c = cIn
       .withColumn("bucket", lshBucket(col("c_emb"), planes, dim))
     c.join(broadcast(q), Seq("bucket"))
       .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
@@ -645,24 +655,9 @@ object Similarity {
     * fusion stage touches only 3·n rows per query. */
   def r1RrfFusion(s: SparkSession, d: String, k: Int = 5,
       n: Int = 20, c0: Int = 60): DataFrame = {
-    // FIXED QUERY WORKLOAD (r10 — the 100× probe caught the %97
-    // protocol's query set growing with the corpus: BM25 triples are
-    // Σ df·qf, so corpus-proportional |Q| measures an n² regime no
-    // deployment has; warm 110 s at 100×). The registered workload
-    // is the first 64 query slots — a NO-OP at every oracle scale
-    // (sf0.1 has 51) — so probe walls measure the production shape:
-    // corpus-linear at fixed |Q|.
-    val qBound = 97L * 64
-    val bm = graft.text.TextAnalysis.t12Bm25(s, d, n, qBound)
-      .select(col("query_id"), col("doc_id"), col("rk"))
-    val emb = Tables.embeddings(s, d)
-    val qv = Tables.documents(s, d)
-      .filter(col("doc_id") % 97 === 0 && col("doc_id") < qBound)
-      .select(col("doc_id").as("query_id"))
-      .join(emb.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb")), Seq("query_id"))
-    val cv = emb.filter(col("vec_id") % 97 =!= 0)
-      .select(col("vec_id").as("doc_id"), col("embedding").as("c_emb"))
+    val (qv, cv) = r1QueryCorpus(s, d)
+    // the EXACT dense arm: every (query, corpus) cosine — the
+    // certification form r1_rrf_prod's walk arm is floored against
     val vec = cv.join(broadcast(qv))
       .withColumn("cos3", round(V.cosine(col("q_emb"), col("c_emb")), 3))
       .withColumn("rk", row_number().over(
@@ -670,9 +665,45 @@ object Similarity {
           .orderBy(col("cos3").desc, col("doc_id").asc)).cast("long"))
       .filter(col("rk") <= n)
       .select("query_id", "doc_id", "rk")
-    // third arm (r11): the binary Hamming memory tier — s11's packed
-    // sign codes, ranked Hamming-ascending; packing happens in the
-    // scan projection (once per row), the join carries 16 bytes/row
+    r1Fuse(s, d, vec, qv, cv, k, n, c0)
+  }
+
+  /** r1's FIXED QUERY WORKLOAD (r10 — the 100× probe caught the %97
+    * protocol's query set growing with the corpus: BM25 triples are
+    * Σ df·qf, so corpus-proportional |Q| measures an n² regime no
+    * deployment has). The registered workload is the first 64 query
+    * slots — a NO-OP at every oracle scale (sf0.1 has 51 text / 21
+    * dense queries) — so probe walls measure the production shape:
+    * corpus-linear at fixed |Q|. */
+  private val r1QBound = 97L * 64
+
+  /** r1's dense query/corpus frames: (query_id, q_emb) for the %97
+    * query slots that have vectors, (doc_id, c_emb) for the rest. */
+  private def r1QueryCorpus(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, d)
+    val qv = Tables.documents(s, d)
+      .filter(col("doc_id") % 97 === 0 && col("doc_id") < r1QBound)
+      .select(col("doc_id").as("query_id"))
+      .join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb")), Seq("query_id"))
+    val cv = emb.filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id").as("doc_id"), col("embedding").as("c_emb"))
+    (qv, cv)
+  }
+
+  /** BM25 arm + binary Hamming arm + RRF fold around a caller-chosen
+    * dense arm — shared by the exact certification form ([[
+    * r1RrfFusion]]) and the walk-tier production form ([[r1RrfProd]]).
+    * The binary arm stays a corpus scan BY DESIGN: it reads 16
+    * bytes/row (the RAM tier a deployment scans at memory bandwidth);
+    * the scale problem was only ever the exact arm's full float
+    * cosine per (query, corpus) pair. */
+  private def r1Fuse(s: SparkSession, d: String, vecArm: DataFrame,
+      qv: DataFrame, cv: DataFrame, k: Int, n: Int, c0: Int)
+      : DataFrame = {
+    val bm = graft.text.TextAnalysis.t12Bm25(s, d, n, r1QBound)
+      .select(col("query_id"), col("doc_id"), col("rk"))
     import graft.operators.Curation.binaryHalf
     def packed(df: DataFrame, idCol: String, embCol: String,
         pre: String) = {
@@ -692,7 +723,7 @@ object Similarity {
           .orderBy(col("hamming").asc, col("doc_id").asc)).cast("long"))
       .filter(col("rk") <= n)
       .select("query_id", "doc_id", "rk")
-    bm.unionByName(vec).unionByName(bin)
+    bm.unionByName(vecArm).unionByName(bin)
       .groupBy("query_id", "doc_id")
       .agg(sum(expr(s"1000000 div ($c0 + rk)")).as("rrf"))
       .withColumn("rk", row_number().over(
@@ -701,6 +732,69 @@ object Similarity {
       .filter(col("rk") <= k)
       .select("query_id", "rk", "doc_id", "rrf")
       .orderBy("query_id", "rk")
+  }
+
+  /** Build-if-absent search-graph store over r1's dense corpus
+    * (doc_id % 97 ≠ 0) — the s18 ensure-store pattern (content-keyed
+    * root: qualified path + path hash + corpus fingerprint + format
+    * tag), graph width from the corpus count via [[bitsFor]]. */
+  private val r1FmtTag = "r1store-v1"
+  private val r1Stores = scala.collection.mutable.Map[String, String]()
+  def r1EnsureStore(s: SparkSession, d: String): String = synchronized {
+    import org.apache.hadoop.fs.Path
+    val hconf = s.sparkContext.hadoopConfiguration
+    val dQual = {
+      val p = new Path(d)
+      p.getFileSystem(hconf).makeQualified(p).toString
+    }
+    val fp = corpusFingerprint(s, d)
+    r1Stores.getOrElseUpdate(s"$dQual|$fp", {
+      val root = storeDirFor(s, d, r1FmtTag, "dense")
+      val fs = root.getFileSystem(hconf)
+      if (!fs.exists(new Path(root, "_built"))) {
+        val tmp = new Path(root.getParent,
+          root.getName + ".build-" + System.nanoTime())
+        searchGraphCorpus(
+            Tables.embeddings(s, d).filter(col("vec_id") % 97 =!= 0), 16)
+          .select("vec_id", "nbr")
+          .write.parquet(new Path(tmp, "graph").toString)
+        landBuild(fs, tmp, root, r1FmtTag)
+      }
+      new Path(root, "graph").toString
+    })
+  }
+
+  /** R1-PROD: hybrid retrieval with the dense arm on the WALK TIER
+    * (r12, per the r11 verdict) — the deployment form of
+    * [[r1RrfFusion]]: at 100 TB the exact arm's per-query full-corpus
+    * float cosine scan is the one corpus-sized stage in the fusion,
+    * so the production form answers the dense arm with s15's seeded
+    * ef walk over a MAINTAINED search-graph store ([[r1EnsureStore]]
+    * — built once per (corpus, fingerprint), the s18 identity
+    * contract; kept current at ingest by [[graft.streaming
+    * .StreamingKnn]]'s search cadence like s15's own store). The
+    * BM25 arm keeps t12's reused tf exchange; the binary arm keeps
+    * its 16-byte memory-tier scan; the fusion fold is unchanged.
+    * The exact 3-arm form stays registered as the certification
+    * reference (the o6/o12 retire-the-twin pattern), and the
+    * walk-vs-exact FUSION recall floor is asserted under
+    * PROBE_RECALL_FLOORS (r1_prod).
+    *
+    * Oracle: the full fusion re-derived in SQL with the dense arm as
+    * the s15 walk SQL under r1's query protocol (s15WalkSqlOver,
+    * parameterized query/corpus predicates). */
+  def r1RrfProd(s: SparkSession, d: String, k: Int = 5,
+      n: Int = 20, c0: Int = 60): DataFrame = {
+    val (qv, cv) = r1QueryCorpus(s, d)
+    val graph = s.read.parquet(r1EnsureStore(s, d))
+      .select("vec_id", "nbr").localCheckpoint(true)
+    val vec = s15WalkQC(
+        qv.select(col("query_id").as("q_id"), col("q_emb")),
+        cv.select(col("doc_id").as("c_id"), col("c_emb")),
+        graph, n, 12, 3)
+      .select(col("q_id").as("query_id"), col("c_id").as("doc_id"),
+        col("rank").as("rk"))
+    r1Fuse(s, d, vec, qv, cv, k, n, c0)
   }
 
   /** S6: index-quality evaluation — recall@k of the LSH index (s2)
@@ -991,10 +1085,17 @@ object Similarity {
   /** [[s15Walk]] over an arbitrary embeddings-shaped frame — the x2
     * composition's survivor walk (also the filtered-walk probes). */
   private[graft] def s15WalkOn(emb: DataFrame, graph: DataFrame,
-      k: Int, beam: Int, rounds: Int): DataFrame = {
-    val q = queriesOf(emb)
-    val cv = corpusOf(emb).select(col("c_id"), col("c_emb"))
-    var visited = lshShortlistOn(emb, beam).localCheckpoint(true)
+      k: Int, beam: Int, rounds: Int): DataFrame =
+    s15WalkQC(queriesOf(emb),
+      corpusOf(emb).select(col("c_id"), col("c_emb")), graph,
+      k, beam, rounds)
+
+  /** The walk with query/corpus frames EXPLICIT — r1's production
+    * dense arm ([[r1RrfProd]]) runs the identical ef walk under its
+    * own query protocol. */
+  private[graft] def s15WalkQC(q: DataFrame, cv: DataFrame,
+      graph: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
+    var visited = lshShortlistQC(q, cv, beam).localCheckpoint(true)
     var expanded = visited.select("q_id", "c_id").limit(0)
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
@@ -1670,11 +1771,17 @@ object Similarity {
   /** [[searchGraph]] over an arbitrary embeddings-shaped frame — x2
     * indexes the d12 SURVIVORS, width from the survivor count. */
   private[graft] def searchGraphOn(embIn: DataFrame,
+      k: Int, bits: Int = 0): DataFrame =
+    searchGraphCorpus(embIn.filter(col("vec_id") >= 10), k, bits)
+
+  /** [[searchGraphOn]] over a frame that IS the corpus already (no
+    * query-id convention applied) — r1's store builds over the
+    * doc_id % 97 ≠ 0 corpus, which includes vec_ids below 10. */
+  private[graft] def searchGraphCorpus(emb: DataFrame,
       k: Int, bits: Int = 0): DataFrame = {
     // bits = 0 ⇒ auto-width from corpus size ([[bitsFor]] — the one
     // count() is a bounded driver probe; a production run reads the
     // same number from catalog stats instead)
-    val emb = embIn.filter(col("vec_id") >= 10)
     val b = if (bits > 0) bits else bitsFor(emb.count())
     knnFromPairs(
       graft.dedup.Dedup.scoredCosine(

@@ -408,6 +408,25 @@ object Probe {
       recall("s15", Similarity.s15GraphSearch(spark, d))
       recall("s16", Similarity.s16Hnsw(spark, d))
       recall("s2 (lsh tier)", Similarity.s2AnnLsh(spark, d))
+      // r1-prod FUSION recall: the walk-armed fused top-5 vs the
+      // exact-armed fused top-5 (r12 — the floor that certifies the
+      // production dense arm; keyed r1_prod in PROBE_RECALL_FLOORS)
+      val exactFused = Similarity.r1RrfFusion(spark, d)
+        .select(col("query_id").as("q_id"), col("doc_id").as("c_id"))
+        .localCheckpoint(true)
+      val nq = exactFused.count()
+      if (nq > 0) {
+        val r = time("r1_prod run") {
+          exactFused.join(
+              Similarity.r1RrfProd(spark, d)
+                .select(col("query_id").as("q_id"),
+                  col("doc_id").as("c_id")),
+              Seq("q_id", "c_id"), "left_semi")
+            .count().toDouble / nq
+        }
+        println(f"[probe]   r1_prod fused recall@5 vs exact-armed: $r%.2f")
+        assertFloor("r1_prod", r)
+      }
       spark.stop(); return
     }
 

@@ -809,6 +809,23 @@ class PlanContractSpec extends AnyFunSuite {
       s"t12's tf exchange no longer reused inside the fusion plan:\n$p")
   }
 
+  test("r1-prod: the dense arm rides the stored walk — the exact " +
+      "arm's corpus×query cosine nested loop is GONE (only t12's " +
+      "1-row stats cross + the binary packed-query broadcast remain), " +
+      "the walk contributes only checkpoint reads, tf exchange still " +
+      "reused, no cartesian") {
+    val p = finalPlan("r1_rrf_prod")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // r1_rrf_fusion allows THREE nested loops (stats + dense query
+    // broadcast + binary query broadcast); the production form must
+    // have at most TWO — the dense arm's full-float cosine scan is
+    // exactly the corpus-sized stage this form retires
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
+      s"the dense arm's corpus-scan nested loop is back:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"t12's tf exchange no longer reused inside the fusion plan:\n$p")
+  }
+
   test("x2: dedup-before-index composition — the walk's final " +
       "re-rank reads only checkpoints (survivor frame and survivor " +
       "graph both materialized once), no cartesian") {
