@@ -335,9 +335,20 @@ object Multimodal {
           .map(p => FrameGram(m.doc_id, p(0), p(1))).toSeq.distinct
       }
     }.toDF().localCheckpoint(true) // consumers: both join sides
-    // per-doc gram count carried on the gram frame (window over the
-    // checkpoint): the pair verdict then aggregates na/nb alongside
-    // n_common — no join against a corpus-proportional count frame
+    m6PairsFromGrams(grams)
+  }
+
+  /** m6's candidate + verdict body over an explicit (doc_id, h1, h2)
+    * gram frame — factored so the near-miss recall spec can drive it
+    * with partial-overlap frame-signature families (the registered
+    * stub derives every signature from one payload hash, so true
+    * pairs at probe scale are always FULL overlap and the Jaccard
+    * threshold would otherwise go unexercised against k-frame shared
+    * clips). The per-doc gram count rides the gram frame itself (one
+    * window over the checkpoint): the pair verdict aggregates na/nb
+    * alongside n_common — no join against a corpus-proportional
+    * count frame. */
+  private[graft] def m6PairsFromGrams(grams: DataFrame): DataFrame = {
     val gramsN = grams.withColumn("ng",
       count(lit(1)).over(Window.partitionBy("doc_id")))
     gramsN.as("a")

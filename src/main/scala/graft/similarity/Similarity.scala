@@ -620,6 +620,42 @@ object Similarity {
       k, beam, rounds)
   }
 
+  /** The s18 shard family's REFRESH cadence as a first-class entry
+    * point (r12, the s16RefreshWave analogue — previously the
+    * maintenance spec drove the raw StreamingKnn calls inline): fold
+    * one ingest wave into the maintained PER-PREDICATE graph shard.
+    * The predicate applies AT INGEST (a deployment feeds raw waves;
+    * rows outside the shard's label set never enter its band store),
+    * and shard width follows the FULL filtered corpus count via
+    * [[bitsFor]] — the same law as the ensure-build, so a corpus
+    * crossing a width threshold mid-stream fails the fold's format
+    * stamp LOUDLY instead of regenerating the blow-up the law
+    * removed. Spec (StreamingKnnSpec): 3-wave fold ≡ the ensure-built
+    * shard, and the stored walk over the maintained shard ≡ the
+    * registered s18. */
+  def s18RefreshWave(s: SparkSession, d: String, wave: DataFrame,
+      batchId: Long, root: String,
+      labels: Seq[Int] = s18Labels): Unit = {
+    import graft.streaming.{KnnGraphConfig, StreamingKnn}
+    val feed = filteredEmb(s, d, labels).filter(col("vec_id") >= 10)
+    val w = wave.filter(col("vec_id") >= 10 &&
+      col("label").isin(labels: _*))
+    StreamingKnn.processBatch(w.toDF(), batchId, s"$root/store",
+      s"$root/graph",
+      KnnGraphConfig.search(bits = bitsFor(feed.count())))
+  }
+
+  /** s18's walk against a MAINTAINED shard ([[s18RefreshWave]]'s
+    * output) instead of the ensure-built one — the s15GraphSearchStored
+    * analogue at the filtered tier. */
+  def s18FilteredWalkStored(s: SparkSession, d: String,
+      graphPath: String, k: Int = 5, beam: Int = 12, rounds: Int = 3,
+      labels: Seq[Int] = s18Labels): DataFrame =
+    s15WalkOn(filteredEmb(s, d, labels),
+      s.read.parquet(graphPath).select("vec_id", "nbr")
+        .localCheckpoint(true),
+      k, beam, rounds)
+
   /** The inline-build twin of [[s18FilteredWalk]] — spec-only, pins
     * stored ≡ inline the way s15/s16's stored forms are pinned. */
   private[graft] def s18FilteredWalkInline(s: SparkSession, d: String,

@@ -1799,6 +1799,69 @@ class PipelineSpec extends AnyFunSuite {
         s"identical payloads did not pair: $fx")
   }
 
+  test("m6 near-miss recall (r12): PARTIAL-overlap clip families — " +
+      "frame signatures as a real content-hash decoder yields them — " +
+      "exercise the Jaccard threshold: verdict ≡ brute force at every " +
+      "clip length, recall ≥ 0.5 over the clip-share ≥ 1/2 family, " +
+      "single shared frames contribute nothing") {
+    import multimodal.Multimodal
+    import spark.implicits._
+    // locality-correlated stub family (the m5 code-derived recipe at
+    // the frame tier): per-frame signature = f(clip seed, frame idx),
+    // so shared FOOTAGE shares signatures while edits (different
+    // seed) share none — the property of a real per-frame content
+    // hash, which the registered payload-hash stub cannot express
+    // (one payload hash drives all its frames → full overlap only)
+    def frameSig(seed: Long, idx: Int): Long =
+      ((seed * 2654435761L) % 1000000007L + idx * 977L) % 1000000007L
+    val n = 9 // sampled frames per video
+    val base = (0 until n).map(frameSig(1L, _)) // video 0: the footage
+    // video m (1 ≤ m ≤ 9) opens with an m-frame clip of the footage,
+    // then its own unique frames; video 100 is fully unrelated
+    val vids: Seq[(Long, Seq[Long])] =
+      (1 to n).map { m =>
+        (m.toLong, base.take(m) ++
+          (m until n).map(frameSig(1000L + m, _)))
+      } :+ (0L, base) :+ (100L, (0 until n).map(frameSig(7777L, _)))
+    val grams = vids.flatMap { case (id, sigs) =>
+      sigs.sliding(2).map(p => (id, p(0), p(1))) }
+    val got = Multimodal.m6PairsFromGrams(
+        grams.toDF("doc_id", "h1", "h2").localCheckpoint(true))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // exact pin: verdict ≡ brute-force integer gram Jaccard
+    val gsets = vids.map { case (id, sigs) =>
+      id -> sigs.sliding(2).map(p => (p(0), p(1))).toSet }.toMap
+    val brute = (for {
+      (i1, g1) <- gsets; (i2, g2) <- gsets if i1 < i2
+      c = (g1 & g2).size; u = g1.size + g2.size - c
+      if c * 2 >= u
+    } yield (i1, i2, c.toLong, u.toLong)).toSet
+    assert(got == brute,
+      s"missing ${(brute -- got).size} / extra ${(got -- brute).size}")
+    // partial-overlap pairs ARE exercised: some reported pair is a
+    // strict near-miss (n_common < n_union), unlike the payload stub
+    assert(got.exists { case (_, _, c, u) => c < u },
+      "family produced no partial-overlap verdicts")
+    // recall floor over the clip-share ≥ 1/2 family (m ≥ 5 of 9):
+    // shared grams = m−1 of 8+8, so the integer law admits m ≥ 7 —
+    // recall 3/5 = 0.6 ≥ the 0.5 floor, and the admitted set is
+    // EXACTLY what the threshold maths says (no silent loss)
+    val half = (5 to n).map(m => (0L, m.toLong)).toSet
+    val gotPairs = got.map(t => (t._1, t._2))
+    val rec = half.count(gotPairs).toDouble / half.size
+    assert(rec >= 0.5, f"clip-share ≥ 1/2 recall $rec%.2f below floor")
+    assert(half.filter(gotPairs) == (7 to n).map(m => (0L, m.toLong)).toSet,
+      "admitted clip lengths diverge from the integer Jaccard law")
+    // a single shared frame yields no gram, so no pair; unrelated
+    // videos never pair
+    assert(!gotPairs.contains((0L, 1L)),
+      "one shared frame must contribute no gram")
+    assert(!gotPairs.exists(p => p._1 == 100L || p._2 == 100L),
+      "unrelated video paired")
+  }
+
   test("m1 multimodal plumbing yields typed metadata for every doc") {
     val n = Tables.documents(spark, sf).count()
     val rows = multimodal.Multimodal.m1MultimodalMeta(spark, sf).collect()

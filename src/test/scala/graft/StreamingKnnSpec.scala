@@ -343,16 +343,14 @@ class StreamingKnnSpec extends AnyFunSuite {
     val root = java.nio.file.Files
       .createTempDirectory("graft_sknn_s18").toString
     val (store, graph) = (s"$root/store", s"$root/graph")
-    // the filtered feed: s18's predicate applied at ingest — the
-    // partition-column shard a deployment maintains per predicate
-    val feed = Similarity.filteredEmb(spark, sf)
-      .filter(col("vec_id") >= 10)
-    val cfg = graft.streaming.KnnGraphConfig.search(
-      bits = Similarity.bitsFor(feed.count()))
+    // r12: the cadence is the NAMED entry point (s18RefreshWave, the
+    // s16RefreshWave analogue) and waves arrive RAW — the predicate
+    // applies at ingest inside the callable, so rows outside the
+    // shard's label set must never enter its band store
     (0 until 3).foreach { w =>
-      StreamingKnn.processBatch(
-        feed.filter(col("vec_id") % 3 === w).toDF(), w, store, graph,
-        cfg)
+      Similarity.s18RefreshWave(spark, sf,
+        Tables.embeddings(spark, sf).filter(col("vec_id") % 3 === w)
+          .toDF(), w, root)
     }
     val got = readGraph(graph)
     val expected = Similarity
@@ -367,10 +365,7 @@ class StreamingKnnSpec extends AnyFunSuite {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getDouble(3))).toSeq
-    val walked = rows(Similarity.s15WalkOn(
-      Similarity.filteredEmb(spark, sf),
-      spark.read.parquet(graph).select("vec_id", "nbr")
-        .localCheckpoint(true), 5, 12, 3))
+    val walked = rows(Similarity.s18FilteredWalkStored(spark, sf, graph))
     val reg = rows(SparkEntry.queries("s18_filtered_walk")(spark, sf))
     assert(walked == reg,
       "walk over the maintained filtered shard diverged from the " +
