@@ -318,14 +318,19 @@ object Multimodal {
     * pins the absence of any corpus-derived broadcast. Docs with
     * fewer than 2 sampled frames carry no gram and exit — a still
     * image is not a video near-dup candidate. */
-  def m6FrameDedup(s: SparkSession, d: String): DataFrame = {
+  def m6FrameDedup(s: SparkSession, d: String): DataFrame =
+    m6PairsFromGrams(m6Grams(s, d))
+
+  /** m6's checkpointed (doc_id, h1, h2) frame-gram frame — one decode
+    * pass in the batched partition map. */
+  private[graft] def m6Grams(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d)
       .filter(col("text").isNotNull) // null payload would NPE in the partition map
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         col("source"), length(col("text")).as("n_chars"))
       .as[MediaIn]
-    val grams = media.mapPartitions { batch =>
+    media.mapPartitions { batch =>
       batch.flatMap { m =>
         val ph = payloadHash(m.payload)
         val (_, _, frames) = decodeStub(m.payload)
@@ -335,7 +340,6 @@ object Multimodal {
           .map(p => FrameGram(m.doc_id, p(0), p(1))).toSeq.distinct
       }
     }.toDF().localCheckpoint(true) // consumers: both join sides
-    m6PairsFromGrams(grams)
   }
 
   /** m6's candidate + verdict body over an explicit (doc_id, h1, h2)

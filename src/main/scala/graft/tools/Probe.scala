@@ -48,6 +48,42 @@ object Probe {
       spark.stop(); return
     }
 
+    // m6 verdict-form A/B (r12): per-doc gram counts via window vs a
+    // plain (unhinted) count-frame join — both 100TB-legal (no
+    // explicit corpus broadcast); pick by measurement on one box
+    if (sys.env.get("PROBE_M6FORM").contains("1")) {
+      import graft.multimodal.Multimodal
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(spark, d).count()
+      val grams = Multimodal.m6Grams(spark, d)
+      def joinForm() = {
+        val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("ng"))
+        grams.as("a")
+          .join(grams.as("b"),
+            col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+          .agg(count(lit(1)).as("n_common"))
+          .join(sizes.select(col("doc_id").as("doc1"),
+            col("ng").as("na")), Seq("doc1"))
+          .join(sizes.select(col("doc_id").as("doc2"),
+            col("ng").as("nb")), Seq("doc2"))
+          .select(col("doc1"), col("doc2"),
+            col("n_common").cast("long").as("n_common"),
+            (col("na") + col("nb") - col("n_common")).cast("long")
+              .as("n_union"))
+          .filter(col("n_common") * 2 >= col("n_union"))
+          .orderBy("doc1", "doc2")
+      }
+      (1 to 2).foreach { i =>
+        time(s"m6 window form #$i") {
+          Multimodal.m6PairsFromGrams(grams).count()
+        }
+        time(s"m6 plain-join form #$i") { joinForm().count() }
+      }
+      spark.stop(); return
+    }
+
     // d3 width sweep: wall + output per extra-bit width on one corpus
     sys.env.get("PROBE_D3WIDTH").foreach { xs =>
       import graft.dedup.Dedup
