@@ -93,8 +93,8 @@ object Similarity {
     * vec_id < 10 table convention, so the seed tier is
     * frame-parameterized the way the walk body is. */
   private[graft] def lshShortlistQC(qIn: DataFrame, cIn: DataFrame,
-      beam: Int): DataFrame = {
-    val dim = 64; val planes = 4
+      beam: Int, planes: Int = 4): DataFrame = {
+    val dim = 64
     val q = qIn
       .withColumn("bucket0", lshBucket(col("q_emb"), planes, dim))
       .select(col("q_id"), col("q_emb"), explode(array(
@@ -1130,8 +1130,10 @@ object Similarity {
     * dense arm ([[r1RrfProd]]) runs the identical ef walk under its
     * own query protocol. */
   private[graft] def s15WalkQC(q: DataFrame, cv: DataFrame,
-      graph: DataFrame, k: Int, beam: Int, rounds: Int): DataFrame = {
-    var visited = lshShortlistQC(q, cv, beam).localCheckpoint(true)
+      graph: DataFrame, k: Int, beam: Int, rounds: Int,
+      seedPlanes: Int = 4): DataFrame = {
+    var visited = lshShortlistQC(q, cv, beam, seedPlanes)
+      .localCheckpoint(true)
     var expanded = visited.select("q_id", "c_id").limit(0)
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {

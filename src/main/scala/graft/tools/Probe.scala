@@ -84,6 +84,105 @@ object Probe {
       spark.stop(); return
     }
 
+    // seed-width sweep (r12): the walk ladder's LSH seed uses a fixed
+    // 4-plane bucket — 5/16 of the corpus exact-scored per query, the
+    // last corpus-proportional CONSTANT in the walk tier. Sweep plane
+    // counts at probe scale: seed fraction + walk recall@5 vs exact.
+    if (sys.env.get("PROBE_SEEDWIDTH").contains("1")) {
+      import graft.similarity.Similarity
+      import graft.functions.{VectorFunctions => V}
+      Tables.embeddings(spark, d).count()
+      val emb = Tables.embeddings(spark, d)
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val cv = emb.filter(col("vec_id") >= 10)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val graph = Similarity.searchGraph(spark, d, 16)
+        .select("vec_id", "nbr").localCheckpoint(true)
+      val exact = Similarity.s1AnnBruteForce(spark, d)
+        .select("q_id", "c_id").localCheckpoint(true)
+      val ne = exact.count(); val nc = cv.count(); val nq = q.count()
+      Seq(4, 5, 6, 7, 8).foreach { p =>
+        val dim = 64
+        val qb = q.withColumn("b0",
+            V.signSig(V.asDouble(col("q_emb")), 0, p, dim))
+          .select(col("q_id"), explode(array((col("b0") +:
+            (0 until p).map(j => col("b0").bitwiseXOR(lit(1L << j)))): _*))
+            .as("bucket"))
+        val frac = cv.withColumn("bucket",
+            V.signSig(V.asDouble(col("c_emb")), 0, p, dim))
+          .join(broadcast(qb), Seq("bucket")).count().toDouble / (nc * nq)
+        val walk = time(s"walk p=$p") {
+          Similarity.s15WalkQC(q, cv, graph, 5, 12, 3, p)
+            .select("q_id", "c_id").localCheckpoint(true)
+        }
+        val r = exact.join(walk, Seq("q_id", "c_id"), "left_semi")
+          .count().toDouble / ne
+        val seedR = {
+          val s = Similarity.lshShortlistQC(q, cv, 5, p)
+          exact.join(s.select("q_id", "c_id"), Seq("q_id", "c_id"),
+            "left_semi").count().toDouble / ne
+        }
+        println(f"[probe]   p=$p seed-frac $frac%.3f  walk recall@5 " +
+          f"$r%.2f  seed-only recall@5 $seedR%.2f")
+      }
+      spark.stop(); return
+    }
+
+    // r1-prod arm profile (r12): where does the fused wall go —
+    // seed scoring volume, walk rounds, BM25 arm, binary arm?
+    if (sys.env.get("PROBE_R1PROF").contains("1")) {
+      import graft.similarity.Similarity
+      Tables.documents(spark, d).count()
+      Tables.embeddings(spark, d).count()
+      val emb = Tables.embeddings(spark, d)
+      val qv = Tables.documents(spark, d)
+        .filter(col("doc_id") % 97 === 0 && col("doc_id") < 97L * 64)
+        .select(col("doc_id").as("q_id"))
+        .join(emb.select(col("vec_id").as("q_id"),
+          col("embedding").as("q_emb")), Seq("q_id"))
+      val cv = emb.filter(col("vec_id") % 97 =!= 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val seedRows = time("seed: scored candidate volume") {
+        Similarity.lshShortlistQC(qv, cv, 12)
+          .queryExecution.executedPlan // plan only
+        // count the PRE-cut scored rows: corpus rows landing in any
+        // probed bucket (what the seed exact-scores)
+        val dim = 64; val planes = 4
+        import graft.functions.{VectorFunctions => V}
+        val qb = qv.withColumn("b0",
+          V.signSig(V.asDouble(col("q_emb")), 0, planes, dim))
+          .select(col("q_id"), explode(array((col("b0") +:
+            (0 until planes).map(j => col("b0").bitwiseXOR(lit(1L << j)))): _*))
+            .as("bucket"))
+        cv.withColumn("bucket",
+            V.signSig(V.asDouble(col("c_emb")), 0, planes, dim))
+          .join(broadcast(qb), Seq("bucket")).count()
+      }
+      val nc = cv.count(); val nq = qv.count()
+      println(s"[probe]   seed scores $seedRows rows = " +
+        f"${seedRows.toDouble / (nc * nq)}%.3f of |Q|x|C| (=${nc * nq})")
+      time("seed only (beam 12)") {
+        Similarity.lshShortlistQC(qv, cv, 12).count()
+      }
+      time("bm25 arm") {
+        graft.text.TextAnalysis.t12Bm25(spark, d, 20, 97L * 64).count()
+      }
+      time("walk dense arm (incl. store read, excl. build)") {
+        Similarity.r1EnsureStore(spark, d)
+        val g = spark.read.parquet(Similarity.r1EnsureStore(spark, d))
+          .select("vec_id", "nbr").localCheckpoint(true)
+        Similarity.s15WalkQC(qv, cv, g, 20, 12, 3).count()
+      }
+      time("full r1_rrf_prod warm") {
+        Similarity.r1RrfProd(spark, d).count()
+      }
+      time("full r1_rrf_fusion (exact) warm") {
+        Similarity.r1RrfFusion(spark, d).count()
+      }
+      spark.stop(); return
+    }
+
     // d3 width sweep: wall + output per extra-bit width on one corpus
     sys.env.get("PROBE_D3WIDTH").foreach { xs =>
       import graft.dedup.Dedup
