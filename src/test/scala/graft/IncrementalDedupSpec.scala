@@ -20,10 +20,15 @@ class IncrementalDedupSpec extends AnyFunSuite {
   test("persisted bucketed band store reproduces the inline result") {
     val store = Dedup.mhBands(docs.filter(!isBatch))
     Bucketed.write(store, "mh_band_store", "bkey", 8)
+    // the store path threads the SAME full-count width as the
+    // registered inline form (r12) — x = 0 at spec scale, but the
+    // identity must hold by construction at any scale
+    val x = Dedup.extraRowsFor(
+      docs.filter(col("text").isNotNull).count())
     val viaStore = Dedup.incrementalMatch(
       Dedup.mhBands(docs.filter(isBatch)),
       Bucketed.read(spark, "mh_band_store"),
-      docs.filter(isBatch).select("doc_id"))
+      docs.filter(isBatch).select("doc_id"), x)
     val inline = Dedup.d9IncrementalDedup(spark, sf)
     assert(viaStore.exceptAll(inline).isEmpty &&
       inline.exceptAll(viaStore).isEmpty)

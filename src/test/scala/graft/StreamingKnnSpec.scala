@@ -372,6 +372,50 @@ class StreamingKnnSpec extends AnyFunSuite {
         "registered s18")
   }
 
+  test("r12: r1's dense-arm graph store is MAINTAINABLE by the same " +
+      "search cadence over the %97 corpus feed — 3-wave fold ≡ the " +
+      "ensure-built r1 store, and the prod fusion over the maintained " +
+      "graph ≡ the registered r1_rrf_prod") {
+    import graft.similarity.Similarity
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sknn_r1").toString
+    val (store, graph) = (s"$root/store", s"$root/graph")
+    val feed = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 97 =!= 0)
+    val cfg = graft.streaming.KnnGraphConfig.search(
+      bits = Similarity.bitsFor(feed.count()))
+    (0 until 3).foreach { w =>
+      StreamingKnn.processBatch(
+        feed.filter(col("vec_id") % 3 === w).toDF(), w, store, graph,
+        cfg)
+    }
+    val got = readGraph(graph)
+    val expected = Similarity
+      .searchGraphCorpus(feed, 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == expected,
+      s"missing ${(expected -- got).size} / extra ${(got -- expected).size}")
+    assert(got.nonEmpty)
+    // the registered r1_rrf_prod (ensure-store walk) must equal the
+    // fusion computed over the wave-maintained graph
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val reg = rows(SparkEntry.queries("r1_rrf_prod")(spark, sf))
+    val ensured = spark.read
+      .parquet(Similarity.r1EnsureStore(spark, sf))
+      .select("vec_id", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val maintained = spark.read.parquet(graph)
+      .select("vec_id", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(maintained == ensured,
+      "maintained neighbor lists diverge from the ensure-built store")
+    assert(reg.nonEmpty)
+  }
+
   test("r11: s16RefreshWave — the store family's refresh cadence as " +
       "a first-class entry point: fold-then-walk ≡ rebuild-then-walk " +
       "on a DRIFTED corpus, drift arriving in later waves") {
