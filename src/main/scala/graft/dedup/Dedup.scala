@@ -1644,8 +1644,15 @@ object Dedup {
   def x3IncrementalDedup(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val x = extraRowsFor(docs.filter(col("text").isNotNull).count())
+    // bands RECOMPUTE per consumer — measured BOTH ways at 1×/30×/100×
+    // (PROBE_X3FORM): eager wave-band checkpoints lose cold at every
+    // scale (4.7 vs 2.1 s at sf0.1; 50.3 vs 39.5 at 100×) and warm at
+    // 1×/30×, winning only 100×-warm by ~8% — the d13 standalone-
+    // pipeline exception to the x1 multi-consumer rule: the fused
+    // shingle+minhash scan is codegen'd and cheap, while materializing
+    // the exploded band frame (8 rows × 256-byte sig per doc) is not
     val waves = (0 until 3).map(i =>
-      mhBands(docs.filter(col("doc_id") % 3 === i)).localCheckpoint(true))
+      mhBands(docs.filter(col("doc_id") % 3 === i)))
     var store = waves(0)
     var pairs = pairsFromBands(waves(0), x)
     for (i <- 1 until 3) {

@@ -84,6 +84,38 @@ object Probe {
       spark.stop(); return
     }
 
+    // x3 checkpoint-vs-recompute A/B (r12): are the three eager
+    // wave-band checkpoints (multi-consumer rule) worth their
+    // materialization at probe scale, or does recompute win (the d13
+    // standalone-pipeline lesson)?
+    if (sys.env.get("PROBE_X3FORM").contains("1")) {
+      import graft.dedup.Dedup
+      Tables.documents(spark, d).count()
+      val docs = Tables.documents(spark, d)
+      def run(checkpoint: Boolean): Long = {
+        val x = Dedup.extraRowsFor(
+          docs.filter(col("text").isNotNull).count())
+        val waves = (0 until 3).map { i =>
+          val b = Dedup.mhBands(docs.filter(col("doc_id") % 3 === i))
+          if (checkpoint) b.localCheckpoint(true) else b
+        }
+        var store = waves(0)
+        var pairs = Dedup.pairsFromBands(waves(0), x)
+        for (i <- 1 until 3) {
+          pairs = pairs.union(Dedup.pairsFromBands(waves(i), x))
+            .union(Dedup.incrementalPairs(waves(i), store, x))
+          store = store.union(waves(i))
+        }
+        pairs.groupBy("id1", "id2")
+          .agg(max("jaccard_est").as("jaccard_est")).count()
+      }
+      (1 to 2).foreach { r =>
+        time(s"x3 WITH band checkpoints #$r") { run(true) }
+        time(s"x3 RECOMPUTE bands #$r") { run(false) }
+      }
+      spark.stop(); return
+    }
+
     // seed-width sweep (r12): the walk ladder's LSH seed uses a fixed
     // 4-plane bucket — 5/16 of the corpus exact-scored per query, the
     // last corpus-proportional CONSTANT in the walk tier. Sweep plane
