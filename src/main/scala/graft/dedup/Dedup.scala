@@ -1716,18 +1716,28 @@ object Dedup {
     * oracle recomputes it from scratch via transitive closure) — but
     * per batch the engine never touches corpus text or corpus-internal
     * pairs again. */
-  def d11ClusterMaintain(s: SparkSession, d: String): DataFrame = {
+  def d11ClusterMaintain(s: SparkSession, d: String): DataFrame =
+    d11Body(s, d, checkpoint = false)
+
+  /** d11's body with the band-materialization choice explicit — the
+    * PROBE_D11FORM A/B twin (x3's checkpoint-vs-recompute question
+    * re-asked here, where the CC stage multiplies consumers). */
+  private[graft] def d11Body(s: SparkSession, d: String,
+      checkpoint: Boolean): DataFrame = {
     val docs = Tables.documents(s, d)
     val batch = docs.filter(col("doc_id") % 10 === 0)
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    // one sketch per side, materialized once: the corpus bands feed
-    // BOTH the pair self-join and the cross-edge join (in production
-    // this frame IS the persisted band store), the batch bands feed
-    // cross + intra — measured faster than recompute here, unlike the
-    // history DAGs where caching lost (the band frame is the product
-    // of an explode, not a cheap codegen'd scan)
-    val cb = mhBands(corpus).localCheckpoint(true)
-    val bb = mhBands(batch).localCheckpoint(true)
+    // bands RECOMPUTE per consumer (r12 — re-measured post-width-law,
+    // PROBE_D11FORM at 1×/30×/100×: recompute wins cold everywhere
+    // — 3.5 vs 6.7 s at 1×, 52.7 vs 63.8 at 100× — and warm at 100×,
+    // 45.9 vs 49.7, wash elsewhere; the r5 "measured faster than
+    // recompute" call inverted once the fused shingle+minhash scan
+    // went native). In production the corpus side IS the persisted
+    // band store, so neither materialization happens per batch.
+    def mat(df: DataFrame) =
+      if (checkpoint) df.localCheckpoint(true) else df
+    val cb = mat(mhBands(corpus))
+    val bb = mat(mhBands(batch))
     // ONE width for all three joins, from the FULL corpus count —
     // the oracle (ccExactSql over the shared widened band CTE) and
     // d10 both widen from the documents table, and d11 is documented

@@ -319,11 +319,21 @@ object Multimodal {
     * fewer than 2 sampled frames carry no gram and exit — a still
     * image is not a video near-dup candidate. */
   def m6FrameDedup(s: SparkSession, d: String): DataFrame =
-    m6PairsFromGrams(m6Grams(s, d))
+    // grams RECOMPUTE (r12, measured both ways — PROBE_M6FORM full-
+    // query A/B: recompute wins 100× cold 2× (4.5 vs 8.9 s) and warm
+    // (3.4 vs 4.3), a wash at sf0.1): the self-join's two sides are
+    // canonically equal past the window, so the decode's exchange is
+    // REUSED and the map effectively runs once — materializing the
+    // gram frame buys nothing the reuse doesn't already give
+    m6PairsFromGrams(m6GramsNoCheckpoint(s, d))
 
   /** m6's checkpointed (doc_id, h1, h2) frame-gram frame — one decode
-    * pass in the batched partition map. */
-  private[graft] def m6Grams(s: SparkSession, d: String): DataFrame = {
+    * pass in the batched partition map (probe A/B twin). */
+  private[graft] def m6Grams(s: SparkSession, d: String): DataFrame =
+    m6GramsNoCheckpoint(s, d).localCheckpoint(true)
+
+  private[graft] def m6GramsNoCheckpoint(s: SparkSession,
+      d: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, d)
       .filter(col("text").isNotNull) // null payload would NPE in the partition map
@@ -339,7 +349,7 @@ object Multimodal {
         sigs.sliding(2).withFilter(_.size == 2)
           .map(p => FrameGram(m.doc_id, p(0), p(1))).toSeq.distinct
       }
-    }.toDF().localCheckpoint(true) // consumers: both join sides
+    }.toDF()
   }
 
   /** m6's candidate + verdict body over an explicit (doc_id, h1, h2)

@@ -81,6 +81,35 @@ object Probe {
         }
         time(s"m6 plain-join form #$i") { joinForm().count() }
       }
+      // full-query checkpoint A/B: the gram self-join's two sides are
+      // canonically equal, so WITHOUT the checkpoint Catalyst may
+      // reuse one exchange and the decode runs once anyway
+      (1 to 2).foreach { i =>
+        time(s"m6 FULL with gram checkpoint #$i") {
+          Multimodal.m6FrameDedup(spark, d).count()
+        }
+        time(s"m6 FULL recompute grams #$i") {
+          Multimodal.m6PairsFromGrams(
+            Multimodal.m6GramsNoCheckpoint(spark, d)).count()
+        }
+      }
+      spark.stop(); return
+    }
+
+    // d11 checkpoint-vs-recompute A/B (r12) — the registered form
+    // checkpoints cb/bb ("measured faster than recompute" pre-width-
+    // law); re-measure now that the widened keys ride the frames
+    if (sys.env.get("PROBE_D11FORM").contains("1")) {
+      import graft.dedup.Dedup
+      Tables.documents(spark, d).count()
+      (1 to 2).foreach { i =>
+        time(s"d11 checkpointed bands #$i") {
+          Dedup.d11Body(spark, d, checkpoint = true).count()
+        }
+        time(s"d11 recompute bands #$i") {
+          Dedup.d11Body(spark, d, checkpoint = false).count()
+        }
+      }
       spark.stop(); return
     }
 

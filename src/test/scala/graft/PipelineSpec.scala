@@ -1767,12 +1767,23 @@ class PipelineSpec extends AnyFunSuite {
       n = (g1 & g2).size; u = g1.size + g2.size - n
       if n * 2 >= u && u > 0
     } yield (i1, i2, n.toLong, u.toLong)).toSet
-    val got = Multimodal.m6FrameDedup(spark, "/root/testdata/sf0.1")
-      .collect()
+    val m6df = Multimodal.m6FrameDedup(spark, "/root/testdata/sf0.1")
+    val got = m6df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(got == brute,
       s"missing ${(brute -- got).size} / extra ${(got -- brute).size}")
+    // r12 recompute form: the decode must still run ONCE — the
+    // self-join's sides are canonically equal past the window, so the
+    // plan carries exactly one parquet scan and a ReusedExchange
+    // (asserted HERE because the contract suite's sf0.001 frame is
+    // empty and AQE folds it to local scans)
+    val plan = m6df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("FileScan parquet".r.findAllIn(plan).length == 1,
+      s"decode scan duplicated without the checkpoint:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"gram exchange not reused across the self-join sides:\n$plan")
     assert(got.nonEmpty, "sf0.1 fixture lost its frame-dup pairs")
     // duplicate payloads (the stub's only match class, exactly as a
     // content-hash signature should behave): full-overlap pairs

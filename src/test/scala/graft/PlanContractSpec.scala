@@ -736,10 +736,11 @@ class PlanContractSpec extends AnyFunSuite {
       "probe/centroid frames must broadcast, not sort-merge")
   }
 
-  test("m6: frame dedup — the gram self-join is a hash equi-join on " +
-      "the checkpointed gram frame (one decode pass), NO broadcast of " +
-      "any corpus-derived build side (per-doc counts ride the gram " +
-      "frame, r12), no cartesian") {
+  test("m6: frame dedup — the gram self-join is a hash equi-join " +
+      "(decode exchange reused across the canonically-equal sides — " +
+      "one decode pass without materialization, r12), NO broadcast " +
+      "of any corpus-derived build side (per-doc counts ride the " +
+      "gram frame), no cartesian") {
     val p = finalPlanNoBroadcast("m6_frame_dedup")
     assert(scanCount(p) == 0,
       s"parquet re-scanned past the gram checkpoint:\n$p")
