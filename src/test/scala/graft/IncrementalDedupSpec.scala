@@ -363,6 +363,26 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(pruned + verdicts.values.count(identity) == verdicts.size)
   }
 
+  test("x3's cross half (incrementalPairs) ≡ the full self-join " +
+      "restricted to mixed pairs — d2's verified-pair contract on " +
+      "the batch↔store join, at every forced width") {
+    val full = docs.select("doc_id", "source", "text")
+    val bb = Dedup.mhBands(docs.filter(isBatch))
+    val cb = Dedup.mhBands(docs.filter(!isBatch))
+    (0 to 4).foreach { x =>
+      val got = Dedup.incrementalPairs(bb, cb, x).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val mirror = Dedup.minhashPairs(full, extraRows = x)
+        .filter((col("id1") % 10 === 0) =!= (col("id2") % 10 === 0))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == mirror,
+        s"cross pairs diverge from the self-join restriction at x=$x")
+    }
+    assert(Dedup.incrementalPairs(bb, cb).count() > 0,
+      "fixture carries no cross pairs")
+  }
+
   test("d9/d11 width law (r12): the widened batch↔store joins mirror " +
       "the widened full self-join at every forced width — the oracle's " +
       "widened band CTE — and widening only prunes") {
