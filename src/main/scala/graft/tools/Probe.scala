@@ -190,6 +190,41 @@ object Probe {
       spark.stop(); return
     }
 
+    // r1 dense-arm |Q|-scaling (r12): the exact arm is ONE corpus
+    // scan at |Q|·d flops/row — its wall grows with the query batch
+    // — while the walk's rounds are query-proportional over graph
+    // rows. Measure both arms at growing |Q| to quantify the
+    // crossover in the WORKLOAD dimension.
+    if (sys.env.get("PROBE_R1QSCALE").contains("1")) {
+      import graft.similarity.Similarity
+      Tables.embeddings(spark, d).count()
+      val emb = Tables.embeddings(spark, d)
+      val cvF = emb.filter(col("vec_id") % 97 =!= 0)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      val allQ = emb.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .orderBy("q_id").localCheckpoint(true)
+      val g = spark.read.parquet(Similarity.r1EnsureStore(spark, d))
+        .select("vec_id", "nbr").localCheckpoint(true)
+      Seq(8, 32, 128, 512).foreach { nq =>
+        val qN = allQ.limit(nq).localCheckpoint(true)
+        val realQ = qN.count()
+        time(f"exact arm |Q|=$realQ%4d") {
+          cvF.join(broadcast(qN))
+            .withColumn("cos3", round(graft.functions.VectorFunctions
+              .cosine(col("q_emb"), col("c_emb")), 3))
+            .withColumn("rk", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+                .orderBy(col("cos3").desc, col("c_id").asc)))
+            .filter(col("rk") <= 20).count()
+        }
+        time(f"walk arm  |Q|=$realQ%4d") {
+          Similarity.s15WalkQC(qN, cvF, g, 20, 12, 3).count()
+        }
+      }
+      spark.stop(); return
+    }
+
     // r1-prod arm profile (r12): where does the fused wall go —
     // seed scoring volume, walk rounds, BM25 arm, binary arm?
     if (sys.env.get("PROBE_R1PROF").contains("1")) {
