@@ -152,6 +152,7 @@ object SparkEntry {
       graft.dedup.Dedup.d8DupClusters(s, d)),
     "d9_incremental_dedup" -> (graft.dedup.Dedup.d9IncrementalDedup _),
     "x3_incremental_dedup" -> (graft.dedup.Dedup.x3IncrementalDedup _),
+    "x4_incremental_verify" -> (graft.dedup.Dedup.x4IncrementalVerify _),
     "d10_cc_stars" -> (graft.dedup.Dedup.d10CcStars _),
     "d11_cluster_maintain" -> (graft.dedup.Dedup.d11ClusterMaintain _),
     "d12_semdedup_prod" -> ((s: SparkSession, d: String) =>
@@ -1353,6 +1354,25 @@ object SparkEntry {
       |w AS (SELECT source, prior, excess,
       |    0.9 * CAST(t6 AS DOUBLE) / z + 0.1 / m AS alpha
       |  FROM t6 CROSS JOIN z)""".stripMargin
+
+  /** d4's oracle — shared verbatim by x4_incremental_verify (the
+    * cadence must reproduce d4 on the union row-for-row). */
+  private lazy val d4NgramSql: String =
+    s"""WITH ${minhashBandCte()},
+       |cand AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM band a JOIN band b
+       |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |tk AS (
+       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT id1, id2, jac FROM (
+       |  SELECT id1, id2,
+       |    round(len(list_filter(t1.toks, x -> list_contains(t2.toks, x)))::DOUBLE /
+       |          len(list_distinct(list_concat(t1.toks, t2.toks))), 3) AS jac
+       |  FROM cand JOIN tk t1 ON t1.doc_id = id1 JOIN tk t2 ON t2.doc_id = id2)
+       |WHERE jac >= 0.7 ORDER BY id1, id2""".stripMargin
 
   private lazy val d2MinhashSql: String =
     s"""WITH ${minhashBandCte()},
@@ -3460,22 +3480,13 @@ object SparkEntry {
     // pairs — the hash check pins the query's actual banded semantics,
     // not an all-pairs claim; the banded-vs-all-pairs recall bound
     // lives in PipelineSpec.
-    "d4_ngram_jaccard" ->
-      s"""WITH ${minhashBandCte()},
-         |cand AS (
-         |  SELECT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM band a JOIN band b
-         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |tk AS (
-         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-         |  FROM documents WHERE text IS NOT NULL)
-         |SELECT id1, id2, jac FROM (
-         |  SELECT id1, id2,
-         |    round(len(list_filter(t1.toks, x -> list_contains(t2.toks, x)))::DOUBLE /
-         |          len(list_distinct(list_concat(t1.toks, t2.toks))), 3) AS jac
-         |  FROM cand JOIN tk t1 ON t1.doc_id = id1 JOIN tk t2 ON t2.doc_id = id2)
-         |WHERE jac >= 0.7 ORDER BY id1, id2""".stripMargin,
+    "d4_ngram_jaccard" -> d4NgramSql,
+    // x4 replays d4 as the ingest cadence (3 arrival waves, slim
+    // banded candidates intra-wave + against the accumulated band
+    // store, per-wave exact verification) and must land row-identical
+    // to d4 on the union — so its oracle IS d4's SQL (the x3 device
+    // applied to the exact-verify regime).
+    "x4_incremental_verify" -> d4NgramSql,
     // d5's oracle replicates the BANDED candidate generation itself
     // (plane literals interpolated from VectorFunctions.planeValues,
     // same sequential dot order), so the hash check is an exact check

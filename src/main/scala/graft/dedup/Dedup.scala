@@ -302,6 +302,14 @@ object Dedup {
           extraCond && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
+    tokenJaccardVerify(cand, docs).orderBy("id1", "id2")
+  }
+
+  /** d4's exact token-set verification over a deduped candidate pair
+    * frame — token sets fetched back BY ID for candidates only (the
+    * d5 slim-pair shape). Shared by d4 and the x4 ingest cadence. */
+  private[graft] def tokenJaccardVerify(cand: DataFrame,
+      docs: DataFrame): DataFrame = {
     val toks = docs.filter(col("text").isNotNull)
       .select(col("doc_id"), T.tokenSet(col("text")).as("toks"))
     cand
@@ -313,7 +321,58 @@ object Dedup {
         size(array_intersect(col("t1"), col("t2"))).cast("double") /
           size(array_union(col("t1"), col("t2"))), 3).as("jac"))
       .filter(col("jac") >= 0.7)
-      .orderBy("id1", "id2")
+  }
+
+  /** X4: the INGEST-CADENCE form of d4's EXACT near-dup verify —
+    * x3's wave protocol applied to the true-answer-quadratic regime
+    * the width-law rows route d4's 100× walls to (r12): three
+    * arrival waves (doc_id % 3); each wave generates its SLIM banded
+    * candidates intra-wave and against the ACCUMULATED band-key
+    * store (same widened keys as d4 — one full-count width
+    * everywhere, so every candidate is generated exactly once), then
+    * verifies ONLY ITS OWN candidates exactly, fetching token sets
+    * back by id (batch side: the wave's own docs; store side: an
+    * output-sized by-id fetch from the corpus — in production the
+    * persisted doc store). Per-wave cost O(wave + collisions +
+    * new-pair verifies); a pair lands in exactly one wave's family
+    * (intra at its wave, cross at the later endpoint's wave), so the
+    * union of the per-wave verified outputs IS d4 on the union —
+    * **the oracle is d4's SQL verbatim**. Band frames recompute per
+    * consumer (the x3 measurement). */
+  def x4IncrementalVerify(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val x = extraRowsFor(docs.filter(col("text").isNotNull).count())
+    def slim(b: DataFrame) = widenBands(b, x)
+      .select((Seq("doc_id", "band", "bh") ++
+        (if (x > 0) Seq("bhx") else Nil)).map(col): _*)
+    def extraCond = if (x <= 0) lit(true)
+      else col("a.bhx") === col("b.bhx")
+    val wb = (0 until 3).map(i =>
+      slim(mhBands(docs.filter(col("doc_id") % 3 === i))))
+    def candOf(nb: DataFrame, cb: DataFrame, cross: Boolean) = {
+      val idCond = if (cross) col("a.doc_id") =!= col("b.doc_id")
+        else col("a.doc_id") < col("b.doc_id")
+      nb.as("a")
+        .join(cb.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.bh") === col("b.bh") && extraCond && idCond)
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("id1"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("id2"))
+        .distinct()
+    }
+    var store = wb(0)
+    var out = tokenJaccardVerify(candOf(wb(0), wb(0), cross = false), docs)
+    for (i <- 1 until 3) {
+      // intra (both endpoints in wave i) and cross (exactly one) are
+      // disjoint and each already deduped — the union is unique
+      val waveCand = candOf(wb(i), wb(i), cross = false)
+        .union(candOf(wb(i), store, cross = true))
+      out = out.union(tokenJaccardVerify(waveCand, docs))
+      store = store.union(wb(i))
+    }
+    // families are pair-disjoint by the wave protocol, so the union
+    // is already one row per pair — no final dedup shuffle needed
+    out.orderBy("id1", "id2")
   }
 
   /** D13: CONTAINMENT join — near-SUBSET detection: pairs where the

@@ -831,6 +831,23 @@ class PlanContractSpec extends AnyFunSuite {
     assert(scanCount(p) <= 11, s"scan fan exceeded the family fan:\n$p")
   }
 
+  test("x4: the exact-verify cadence — every candidate family and " +
+      "every token fetch is a hash equi-join, no cartesian, no " +
+      "nested loop, scan fan bounded") {
+    val p = finalPlanNoBroadcast("x4_incremental_verify")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    // 5 candidate families + 3 per-wave verify stages (two token
+    // fetches each) — AQE may fold empty families at this scale
+    assert("SortMergeJoin|ShuffledHashJoin".r.findAllIn(p).length >= 3,
+      s"families lost their equi-joins:\n$p")
+    // bands + token sets recompute per consumer; the documents file
+    // is the only parquet source, touched once per family side /
+    // verify side — anything past ~22 means a consumer re-derived
+    // more than its own frame
+    assert(scanCount(p) <= 22, s"scan fan exceeded the family fan:\n$p")
+  }
+
   test("r1-prod: the dense arm rides the stored walk — the exact " +
       "arm's corpus×query cosine nested loop is GONE (only t12's " +
       "1-row stats cross + the binary packed-query broadcast remain), " +
