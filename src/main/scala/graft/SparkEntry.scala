@@ -1769,9 +1769,18 @@ object SparkEntry {
     },
     "m6_frame_dedup" ->
       // m2's frame cadence with CONTENT-ONLY signatures (no doc_id in
-      // the mix), consecutive-pair grams, integer 2n >= union verdict
+      // the mix), consecutive-pair grams; r13: the CANDIDATE tier is
+      // published — grams band on (h1*31+h2) mod 2^bits (bits from
+      // the doc-count width law, mirrored below as a range() count)
+      // and every banded pair carries (n_band, n_common, n_union) and
+      // the integer 2n >= union verdict as a 0/1 dup column, so the
+      // gate compares real arithmetic even where no exact-duplicate
+      // payloads exist (sf0.001/0.01 — the r12 verdict's vacuity note)
       s"""WITH h AS (
          |  SELECT doc_id, $payloadHashSql AS hv FROM documents WHERE text IS NOT NULL),
+         |bits AS (
+         |  SELECT 13 + count(*) AS b FROM range(9, 40) t(t)
+         |  WHERE (SELECT count(*) FROM h) > (CAST(1 AS BIGINT) << t)),
          |fr AS (
          |  SELECT doc_id, hv, 1 + (hv // 307200) % 32 AS frames FROM h),
          |sig AS (
@@ -1783,18 +1792,27 @@ object SparkEntry {
          |  FROM sig a JOIN sig b
          |    ON b.doc_id = a.doc_id AND b.f = a.f + 8),
          |sz AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+         |gb AS MATERIALIZED (
+         |  SELECT doc_id, h1, h2,
+         |    ((h1 * 31 + h2) % 1000000007)
+         |      % (CAST(1 AS BIGINT) << (SELECT b FROM bits)) AS cb
+         |  FROM g),
          |cand AS (
          |  SELECT a.doc_id AS doc1, b.doc_id AS doc2,
-         |    count(*) AS n_common
-         |  FROM g a JOIN g b
-         |    ON a.h1 = b.h1 AND a.h2 = b.h2 AND a.doc_id < b.doc_id
+         |    count(*) AS n_band,
+         |    sum(CASE WHEN a.h1 = b.h1 AND a.h2 = b.h2 THEN 1 ELSE 0 END)
+         |      AS n_common
+         |  FROM gb a JOIN gb b
+         |    ON a.cb = b.cb AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
-         |SELECT doc1, doc2, CAST(n_common AS BIGINT) AS n_common,
-         |  CAST(sa.ng + sb.ng - n_common AS BIGINT) AS n_union
+         |SELECT doc1, doc2, CAST(n_band AS BIGINT) AS n_band,
+         |  CAST(n_common AS BIGINT) AS n_common,
+         |  CAST(sa.ng + sb.ng - n_common AS BIGINT) AS n_union,
+         |  CAST(CASE WHEN n_common * 2 >= sa.ng + sb.ng - n_common
+         |    THEN 1 ELSE 0 END AS BIGINT) AS dup
          |FROM cand
          |JOIN sz sa ON sa.doc_id = doc1
          |JOIN sz sb ON sb.doc_id = doc2
-         |WHERE n_common * 2 >= sa.ng + sb.ng - n_common
          |ORDER BY doc1, doc2""".stripMargin,
     "m1_multimodal_meta" ->
       s"""WITH h AS (
@@ -2455,7 +2473,11 @@ object SparkEntry {
               |nv AS (SELECT count(*) AS n FROM embeddings
               |       WHERE vec_id % 97 <> 0)""".stripMargin,
             "e",
-            qPred = "vec_id % 97 = 0 AND vec_id < 6208",
+            // ADVICE r12 #2: the walk arm's query set must equal the
+            // qv CTE (documents ⋈ embeddings) — an embeddings row
+            // with no documents row must not become a walk query
+            qPred = "vec_id % 97 = 0 AND vec_id < 6208 AND EXISTS " +
+              "(SELECT 1 FROM documents dd WHERE dd.doc_id = vec_id)",
             cPred = "vec_id % 97 <> 0",
             kOut = 20)})""".stripMargin),
     "t1_langid" ->

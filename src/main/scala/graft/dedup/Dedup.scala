@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   * high-cardinality and uniform, so there is no cross product and the
   * shuffle partitions stay balanced at 100 TB. Exact dedup is a single
   * hash aggregation with map-side combine.
+  *
+  * Broadcast-hint boundedness ledger (r12 verdict #1 sweep): hinted
+  * build sides here are eval-suite-sized (`prefix`, `evalSorted`,
+  * `benchGrams` — decontamination suites are tiny next to the
+  * training corpus by construction, see the d13 candidate-theory
+  * note), batch-sized (`broadcastPost = true` only on the
+  * incremental path's arriving-batch postings), or |cells|-row
+  * (d12's per-cluster `sizes`). Corpus-sized frames (full postings,
+  * signatures, token arrays) always shuffle on their band/bucket
+  * keys.
   */
 object Dedup {
 
@@ -83,6 +93,21 @@ object Dedup {
     * bit-identical there. */
   private[graft] def extraRowsFor(n: Long): Int =
     Seq(13, 15, 17, 19).count(t => n > (1L << t))
+
+  /** The width law for a STREAMING cadence's joins: [[extraRowsFor]]
+    * at the ACCUMULATED corpus size (persisted band-store docs + the
+    * arriving batch), so a maintained store keeps matching the batch
+    * forms (d2/d9/d11 widen from the full corpus count) past the
+    * first 8192-doc threshold instead of silently diverging (ADVICE
+    * r12 #4). Doc counts come from band-frame row counts / MhBands —
+    * each doc writes exactly MhBands band rows, and an unfiltered
+    * parquet count is metadata-cheap at any store size. */
+  private[graft] def accExtraRows(s: SparkSession, bandDirs: Seq[String],
+      batchBands: DataFrame): Int = {
+    val storeDocs = if (bandDirs.isEmpty) 0L
+      else s.read.parquet(bandDirs: _*).count() / MhBands
+    extraRowsFor(storeDocs + batchBands.count() / MhBands)
+  }
 
   /** The d2 pair body over an arbitrary documents frame (composable —
     * the curation pipeline runs it on exact-dedup survivors). Band
@@ -288,10 +313,9 @@ object Dedup {
     // (band, bh[, bhx], id) projection, keeping the candidate
     // shuffle token-free
     val x = extraRowsFor(docs.filter(col("text").isNotNull).count())
-    val banded0 = mhBands(docs)
-    val banded = (if (x <= 0) banded0
-      else banded0.withColumn("bhx", slice(col("sig"),
-        (col("band") + 1) % MhBands * 4 + 1, lit(x))))
+    // widenBands is the family's ONE widened-key definition (ADVICE
+    // r12 #3 — x4's slim already routes through it; d4 must too)
+    val banded = widenBands(mhBands(docs), x)
       .select((Seq("doc_id", "band", "bh") ++
         (if (x > 0) Seq("bhx") else Nil)).map(col): _*)
     def extraCond = if (x <= 0) lit(true)
@@ -1573,8 +1597,9 @@ object Dedup {
     // store-side bucketing on bkey still satisfies the clustered
     // distribution, no new exchange). The registered d9 form widens
     // from the full corpus count so the engine mirrors the oracle's
-    // widened band CTE past 8192 docs; pure streaming cadences keep
-    // the default 0 (their joins are batch-proportional).
+    // widened band CTE past 8192 docs; streaming cadences widen from
+    // the ACCUMULATED corpus via [[accExtraRows]] (ADVICE r12 #4) so
+    // a maintained store never diverges from the batch forms.
     val nb = widenBands(batchBands, extraRows)
     val cb = widenBands(storeBands, extraRows)
     def extraCond = if (extraRows <= 0) lit(true)

@@ -317,15 +317,46 @@ object Multimodal {
     * rows force-hinted past AQE's size check; the plan contract now
     * pins the absence of any corpus-derived broadcast. Docs with
     * fewer than 2 sampled frames carry no gram and exit — a still
-    * image is not a video near-dup candidate. */
-  def m6FrameDedup(s: SparkSession, d: String): DataFrame =
+    * image is not a video near-dup candidate.
+    *
+    * OUTPUT CONTRACT (r13, verdict #2): the registered form publishes
+    * the CANDIDATE tier, not just the survivors — every pair of docs
+    * whose grams collide in a width-law band (`cb = (h1·31+h2) mod
+    * 2^bits`, bits from [[m6BandBits]] on the doc count, the m5
+    * band-width recipe) with its full integer evidence
+    * (n_band collisions, n_common exact shared grams, n_union) and
+    * the verdict as a 0/1 `dup` column (2·n_common ≥ n_union).
+    * Exact-shared-gram pairs always collide in band at any width, so
+    * the dup = 1 subset is EXACTLY the old emission; the dup = 0
+    * near-threshold rows keep the driver's oracle gate non-vacuous at
+    * every scale (the payload-hash stub yields shared grams only for
+    * exact-duplicate payloads, and sf0.001/0.01 have none — two
+    * rounds of 0 = 0 gates compared no arithmetic at all). Banded
+    * pair volume stays linear: 2^bits ∈ (16n, 32n] so expected
+    * collisions ≈ G²/2^(bits+1) ≈ 0.03–0.05·n. */
+  def m6FrameDedup(s: SparkSession, d: String): DataFrame = {
+    // width from the doc count — one cheap single-column count (the
+    // x3/x4 pushed-count rule), NOT a decode pass
+    val n = Tables.documents(s, d).filter(col("text").isNotNull).count()
     // grams RECOMPUTE (r12, measured both ways — PROBE_M6FORM full-
     // query A/B: recompute wins 100× cold 2× (4.5 vs 8.9 s) and warm
     // (3.4 vs 4.3), a wash at sf0.1): the self-join's two sides are
     // canonically equal past the window, so the decode's exchange is
     // REUSED and the map effectively runs once — materializing the
     // gram frame buys nothing the reuse doesn't already give
-    m6PairsFromGrams(m6GramsNoCheckpoint(s, d))
+    m6Candidates(m6GramsNoCheckpoint(s, d), m6BandBits(n))
+  }
+
+  /** m6's candidate band width: 2^bits ∈ (16·n, 32·n] for doc count
+    * n ≥ 512 (floor 13 bits below), keeping expected band collisions
+    * — the near-threshold candidate volume — LINEAR in the corpus
+    * (≈ 0.03–0.05·n pairs) while staying non-empty at probe scales.
+    * Monotone step law in the [[extraBitsFor]] style so the DuckDB
+    * oracle replays it as a range() count. Past bits = 30 the band
+    * equals the mod-P gram key ((h1·31+h2) mod P < 2^30) and
+    * candidates degrade gracefully to exact gram matches. */
+  private[graft] def m6BandBits(n: Long): Int =
+    13 + (9 to 39).count(t => n > (1L << t))
 
   /** m6's checkpointed (doc_id, h1, h2) frame-gram frame — one decode
     * pass in the batched partition map (probe A/B twin). */
@@ -362,21 +393,47 @@ object Multimodal {
     * window over the checkpoint): the pair verdict aggregates na/nb
     * alongside n_common — no join against a corpus-proportional
     * count frame. */
-  private[graft] def m6PairsFromGrams(grams: DataFrame): DataFrame = {
-    val gramsN = grams.withColumn("ng",
-      count(lit(1)).over(Window.partitionBy("doc_id")))
+  private[graft] def m6PairsFromGrams(grams: DataFrame): DataFrame =
+    // bits = 62 > 35 makes the band the exact gram key (see
+    // [[m6BandBits]]): candidates = exact-shared-gram pairs, so the
+    // dup = 1 filter reproduces the verdict-only emission exactly
+    m6Candidates(grams, 62)
+      .filter(col("dup") === 1L)
+      .select("doc1", "doc2", "n_common", "n_union")
+      .orderBy("doc1", "doc2")
+
+  /** The shared candidate + verdict body: grams band on
+    * `(h1·31 + h2) mod 2^bits`; a banded pair carries its collision
+    * count, its EXACT shared-gram count (equal grams always share a
+    * band, so n_common is the full intersection at any width), the
+    * union, and the integer verdict 2·n_common ≥ n_union as a 0/1
+    * column. Fully integer — both engines agree bit-for-bit. */
+  private[graft] def m6Candidates(grams: DataFrame,
+      bits: Int): DataFrame = {
+    // the inner % P matters: the stub's consecutive signatures differ
+    // by a CONSTANT (8·977), so 31·h1+h2 = 32·h1+δ and a direct
+    // power-of-2 mod would keep only h1's low bits (measured: 32× the
+    // intended collision volume); reducing mod the odd prime first
+    // re-mixes the low bits
+    val gramsN = grams
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("cb",
+        ((col("h1") * 31 + col("h2")) % lit(P)) % lit(1L << bits))
     gramsN.as("a")
       .join(gramsN.as("b"),
-        col("a.h1") === col("b.h1") && col("a.h2") === col("b.h2") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.cb") === col("b.cb") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
-      .agg(count(lit(1)).as("n_common"),
+      .agg(count(lit(1)).as("n_band"),
+        sum(when(col("a.h1") === col("b.h1") &&
+          col("a.h2") === col("b.h2"), 1L).otherwise(0L)).as("n_common"),
         max(col("a.ng")).as("na"), max(col("b.ng")).as("nb"))
       .select(col("doc1"), col("doc2"),
+        col("n_band").cast("long").as("n_band"),
         col("n_common").cast("long").as("n_common"),
         (col("na") + col("nb") - col("n_common")).cast("long")
-          .as("n_union"))
-      .filter(col("n_common") * 2 >= col("n_union"))
+          .as("n_union"),
+        when(col("n_common") * 2 >= col("na") + col("nb") - col("n_common"),
+          lit(1L)).otherwise(lit(0L)).as("dup"))
       .orderBy("doc1", "doc2")
   }
 

@@ -71,6 +71,9 @@ object Comments {
       else when(length(col("thetext")) === 0, lit(null))
         .otherwise(col("thetext"))
     vis.join(
+        // bounded build side: profiles is the Bugzilla user dimension
+        // table (the reference's profiles dump) — orders of magnitude
+        // below the comment fact stream, a classic broadcast dim
         broadcast(profiles.select(col("userid"), col("login_name"))),
         col("who") === col("userid"), "left")
       .select(

@@ -7,7 +7,17 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators: per-stratum selection,
-  * quantization, and dataset profiling. */
+  * quantization, and dataset profiling.
+  *
+  * Broadcast-hint boundedness ledger (r12 verdict #1 sweep): every
+  * hinted build side in this file is a policy frame — per-source
+  * rates/weights/caps (`rates`, `weights`, `eps`, `tilted`:
+  * |sources|-row), 1-row scalars (`minCnt`, `minSum`, `totals`,
+  * `kframe`, `z`, `rmax`, `tot`, `lam`), a quantile bucket spine
+  * (|buckets|-row, a config constant), or per-cluster counts capped
+  * by the clustering k. The corpus itself never broadcasts; it
+  * streams through the policy join.
+  */
 object Curation {
 
   /** C1: keep the top-3 documents per source by a quality score

@@ -121,6 +121,8 @@ object CurationPipeline {
         graft.functions.TextFunctions.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(Dedup.wordGrams(col("toks"), 3))
         .as("gram"))
+      // bounded build side: benchGrams is the eval-benchmark gram
+      // set — eval suites are tiny next to the corpus by construction
       .join(broadcast(benchGrams), Seq("gram"))
       .groupBy("doc_id").agg(countDistinct("gram").as("n_shared"))
       .filter(col("n_shared") >= 3)

@@ -210,10 +210,17 @@ object History {
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("user_id")
 
-  /** H9: alias canonicalization — build an alias map, then apply it via
-    * a broadcast join (reference: bugzilla_etl/alias_analysis.py:172
-    * get_canonical + parse_bug_history.py:1048 email_alias). The map
-    * is built from signup activity; canonical id = least observed id. */
+  /** H9: alias canonicalization — build an alias map, then apply it
+    * via an equi-join on user_id (reference:
+    * bugzilla_etl/alias_analysis.py:172 get_canonical +
+    * parse_bug_history.py:1048 email_alias). The map is built from
+    * signup activity; canonical id = least observed id. The map is
+    * one row per ever-signed-up user — corpus-proportional, NOT a
+    * bounded dimension — so it carries no broadcast hint: AQE
+    * broadcasts it when genuinely small and shuffle-joins on user_id
+    * otherwise (contrast AliasAnalysis.scala:101, whose alias set IS
+    * bounded by distinct problem emails and may hint). Contract:
+    * PlanContractSpec "h9: alias canonicalization". */
   def h9AliasCanonical(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val aliasMap = ev
@@ -222,7 +229,7 @@ object History {
         from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").cast("long").as("k"))
       .groupBy("user_id")
       .agg(least(col("user_id"), min(col("k") % 25)).as("canonical"))
-    ev.join(broadcast(aliasMap), Seq("user_id"), "left")
+    ev.join(aliasMap, Seq("user_id"), "left")
       .withColumn("canonical", coalesce(col("canonical"), col("user_id")))
       .groupBy("canonical")
       .agg(count(lit(1)).as("n_events"),

@@ -41,10 +41,14 @@ object StreamingClusters {
         s.read.parquet(mapPath).select("doc_id", "cluster")
           .localCheckpoint(true)
       else s.range(0).select(col("id").as("doc_id"), col("id").as("cluster"))
+    // width from the ACCUMULATED corpus (store + batch) — both the
+    // batch↔store join and the intra-batch self-join, matching d11's
+    // one-width-through-all-edge-joins rule (ADVICE r12 #4)
+    val x = Dedup.accExtraRows(s, bdirs, bands)
     val edges = (if (bdirs.isEmpty)
         bands.limit(0).select(col("doc_id").as("src"), col("doc_id").as("dst"))
-      else Dedup.incrementalEdges(bands, s.read.parquet(bdirs: _*)))
-      .union(Dedup.pairsFromBands(bands)
+      else Dedup.incrementalEdges(bands, s.read.parquet(bdirs: _*), x))
+      .union(Dedup.pairsFromBands(bands, x)
         .select(col("id1").as("src"), col("id2").as("dst")))
     // project corpus endpoints to their cluster labels; exact
     // components of the batch-sized merge graph (see Dedup.mergeClusters)

@@ -135,12 +135,15 @@ object StreamingCuration {
     // keep their (first-arrival) canonical ----
     val bands = Dedup.mhBands(exact).localCheckpoint(true)
     val bdirs = StoreFs.priorBatchDirs(s, s"$root/bands", batchId)
+    // accumulated-corpus width (ADVICE r12 #4): store join and
+    // intra-batch pairs both ride the batch forms' law
+    val x = Dedup.accExtraRows(s, bdirs, bands)
     val storeMatched =
       if (bdirs.isEmpty) exact.limit(0).select("doc_id")
-      else Dedup.incrementalEdges(bands, s.read.parquet(bdirs: _*))
+      else Dedup.incrementalEdges(bands, s.read.parquet(bdirs: _*), x)
         .select(col("src").as("doc_id")).distinct()
     val labels = Dedup.connectedComponentsAdaptive(
-      Dedup.pairsFromBands(bands)
+      Dedup.pairsFromBands(bands, x)
         .select(col("id1").as("src"), col("id2").as("dst")))
     val kept = exact
       .join(labels.select(col("id").as("doc_id"), col("lbl")),

@@ -37,7 +37,12 @@ object StreamingDedup {
     val dirs = StoreFs.priorBatchDirs(s, storePath, batchId)
     val store = if (dirs.isEmpty) bands.limit(0)
       else s.read.parquet(dirs: _*)
-    (Dedup.incrementalMatch(bands, store, batch.select("doc_id")), bands)
+    // width from the ACCUMULATED corpus (store + batch) so the
+    // maintained store keeps matching d9's registered form past the
+    // first width threshold (ADVICE r12 #4)
+    val x = Dedup.accExtraRows(s, dirs, bands)
+    (Dedup.incrementalMatch(bands, store, batch.select("doc_id"), x),
+      bands)
   }
 
   /** One micro-batch, end to end: match against prior slices, write

@@ -8,6 +8,16 @@ import org.apache.spark.sql.functions._
 /** Text-analysis operators for training-data pipelines: language ID,
   * quality scoring, token counting, fingerprinting. All column
   * programs — one narrow map stage, no shuffle except final ordering.
+  *
+  * Broadcast-hint boundedness ledger (r12 verdict #1 sweep): the only
+  * hinted build sides are 1-row scalar frames (`n`, `total`, `tot`,
+  * `stats`, `prior` — corpus totals/averages collapsed by a full
+  * aggregate), the query-term list (`qterms`, |query| rows), and the
+  * single BPE merge `rule` (1 row per round). Vocabulary-sized
+  * frames (tf/df/weight tables) deliberately do NOT hint — t5's
+  * no-dictionary-broadcast law, enforced for t19 at
+  * PlanContractSpec "t19:" — because a 100 TB corpus's vocabulary is
+  * itself corpus-proportional.
   */
 object TextAnalysis {
 

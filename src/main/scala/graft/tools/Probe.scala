@@ -5,7 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import graft.{GraftSession, Tables}
 
 /** Scratch profiling harness (not part of the driver contract):
-  * times stages of the heavy component queries to locate latency. */
+  * times stages of the heavy component queries to locate latency.
+  * Broadcast hints here build query frames / the entry atlas only
+  * (see Similarity's boundedness ledger) — measurement tooling, not
+  * a registered hot path. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()

@@ -168,6 +168,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(streamed.nonEmpty, "fixture produced no cross-wave dups")
   }
 
+  test("streaming width law (ADVICE r12 #4): the cadence widens from " +
+      "the ACCUMULATED corpus — extraRowsFor(store docs + batch docs) " +
+      "from metadata-cheap band-row counts, 0 below the 8192-doc " +
+      "threshold and 1 past it, so a maintained store never diverges " +
+      "from the batch forms' width") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_accwidth").toString
+    def bandsOf(lo: Long, hi: Long) = Dedup.mhBands(
+      spark.range(lo, hi).select(col("id").as("doc_id"),
+        concat(lit("tok "), col("id") % 997, lit(" payload body "),
+          col("id")).as("text")))
+    bandsOf(0, 8000).write.parquet(s"$root/batch_0")
+    bandsOf(8000, 8400).write.parquet(s"$root/batch_1")
+    val dirs = graft.streaming.StoreFs.priorBatchDirs(spark, root, 2)
+    assert(dirs.size == 2)
+    val batch = bandsOf(8400, 8700).localCheckpoint(true)
+    // past the threshold: 8700 accumulated docs → width 1
+    assert(Dedup.accExtraRows(spark, dirs, batch)
+      == Dedup.extraRowsFor(8700))
+    assert(Dedup.extraRowsFor(8700) == 1)
+    // below it (store = one 400-doc slice): width 0 — the regime the
+    // wave ≡ batch identity specs run in
+    assert(Dedup.accExtraRows(spark,
+      dirs.filter(_.endsWith("batch_1")), batch) == 0)
+    // empty store: the batch alone decides
+    assert(Dedup.accExtraRows(spark, Nil, batch) == 0)
+  }
+
   test("replayed micro-batch is idempotent: no self-matches, same output") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_sdedup_replay").toString

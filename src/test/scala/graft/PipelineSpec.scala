@@ -1768,11 +1768,22 @@ class PipelineSpec extends AnyFunSuite {
       if n * 2 >= u && u > 0
     } yield (i1, i2, n.toLong, u.toLong)).toSet
     val m6df = Multimodal.m6FrameDedup(spark, "/root/testdata/sf0.1")
-    val got = m6df.collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = m6df.collect()
+    // the dup = 1 tier of the r13 candidate output is EXACTLY the
+    // old verdict-only emission — brute force pins it
+    val got = rows.filter(_.getLong(5) == 1L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
       .toSet
     assert(got == brute,
       s"missing ${(brute -- got).size} / extra ${(got -- brute).size}")
+    // dup = 0 near-threshold candidates exist (the banded tier keeps
+    // the driver gate non-vacuous) and every one shares a band but
+    // not its full gram set
+    val nears = rows.filter(_.getLong(5) == 0L)
+    assert(nears.nonEmpty, "band width law produced no candidates")
+    nears.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(3) * 2 < r.getLong(4),
+        s"non-dup candidate with a dup-grade overlap: $r") }
     // r12 recompute form: the decode must still run ONCE — the
     // self-join's sides are canonically equal past the window, so the
     // plan carries exactly one parquet scan and a ReusedExchange
@@ -1790,6 +1801,8 @@ class PipelineSpec extends AnyFunSuite {
     got.foreach { case (_, _, n, u) =>
       assert(n == u, "stub signatures derive from the whole payload " +
         "hash, so any pair must share its entire gram set") }
+    // and the width law at this scale: 5000 docs → bits 17
+    assert(Multimodal.m6BandBits(5000L) == 17)
     // and a constructed duplicate corpus pairs every copy
     import spark.implicits._
     val long = (0 until 400).map(i => s"frame body token $i").mkString(" ")
@@ -1802,6 +1815,7 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("doc_id", "source", "text", "n_chars")
       .write.parquet(s"$dir/documents.parquet")
     val fx = Multimodal.m6FrameDedup(spark, dir).collect()
+      .filter(_.getLong(5) == 1L)
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val hv0 = Multimodal.payloadHash(
       long.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -742,8 +742,14 @@ class PlanContractSpec extends AnyFunSuite {
       "of any corpus-derived build side (per-doc counts ride the " +
       "gram frame), no cartesian") {
     val p = finalPlanNoBroadcast("m6_frame_dedup")
-    assert(scanCount(p) == 0,
-      s"parquet re-scanned past the gram checkpoint:\n$p")
+    // recompute form (r12): the gram self-join's sides are
+    // canonically equal, so at most ONE decode scan appears in the
+    // final plan (ADVICE r12 #1: the old == 0 assertion dated from
+    // the checkpointed form and passed vacuously; PipelineSpec pins
+    // the exactly-one-scan + ReusedExchange shape at sf0.1 where the
+    // frame is non-trivial)
+    assert(scanCount(p) <= 1,
+      s"decode scan duplicated across the gram self-join sides:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"nested loop in the gram join:\n$p")
@@ -771,6 +777,23 @@ class PlanContractSpec extends AnyFunSuite {
     // allowed: the two 1-row cross joins (corpus totals, class prior)
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
       s"more than the totals + prior 1-row broadcasts:\n$p")
+  }
+
+  test("h9: alias canonicalization — the per-user alias map (a " +
+      "corpus-derived aggregate, one row per ever-signed-up user) " +
+      "joins the event stream WITHOUT a broadcast hint: shuffle on " +
+      "user_id when AQE can't prove it small (r12 verdict #1 — the " +
+      "m6/t19 no-corpus-broadcast law, third application)") {
+    val p = finalPlanNoBroadcast("h9_alias_canonical")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // with auto-broadcast disabled a BroadcastHashJoin can only come
+    // from an explicit hint — and the only join here is
+    // events ⋈ aliasMap on user_id, whose build side grows with the
+    // corpus (driver/executor OOM class at 100 TB)
+    assert(!p.contains("BroadcastHashJoin"),
+      s"corpus-derived alias map broadcast under an explicit hint:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested loop in the alias join:\n$p")
   }
 
   test("s18: filtered walk — final re-rank reads only checkpoints " +
