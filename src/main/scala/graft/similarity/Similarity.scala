@@ -451,6 +451,13 @@ object Similarity {
     cent
   }
 
+  /** The trained centroid frame (cid, centroid) — exposed so
+    * [[graft.streaming.StreamingEmbDedup]]'s survivor cadence can
+    * FREEZE cells at compaction time (assignment to these centroids
+    * reproduces [[kmeansAssign]] exactly: same (dist, cid) argmin). */
+  private[graft] def kmeansCentroidsFrame(embIn: DataFrame,
+      iters: Int = 2): DataFrame = kmeansCentroids(embIn, iters)
+
   /** Final k-means assignment (vec_id, cluster) over an arbitrary
     * frame — the SemDeDup cell machinery's input; identical cluster
     * values to [[s5KmeansRefine]] when run on the full corpus. */

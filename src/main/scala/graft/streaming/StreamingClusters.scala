@@ -35,12 +35,6 @@ object StreamingClusters {
     val s = batch.sparkSession
     val bands = Dedup.mhBands(batch).localCheckpoint(true)
     val bdirs = StoreFs.priorBatchDirs(s, s"$root/bands", batchId)
-    val mapPath = s"$root/map"
-    val oldMap =
-      if (StoreFs.exists(s, mapPath))
-        s.read.parquet(mapPath).select("doc_id", "cluster")
-          .localCheckpoint(true)
-      else s.range(0).select(col("id").as("doc_id"), col("id").as("cluster"))
     // width from the ACCUMULATED corpus (store + batch) — both the
     // batch↔store join and the intra-batch self-join, matching d11's
     // one-width-through-all-edge-joins rule (ADVICE r12 #4)
@@ -50,6 +44,26 @@ object StreamingClusters {
       else Dedup.incrementalEdges(bands, s.read.parquet(bdirs: _*), x))
       .union(Dedup.pairsFromBands(bands, x)
         .select(col("id1").as("src"), col("id2").as("dst")))
+    foldMap(s, s"$root/map", edges, batch.select("doc_id"), nb)
+    bands.write.mode(SaveMode.Overwrite)
+      .parquet(s"$root/bands/batch_$batchId")
+  }
+
+  /** Fold one batch's candidate edges into the persisted min-id
+    * cluster map at `mapPath` — the surgical dynamic-partition
+    * rewrite documented on the object. Factored out (r13) so
+    * [[StreamingEmbDedup]]'s survivor cadence folds its
+    * cosine-verified edges through the identical monotone machinery
+    * (replay-safe: merged components project to self-loops, present
+    * batch docs anti-join away). */
+  private[streaming] def foldMap(s: org.apache.spark.sql.SparkSession,
+      mapPath: String, edges: DataFrame, batchIds: DataFrame,
+      nb: Int): Unit = {
+    val oldMap =
+      if (StoreFs.exists(s, mapPath))
+        s.read.parquet(mapPath).select("doc_id", "cluster")
+          .localCheckpoint(true)
+      else s.range(0).select(col("id").as("doc_id"), col("id").as("cluster"))
     // project corpus endpoints to their cluster labels; exact
     // components of the batch-sized merge graph (see Dedup.mergeClusters)
     val proj = edges
@@ -69,7 +83,7 @@ object StreamingClusters {
         col("lbl").as("new_cluster"))
       .localCheckpoint(true)
     // arriving docs not already mapped (anti join = replay safety)
-    val batchRows = batch.select("doc_id")
+    val batchRows = batchIds
       .join(oldMap.select("doc_id"), Seq("doc_id"), "left_anti")
       .join(comp.select(col("id").as("doc_id"), col("lbl")),
         Seq("doc_id"), "left")
@@ -107,8 +121,6 @@ object StreamingClusters {
         StoreFs.deleteDir(s, s"$mapPath/pb=$pb")
       }
     }
-    bands.write.mode(SaveMode.Overwrite)
-      .parquet(s"$root/bands/batch_$batchId")
   }
 
   /** Streaming query over (doc_id, text). */

@@ -63,4 +63,150 @@ object StreamingEmbDedup {
     embs.writeStream.foreachBatch { (b: Dataset[Row], id: Long) =>
       processBatch(b.toDF(), id, storePath, matchRoot)
     }
+
+  // ---- x2 SURVIVOR-STORE cadence (r13, VERDICT #3) ----------------
+  //
+  // Maintains the d12-prod SURVIVOR set and its navigable graph as an
+  // ingest-time store — the same store shape the registered x2 walks
+  // (Similarity.x2EnsureStore), kept current per batch instead of
+  // rebuilt per corpus. Cell assignment is FROZEN at compaction time
+  // (the SemDeDup deployment design: cells retrain periodically, not
+  // per batch — the t12 dictionary-staleness trade, stated): a batch
+  // assigns to the stored centroids + shard grid, candidates stay
+  // cell-confined (batch×batch + batch×prior within cell), exact
+  // cosines verify at d12's 0.3 threshold, and the verified edges
+  // fold into the maintained min-id cluster map through
+  // StreamingClusters.foldMap (d11's monotone, replay-safe device).
+  // Survivors at any point = ids whose map label is their own id —
+  // d12's keep policy verbatim. The survivor GRAPH refreshes as a
+  // batch compaction (s16RefreshWave's precedent), not per ingest.
+  //
+  // Identity: under cells frozen from the full corpus, the folded
+  // pair set accumulates to exactly the one-shot within-cell pair
+  // set, merge-folded components equal one-shot components (d11
+  // spec), and min-id keeps agree — so the maintained store's walk ≡
+  // the registered x2 (spec-pinned in PipelineSpec).
+
+  private val CellCap = 256
+
+  /** Freeze the cell grid from a corpus snapshot: trained centroids +
+    * per-cluster shard counts (ceil(rank-1 size / cellCap) — the
+    * semCellsFrame grid verbatim). Run at (re)compaction. */
+  def freezeSurvivorCells(corpus: DataFrame, root: String,
+      cellCap: Int = CellCap): Unit = {
+    import graft.similarity.Similarity
+    import graft.functions.{VectorFunctions => V}
+    val cent = Similarity.kmeansCentroidsFrame(corpus)
+      .localCheckpoint(true) // consumers: grid sizing + persisted copy
+    cent.write.mode("overwrite").parquet(s"$root/frozen/centroids")
+    corpus.select(col("vec_id"), V.asDouble(col("embedding")).as("emb"))
+      .join(broadcast(cent)) // k-row centroid frame — bounded by config
+      .withColumn("dist", V.l2(col("emb"), col("centroid")))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"))
+      .groupBy("cluster").agg(count(lit(1)).as("n"))
+      .select(col("cluster"),
+        greatest(ceil(col("n") / CellCap).cast("long"), lit(1L))
+          .as("nshard"))
+      .write.mode("overwrite").parquet(s"$root/frozen/grid")
+  }
+
+  /** One survivor-cadence micro-batch. Exposed for the fold spec. */
+  private[graft] def survivorBatch(batch: DataFrame, batchId: Long,
+      root: String, nb: Int = 64): Unit = {
+    import graft.functions.{VectorFunctions => V}
+    val s = batch.sparkSession
+    val cent = s.read.parquet(s"$root/frozen/centroids")
+    val grid = s.read.parquet(s"$root/frozen/grid")
+    val vecs = Dedup.embVecs(batch).localCheckpoint(true)
+    // frozen-cell assignment: nearest stored centroid, then the
+    // semCellsFrame shard coin against the FROZEN grid — bit-equal to
+    // the one-shot cells when the freeze saw this corpus
+    val assigned = batch
+      .select(col("vec_id"), V.asDouble(col("embedding")).as("emb"))
+      .join(broadcast(cent)) // k-row
+      .withColumn("dist", V.l2(col("emb"), col("centroid")))
+      .groupBy("vec_id")
+      .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"))
+    val shard = ((col("vec_id") % lit(2147483648L)) * lit(2654435761L)) %
+      lit(4294967296L) %
+      greatest(coalesce(col("nshard"), lit(1L)), lit(1L))
+    val cells = assigned
+      .join(broadcast(grid), Seq("cluster"), "left") // |clusters|-row
+      .select(col("vec_id"),
+        concat(col("cluster").cast("string"), lit("#"),
+          shard.cast("string")).as("cell"))
+      .localCheckpoint(true) // consumers: cross + intra + slice write
+    val cellDirs = StoreFs.priorBatchDirs(s, s"$root/cellmap", batchId)
+    val vecDirs = StoreFs.priorBatchDirs(s, s"$root/vecs", batchId)
+    val cross =
+      if (cellDirs.isEmpty)
+        cells.limit(0).select(col("vec_id").as("id1"),
+          col("vec_id").as("id2"))
+      else cells.as("a")
+        .join(s.read.parquet(cellDirs: _*).as("b"),
+          col("a.cell") === col("b.cell") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(least(col("a.vec_id"), col("b.vec_id")).as("id1"),
+          greatest(col("a.vec_id"), col("b.vec_id")).as("id2"))
+    val intra = cells.as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+    val cand = cross.union(intra).distinct()
+    val allVecs = if (vecDirs.isEmpty) vecs
+      else vecs.unionByName(s.read.parquet(vecDirs: _*))
+    val edges = Dedup.verifyCosine(cand, allVecs)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    StreamingClusters.foldMap(s, s"$root/map", edges,
+      batch.select(col("vec_id").as("doc_id")), nb)
+    cells.write.mode("overwrite").parquet(s"$root/cellmap/batch_$batchId")
+    vecs.write.mode("overwrite").parquet(s"$root/vecs/batch_$batchId")
+  }
+
+  /** Current survivor ids of the maintained store: every ingested id
+    * whose map label is its own id (docs never matched are absent
+    * from the map and survive by definition — d12's coalesce). */
+  private[graft] def survivorIds(s: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
+    val ingested = s.read
+      .parquet(StoreFs.priorBatchDirs(s, s"$root/cellmap",
+        Long.MaxValue): _*)
+      .select("vec_id")
+    val m = if (StoreFs.exists(s, s"$root/map"))
+      s.read.parquet(s"$root/map").select("doc_id", "cluster")
+      else s.range(0).select(col("id").as("doc_id"),
+        col("id").as("cluster"))
+    ingested
+      .join(m.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("vec_id"))
+      .select("vec_id")
+  }
+
+  /** The graph COMPACTION: rebuild the survivor navigable graph from
+    * the maintained survivor set + stored vector slices, persisted
+    * beside the map — the store the x2 walk reads. Returns
+    * (vectorsPath, graphPath). Scheduled per ingest wave (the
+    * s16RefreshWave cadence), never paid by the walk. */
+  private[graft] def refreshSurvivorGraph(
+      s: org.apache.spark.sql.SparkSession, root: String,
+      fullEmb: DataFrame): (String, String) = {
+    val surv = survivorIds(s, root)
+    val embS = fullEmb.join(surv, Seq("vec_id"), "left_semi")
+      .localCheckpoint(true) // consumers: vectors write + graph build
+    embS.write.mode("overwrite").parquet(s"$root/vectors")
+    graft.similarity.Similarity.searchGraphOn(embS, 16)
+      .select("vec_id", "nbr")
+      .write.mode("overwrite").parquet(s"$root/graph")
+    (s"$root/vectors", s"$root/graph")
+  }
+
+  /** Streaming query for the survivor cadence — requires a prior
+    * [[freezeSurvivorCells]] at `root`. */
+  def runSurvivors(embs: DataFrame, root: String, nb: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    embs.writeStream.foreachBatch { (b: Dataset[Row], id: Long) =>
+      survivorBatch(b.toDF(), id, root, nb)
+    }
 }

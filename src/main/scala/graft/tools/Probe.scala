@@ -51,6 +51,59 @@ object Probe {
       spark.stop(); return
     }
 
+    // ETL/history skewed-churn probe (r13, VERDICT #5): the one
+    // operator family never walked at a mutated 100× — b1/b2/b4/h1/
+    // h11 are per-entity folds (windows partitioned by id) whose
+    // worst case is CHURN SKEW: one entity carrying a large share of
+    // all activity serializes into one task. PROBE_ETLSKEW="10,30,100"
+    // synthesizes events corpora at those multiples of sf0.1's 100k
+    // rows with a WHALE entity holding 20% of every corpus (sf0.1's
+    // own max entity is 99 rows — organic replication would never
+    // exercise the skew), then times the family cold + warm.
+    sys.env.get("PROBE_ETLSKEW").foreach { ms =>
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+        .getTime * 1000L // µs
+      ms.split(",").map(_.trim.toInt).foreach { m =>
+        val n = 100000L * m
+        val dir = s"/tmp/probe_etlskew_${m}x"
+        val f = new java.io.File(s"$dir/events.parquet")
+        if (!f.exists()) {
+          val nUsers = 1500L * m
+          val types = array(lit("signup"), lit("click"), lit("error"),
+            lit("view"), lit("purchase"))
+          spark.range(n).select(
+              col("id").as("event_id"),
+              timestamp_micros(lit(base) + col("id") * lit(1000000L))
+                .as("ts"),
+              // whale: every 5th row (20% of the corpus) is entity 0
+              when(pmod(xxhash64(col("id"), lit(7)), lit(5)) === 0, 0L)
+                .otherwise(pmod(xxhash64(col("id"), lit(11)),
+                  lit(nUsers)))
+                .as("user_id"),
+              element_at(types,
+                (pmod(xxhash64(col("id"), lit(13)), lit(5)) + 1)
+                  .cast("int")).as("event_type"),
+              round(pmod(xxhash64(col("id"), lit(17)), lit(20000))
+                / 100.0, 2).as("value"),
+              concat(lit("{\"k\": "),
+                pmod(xxhash64(col("id"), lit(19)), lit(100)),
+                lit("}")).as("props"))
+            .write.mode("overwrite").parquet(s"$dir/events.parquet")
+        }
+        Tables.events(spark, dir).count() // warm listing/footer cache
+        Seq("h1_snapshot_history", "h11_sessionize", "b1_bug_history",
+            "b2_nested_history", "b4_consistency_report").foreach { q =>
+          time(s"$q ${m}x cold") {
+            graft.SparkEntry.queries(q)(spark, dir).count()
+          }
+          time(s"$q ${m}x warm") {
+            graft.SparkEntry.queries(q)(spark, dir).count()
+          }
+        }
+      }
+      spark.stop(); return
+    }
+
     // m6 verdict-form A/B (r12): per-doc gram counts via window vs a
     // plain (unhinted) count-frame join — both 100TB-legal (no
     // explicit corpus broadcast); pick by measurement on one box

@@ -635,6 +635,17 @@ class PipelineSpec extends AnyFunSuite {
       "walk over the persisted survivor graph diverged from the " +
         "registered x2 composition")
     assert(stored.nonEmpty)
+    // r13: the REGISTERED x2 is the ensure-store path itself —
+    // build-if-absent survivor vectors + graph under the
+    // content-keyed root, then the walk; must equal the inline
+    // composition exactly (and a second invocation walks the same
+    // store without rebuilding — the memo/_built path)
+    val ensured = rows(
+      similarity.Similarity.x2DedupIndexStored(spark, sf))
+    assert(ensured == reg,
+      "ensure-store stored walk diverged from the inline composition")
+    assert(rows(similarity.Similarity.x2DedupIndexStored(spark, sf))
+      == ensured, "second stored walk diverged (stale store reuse?)")
   }
 
   test("s16 HNSW: deterministic geometric layers, entry-atlas " +

@@ -73,4 +73,49 @@ class StreamingEmbDedupSpec extends AnyFunSuite {
       .priorBatchDirs(spark, s"$storePath/bands", Long.MaxValue).size == 2)
     assert(first.nonEmpty, "fixture produced no pairs")
   }
+
+  test("x2 survivor-store cadence (r13): three ingest waves fold to " +
+      "d12's one-shot survivor set under frozen cells, a replayed " +
+      "wave changes nothing, and the compacted store's walk ≡ the " +
+      "registered stored x2") {
+    import graft.streaming.StreamingEmbDedup
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_survstore").toString
+    // compaction freeze: cells from the full corpus (production: the
+    // last compaction's snapshot; between compactions new batches
+    // assign to stale cells — the SemDeDup periodic-retrain trade,
+    // same class as t12's frozen dictionary)
+    StreamingEmbDedup.freezeSurvivorCells(embs, root)
+    val waves = (0 to 2).map(i =>
+      embs.filter(col("vec_id") % 3 === i)
+        .select("vec_id", "label", "embedding"))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      StreamingEmbDedup.survivorBatch(w, i, root) }
+    def survSet() = StreamingEmbDedup.survivorIds(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    val surv = survSet()
+    val oneShot = Dedup.d12SemDedupProd(spark, sf)
+      .filter(col("keep")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(surv == oneShot,
+      s"missing ${(oneShot -- surv).size} / extra ${(surv -- oneShot).size}")
+    assert(surv.size < embs.count(), "fixture deduped nothing")
+    // at-least-once replay of the last wave: monotone fold converges
+    StreamingEmbDedup.survivorBatch(waves(2), 2, root)
+    assert(survSet() == surv, "replayed wave changed the survivor set")
+    // graph compaction + walk ≡ the registered stored x2
+    val (vp, gp) = StreamingEmbDedup.refreshSurvivorGraph(spark, root, embs)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val walked = rows(graft.similarity.Similarity.s15WalkOn(
+      spark.read.parquet(vp),
+      spark.read.parquet(gp).select("vec_id", "nbr")
+        .localCheckpoint(true), 5, 12, 3))
+    val reg = rows(
+      graft.similarity.Similarity.x2DedupIndexStored(spark, sf))
+    assert(walked == reg,
+      "maintained survivor store's walk diverged from the registered x2")
+    assert(walked.nonEmpty)
+  }
 }
