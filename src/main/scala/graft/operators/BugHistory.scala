@@ -158,16 +158,30 @@ object BugHistory {
       // .py:523 sorts changes by old_value descending), so when one
       // (id, field, ts) hunk carries TWO changes — a degenerate log no
       // fixture contains — the anchored prior state is the max
-      // old_value, the same row the reference's sort puts first
+      // old_value, the same row the reference's sort puts first.
+      //
+      // FRAME DIRECTION (r13, the churn-skew probe's find): the
+      // backward anchor is "first non-null AT OR AFTER this row" —
+      // naively a [currentRow, unboundedFollowing] frame, which
+      // Spark's window exec recomputes FROM SCRATCH per row (a
+      // shrinking frame has no incremental update): O(n²) in the
+      // (id, field) partition. A whale entity with 20% of a 1M-row
+      // corpus put single tasks at 28 CPU-minutes; 100 TB churn skew
+      // would never finish. The EXACT same answer comes from the
+      // REVERSED total order with a RUNNING frame — last non-null
+      // over [unboundedPreceding, currentRow] under (ts DESC, kind
+      // DESC, value ASC) — which updates in O(1) per row (measured:
+      // the 10× whale fold 28 min → sub-second; oracle-identical at
+      // every scale since the order reversal is exact).
       val wA = Window.partitionBy("id", "field")
-        .orderBy(col("ts"), col("kind"), col("value").desc)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(col("ts").desc, col("kind").desc, col("value").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val currentVals = current.select(col("id"),
         explode(array(singleFields.map(f =>
           struct(lit(f).as("field"), col(f).cast("string").as("cur_value"))): _*))
           .as("fv"))
         .select(col("id"), col("fv.field"), col("fv.cur_value"))
-      u.withColumn("state", first("value", ignoreNulls = true).over(wA))
+      u.withColumn("state", last("value", ignoreNulls = true).over(wA))
         .filter(col("kind") === 1)
         .join(currentVals, Seq("id", "field"), "left")
         .withColumn("state", coalesce(col("state"), col("cur_value")))
@@ -228,10 +242,31 @@ object BugHistory {
         .select(col("id"), col("field"), col("item"),
           lit(NEG).as("start_ts"), lit(MaxTimestamp).as("end_ts"))
       val intervals = removalSpans.union(tailSpans).union(currentOnly)
-      // membership: interval covers the version's valid_from
-      val member = versions.select(col("id"), col("ts"))
-        .join(intervals, Seq("id"))
-        .filter(col("ts") >= col("start_ts") && col("ts") < col("end_ts"))
+      // membership: interval covers the version's valid_from. NOT the
+      // old interval-filter join on the bare id (versions × ALL of the
+      // entity's interval rows — the r13 churn-skew probe measured it
+      // quadratic: a whale entity with 20% of a 1M-row corpus held b1
+      // at 371 s, and 100 TB churn skew would never finish). The as-of
+      // merge-scan device [[nestSubEntities]] already uses: probes =
+      // versions × the entity's DISTINCT (field, item) keys — linear,
+      // within a constant of the true membership answer itself — each
+      // matched to the latest interval with start_ts <= ts, covered
+      // iff ts < its end_ts. Per-key intervals are disjoint half-open
+      // spans, so the latest-start interval is the only possible
+      // cover; same-start degenerates collapse to max(end) first so
+      // the as-of right side stays unique per (keys, time).
+      val itemKeys = intervals.select("id", "field", "item").distinct()
+      val probes = versions.select(col("id"), col("ts"))
+        .join(itemKeys, Seq("id"))
+      val ivals = intervals
+        .groupBy("id", "field", "item", "start_ts")
+        .agg(max("end_ts").as("end_ts"))
+        .select(col("id").as("i_id"), col("field").as("i_field"),
+          col("item").as("i_item"), col("start_ts"), col("end_ts"))
+      val member = AsOf.join(probes, ivals,
+          Seq("id", "field", "item"), Seq("i_id", "i_field", "i_item"),
+          "ts", "start_ts")
+        .filter(col("start_ts").isNotNull && col("ts") < col("end_ts"))
       member.groupBy("id", "ts", "field")
         .agg(array_sort(collect_set("item")).as("items"))
         .groupBy("id", "ts")

@@ -282,7 +282,7 @@ object TextAnalysis {
     * because matched (query,doc,term) triples are the one frame that
     * can dwarf the corpus when queries share vocabulary). */
   def t12Bm25(s: SparkSession, d: String, k: Int = 5,
-      qBound: Long = Long.MaxValue): DataFrame = {
+      qBound: Long = Long.MaxValue): DataFrame =
     // qBound caps the QUERY WORKLOAD at a fixed id range (r1 passes
     // 97·64): scoring cost is Σ_term df·qf, so a query set that
     // grows with the corpus (every 97th doc — the probe protocol)
@@ -290,6 +290,17 @@ object TextAnalysis {
     // BATCH is fixed-size. Default unbounded = t12's own semantics.
     // The CORPUS split stays the unbounded %97 rule either way, so
     // the two never overlap and the arm corpora stay aligned.
+    bm25Score(s, d, bm25Weights(s, d), k, qBound)
+
+  /** The per-(doc, term) BM25 weight frame over the non-query corpus
+    * — everything in t12 that does NOT depend on the query batch.
+    * This is the content of r1's lexical-arm STORE ([[graft
+    * .similarity.Similarity.r1EnsureLexStore]]): persisted once per
+    * (corpus, fingerprint), it retires the per-invocation corpus
+    * tokenize + tf/df/dl recompute; only Σ df·qf scoring volume
+    * remains at query time. */
+  private[graft] def bm25Weights(s: SparkSession, d: String)
+      : DataFrame = {
     val k1 = 1.2; val b = 0.75
     val isQuery = col("doc_id") % 97 === 0
     val docs = Tables.documents(s, d)
@@ -305,11 +316,7 @@ object TextAnalysis {
       count(lit(1)).as("n"),
       (sum(size(filter(T.tokens(col("text")), t => t =!= "")))
         .cast("double") / count(lit(1))).as("avgdl"))
-    val qterms = docs.filter(isQuery && col("doc_id") < qBound)
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(T.tokens(col("text")))).as("term"))
-      .filter(col("term") =!= "")
-    val w = tf.join(df, "term").join(dl, "doc_id")
+    tf.join(df, "term").join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .select(col("doc_id"), col("term"),
         (log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
@@ -318,6 +325,19 @@ object TextAnalysis {
           (col("tf").cast("double") +
             lit(k1) * (lit(1.0 - b) +
               lit(b) * col("dl").cast("double") / col("avgdl")))).as("w"))
+  }
+
+  /** Query-time BM25 scoring over an arbitrary weight frame — inline
+    * ([[bm25Weights]]) or read back from the persisted lexical store;
+    * the query-term list is the only broadcast side either way. */
+  private[graft] def bm25Score(s: SparkSession, d: String,
+      w: DataFrame, k: Int, qBound: Long): DataFrame = {
+    val isQuery = col("doc_id") % 97 === 0
+    val qterms = Tables.documents(s, d)
+      .filter(isQuery && col("doc_id") < qBound)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(T.tokens(col("text")))).as("term"))
+      .filter(col("term") =!= "")
     w.join(broadcast(qterms), "term")
       // floor(x+0.5), not round(): no round-half tie for the engines
       // to disagree on (same rule as e1)

@@ -91,14 +91,16 @@ object Probe {
             .write.mode("overwrite").parquet(s"$dir/events.parquet")
         }
         Tables.events(spark, dir).count() // warm listing/footer cache
+        // executedPlan.execute().count(), NOT df.count(): a bare
+        // count lets Catalyst PRUNE windows that don't change row
+        // count (h1/h11 timed vacuously — the whale's single-task
+        // sort never ran); executing the final plan pays every column
+        def full(q: String): Long = graft.SparkEntry.queries(q)(
+          spark, dir).queryExecution.executedPlan.execute().count()
         Seq("h1_snapshot_history", "h11_sessionize", "b1_bug_history",
             "b2_nested_history", "b4_consistency_report").foreach { q =>
-          time(s"$q ${m}x cold") {
-            graft.SparkEntry.queries(q)(spark, dir).count()
-          }
-          time(s"$q ${m}x warm") {
-            graft.SparkEntry.queries(q)(spark, dir).count()
-          }
+          time(s"$q ${m}x cold") { full(q) }
+          time(s"$q ${m}x warm") { full(q) }
         }
       }
       spark.stop(); return
@@ -276,6 +278,37 @@ object Probe {
         }
         time(f"walk arm  |Q|=$realQ%4d") {
           Similarity.s15WalkQC(qN, cvF, g, 20, 12, 3).count()
+        }
+      }
+      spark.stop(); return
+    }
+
+    // r1 lexical-arm store A/B (r13, VERDICT #4): the inline BM25 arm
+    // (corpus tokenize + tf/df/dl + score) vs the stored arm (score
+    // over the persisted weight frame) at the r1 query protocol's
+    // workload points. Measure BEFORE registering: on this corpus's
+    // 31-term vocabulary the Σ df·qf scoring join is the wall, so the
+    // store's win is the weight-build share — expect it at large
+    // corpora (run with SPARK_GRAFT_SF_DIR=/tmp/probe100m).
+    if (sys.env.get("PROBE_R1LEX").contains("1")) {
+      import graft.similarity.Similarity
+      Tables.documents(spark, d).count()
+      time("lex store build (once)") {
+        Similarity.r1EnsureLexStore(spark, d)
+      }
+      Seq(97L * 64, Long.MaxValue).foreach { qb =>
+        val tag = if (qb == Long.MaxValue) "all" else "64"
+        time(s"inline arm |Q|=$tag cold") {
+          graft.text.TextAnalysis.t12Bm25(spark, d, 20, qb).count()
+        }
+        time(s"inline arm |Q|=$tag warm") {
+          graft.text.TextAnalysis.t12Bm25(spark, d, 20, qb).count()
+        }
+        time(s"stored arm |Q|=$tag cold") {
+          Similarity.t12Bm25Stored(spark, d, 20, qb).count()
+        }
+        time(s"stored arm |Q|=$tag warm") {
+          Similarity.t12Bm25Stored(spark, d, 20, qb).count()
         }
       }
       spark.stop(); return

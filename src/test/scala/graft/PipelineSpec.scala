@@ -648,6 +648,23 @@ class PipelineSpec extends AnyFunSuite {
       == ensured, "second stored walk diverged (stale store reuse?)")
   }
 
+  test("r1 lexical-arm store (r13): BM25 over the persisted weight " +
+      "frame ≡ the inline arm — build-if-absent under the " +
+      "documents-fingerprinted root, only the scoring join remains " +
+      "at query time") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val inline = rows(text.TextAnalysis.t12Bm25(spark, sf, 5))
+    val stored = rows(similarity.Similarity.t12Bm25Stored(spark, sf, 5))
+    assert(stored == inline,
+      "stored BM25 arm diverged from the inline arm")
+    assert(stored.nonEmpty)
+    // second invocation reuses the landed store (memo/_built path)
+    assert(rows(similarity.Similarity.t12Bm25Stored(spark, sf, 5))
+      == inline)
+  }
+
   test("s16 HNSW: deterministic geometric layers, entry-atlas " +
       "(label × component) beam-4 descent reaches the beam stage, " +
       "recall@5 beats the entry-only baseline and holds the walk " +

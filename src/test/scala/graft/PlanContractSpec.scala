@@ -871,21 +871,31 @@ class PlanContractSpec extends AnyFunSuite {
     assert(scanCount(p) <= 22, s"scan fan exceeded the family fan:\n$p")
   }
 
-  test("r1-prod: the dense arm rides the stored walk — the exact " +
-      "arm's corpus×query cosine nested loop is GONE (only t12's " +
-      "1-row stats cross + the binary packed-query broadcast remain), " +
-      "the walk contributes only checkpoint reads, tf exchange still " +
-      "reused, no cartesian") {
+  test("r1-prod: the dense arm rides the stored walk and the BM25 " +
+      "arm rides the maintained lexical store (r13) — the exact " +
+      "arm's corpus×query cosine nested loop is GONE, the corpus " +
+      "text is read once (query terms only; the tf/df/dl derivation " +
+      "lives in the persisted weight frame), no cartesian") {
     val p = finalPlan("r1_rrf_prod")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
     // r1_rrf_fusion allows THREE nested loops (stats + dense query
     // broadcast + binary query broadcast); the production form must
     // have at most TWO — the dense arm's full-float cosine scan is
-    // exactly the corpus-sized stage this form retires
+    // exactly the corpus-sized stage this form retires. With the
+    // stored lexical arm even t12's 1-row stats cross is gone (the
+    // weights carry it), so the bound tightens further in practice.
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 2,
       s"the dense arm's corpus-scan nested loop is back:\n$p")
-    assert(p.contains("ReusedExchange"),
-      s"t12's tf exchange no longer reused inside the fusion plan:\n$p")
+    // r12 asserted t12's tf exchange REUSED here; r13 retires the tf
+    // subtree entirely — the weights come from the lexical store, so
+    // the plan must scan it and must NOT tokenize the corpus twice
+    assert(p.contains("graft-r1lex"),
+      s"the BM25 arm no longer reads the maintained lexical store:\n$p")
+    // documents appears for the two QUERY-side frames only (BM25
+    // query terms; the qv dense/binary query ids) — the corpus-wide
+    // tokenize that fed tf/df/dl read it too before r13
+    assert("FileScan parquet [^\\n]*documents".r.findAllIn(p).length <= 2,
+      s"corpus text scanned beyond the two query-side reads:\n$p")
   }
 
   test("x2: dedup-before-index composition — the walk's final " +
