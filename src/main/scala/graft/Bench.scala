@@ -36,6 +36,19 @@ object Bench {
         }
         (1 to warmups).foreach(_ => once())
         val measured = (1 to iters).map(_ => once()).sorted
+        // Bench ISOLATION (r13 verdict #2): store-heavy queries leave
+        // localCheckpoint blocks behind; accumulated across the suite
+        // they pressure later queries' execution memory and the
+        // artifact carried 30x phantom per-query swings (h10 3.6 s
+        // in-suite vs 0.11 s isolated). Drop all cached plans and
+        // persisted RDD blocks AFTER each query's measured passes
+        // (outside the timed region; warm state WITHIN a query's own
+        // passes is untouched). Safe: no DataFrame survives across
+        // queries — every store memo holds PATHS, and each invocation
+        // rebuilds its own checkpoints.
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
         name -> (measured.head, measured(measured.length / 2))
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v._1 }

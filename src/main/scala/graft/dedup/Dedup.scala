@@ -96,10 +96,15 @@ object Dedup {
 
   /** The width law for a STREAMING cadence's joins: [[extraRowsFor]]
     * at the ACCUMULATED corpus size (persisted band-store docs + the
-    * arriving batch), so a maintained store keeps matching the batch
-    * forms (d2/d9/d11 widen from the full corpus count) past the
-    * first 8192-doc threshold instead of silently diverging (ADVICE
-    * r12 #4). Doc counts come from band-frame row counts / MhBands —
+    * arriving batch), so a maintained store matches the batch forms'
+    * width (d2/d9/d11 widen from the full corpus count) for every
+    * batch from the point it arrives (ADVICE r12 #4). Scope (ADVICE
+    * r13): edges already folded by EARLIER batches used the width the
+    * corpus had THEN and persist in the monotone min-id map — a
+    * stream that crosses a width threshold mid-run matches the batch
+    * width for all batches AFTER the crossing; exact historical
+    * equality at the new width needs a recompaction/replay of the
+    * prior slices. Doc counts come from band-frame row counts / MhBands —
     * each doc writes exactly MhBands band rows, and an unfiltered
     * parquet count is metadata-cheap at any store size. */
   private[graft] def accExtraRows(s: SparkSession, bandDirs: Seq[String],

@@ -347,8 +347,10 @@ object Multimodal {
     m6Candidates(m6GramsNoCheckpoint(s, d), m6BandBits(n))
   }
 
-  /** m6's candidate band width: 2^bits ∈ (16·n, 32·n] for doc count
-    * n ≥ 512 (floor 13 bits below), keeping expected band collisions
+  /** m6's candidate band width: 2^bits ∈ [16·n, 32·n] for doc count
+    * n ≥ 512 (floor 13 bits below; the lower endpoint is attained at
+    * exact powers of two — n = 2^t, t ≥ 9, yields 2^bits = 16·n —
+    * ADVICE r13), keeping expected band collisions
     * — the near-threshold candidate volume — LINEAR in the corpus
     * (≈ 0.03–0.05·n pairs) while staying non-empty at probe scales.
     * Monotone step law in the [[extraBitsFor]] style so the DuckDB

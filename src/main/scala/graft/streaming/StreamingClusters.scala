@@ -37,7 +37,10 @@ object StreamingClusters {
     val bdirs = StoreFs.priorBatchDirs(s, s"$root/bands", batchId)
     // width from the ACCUMULATED corpus (store + batch) — both the
     // batch↔store join and the intra-batch self-join, matching d11's
-    // one-width-through-all-edge-joins rule (ADVICE r12 #4)
+    // one-width-through-all-edge-joins rule (ADVICE r12 #4). Edges
+    // folded by earlier batches keep the width the corpus had then
+    // (the map is monotone); post-crossing batches match the batch
+    // width — see Dedup.accExtraRows scope (ADVICE r13)
     val x = Dedup.accExtraRows(s, bdirs, bands)
     val edges = (if (bdirs.isEmpty)
         bands.limit(0).select(col("doc_id").as("src"), col("doc_id").as("dst"))

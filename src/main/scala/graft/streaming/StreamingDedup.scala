@@ -37,9 +37,10 @@ object StreamingDedup {
     val dirs = StoreFs.priorBatchDirs(s, storePath, batchId)
     val store = if (dirs.isEmpty) bands.limit(0)
       else s.read.parquet(dirs: _*)
-    // width from the ACCUMULATED corpus (store + batch) so the
-    // maintained store keeps matching d9's registered form past the
-    // first width threshold (ADVICE r12 #4)
+    // width from the ACCUMULATED corpus (store + batch) so batches
+    // after a width-threshold crossing match d9's registered form at
+    // the same corpus size (ADVICE r12 #4; matches already folded at
+    // the pre-crossing width persist — see Dedup.accExtraRows scope)
     val x = Dedup.accExtraRows(s, dirs, bands)
     (Dedup.incrementalMatch(bands, store, batch.select("doc_id"), x),
       bands)

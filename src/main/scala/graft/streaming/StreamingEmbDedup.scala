@@ -106,7 +106,7 @@ object StreamingEmbDedup {
       .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster"))
       .groupBy("cluster").agg(count(lit(1)).as("n"))
       .select(col("cluster"),
-        greatest(ceil(col("n") / CellCap).cast("long"), lit(1L))
+        greatest(ceil(col("n") / cellCap).cast("long"), lit(1L))
           .as("nshard"))
       .write.mode("overwrite").parquet(s"$root/frozen/grid")
   }
@@ -170,10 +170,14 @@ object StreamingEmbDedup {
     * from the map and survive by definition — d12's coalesce). */
   private[graft] def survivorIds(s: org.apache.spark.sql.SparkSession,
       root: String): DataFrame = {
-    val ingested = s.read
-      .parquet(StoreFs.priorBatchDirs(s, s"$root/cellmap",
-        Long.MaxValue): _*)
-      .select("vec_id")
+    val cellDirs = StoreFs.priorBatchDirs(s, s"$root/cellmap",
+      Long.MaxValue)
+    // no batch ingested yet (e.g. a graph refresh right after the
+    // freeze): the survivor set is empty, not an AnalysisException —
+    // mirrors the empty-map fallback below (ADVICE r13)
+    if (cellDirs.isEmpty)
+      return s.range(0).select(col("id").as("vec_id"))
+    val ingested = s.read.parquet(cellDirs: _*).select("vec_id")
     val m = if (StoreFs.exists(s, s"$root/map"))
       s.read.parquet(s"$root/map").select("doc_id", "cluster")
       else s.range(0).select(col("id").as("doc_id"),
