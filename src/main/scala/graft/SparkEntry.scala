@@ -206,6 +206,12 @@ object SparkEntry {
       graft.similarity.Similarity.s16HnswStored(s, d, g0, uppers,
         atlasPath = Some(atlas))
     }),
+    // x5 (r14): the s16-tier dedup-before-index composition — the
+    // survivors-only precondition EXECUTABLE: d12 survivors get their
+    // own full hierarchy (layers + atlas, widths from survivor
+    // counts) and the registered query walks the persisted store
+    "x5_survivor_hnsw" -> ((s: SparkSession, d: String) =>
+      graft.similarity.Similarity.x5SurvivorHnsw(s, d)),
     "s8_mmr_diversify" -> ((s: SparkSession, d: String) =>
       graft.similarity.Similarity.s8MmrDiversify(s, d)),
     "s9_mmr_lsh" -> ((s: SparkSession, d: String) =>
@@ -1059,7 +1065,39 @@ object SparkEntry {
     * the final min because a component's minimum is smaller than
     * every node it must reach — crossed with label), the 6 greedy
     * descent steps and all 3 beam rounds unrolled. */
-  private lazy val s16HnswSql: String = {
+  private lazy val s16HnswSql: String = s16HnswSqlOver(
+    "e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)",
+    "e")
+
+  /** x5's oracle (r14): the d12-prod survivor chain (x2's header,
+    * keeping label) feeding the ENTIRE s16 hierarchy — layer widths,
+    * level coin, components, atlas, descent and ef rounds all derived
+    * over the survivor CTE `se`. */
+  private lazy val x5SurvivorHnswSql: String = s16HnswSqlOver(
+    s"""$semCellsCteBody,
+       |p0 AS MATERIALIZED (
+       |$semCellPairsSelect),
+       |eg AS MATERIALIZED (SELECT id1 AS u, id2 AS v FROM p0
+       |      UNION SELECT id2, id1 FROM p0),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM eg
+       |  UNION
+       |  SELECT r.u, eg.v FROM reach r JOIN eg ON r.v = eg.u),
+       |lbl AS (SELECT u AS id, least(u, min(v)) AS lbl
+       |        FROM reach GROUP BY u),
+       |se AS MATERIALIZED (
+       |  SELECT x.vec_id, x.label, x.emb FROM e x
+       |  LEFT JOIN lbl l ON l.id = x.vec_id
+       |  WHERE l.lbl IS NULL OR l.lbl = x.vec_id)""".stripMargin,
+    "se")
+
+  /** The s16 oracle body over a parameterized corpus CTE `src`
+    * (vec_id, label, emb): `header` opens the WITH chain and must
+    * define `e` (the RAW table — queries and vector lookups read it)
+    * plus `src` when it differs. The registered s16 passes the whole
+    * table; x5 passes the d12-survivor subset — every width law,
+    * level, component and atlas below derives from `src`. */
+  private def s16HnswSqlOver(header: String, src: String): String = {
     val ptRows = sparsePlaneRows
     val coin = "((vec_id % 2147483648) * 2654435761) % 4294967296"
     val upperLayers = (1 to 3).map { l =>
@@ -1144,10 +1182,10 @@ object SparkEntry {
          |v$r AS MATERIALIZED (
          |  SELECT * FROM v${r - 1} UNION ALL SELECT * FROM sc$r),""".stripMargin
     }.mkString("\n")
-    s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s"""WITH RECURSIVE $header,
        |spt(b, j, w, plane) AS (VALUES
        |$ptRows),
-       |nv AS (SELECT count(*) AS n FROM embeddings WHERE vec_id >= 10),
+       |nv AS (SELECT count(*) AS n FROM $src WHERE vec_id >= 10),
        |beff AS (
        |  SELECT 8 + (n > 4096)::INT + (n > 8192)::INT + (n > 16384)::INT
        |    + (n > 32768)::INT + (n > 65536)::INT + (n > 131072)::INT
@@ -1156,7 +1194,7 @@ object SparkEntry {
        |  SELECT vec_id, b,
        |    CAST(sum(CASE WHEN ${seqDot("emb", "plane")} > 0
        |      THEN w ELSE 0 END) AS BIGINT) AS sig
-       |  FROM e CROSS JOIN spt CROSS JOIN beff
+       |  FROM $src CROSS JOIN spt CROSS JOIN beff
        |  WHERE vec_id >= 10 AND j < bits GROUP BY 1, 2),
        |scand AS (
        |  SELECT a.vec_id AS id1, b.vec_id AS id2
@@ -1180,10 +1218,10 @@ object SparkEntry {
        |    (CASE WHEN $coin < 1073741824 THEN 1 ELSE 0 END +
        |     CASE WHEN $coin < 268435456 THEN 1 ELSE 0 END +
        |     CASE WHEN $coin < 67108864 THEN 1 ELSE 0 END) AS level
-       |  FROM embeddings WHERE vec_id >= 10),
+       |  FROM $src WHERE vec_id >= 10),
        |$upperLayers
        |q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 10),
-       |ce AS (SELECT vec_id AS c_id, emb AS c_emb FROM e WHERE vec_id >= 10),
+       |ce AS (SELECT vec_id AS c_id, emb AS c_emb FROM $src WHERE vec_id >= 10),
        |gsym AS MATERIALIZED (
        |  SELECT vec_id AS u, nbr AS v FROM g
        |  UNION SELECT nbr, vec_id FROM g),
@@ -1609,6 +1647,7 @@ object SparkEntry {
     // the cadence loses no pair across wave boundaries.
     "x3_incremental_dedup" -> d2MinhashSql,
     "s16_hnsw" -> s16HnswSql,
+    "x5_survivor_hnsw" -> x5SurvivorHnswSql,
     "s6_ann_recall" ->
       s"""WITH exact AS (SELECT q_id, c_id FROM ($s1AnnSql)),
          |approx AS (SELECT q_id, c_id FROM ($s2AnnSql)),

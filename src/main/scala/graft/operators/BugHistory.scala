@@ -69,10 +69,24 @@ object BugHistory {
     *                 and the hunk counts as ONE change. Record order
     *                 comes from an optional `seq` column on the
     *                 activity (absent ⇒ single-fragment hunks only).
+    * @param segBounds intra-entity SEGMENT bounds from
+    *                 [[SegmentFold.boundsFor]] (r13 verdict #1 — the
+    *                 churn-skew escape hatch). None (the default, and
+    *                 what the gate returns at oracle scales) keeps the
+    *                 plain single-window path bit-identical; Some
+    *                 routes the two per-entity serialized windows —
+    *                 the version timeline (lead + row_number over id)
+    *                 and the single-field backward anchor (running
+    *                 last over (id, field)) — through K-way parallel
+    *                 within-segment windows stitched on the tiny
+    *                 segment frame. The multi-value windows stay
+    *                 unfolded: their (id, field, item) keys spread a
+    *                 whale across items, bounded by per-item churn.
     */
   def reconstruct(current: DataFrame, activity: DataFrame,
       singleFields: Seq[String], multiFields: Seq[String],
-      longFields: Seq[String] = Nil): DataFrame = {
+      longFields: Seq[String] = Nil,
+      segBounds: Option[DataFrame] = None): DataFrame = {
     val NEG = Long.MinValue
 
     // The raw activity feeds four consumers (timeline, single-field
@@ -118,10 +132,39 @@ object BugHistory {
     val timeline = act.select(col("id"), col("ts"))
       .union(current.select(col("id"), col("created_ts").as("ts")))
       .distinct()
-    val wV = Window.partitionBy("id").orderBy("ts")
-    val versions = timeline
-      .withColumn("expires_on", coalesce(lead("ts", 1).over(wV), lit(MaxTimestamp)))
-      .withColumn("version", row_number().over(wV).cast("long"))
+    val versions = segBounds match {
+      case None =>
+        val wV = Window.partitionBy("id").orderBy("ts")
+        timeline
+          .withColumn("expires_on",
+            coalesce(lead("ts", 1).over(wV), lit(MaxTimestamp)))
+          .withColumn("version", row_number().over(wV).cast("long"))
+      case Some(b) =>
+        // SEGMENT FOLD (r13 verdict #1): lead/row_number inside each
+        // (id, seg) slice; across the cut, expires_on = the next
+        // non-empty segment's first ts and version = within-segment
+        // rank + the prefix-summed earlier-segment counts (the c6
+        // bucket-spine device on the |entities × K|-row seg frame).
+        // Rows are distinct (id, ts) and segments are contiguous ts
+        // ranges, so the stitched result ≡ the monolithic window.
+        val segged = SegmentFold.withSeg(timeline, b, "id", "ts")
+        val wV = Window.partitionBy("id", "seg").orderBy("ts")
+        val inner = segged
+          .withColumn("lead_in", lead("ts", 1).over(wV))
+          .withColumn("rn", row_number().over(wV).cast("long"))
+        val wS = Window.partitionBy("id").orderBy("seg")
+        val meta = segged.groupBy("id", "seg")
+          .agg(count(lit(1)).as("cnt"), min("ts").as("first_ts"))
+          .withColumn("next_first", lead("first_ts", 1).over(wS))
+          .withColumn("offset", coalesce(sum("cnt").over(
+            wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("id", "seg", "next_first", "offset")
+        inner.join(meta, Seq("id", "seg"))
+          .withColumn("expires_on", coalesce(col("lead_in"),
+            col("next_first"), lit(MaxTimestamp)))
+          .withColumn("version", col("offset") + col("rn"))
+          .select(col("id"), col("ts"), col("expires_on"), col("version"))
+    }
 
     // ---- single-value fields --------------------------------------------
     // BACKWARD-ANCHORED, like the reference: the walk starts at the
@@ -173,15 +216,48 @@ object BugHistory {
       // DESC, value ASC) — which updates in O(1) per row (measured:
       // the 10× whale fold 28 min → sub-second; oracle-identical at
       // every scale since the order reversal is exact).
-      val wA = Window.partitionBy("id", "field")
-        .orderBy(col("ts").desc, col("kind").desc, col("value").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val currentVals = current.select(col("id"),
         explode(array(singleFields.map(f =>
           struct(lit(f).as("field"), col(f).cast("string").as("cur_value"))): _*))
           .as("fv"))
         .select(col("id"), col("fv.field"), col("fv.cur_value"))
-      u.withColumn("state", last("value", ignoreNulls = true).over(wA))
+      val anchored = segBounds match {
+        case None =>
+          val wA = Window.partitionBy("id", "field")
+            .orderBy(col("ts").desc, col("kind").desc, col("value").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          u.withColumn("state", last("value", ignoreNulls = true).over(wA))
+        case Some(b) =>
+          // SEGMENT FOLD (r13 verdict #1): the running reversed-order
+          // anchor inside each (id, field, seg) slice; across the cut
+          // each segment takes the nearest LATER segment's carry-out
+          // (its final running state — the non-null value latest in
+          // the reversed order: min ts, then max value) via a running
+          // last over the tiny per-segment frame in seg-DESC order.
+          // Segments are ts-contiguous and the reversed order only
+          // reverses their sequence, so coalesce(within-segment
+          // running state, carry-in) ≡ the monolithic running window.
+          val segged = SegmentFold.withSeg(u, b, "id", "ts")
+          val wA = Window.partitionBy("id", "field", "seg")
+            .orderBy(col("ts").desc, col("kind").desc, col("value").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val inner = segged.withColumn("state_in",
+            last("value", ignoreNulls = true).over(wA))
+          val wC = Window.partitionBy("id", "field")
+            .orderBy(col("seg").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val carry = segged.groupBy("id", "field", "seg")
+            .agg(max_by(col("value"), when(col("value").isNotNull,
+              struct((lit(0L) - col("ts")).as("nts"), col("value"))))
+              .as("carry_out"))
+            .withColumn("carry_in",
+              last("carry_out", ignoreNulls = true).over(wC))
+            .select(col("id"), col("field"), col("seg"), col("carry_in"))
+          inner.join(carry, Seq("id", "field", "seg"))
+            .withColumn("state", coalesce(col("state_in"), col("carry_in")))
+            .drop("state_in", "carry_in", "seg")
+      }
+      anchored
         .filter(col("kind") === 1)
         .join(currentVals, Seq("id", "field"), "left")
         .withColumn("state", coalesce(col("state"), col("cur_value")))

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Drives [[BugHistory.reconstruct]] from the events table: events are
@@ -54,9 +53,13 @@ object HistoryDriver {
         round(col("value"), 2).cast("string").as("size"))
       .withColumn("subId", (col("k") % 10).cast("string"))
       .withColumn("cid", concat_ws("#", col("user_id"), col("subId")))
-    val wA = Window.partitionBy("cid").orderBy("ts", "event_id")
-    val attActivity = pur
-      .withColumn("old_value", lag("size", 1).over(wA))
+    // sub-entity churn gate: cid keys split a whale user across its
+    // subIds already, but a monster (user, subId) pair still
+    // serializes — same fold, keyed cid (r13 verdict #1)
+    val segBSub = SegmentFold.boundsFor(pur, "cid", "ts",
+      SegmentFold.threshold(s))
+    val attActivity = SegmentFold.lag1(pur, segBSub, "cid", "ts",
+        Seq("event_id"), "size", "old_value")
       .filter(col("old_value").isNotNull)
       .select(col("cid").as("id"), col("ts"),
         concat(lit("u"), col("user_id")).as("modified_by"),
@@ -67,7 +70,7 @@ object HistoryDriver {
         max_by(col("size"), struct(col("ts"), col("event_id"))).as("size"))
       .withColumnRenamed("cid", "id")
     val subVersions = BugHistory.reconstruct(attCurrent, attActivity,
-      Seq("size"), Nil)
+      Seq("size"), Nil, segBounds = segBSub)
       .withColumn("subId", split(col("id"), "#")(1))
       .withColumn("id", split(col("id"), "#")(0).cast("long"))
       // raw Bugzilla-shaped attachment attributes, as the extraction
@@ -108,18 +111,44 @@ object HistoryDriver {
   def b1BugHistory(s: SparkSession, d: String): DataFrame =
     b1BugHistoryVersions(s, d)
 
+  /** b1's shaped inputs — (current, activity, segment bounds) —
+    * exposed for the churn-skew decomposition probe. */
+  private[graft] def b1Parts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Option[DataFrame]) = {
+    val (current, activity, segB) = b1Shaped(s, d)
+    (current, activity, segB)
+  }
+
   private def b1BugHistoryVersions(s: SparkSession, d: String): DataFrame = {
+    val (current, activity, segB) = b1Shaped(s, d)
+    BugHistory.reconstruct(current, activity,
+        Seq("status", "owner", "summary"), Seq("cc"),
+        longFields = Seq("summary"), segBounds = segB)
+      .select(col("id"), col("valid_from"), col("expires_on"), col("version"),
+        col("status"), col("owner"), col("summary"),
+        concat_ws(",", col("cc")).as("cc"),
+        size(coalesce(col("changes"), array())).cast("long").as("n_changes"))
+      .orderBy("id", "version")
+  }
+
+  private def b1Shaped(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Option[DataFrame]) = {
     val ev = Tables.events(s, d)
       .select(col("user_id").as("id"), unix_millis(col("ts")).as("ts"),
         col("event_id"), col("event_type"),
         from_json(col("props"), org.apache.spark.sql.types.StructType
           .fromDDL("k INT")).getField("k").cast("string").as("k"))
-    val wU = Window.partitionBy("id").orderBy("ts", "event_id")
+    // churn-skew gate (r13 verdict #1): ONE bounded aggregate over the
+    // raw events decides whether any entity's history is big enough to
+    // need the intra-entity segment fold; None (every oracle scale —
+    // sf0.1's max entity is 99 rows) keeps all the lag shaping and the
+    // reconstruct windows on the plain single-window path bit-identical
+    val segB = SegmentFold.boundsFor(ev, "id", "ts", SegmentFold.threshold(s))
 
     // status transitions: old = previous event type (bug creation state
     // = first event's type, so the first "change" is dropped)
-    val statusChanges = ev
-      .withColumn("old_value", lag("event_type", 1).over(wU))
+    val statusChanges = SegmentFold.lag1(ev, segB, "id", "ts",
+        Seq("event_id"), "event_type", "old_value")
       .filter(col("old_value").isNotNull && col("old_value") =!= col("event_type"))
       .select(col("id"), col("ts"), concat(lit("u"), col("id")).as("modified_by"),
         lit("status").as("field"), col("old_value"),
@@ -138,11 +167,11 @@ object HistoryDriver {
     // timestamp hunk (Bugzilla's bugs_activity column-width split;
     // parse_bug_history.py:1189), reassembled by reconstruct's
     // longFields pass. seq carries the record order.
-    val wP = Window.partitionBy("id").orderBy("ts", "event_id")
     val summaryOf = concat(lit("sum"), col("k"), lit("_u"), col("id"))
-    val sumChanges = ev.filter(col("event_type") === "purchase")
-      .withColumn("summary", summaryOf)
-      .withColumn("old_full", lag("summary", 1).over(wP))
+    val sumChanges = SegmentFold.lag1(
+        ev.filter(col("event_type") === "purchase")
+          .withColumn("summary", summaryOf),
+        segB, "id", "ts", Seq("event_id"), "summary", "old_full")
       .filter(col("old_full").isNotNull && col("old_full") =!= col("summary"))
       .select(col("id"), col("ts"), concat(lit("u"), col("id")).as("modified_by"),
         lit("summary").as("field"),
@@ -185,13 +214,6 @@ object HistoryDriver {
       .withColumn("cc", coalesce(col("cc"), array().cast("array<string>")))
       .join(curSummary, Seq("id"), "left")
 
-    BugHistory.reconstruct(current, activity,
-        Seq("status", "owner", "summary"), Seq("cc"),
-        longFields = Seq("summary"))
-      .select(col("id"), col("valid_from"), col("expires_on"), col("version"),
-        col("status"), col("owner"), col("summary"),
-        concat_ws(",", col("cc")).as("cc"),
-        size(coalesce(col("changes"), array())).cast("long").as("n_changes"))
-      .orderBy("id", "version")
+    (current, activity, segB)
   }
 }

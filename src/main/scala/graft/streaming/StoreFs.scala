@@ -43,4 +43,66 @@ object StoreFs {
     if (f.exists(p)) f.delete(p, true)
     ()
   }
+
+  /** Conf key for how many fingerprints of one store family survive a
+    * [[retentionSweep]] (the live root + N−1 most recent superseded). */
+  val RetainConf = "spark.graft.storeRetain"
+  val DefaultRetain = 2
+
+  def retain(s: SparkSession): Int =
+    s.conf.getOption(RetainConf).map(_.toInt).getOrElse(DefaultRetain)
+
+  /** STORE RETENTION (r13 verdict #4). The ensure-built store roots
+    * are content-keyed — `graft-<tag>-<path>-<suffix>-fp<fingerprint>`
+    * — so every corpus regeneration keys a FRESH build and nothing
+    * ever deleted superseded fingerprints: a long-lived deployment
+    * (or the probe cadence) accumulated dead graph/vector stores
+    * without bound. This sweep keeps the LIVE root plus the
+    * `keep − 1` most recently BUILT superseded fingerprints of the
+    * same family (same name prefix up to `-fp`) and deletes the rest.
+    *
+    * Safety under the marker protocol:
+    *  - winner-keeps: the live root itself is never touched;
+    *  - only roots carrying a `_built` marker are swept — an
+    *    in-flight rename target has no marker yet, and `.build-*`
+    *    staging dirs are excluded by name, so a concurrent ensure
+    *    can always land (it re-keys a fresh root name anyway);
+    *  - recency = the `_built` marker's mtime (written last), so the
+    *    kept superseded roots are the ones most recently completed —
+    *    a reader mid-walk on the previous fingerprint keeps its
+    *    store at the default retain of 2;
+    *  - idempotent: re-sweeping deletes nothing further.
+    *
+    * Returns the number of roots deleted. */
+  def retentionSweep(s: SparkSession, liveRoot: String,
+      keep: Int = DefaultRetain): Int = {
+    val (f, live) = fs(s, liveRoot)
+    sweepCompleted(f, live, keep)
+  }
+
+  /** [[retentionSweep]] core on an already-resolved FileSystem — the
+    * form the ensure-build landing path calls. */
+  def sweepCompleted(f: FileSystem, live: Path, keep: Int): Int = {
+    val name = live.getName
+    val cut = name.lastIndexOf("-fp")
+    if (cut < 0) return 0
+    val family = name.substring(0, cut + 3)
+    val parent = live.getParent
+    if (parent == null || !f.exists(parent)) return 0
+    val completed = f.listStatus(parent).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.startsWith(family) && n != name &&
+          !n.contains(".build-")
+      }
+      .flatMap { st =>
+        val m = new Path(st.getPath, "_built")
+        if (f.exists(m))
+          Some(st.getPath -> f.getFileStatus(m).getModificationTime)
+        else None
+      }
+    val doomed = completed.sortBy(-_._2).drop(math.max(keep - 1, 0))
+    doomed.foreach { case (p, _) => f.delete(p, true) }
+    doomed.size
+  }
 }

@@ -97,12 +97,79 @@ object Probe {
         // sort never ran); executing the final plan pays every column
         def full(q: String): Long = graft.SparkEntry.queries(q)(
           spark, dir).queryExecution.executedPlan.execute().count()
-        Seq("h1_snapshot_history", "h11_sessionize", "b1_bug_history",
-            "b2_nested_history", "b4_consistency_report").foreach { q =>
+        val qs = sys.env.get("PROBE_ETLSKEW_QUERIES")
+          .map(_.split(",").map(_.trim).toSeq)
+          .getOrElse(Seq("h1_snapshot_history", "h11_sessionize",
+            "b1_bug_history", "b2_nested_history",
+            "b4_consistency_report"))
+        qs.foreach { q =>
           time(s"$q ${m}x cold") { full(q) }
           time(s"$q ${m}x warm") { full(q) }
         }
       }
+      spark.stop(); return
+    }
+
+    // b1 per-family DECOMPOSITION (r14): time reconstruct with each
+    // field family alone on SPARK_GRAFT_SF_DIR — locates which family
+    // carries a churn-skew wall (the AQE stage names are anonymous).
+    if (sys.env.get("PROBE_B1DECOMP").contains("1")) {
+      import graft.operators.{BugHistory, HistoryDriver}
+      Tables.events(spark, d).count()
+      val (current, activity, segB) = HistoryDriver.b1Parts(spark, d)
+      def ex(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.execute().count()
+      (1 to 2).foreach { i =>
+        time(s"shaping (activity count) #$i") { activity.count() }
+        time(s"timeline+changes only #$i") {
+          ex(BugHistory.reconstruct(current, activity, Nil, Nil,
+            Seq("summary"), segB)) }
+        time(s"singles only #$i") {
+          ex(BugHistory.reconstruct(current, activity,
+            Seq("status", "owner", "summary"), Nil, Seq("summary"), segB)) }
+        time(s"multis only #$i") {
+          ex(BugHistory.reconstruct(current, activity, Nil, Seq("cc"),
+            Seq("summary"), segB)) }
+        time(s"full #$i") {
+          ex(BugHistory.reconstruct(current, activity,
+            Seq("status", "owner", "summary"), Seq("cc"),
+            Seq("summary"), segB)) }
+      }
+      spark.stop(); return
+    }
+
+    // STAGE-TIME attribution (r14): run one registered query on
+    // SPARK_GRAFT_SF_DIR and print the heaviest stages by summed task
+    // time, with max-task skew and the stage's callsite — locates
+    // which physical stage a churn-skew wall actually lives in.
+    // PROBE_STAGETIME="b1_bug_history"
+    sys.env.get("PROBE_STAGETIME").foreach { q =>
+      val stages = collection.concurrent.TrieMap[Int,
+        (String, Vector[Long])]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler
+                .SparkListenerStageCompleted): Unit = {
+            val info = sc.stageInfo
+            val dur = info.taskMetrics.executorRunTime
+            stages.updateWith(info.stageId)(o =>
+              Some((info.name.take(120),
+                o.map(_._2).getOrElse(Vector.empty) :+ dur)))
+          }
+          override def onTaskEnd(t: org.apache.spark.scheduler
+              .SparkListenerTaskEnd): Unit = ()
+        })
+      Tables.events(spark, d).count()
+      time(s"$q full") {
+        graft.SparkEntry.queries(q)(spark, d)
+          .queryExecution.executedPlan.execute().count()
+      }
+      // executorRunTime is per-stage cumulative; report top stages
+      stages.toSeq.sortBy(-_._2._2.map(identity).sum).take(12)
+        .foreach { case (id, (name, durs)) =>
+          println(f"[probe] stage $id%4d total=${durs.sum / 1000.0}%8.1f s  $name")
+        }
       spark.stop(); return
     }
 
@@ -820,6 +887,23 @@ object Probe {
       recall("s2 seed tier", Similarity.s2AnnLsh(spark, outDir))
       recall("s15", Similarity.s15GraphSearch(spark, outDir))
       recall("s16", Similarity.s16Hnsw(spark, outDir))
+      // the REGISTERED x5 (r14): the stored survivor-built hierarchy
+      // walked from the persisted atlas — same survivor universe, so
+      // the same exact-on-survivors truth applies; floor it with
+      // PROBE_RECALL_FLOORS="x5=..." (the s16-on-survivors evidence:
+      // 0.58 at 30× drift vs 0.10 raw)
+      recall("x5", Similarity.x5SurvivorHnsw(spark, d))
+      // raw-corpus s16 CONTRAST row (the precondition's counterfactual):
+      // recall vs exact on the raw dup corpus — floorable as s16_raw
+      val exactRaw = Similarity.s1AnnBruteForce(spark, d)
+        .select("q_id", "c_id").localCheckpoint(true)
+      val rRaw = time("s16_raw run") {
+        exactRaw.join(Similarity.s16Hnsw(spark, d)
+            .select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
+          .count().toDouble / exactRaw.count()
+      }
+      println(f"[probe]   s16_raw recall@5 vs exact-on-raw: $rRaw%.2f")
+      assertFloor("s16_raw", rRaw)
       spark.stop(); return
     }
 

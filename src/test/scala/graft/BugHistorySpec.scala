@@ -163,4 +163,105 @@ class BugHistorySpec extends AnyFunSuite {
     assert(naive.filter($"valid_from" === 200L)
       .head.getAs[collection.Seq[Row]]("changes").length == 3)
   }
+
+  // ---- intra-entity SEGMENT FOLD (r13 verdict #1) --------------------
+
+  /** Full-output equality, every column except modified_by (a
+    * first() over (id, ts) groups — legitimately nondeterministic
+    * when two users share a timestamp, and independent of the fold). */
+  private def sameHistory(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Unit = {
+    val ja = a.drop("modified_by").orderBy("id", "version").toJSON.collect()
+    val jb = b.drop("modified_by").orderBy("id", "version").toJSON.collect()
+    assert(ja.length == jb.length, s"${ja.length} vs ${jb.length} rows")
+    ja.zip(jb).foreach { case (x, y) => assert(x == y) }
+  }
+
+  test("SEGMENT FOLD ≡ monolithic reconstruct under forced bounds, " +
+      "including cut points ON event timestamps and out-of-range cuts") {
+    val plain = operators.BugHistory.reconstruct(
+      current, activity, Seq("status", "assignee"), Seq("cc"))
+    // cuts between events, ON an event ts (200 — a bound equal to a ts
+    // keeps that ts in the lower segment: seg counts bounds < ts), and
+    // far outside the range (all rows land in interior segments)
+    for (cuts <- Seq(Seq(150L, 250L, 350L), Seq(200L, 400L),
+        Seq(1L, 2L), Seq(100L, 101L, 399L, 400L, 500L), Seq.empty[Long])) {
+      val bounds = Seq((1L, cuts), (2L, cuts))
+        .toDF("seg_id", "seg_bounds")
+      val segged = operators.BugHistory.reconstruct(
+        current, activity, Seq("status", "assignee"), Seq("cc"),
+        segBounds = Some(bounds))
+      sameHistory(plain, segged)
+    }
+  }
+
+  test("SEGMENT FOLD: a null-state run crossing a cut still anchors " +
+      "to the next change's old_value across segments") {
+    // entity with a LONG gap of version rows between two changes, cut
+    // mid-gap: versions in the earlier segment must see the t=900
+    // change's old_value arrive as carry-in from the later segment
+    val cur = Seq((7L, 0L, "E")).toDF("id", "created_ts", "st")
+    val act = Seq(
+      (7L, 100L, "u", "st", "A", "B"),
+      (7L, 300L, "u", "other", "x", "y"), // version rows only for st
+      (7L, 500L, "u", "other", "x", "y"),
+      (7L, 700L, "u", "other", "x", "y"),
+      (7L, 900L, "u", "st", "B", "E"))
+      .toDF("id", "ts", "modified_by", "field", "old_value", "new_value")
+    val plain = operators.BugHistory.reconstruct(cur, act, Seq("st"), Nil)
+    for (cuts <- Seq(Seq(400L), Seq(200L, 600L), Seq(150L, 350L, 550L, 750L))) {
+      val segged = operators.BugHistory.reconstruct(cur, act, Seq("st"),
+        Nil, segBounds = Some(Seq((7L, cuts)).toDF("seg_id", "seg_bounds")))
+      sameHistory(plain, segged)
+    }
+    // and the states themselves are the hand-derived backward anchor
+    assert(plain.orderBy("version").collect().map(_.getAs[String]("st"))
+      .toSeq == Seq("A", "B", "B", "B", "B", "E"))
+  }
+
+  test("SegmentFold.lag1 ≡ the monolithic lag window under forced " +
+      "bounds; boundsFor gates on the per-entity threshold") {
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 20L, 3L, "c"),
+      (1L, 30L, 4L, "d"), (1L, 40L, 5L, "e"),
+      (2L, 10L, 6L, "x"), (2L, 50L, 7L, "y"))
+      .toDF("id", "ts", "event_id", "v")
+    val w = Window.partitionBy("id").orderBy("ts", "event_id")
+    val plain = df.withColumn("pv", lag("v", 1).over(w))
+      .orderBy("id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[String]("pv")))
+    for (cuts <- Seq(Seq(15L), Seq(20L), Seq(10L, 20L, 30L, 40L))) {
+      val b = Seq((1L, cuts), (2L, cuts)).toDF("seg_id", "seg_bounds")
+      val segged = operators.SegmentFold.lag1(df, Some(b), "id", "ts",
+          Seq("event_id"), "v", "pv")
+        .orderBy("id", "ts", "event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getAs[String]("pv")))
+      assert(segged.toSeq == plain.toSeq, s"cuts=$cuts")
+    }
+    // the gate: below threshold -> None (plain path); above -> Some
+    assert(operators.SegmentFold.boundsFor(df, "id", "ts", 10).isEmpty)
+    val forced = operators.SegmentFold.boundsFor(df, "id", "ts", 2)
+    assert(forced.nonEmpty)
+    // only the entity over threshold gets bounds (id 2 has 2 rows)
+    assert(forced.get.filter($"seg_id" === 2L).isEmpty)
+    assert(!forced.get.filter($"seg_id" === 1L).isEmpty)
+  }
+
+  test("b1/b2 under a FORCED segment threshold ≡ the registered plain " +
+      "path end-to-end (the gate the driver's oracle scales keep off)") {
+    val plain1 = operators.HistoryDriver.b1BugHistory(spark, SparkTest.sf)
+      .toJSON.collect()
+    val plain2 = operators.HistoryDriver.b2NestedHistory(spark, SparkTest.sf)
+      .toJSON.collect()
+    spark.conf.set(operators.SegmentFold.ThresholdConf, "5")
+    try {
+      val seg1 = operators.HistoryDriver.b1BugHistory(spark, SparkTest.sf)
+        .toJSON.collect()
+      val seg2 = operators.HistoryDriver.b2NestedHistory(spark, SparkTest.sf)
+        .toJSON.collect()
+      assert(seg1.length == plain1.length && seg1.sameElements(plain1))
+      assert(seg2.length == plain2.length && seg2.sameElements(plain2))
+    } finally spark.conf.unset(operators.SegmentFold.ThresholdConf)
+  }
 }

@@ -517,6 +517,28 @@ class PipelineSpec extends AnyFunSuite {
       s"walk top-1 wrong for most queries: $hit/${top1.length}")
   }
 
+  test("x5 survivor-built hierarchy (r14): every answer is a d12 " +
+      "survivor, ranks dense per query, and the ensure-store memo " +
+      "serves the second invocation from the same persisted root") {
+    import org.apache.spark.sql.functions.col
+    val kept = dedup.Dedup.d12SemDedupProd(spark, sf)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    val out = similarity.Similarity.x5SurvivorHnsw(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, _, c) => kept(c) && c >= 10 },
+      "a deduped vector appeared in the survivor hierarchy's answer")
+    out.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length),
+        s"ranks not dense for query $q")
+    }
+    val p1 = similarity.Similarity.x5EnsureStore(spark, sf)
+    assert(p1 == similarity.Similarity.x5EnsureStore(spark, sf),
+      "second invocation must serve the memoized store")
+    assert(p1._1.contains("x5store-v1") && p1._1.contains("shnswL3"),
+      "store root must carry the format stamp and hierarchy variant")
+  }
+
   test("s17 filtered ANN: every result satisfies the predicate and " +
       "fills k; post-filtering the unfiltered IVF top-k under-fills " +
       "— the measured reason the pre-filter form exists") {

@@ -107,7 +107,7 @@ class ReferenceParitySpec extends AnyFunSuite {
   private val realSingleFields = Seq("bug_status", "resolution",
     "priority", "bug_severity", "target_milestone")
 
-  private lazy val (realCurrent, realHist) = {
+  private lazy val (realCurrent, realActivity, realHist) = {
     import org.apache.spark.sql.functions._
     val bugs = MySqlDump.table(spark, dump, "bugs")
       .filter(col("bug_id").isin(BugList: _*))
@@ -158,7 +158,7 @@ class ReferenceParitySpec extends AnyFunSuite {
       current, activity, singleFields, Seq("cc", "keywords"),
       longFields = Seq("short_desc", "cf_user_story"))
       .localCheckpoint(true)
-    (current, hist)
+    (current, activity.localCheckpoint(true), hist)
   }
 
   test("bug-history reconstruction on the REAL bugs/bugs_activity " +
@@ -305,6 +305,28 @@ class ReferenceParitySpec extends AnyFunSuite {
     val ccAfterReAdd = multi(11040L, 1432307844000L, "cc")
     assert(ccAfterReAdd.contains("noel_public@thestjohns.net") &&
       ccAfterReAdd.contains("qbxk@luckyb.net"))
+  }
+
+  test("intra-entity SEGMENT FOLD ≡ the monolithic reconstruct on the " +
+      "REAL bugzilla_mini tables, every column of every version (r14)") {
+    import org.apache.spark.sql.functions._
+    val bounds = graft.operators.SegmentFold.boundsFor(
+      realActivity, "id", "ts", threshold = 20)
+    assert(bounds.nonEmpty,
+      "gate must fire: the real data has bugs with > 20 activity rows")
+    val segged = graft.operators.BugHistory.reconstruct(
+      realCurrent, realActivity, realSingleFields, Seq("cc", "keywords"),
+      longFields = Seq("short_desc", "cf_user_story"),
+      segBounds = bounds)
+    // modified_by is a first() over (id, ts) groups — legitimately
+    // nondeterministic when two actors share a timestamp and
+    // independent of the fold; every other column must match exactly
+    val a = realHist.drop("modified_by").orderBy("id", "version")
+      .toJSON.collect()
+    val b = segged.drop("modified_by").orderBy("id", "version")
+      .toJSON.collect()
+    assert(a.length == b.length, s"${a.length} vs ${b.length} versions")
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
   test("attachment (sub-entity) history on the REAL tables round-trips " +

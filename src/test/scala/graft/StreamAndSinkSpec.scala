@@ -501,4 +501,94 @@ class StreamAndSinkSpec extends AnyFunSuite {
       .toSet
     assert(rows == Set(("a", "1", "doc-a1"), ("b", "1", "doc-b1")))
   }
+
+  test("store RETENTION sweep (r14): superseded fingerprints beyond " +
+      "retain are deleted, live root + in-flight builds + other " +
+      "families untouched, idempotent") {
+    val base = Files.createTempDirectory("graft_retain").toString
+    def mk(name: String, built: Boolean, mtime: Long): String = {
+      val d = Paths.get(base, name)
+      Files.createDirectories(d)
+      Files.write(d.resolve("payload"), "x".getBytes)
+      if (built) {
+        val m = d.resolve("_built")
+        Files.write(m, "tag".getBytes)
+        m.toFile.setLastModified(mtime)
+      }
+      d.toString
+    }
+    val t0 = System.currentTimeMillis() - 100000
+    // one family, four completed fingerprints + the live one
+    val live = mk("graft-t-v1-c1-aa-surv-fp00ff", built = true, t0 + 4000)
+    mk("graft-t-v1-c1-aa-surv-fp01", built = true, t0 + 3000)
+    mk("graft-t-v1-c1-aa-surv-fp02", built = true, t0 + 2000)
+    mk("graft-t-v1-c1-aa-surv-fp03", built = true, t0 + 1000)
+    // an in-flight build (no marker) and a staging dir: never swept
+    mk("graft-t-v1-c1-aa-surv-fp04", built = false, 0)
+    mk("graft-t-v1-c1-aa-surv-fp05.build-123", built = true, t0)
+    // a DIFFERENT family (other suffix) with an old fingerprint
+    val other = mk("graft-t-v1-c1-aa-lex-fp9", built = true, t0)
+    val deleted = streaming.StoreFs.retentionSweep(spark, live, keep = 2)
+    assert(deleted == 2, s"expected fp02+fp03 swept, got $deleted")
+    def alive(n: String) = Files.exists(Paths.get(base, n))
+    assert(alive("graft-t-v1-c1-aa-surv-fp00ff"), "live root untouched")
+    assert(alive("graft-t-v1-c1-aa-surv-fp01"),
+      "most recent superseded kept (keep=2)")
+    assert(!alive("graft-t-v1-c1-aa-surv-fp02"))
+    assert(!alive("graft-t-v1-c1-aa-surv-fp03"))
+    assert(alive("graft-t-v1-c1-aa-surv-fp04"),
+      "unmarked (in-flight rename target) untouched")
+    assert(alive("graft-t-v1-c1-aa-surv-fp05.build-123"),
+      "staging dir untouched")
+    assert(Files.exists(Paths.get(other)), "other family untouched")
+    // idempotent: a second sweep deletes nothing further
+    assert(streaming.StoreFs.retentionSweep(spark, live, keep = 2) == 0)
+    // a root with no -fp segment is a no-op, never a delete storm
+    assert(streaming.StoreFs.retentionSweep(spark,
+      Paths.get(base, "graft-nofingerprint").toString, keep = 2) == 0)
+  }
+
+  test("store RETENTION wired to the ensure-build landing path: a " +
+      "corpus regeneration keys a fresh store AND sweeps the family " +
+      "down to retain, never the live root") {
+    val root = Files.createTempDirectory("graft_retain_e2e").toString
+    val data = Files.createTempDirectory("graft_retain_corpus").toString
+    spark.conf.set("spark.graft.storeRoot", root)
+    spark.conf.set(streaming.StoreFs.RetainConf, "1")
+    try {
+      def regen(seed: Int): Unit = {
+        import spark.implicits._
+        val n = 40
+        (0 until n).map { i =>
+          (i.toLong, Array.tabulate(64)(j =>
+            (((i * 31 + j * 7 + seed) % 13) / 13.0f)), i % 2)
+        }.toDF("vec_id", "embedding", "label")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$data/embeddings.parquet")
+      }
+      def familyRoots(): Seq[String] = {
+        val d = new java.io.File(root)
+        d.listFiles().toSeq.map(_.getName)
+          .filter(n => n.contains("-surv-fp") && !n.contains(".build-"))
+      }
+      regen(1)
+      val (v1, g1) = similarity.Similarity.x2EnsureStore(spark, data)
+      assert(Files.exists(Paths.get(v1.stripPrefix("file:"))))
+      assert(familyRoots().size == 1)
+      // regeneration: new fingerprint -> fresh build; retain=1 sweeps
+      // the superseded store, keeps the new live one
+      Thread.sleep(1100) // parquet mtime granularity
+      regen(2)
+      val (v2, g2) = similarity.Similarity.x2EnsureStore(spark, data)
+      assert(v2 != v1, "regenerated corpus must key a fresh store")
+      assert(familyRoots().size == 1,
+        s"retain=1 must leave exactly the live root: ${familyRoots()}")
+      assert(Files.exists(Paths.get(g2.stripPrefix("file:")).getParent))
+      assert(!Files.exists(Paths.get(g1.stripPrefix("file:")).getParent),
+        "superseded fingerprint must be swept")
+    } finally {
+      spark.conf.unset("spark.graft.storeRoot")
+      spark.conf.unset(streaming.StoreFs.RetainConf)
+    }
+  }
 }
