@@ -40,6 +40,43 @@ import org.apache.spark.sql.functions._
   *   [mutate [driftStep]]
   */
 object ProbeGen {
+
+  /** Build-if-absent WHALE events corpus at `m` × sf0.1's 100k rows
+    * with ONE entity holding 20% of every corpus — the PROBE_ETLSKEW
+    * churn-skew protocol (sf0.1's own max entity is 99 rows; organic
+    * replication never exercises the skew). Shared by the ETL and
+    * streaming skew campaigns; returns the corpus dir. */
+  def whaleEvents(spark: org.apache.spark.sql.SparkSession,
+      m: Int): String = {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      .getTime * 1000L // µs
+    val n = 100000L * m
+    val dir = s"/tmp/probe_etlskew_${m}x"
+    if (!new java.io.File(s"$dir/events.parquet").exists()) {
+      val nUsers = 1500L * m
+      val types = array(lit("signup"), lit("click"), lit("error"),
+        lit("view"), lit("purchase"))
+      spark.range(n).select(
+          col("id").as("event_id"),
+          timestamp_micros(lit(base) + col("id") * lit(1000000L))
+            .as("ts"),
+          // whale: every 5th row (20% of the corpus) is entity 0
+          when(pmod(xxhash64(col("id"), lit(7)), lit(5)) === 0, 0L)
+            .otherwise(pmod(xxhash64(col("id"), lit(11)), lit(nUsers)))
+            .as("user_id"),
+          element_at(types,
+            (pmod(xxhash64(col("id"), lit(13)), lit(5)) + 1)
+              .cast("int")).as("event_type"),
+          round(pmod(xxhash64(col("id"), lit(17)), lit(20000))
+            / 100.0, 2).as("value"),
+          concat(lit("{\"k\": "),
+            pmod(xxhash64(col("id"), lit(19)), lit(100)),
+            lit("}")).as("props"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/events.parquet")
+    }
+    dir
+  }
+
   def main(args: Array[String]): Unit = {
     val (src, out, copies, mutate, driftStep) = args match {
       case Array(s, o, c)      => (s, o, c.toInt, false, 0.25)

@@ -35,6 +35,14 @@ object Probe {
         require(r >= f,
           f"recall floor broken: $name measured $r%.3f < floor $f%.2f")
       }
+    // shared wave/corpus helpers (r13 verdict #7 — one parameterized
+    // set instead of a per-campaign copy): replica-index wave split
+    // (ProbeGen shifts ids by 10M per replica) and a temp probe root
+    def probeRoot(tag: String): String =
+      java.nio.file.Files.createTempDirectory(tag).toString
+    def waveOf(df: org.apache.spark.sql.DataFrame, idCol: String,
+        w: Int, waves: Int = 3): org.apache.spark.sql.DataFrame =
+      df.filter(expr(s"($idCol div 10000000) % $waves = $w"))
     // generic mode: PROBE_QUERIES=name1,name2 times each registered
     // query (cold, then warm) on SPARK_GRAFT_SF_DIR
     sys.env.get("PROBE_QUERIES").foreach { qs =>
@@ -61,35 +69,8 @@ object Probe {
     // own max entity is 99 rows — organic replication would never
     // exercise the skew), then times the family cold + warm.
     sys.env.get("PROBE_ETLSKEW").foreach { ms =>
-      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-        .getTime * 1000L // µs
       ms.split(",").map(_.trim.toInt).foreach { m =>
-        val n = 100000L * m
-        val dir = s"/tmp/probe_etlskew_${m}x"
-        val f = new java.io.File(s"$dir/events.parquet")
-        if (!f.exists()) {
-          val nUsers = 1500L * m
-          val types = array(lit("signup"), lit("click"), lit("error"),
-            lit("view"), lit("purchase"))
-          spark.range(n).select(
-              col("id").as("event_id"),
-              timestamp_micros(lit(base) + col("id") * lit(1000000L))
-                .as("ts"),
-              // whale: every 5th row (20% of the corpus) is entity 0
-              when(pmod(xxhash64(col("id"), lit(7)), lit(5)) === 0, 0L)
-                .otherwise(pmod(xxhash64(col("id"), lit(11)),
-                  lit(nUsers)))
-                .as("user_id"),
-              element_at(types,
-                (pmod(xxhash64(col("id"), lit(13)), lit(5)) + 1)
-                  .cast("int")).as("event_type"),
-              round(pmod(xxhash64(col("id"), lit(17)), lit(20000))
-                / 100.0, 2).as("value"),
-              concat(lit("{\"k\": "),
-                pmod(xxhash64(col("id"), lit(19)), lit(100)),
-                lit("}")).as("props"))
-            .write.mode("overwrite").parquet(s"$dir/events.parquet")
-        }
+        val dir = graft.ProbeGen.whaleEvents(spark, m)
         Tables.events(spark, dir).count() // warm listing/footer cache
         // executedPlan.execute().count(), NOT df.count(): a bare
         // count lets Catalyst PRUNE windows that don't change row
@@ -105,6 +86,85 @@ object Probe {
         qs.foreach { q =>
           time(s"$q ${m}x cold") { full(q) }
           time(s"$q ${m}x warm") { full(q) }
+        }
+      }
+      spark.stop(); return
+    }
+
+    // b3 + STREAMING history forms under CHURN SKEW (r13 verdict #6):
+    // reuses the PROBE_ETLSKEW whale corpora (run that first).
+    // PROBE_STREAMSKEW="10,30" times, per multiple:
+    //  - registered b3 (whale story grows per view ⇒ the TRUE answer
+    //    is quadratic in whale churn — expect output-bound walls);
+    //  - a BOUNDED-story diff replay (every diff rewrites line 1), so
+    //    the fold/sort machinery is measured separately from answer
+    //    growth;
+    //  - one AvailableNow batch of versionHistory / sessionize /
+    //    ConsistencyMonitor.multiValueProblems — the per-batch
+    //    sort-within-group (and rows.toSeq heap-buffer) cost of the
+    //    flatMapGroupsWithState forms under a whale group.
+    sys.env.get("PROBE_STREAMSKEW").foreach { ms =>
+      import spark.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.{DataFrame, Dataset, Row}
+      ms.split(",").map(_.trim.toInt).foreach { m =>
+        val dir = graft.ProbeGen.whaleEvents(spark, m)
+        Tables.events(spark, dir).count()
+        if (!sys.env.contains("PROBE_STREAMSKEW_SKIP_B3")) {
+          def b3(): Long = graft.SparkEntry.queries("b3_diff_history")(
+            spark, dir).queryExecution.executedPlan.execute().count()
+          time(s"b3 registered ${m}x cold") { b3() }
+          time(s"b3 registered ${m}x warm") { b3() }
+        }
+        // bounded-story replay: same row volume, constant story size
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy("ts", "event_id")
+        val bounded = Tables.events(spark, dir)
+          .filter(col("event_type") === "view")
+          .select(col("user_id").as("id"), unix_millis(col("ts")).as("ts"),
+            col("event_id"))
+          .withColumn("first_ev", row_number().over(w) === 1)
+          .select(col("id"), col("ts"), col("event_id"),
+            when(col("first_ev"), concat(lit("@@ -1,0 +1,1 @@\n+v="),
+              col("event_id")))
+              .otherwise(concat(lit("@@ -1,1 +1,1 @@\n-\n+v="),
+                col("event_id"))).as("diff"))
+        time(s"b3 BOUNDED-story replay ${m}x") {
+          graft.operators.DiffHistory.replay(
+              bounded.as[graft.operators.DiffHistory.DiffEv])
+            .queryExecution.executedPlan.execute().count()
+        }
+        def onebatch(name: String)(mk: DataFrame => DataFrame): Unit = {
+          val stream = spark.readStream
+            .schema(graft.streaming.EventStream.eventSchema)
+            .parquet(s"$dir/events.parquet")
+          time(s"$name ${m}x one-batch") {
+            val q = mk(stream).writeStream.outputMode("append")
+              .foreachBatch((b: Dataset[Row], _: Long) => { b.count(); () })
+              .trigger(Trigger.AvailableNow()).start()
+            q.processAllAvailable(); q.stop()
+          }
+        }
+        onebatch("versionHistory") { st =>
+          graft.streaming.EventStream.versionHistory(
+            st.select(col("event_id"), col("ts"), col("user_id"),
+              col("event_type"), col("value"))
+              .as[graft.streaming.EventStream.EvFull]).toDF()
+        }
+        onebatch("sessionize") { st =>
+          graft.streaming.EventStream.sessionize(
+            st.select(col("event_id"), col("ts"), col("user_id"))
+              .as[graft.streaming.EventStream.Ev]).toDF()
+        }
+        onebatch("consistency multiValue") { st =>
+          graft.streaming.ConsistencyMonitor.multiValueProblems(
+            st.filter(col("event_type").isin("click", "error"))
+              .select(col("user_id").as("id"), col("ts"), col("event_id"),
+                lit("cc").as("field"),
+                when(col("event_type") === "click", lit("add"))
+                  .otherwise(lit("remove")).as("op"),
+                get_json_object(col("props"), "$.k").as("item"))
+              .as[graft.streaming.ConsistencyMonitor.MvOp]).toDF()
         }
       }
       spark.stop(); return
@@ -135,41 +195,6 @@ object Probe {
             Seq("status", "owner", "summary"), Seq("cc"),
             Seq("summary"), segB)) }
       }
-      spark.stop(); return
-    }
-
-    // STAGE-TIME attribution (r14): run one registered query on
-    // SPARK_GRAFT_SF_DIR and print the heaviest stages by summed task
-    // time, with max-task skew and the stage's callsite — locates
-    // which physical stage a churn-skew wall actually lives in.
-    // PROBE_STAGETIME="b1_bug_history"
-    sys.env.get("PROBE_STAGETIME").foreach { q =>
-      val stages = collection.concurrent.TrieMap[Int,
-        (String, Vector[Long])]()
-      spark.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onStageCompleted(
-              sc: org.apache.spark.scheduler
-                .SparkListenerStageCompleted): Unit = {
-            val info = sc.stageInfo
-            val dur = info.taskMetrics.executorRunTime
-            stages.updateWith(info.stageId)(o =>
-              Some((info.name.take(120),
-                o.map(_._2).getOrElse(Vector.empty) :+ dur)))
-          }
-          override def onTaskEnd(t: org.apache.spark.scheduler
-              .SparkListenerTaskEnd): Unit = ()
-        })
-      Tables.events(spark, d).count()
-      time(s"$q full") {
-        graft.SparkEntry.queries(q)(spark, d)
-          .queryExecution.executedPlan.execute().count()
-      }
-      // executorRunTime is per-stage cumulative; report top stages
-      stages.toSeq.sortBy(-_._2._2.map(identity).sum).take(12)
-        .foreach { case (id, (name, durs)) =>
-          println(f"[probe] stage $id%4d total=${durs.sum / 1000.0}%8.1f s  $name")
-        }
       spark.stop(); return
     }
 
@@ -601,8 +626,7 @@ object Probe {
     // map — reports per-wave wall, touched map partitions (mtime
     // snapshot), and final map/cluster counts
     if (sys.env.get("PROBE_STREAMCLUSTERS").contains("1")) {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_probe_sc").toString
+      val root = probeRoot("graft_probe_sc")
       val docs = Tables.documents(spark, d)
       docs.count()
       def snap(): Map[String, Long] = {
@@ -616,7 +640,7 @@ object Probe {
               x.lastModified()).sum).toMap
       }
       (0 until 3).foreach { w =>
-        val wave = docs.filter(expr(s"(doc_id div 10000000) % 3 = $w"))
+        val wave = waveOf(docs, "doc_id", w)
         val n = wave.count()
         val before = snap()
         time(s"clusters wave $w ($n docs)") {
@@ -684,8 +708,7 @@ object Probe {
     if (sys.env.get("PROBE_S16REFRESH").contains("1")) {
       import graft.similarity.Similarity
       import graft.streaming.{KnnGraphConfig, StreamingKnn}
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_probe_s16r").toString
+      val root = probeRoot("graft_probe_s16r")
       val emb = Tables.embeddings(spark, d).filter(col("vec_id") >= 10)
       val n = emb.count()
       val cfg0 = KnnGraphConfig(bits = Similarity.bitsFor(n),
@@ -697,7 +720,7 @@ object Probe {
         (1 to 3).map(l => Similarity.bitsSmall(mc(l - 1))).mkString("/") +
         "-bit")
       (0 until 3).foreach { w =>
-        val wave = emb.filter(expr(s"(vec_id div 10000000) % 3 = $w"))
+        val wave = waveOf(emb, "vec_id", w)
         time(s"wave $w: layer-0 fold") {
           StreamingKnn.processBatch(wave.toDF(), w, s"$root/s0",
             s"$root/g0", cfg0)
@@ -729,13 +752,12 @@ object Probe {
     // SPAN waves, so later batches probe a span store holding the
     // earlier replicas' 16-token spans (the cross-batch dedup shape)
     if (sys.env.get("PROBE_STREAMSPAN").contains("1")) {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_probe_span").toString
+      val root = probeRoot("graft_probe_span")
       val docs = Tables.documents(spark, d)
       val embs = Tables.embeddings(spark, d)
       docs.count(); embs.count()
       (0 until 3).foreach { w =>
-        val wave = docs.filter(expr(s"(doc_id div 10000000) % 3 = $w"))
+        val wave = waveOf(docs, "doc_id", w)
         val n = wave.count()
         time(s"span-curation wave $w ($n docs)") {
           graft.streaming.StreamingCuration.processBatch(wave.toDF(),
@@ -753,15 +775,14 @@ object Probe {
     // probe data: 3 waves by replica index mod 3 (drift chains span
     // waves), auto band width from the full corpus size
     if (sys.env.get("PROBE_STREAMKNN").contains("1")) {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_probe_sk").toString
+      val root = probeRoot("graft_probe_sk")
       val emb = Tables.embeddings(spark, d).filter(col("vec_id") >= 10)
       val n = emb.count()
       val cfg = graft.streaming.KnnGraphConfig
         .search(graft.similarity.Similarity.bitsFor(n))
       println(s"[probe] corpus $n vectors -> ${cfg.bits}-bit bands")
       (0 until 3).foreach { w =>
-        val wave = emb.filter(expr(s"(vec_id div 10000000) % 3 = $w"))
+        val wave = waveOf(emb, "vec_id", w)
         val wn = wave.count()
         time(s"search-graph wave $w ($wn vecs)") {
           graft.streaming.StreamingKnn.processBatch(wave.toDF(), w,
