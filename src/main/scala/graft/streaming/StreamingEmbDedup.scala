@@ -206,6 +206,45 @@ object StreamingEmbDedup {
     (s"$root/vectors", s"$root/graph")
   }
 
+  /** The x5 (survivor HIERARCHY) compaction (r14 — r15 candidate (b)
+    * pulled forward): rebuild the s16-shape store family — layer-0
+    * navigable graph, `levels` geometric upper layers, entry atlas —
+    * over the maintained survivor set, persisted under
+    * `root/hier/...`. Like [[refreshSurvivorGraph]] this is a
+    * per-compaction REBUILD, not an incremental fold: the survivor
+    * set is non-monotone under ingest (new arrivals can demote old
+    * survivors), so band-store folds would need retractions —
+    * SemDeDup's own periodic-retrain design applies (staleness
+    * between compactions stated; the walk between compactions serves
+    * the last compaction's hierarchy). All widths derive from
+    * survivor counts, exactly as the ensure-built x5 store. Returns
+    * (layer0Path, upperPaths, atlasPath) — feed
+    * [[graft.similarity.Similarity.s16HnswStored]]. */
+  private[graft] def x5RefreshHierarchy(
+      s: org.apache.spark.sql.SparkSession, root: String,
+      fullEmb: DataFrame, levels: Int = 3)
+      : (String, Seq[String], String) = {
+    import graft.similarity.Similarity
+    val surv = survivorIds(s, root)
+    val embS = fullEmb.join(surv, Seq("vec_id"), "left_semi")
+      .localCheckpoint(true) // consumers: g0 + layer builds + atlas
+    val (uppers, _) = Similarity.s16LayersOn(embS, levels)
+    val g0 = Similarity.searchGraphOn(embS, 16).select("vec_id", "nbr")
+      .localCheckpoint(true) // consumers: persist + atlas comps
+    val g0P = s"$root/hier/g0"
+    g0.write.mode("overwrite").parquet(g0P)
+    val upperPs = (1 to levels).map(l => s"$root/hier/g$l")
+    uppers.zip(upperPs).foreach { case (g, p) =>
+      g.write.mode("overwrite").parquet(p) }
+    val atlasP = s"$root/hier/atlas"
+    Similarity.entryAtlas(
+        embS.filter(col("vec_id") >= 10)
+          .withColumn("level", Similarity.levelOf(col("vec_id"), levels)),
+        Similarity.compsOf(g0))
+      .write.mode("overwrite").parquet(atlasP)
+    (g0P, upperPs, atlasP)
+  }
+
   /** Streaming query for the survivor cadence — requires a prior
     * [[freezeSurvivorCells]] at `root`. */
   def runSurvivors(embs: DataFrame, root: String, nb: Int = 64)

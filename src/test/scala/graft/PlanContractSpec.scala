@@ -908,6 +908,16 @@ class PlanContractSpec extends AnyFunSuite {
       s"final top-k window not partitioned by q_id:\n$p")
   }
 
+  test("x5: survivor-built hierarchy (r14) — the stored walk's final " +
+      "re-rank reads only checkpoints (layer graphs + atlas all " +
+      "persisted), no cartesian, q_id-partitioned final window") {
+    val p = finalPlan("x5_survivor_hnsw")
+    assert(scanCount(p) == 0, s"parquet re-scanned past checkpoints:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert("windowspecdefinition\\(q_id".r.findAllIn(p).nonEmpty,
+      s"final top-k window not partitioned by q_id:\n$p")
+  }
+
   test("d5 prod: cell-confined candidates — the cell self-join is a " +
       "hash equi-join (no pairwise stage) and the 64-dim vectors do " +
       "not ride the cell shuffle") {

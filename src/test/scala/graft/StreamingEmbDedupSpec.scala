@@ -117,5 +117,19 @@ class StreamingEmbDedupSpec extends AnyFunSuite {
     assert(walked == reg,
       "maintained survivor store's walk diverged from the registered x2")
     assert(walked.nonEmpty)
+
+    // r14: the x5 HIERARCHY compaction over the same maintained
+    // survivor set — stored descent walk ≡ the registered x5 (the
+    // ensure-built store saw the identical survivor universe, so
+    // every layer/width/component/atlas derivation agrees)
+    val (g0P, upperPs, atlasP) =
+      StreamingEmbDedup.x5RefreshHierarchy(spark, root, embs)
+    val hierWalk = rows(graft.similarity.Similarity.s16HnswStored(
+      spark, sf, g0P, upperPs, atlasPath = Some(atlasP)))
+    val regX5 = rows(
+      graft.similarity.Similarity.x5SurvivorHnsw(spark, sf))
+    assert(hierWalk == regX5,
+      "maintained survivor hierarchy's walk diverged from the registered x5")
+    assert(hierWalk.nonEmpty)
   }
 }
