@@ -164,6 +164,13 @@ object BugHistory {
             col("next_first"), lit(MaxTimestamp)))
           .withColumn("version", col("offset") + col("rn"))
           .select(col("id"), col("ts"), col("expires_on"), col("version"))
+          // materialized ONCE when the fold is active: three consumers
+          // (the singles cross-join frame, the membership probes, the
+          // final assemble) would each re-run the folded timeline —
+          // at whale scale that is 3× a distinct + segmented window +
+          // two stitch joins. The PLAIN path stays uncheckpointed (the
+          // measured history-DAG rule: cache boundaries lose there).
+          .localCheckpoint(true)
     }
 
     // ---- single-value fields --------------------------------------------
