@@ -85,8 +85,13 @@ object SegmentFold {
     if (maxCnt <= threshold) None
     else {
       val segTarget = math.max(threshold / 8, 4096L)
-      val k = math.min(maxSegs.toLong,
-        (maxCnt + segTarget - 1) / segTarget).toInt
+      // clamp k >= 2: a small custom threshold with maxCnt <= one
+      // segment target would otherwise pick k = 1 — EMPTY quantile
+      // arrays, every row in segment 0, the stitch shuffles paid for
+      // zero parallelism gain. (At the default threshold the gate
+      // fires only when maxCnt > 8 segment targets, so k >= 9 there.)
+      val k = math.max(2L, math.min(maxSegs.toLong,
+        (maxCnt + segTarget - 1) / segTarget)).toInt
       val qs = (1 until k).map(_.toDouble / k)
       val whales = counts.filter(col("cnt") > threshold)
         .select("seg_id")
@@ -151,5 +156,74 @@ object SegmentFold {
         .withColumn(outCol,
           when(col("_sf_rn") === 1, col("_sf_prev")).otherwise(col(outCol)))
         .drop("_sf_rn", "_sf_prev", "seg")
+  }
+
+  /** `lead(tsCol, 1)` (as `leadOut`, null on each entity's last row)
+    * plus `row_number()` (as `rnOut`, long) over `PARTITION BY idCol
+    * ORDER BY tsCol, tieCols…` — segment-folded when bounds are
+    * present. The BugHistory timeline stitch generalized to tie
+    * columns: across the cut, lead = the next non-empty segment's
+    * first ts and rank = within-segment rank + the prefix-summed
+    * earlier-segment counts (exact because the ts-monotone segment
+    * assignment keeps within-segment ∘ segment order = total order;
+    * ts ties always share a segment, so the cross-cut lead is a pure
+    * ts value). */
+  def leadRn(df: DataFrame, bounds: Option[DataFrame], idCol: String,
+      tsCol: String, tieCols: Seq[String], leadOut: String,
+      rnOut: String): DataFrame = bounds match {
+    case None =>
+      val w = Window.partitionBy(idCol)
+        .orderBy((col(tsCol) +: tieCols.map(col)).map(_.asc): _*)
+      df.withColumn(leadOut, lead(tsCol, 1).over(w))
+        .withColumn(rnOut, row_number().over(w).cast("long"))
+    case Some(b) =>
+      val segged = withSeg(df, b, idCol, tsCol)
+      val w = Window.partitionBy(idCol, "seg")
+        .orderBy((col(tsCol) +: tieCols.map(col)).map(_.asc): _*)
+      val inner = segged
+        .withColumn(leadOut, lead(tsCol, 1).over(w))
+        .withColumn("_sf_rn", row_number().over(w).cast("long"))
+      val wS = Window.partitionBy(idCol).orderBy("seg")
+      val meta = segged.groupBy(col(idCol), col("seg"))
+        .agg(count(lit(1)).as("_sf_cnt"), min(tsCol).as("_sf_first"))
+        .withColumn("_sf_next", lead("_sf_first", 1).over(wS))
+        .withColumn("_sf_off", coalesce(sum("_sf_cnt").over(
+          wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(idCol), col("seg"), col("_sf_next"), col("_sf_off"))
+      inner.join(meta, Seq(idCol, "seg"))
+        .withColumn(leadOut, coalesce(col(leadOut), col("_sf_next")))
+        .withColumn(rnOut, col("_sf_off") + col("_sf_rn"))
+        .drop("_sf_rn", "_sf_next", "_sf_off", "seg")
+  }
+
+  /** Inclusive running `sum(valueCol)` over `PARTITION BY idCol ORDER
+    * BY tsCol, tieCols… ROWS UNBOUNDED PRECEDING..CURRENT` as
+    * `outCol` — segment-folded when bounds are present: within-segment
+    * running sum + the prefix-summed per-segment totals (the c6
+    * bucket-spine device, exact by the same contiguity argument as
+    * [[leadRn]]). */
+  def runningSum(df: DataFrame, bounds: Option[DataFrame], idCol: String,
+      tsCol: String, tieCols: Seq[String], valueCol: String,
+      outCol: String): DataFrame = bounds match {
+    case None =>
+      val w = Window.partitionBy(idCol)
+        .orderBy((col(tsCol) +: tieCols.map(col)).map(_.asc): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(outCol, sum(valueCol).over(w))
+    case Some(b) =>
+      val segged = withSeg(df, b, idCol, tsCol)
+      val w = Window.partitionBy(idCol, "seg")
+        .orderBy((col(tsCol) +: tieCols.map(col)).map(_.asc): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val inner = segged.withColumn(outCol, sum(valueCol).over(w))
+      val wS = Window.partitionBy(idCol).orderBy("seg")
+      val meta = segged.groupBy(col(idCol), col("seg"))
+        .agg(sum(valueCol).as("_sf_tot"))
+        .withColumn("_sf_off", coalesce(sum("_sf_tot").over(
+          wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col(idCol), col("seg"), col("_sf_off"))
+      inner.join(meta, Seq(idCol, "seg"))
+        .withColumn(outCol, col(outCol) + col("_sf_off"))
+        .drop("_sf_off", "seg")
   }
 }

@@ -11,6 +11,16 @@ import org.apache.spark.sql.types._
   * query — watermarked event-time windows for aggregation and
   * mapGroupsWithState for gap sessionization (the stateful analogue of
   * operators.History.h11Sessionize).
+  *
+  * SCALE NOTE (r15): the three flatMapGroupsWithState operators below
+  * buffer one entity's whole micro-batch on a single executor's heap
+  * (`rows.toSeq.sortBy`) — fine up to the maxFilesPerTrigger/maxBytes
+  * throttle, but a whale entity dominating a batch serializes into
+  * one task's memory. [[EventStreamFold]] carries the whale-safe
+  * folded forms (per-batch distributed window fold, state as
+  * DataFrames, O(entities) state input), spec-pinned record-identical
+  * to these; these remain the low-latency small-entity forms and the
+  * semantic reference the fold is proven against.
   */
 object EventStream {
 

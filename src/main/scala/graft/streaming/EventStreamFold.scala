@@ -1,0 +1,407 @@
+package graft.streaming
+
+import graft.operators.SegmentFold
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WHALE-SAFE per-batch fold forms of the stateful streaming trio
+  * (r14 verdict #1). The flatMapGroupsWithState operators in
+  * [[EventStream]] materialize one entity's entire micro-batch on a
+  * single executor's heap (`rows.toSeq.sortBy` — a whale entity with
+  * 2M rows in one batch put ~2M rows in one task). The forms here run
+  * each micro-batch through the BATCH window machinery instead —
+  * entity-partitioned, routed through [[SegmentFold]] when the batch
+  * itself holds a whale — and keep the cross-batch state as plain
+  * DataFrames persisted per batch: closed versions / sessions / delete
+  * actions are emitted straight from the distributed stage and the
+  * state store holds O(1) rows per live entity (O(published ids) for
+  * privacy, still rows in a store, never a per-task buffer). No group
+  * iterator is ever collected, so per-task memory is bounded by the
+  * window sort's spill threshold regardless of churn skew.
+  *
+  * Semantics are pinned by [[EventStreamFoldSpec]] to be
+  * record-identical to the flatMapGroupsWithState forms, including
+  * Spark's watermark/timeout protocol, which the fold mirrors
+  * explicitly:
+  *  - the watermark used by batch N is the one computed from batches
+  *    < N (`wmPrevMs`); rows with `ts <= wm` are dropped (late-data
+  *    filtering);
+  *  - after the batch, `wm' = max(wm, max(batch ts) − delay)` with
+  *    the same 1 h delay the streaming forms declare;
+  *  - a per-entity timeout is stored as
+  *    `max(anchor + retention, wm + 1)` (the `setTimeoutTimestamp`
+  *    call) and fires — for entities with NO data in the batch — when
+  *    `timeout < wm` (FlatMapGroupsWithStateExec's strict less-than),
+  *    emitting exactly what the stateful form emits on timeout.
+  *
+  * Reference: bugzilla_etl/bz_etl.py:172 incremental_etl — the
+  * reference's own continuous loop is a per-poll BATCH rebuild of the
+  * touched entities, which is precisely this shape: the stream is a
+  * cadence of distributed batch folds over a persisted state, not a
+  * per-entity in-memory walk.
+  */
+object EventStreamFold {
+
+  val WatermarkDelayMs: Long = 3600000L // the trio's "1 hour"
+  private val MaxTs = 9999999999000L
+
+  // ---------------------------------------------------------------------
+  // SCD-2 version maintenance (EventStream.versionHistory, folded)
+  // ---------------------------------------------------------------------
+
+  /** Empty open-version state frame: one row per live entity — the
+    * still-open version plus its stored timeout. */
+  def emptyVersionState(s: SparkSession): DataFrame =
+    s.range(0).select(col("id").as("user_id"), col("id").as("version"),
+      col("id").as("event_id"), lit("").as("event_type"),
+      lit(0.0).as("value"), col("id").as("ts_ms"),
+      col("id").as("timeout_ms"))
+
+  /** One micro-batch of the folded SCD-2 maintenance. `batch` carries
+    * the EvFull columns (event_id, ts, user_id, event_type, value).
+    * Returns (emitted closed/evicted version rows, new open state,
+    * new watermark). Every stage is entity-keyed window algebra —
+    * the per-entity sort is a spillable window (segment-folded when
+    * the batch holds a whale), and the only driver-side values are
+    * the 1-row watermark aggregate and the segment gate. */
+  def versionFoldBatch(open: DataFrame, wmPrevMs: Long, batch: DataFrame,
+      retentionMs: Long = 30L * 24 * 3600 * 1000)
+      : (DataFrame, DataFrame, Long) = {
+    val s = batch.sparkSession
+    val ev = batch.select(col("user_id"), col("event_id"),
+      col("event_type"), col("value"), unix_millis(col("ts")).as("ts_ms"))
+    val wmNew = math.max(wmPrevMs, maxTsOf(ev) - WatermarkDelayMs)
+    // late-data filter (ts at-or-before the watermark, as Spark drops
+    // them before the stateful operator), then exact (ts, event_id)
+    // tie collapse — the stable sort in the stateful form keeps one of
+    // an identical-key pair; min(struct) picks deterministically
+    val b = ev.filter(col("ts_ms") > wmPrevMs)
+      .groupBy("user_id", "ts_ms", "event_id")
+      .agg(min(struct(col("event_type"), col("value"))).as("_r"))
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        col("_r.event_type").as("event_type"), col("_r.value").as("value"))
+    // Spark's timeout protocol runs eviction in the no-data batch
+    // that follows a watermark advance — BEFORE the next batch's
+    // data — so expired state evicts even for entities with rows in
+    // this batch (their versions then restart at 1, exactly as the
+    // stateful form's do after a timeout fires).
+    val evicted = open.filter(col("timeout_ms") < wmPrevMs)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), col("ts_ms").as("valid_from"),
+        lit(MaxTs).as("valid_to"), col("version"))
+    val live = open.filter(col("timeout_ms") >= wmPrevMs)
+    val op = live.select(col("user_id"), col("version").as("_ov"),
+      col("event_id").as("_oeid"), col("event_type").as("_otype"),
+      col("value").as("_oval"), col("ts_ms").as("_ots"))
+    // rows not strictly later than the stored open version are dropped
+    // (the stateful form's out-of-order rule); the state side is
+    // O(entities) and joins UNHINTED (the h9 law)
+    val kept0 = b.join(op, Seq("user_id"), "left")
+      .filter(col("_ots").isNull || col("ts_ms") > col("_ots") ||
+        (col("ts_ms") === col("_ots") && col("event_id") > col("_oeid")))
+    // whale gate: ONE bounded aggregate; None at ordinary batch sizes
+    val bounds = SegmentFold.boundsFor(kept0, "user_id", "ts_ms",
+      SegmentFold.threshold(s))
+    val chained0 = SegmentFold.leadRn(kept0, bounds, "user_id", "ts_ms",
+      Seq("event_id"), "next_ts", "rn")
+    // fold-gated checkpoint (the b1 precedent): the folded chain feeds
+    // two consumers (closed rows + the per-entity aggregate); plain
+    // path stays lazy — recompute beats a cache boundary there
+    val chained = if (bounds.isDefined) chained0.localCheckpoint(true)
+      else chained0
+    val closedWithin = chained.filter(col("next_ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        round(col("value"), 2).as("value"), col("ts_ms").as("valid_from"),
+        col("next_ts").as("valid_to"),
+        (coalesce(col("_ov"), lit(0L)) + col("rn")).as("version"))
+    val agg = chained.groupBy("user_id")
+      .agg(min(col("ts_ms")).as("_first_ts"), count(lit(1)).as("_cnt"),
+        max_by(struct(col("event_id"), col("event_type"), col("value"),
+          col("ts_ms")), struct(col("ts_ms"), col("event_id"))).as("_last"))
+    // the stored open version closes at the batch's first kept row
+    val stitch = agg.join(op, Seq("user_id"))
+      .select(col("user_id"), col("_oeid").as("event_id"),
+        col("_otype").as("event_type"), round(col("_oval"), 2).as("value"),
+        col("_ots").as("valid_from"), col("_first_ts").as("valid_to"),
+        col("_ov").as("version"))
+    val openFromBatch = agg.join(op, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (coalesce(col("_ov"), lit(0L)) + col("_cnt")).as("version"),
+        col("_last.event_id").as("event_id"),
+        col("_last.event_type").as("event_type"),
+        col("_last.value").as("value"), col("_last.ts_ms").as("ts_ms"),
+        greatest(col("_last.ts_ms") + retentionMs, lit(wmPrevMs + 1))
+          .as("timeout_ms"))
+    // entities whose batch rows all fell inside the open version still
+    // invoked the stateful function — their timeout refreshes
+    val touched = b.select("user_id").distinct()
+    val refreshOnly = live
+      .join(touched, Seq("user_id"), "left_semi")
+      .join(agg.select("user_id"), Seq("user_id"), "left_anti")
+      .withColumn("timeout_ms",
+        greatest(col("ts_ms") + retentionMs, lit(wmPrevMs + 1)))
+    val carried = live.join(touched, Seq("user_id"), "left_anti")
+    val out = closedWithin.unionByName(stitch).unionByName(evicted)
+    val newOpen = openFromBatch
+      .unionByName(refreshOnly.select(openFromBatch.columns.map(col): _*))
+      .unionByName(carried.select(openFromBatch.columns.map(col): _*))
+    (out, newOpen, wmNew)
+  }
+
+  // ---------------------------------------------------------------------
+  // Gap sessionization (EventStream.sessionize, folded)
+  // ---------------------------------------------------------------------
+
+  def emptySessionState(s: SparkSession): DataFrame =
+    s.range(0).select(col("id").as("user_id"), col("id").as("last_ms"),
+      col("id").as("session_no"), col("id").as("timeout_ms"))
+
+  /** One micro-batch of folded gap sessionization: `batch` carries
+    * (event_id, ts, user_id). Emits every batch row with its session
+    * number; state is (last_ms, session_no) per entity, evicted by the
+    * mirrored timeout (numbering restarts after eviction, exactly as
+    * the stateful form's contract states). */
+  def sessionFoldBatch(state: DataFrame, wmPrevMs: Long, batch: DataFrame,
+      gapMs: Long = 30L * 60 * 1000): (DataFrame, DataFrame, Long) = {
+    val s = batch.sparkSession
+    val ev = batch.select(col("user_id"), col("event_id"),
+      unix_millis(col("ts")).as("ts_ms"))
+    val wmNew = math.max(wmPrevMs, maxTsOf(ev) - WatermarkDelayMs)
+    val b = ev.filter(col("ts_ms") > wmPrevMs)
+    // evict-before-data (the no-data-batch protocol, see
+    // versionFoldBatch): a touched entity whose timeout expired under
+    // the advanced watermark restarts its numbering at 1
+    val live = state.filter(col("timeout_ms") >= wmPrevMs)
+    val st = live.select(col("user_id"), col("last_ms").as("_lms"),
+      col("session_no").as("_sno"))
+    val joined = b.join(st, Seq("user_id"), "left")
+    val bounds = SegmentFold.boundsFor(joined, "user_id", "ts_ms",
+      SegmentFold.threshold(s))
+    val lagged = SegmentFold.lag1(joined, bounds, "user_id", "ts_ms",
+        Seq("event_id"), "ts_ms", "_prev_in")
+      .withColumn("_prev", coalesce(col("_prev_in"), col("_lms")))
+      .withColumn("_new", when(col("_prev").isNull ||
+        col("ts_ms") - col("_prev") > gapMs, 1L).otherwise(0L))
+    val runs0 = SegmentFold.runningSum(lagged, bounds, "user_id", "ts_ms",
+      Seq("event_id"), "_new", "_run")
+    val runs = if (bounds.isDefined) runs0.localCheckpoint(true) else runs0
+    val out = runs.select(col("user_id"), col("event_id"), col("ts_ms"),
+      (coalesce(col("_sno"), lit(0L)) + col("_run")).as("session_no"))
+    val fromBatch = runs.groupBy("user_id")
+      .agg(max("ts_ms").as("last_ms"),
+        (first(coalesce(col("_sno"), lit(0L))) + sum("_new"))
+          .as("session_no"))
+      .withColumn("timeout_ms",
+        greatest(col("last_ms") + gapMs, lit(wmPrevMs + 1)))
+      .select("user_id", "last_ms", "session_no", "timeout_ms")
+    // timed-out sessions evicted silently above (nothing to emit)
+    val carried = live.join(b.select("user_id").distinct(),
+      Seq("user_id"), "left_anti")
+    (out, fromBatch.unionByName(carried.select(
+      fromBatch.columns.map(col): _*)), wmNew)
+  }
+
+  // ---------------------------------------------------------------------
+  // Privacy-deletion propagation (EventStream.privacyDeletes, folded)
+  // ---------------------------------------------------------------------
+
+  def emptyPrivState(s: SparkSession): DataFrame =
+    s.range(0).select(col("id").as("user_id"),
+      lit(false).as("priv"))
+
+  def emptyPubState(s: SparkSession): DataFrame =
+    s.range(0).select(col("id").as("user_id"), lit("").as("pub_id"))
+
+  /** One micro-batch of folded privacy propagation. State is TWO
+    * frames — the per-entity privacy flag and the published-id set as
+    * ROWS (never a per-entity list on any heap; the invariant that a
+    * private entity's published set is empty is maintained by the
+    * fold). `batch` carries (event_id, ts, user_id, event_type).
+    *
+    * The per-entity replay becomes flip algebra: a batch row flips to
+    * private iff it is an 'error' whose predecessor state was public
+    * (the stored flag for the first row); publisher row p (non-error,
+    * which published id `uid_ts`) is deleted by flip number
+    * `flips_before(p) + 1` when that flip exists — one entity-keyed
+    * equi-join, no ordered scan. Refreshes are the public flips. */
+  def privacyFoldBatch(priv: DataFrame, pubs: DataFrame, wmPrevMs: Long,
+      batch: DataFrame): (DataFrame, DataFrame, DataFrame, Long) = {
+    val s = batch.sparkSession
+    val ev = batch.select(col("user_id"), col("event_id"),
+      col("event_type"), unix_millis(col("ts")).as("ts_ms"))
+    val wmNew = math.max(wmPrevMs, maxTsOf(ev) - WatermarkDelayMs)
+    val b = ev.filter(col("ts_ms") > wmPrevMs)
+      .withColumn("_err", when(col("event_type") === "error", 1L)
+        .otherwise(0L))
+    val st = priv.select(col("user_id"),
+      when(col("priv"), 1L).otherwise(0L).as("_priv0"))
+    val joined = b.join(st, Seq("user_id"), "left")
+    val bounds = SegmentFold.boundsFor(joined, "user_id", "ts_ms",
+      SegmentFold.threshold(s))
+    val lagged = SegmentFold.lag1(joined, bounds, "user_id", "ts_ms",
+        Seq("event_id"), "_err", "_prev_in")
+      .withColumn("_prev_err",
+        coalesce(col("_prev_in"), col("_priv0"), lit(0L)))
+      .withColumn("_flip_priv",
+        when(col("_err") === 1 && col("_prev_err") === 0, 1L).otherwise(0L))
+      .withColumn("_flip_pub",
+        when(col("_err") === 0 && col("_prev_err") === 1, 1L).otherwise(0L))
+    val runs0 = SegmentFold.runningSum(lagged, bounds, "user_id", "ts_ms",
+      Seq("event_id"), "_flip_priv", "_k")
+    val runs = if (bounds.isDefined) runs0.localCheckpoint(true) else runs0
+    // publishers carry k = flips strictly before them (they are
+    // non-error rows, so the inclusive sum equals the exclusive one)
+    val publishers = runs.filter(col("_err") === 0)
+      .select(col("user_id"),
+        concat(col("user_id"), lit("_"), col("ts_ms")).as("pub_id"),
+        col("_k"))
+    val flips = runs.filter(col("_flip_priv") === 1)
+      .select(col("user_id"), col("_k").as("_flip_no"))
+    val agg = runs.groupBy("user_id")
+      .agg(sum("_flip_priv").as("_n_flips"),
+        max_by(col("_err"), struct(col("ts_ms"), col("event_id")))
+          .as("_last_err"))
+    // stored published ids are deleted by the batch's FIRST private
+    // flip (k = 0; empty by invariant when the entity is private)
+    val delCand = publishers.select(col("user_id"), col("pub_id"), col("_k"))
+      .unionByName(pubs.join(b.select("user_id").distinct(),
+          Seq("user_id"), "left_semi")
+        .select(col("user_id"), col("pub_id"), lit(0L).as("_k")))
+    val deletes = delCand.join(flips,
+        delCand("user_id") === flips("user_id") &&
+          flips("_flip_no") === delCand("_k") + 1)
+      .select(delCand("user_id"), lit("delete").as("kind"), col("pub_id").as("id"))
+    val refreshes = runs.filter(col("_flip_pub") === 1)
+      .select(col("user_id"), lit("refresh").as("kind"),
+        col("user_id").cast("string").as("id"))
+    val out = deletes.unionByName(refreshes)
+    // new state: last row decides the flag; publishers after the last
+    // private flip survive (all of them plus the stored set when the
+    // batch flipped nothing)
+    val touched = b.select("user_id").distinct()
+    val newPrivFromBatch = agg.select(col("user_id"),
+      (col("_last_err") === 1).as("priv"))
+    val newPriv = newPrivFromBatch.unionByName(
+      priv.join(touched, Seq("user_id"), "left_anti"))
+    val survivors = publishers.join(agg, Seq("user_id"))
+      .filter(col("_k") === col("_n_flips"))
+      .select("user_id", "pub_id")
+    val storedSurvive = pubs.join(
+        agg.filter(col("_n_flips") === 0).select("user_id"),
+        Seq("user_id"), "left_semi")
+      .unionByName(pubs.join(touched, Seq("user_id"), "left_anti"))
+    (out, newPriv, survivors.unionByName(storedSurvive), wmNew)
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted-state step + foreachBatch wrappers (the cadence glue)
+  // ---------------------------------------------------------------------
+
+  /** Latest persisted state strictly before `batchId` (replay safety:
+    * a re-run batch reads its predecessor, never its own first
+    * attempt), or the empty frame. */
+  private def readState(s: SparkSession, root: String, sub: String,
+      batchId: Long, empty: DataFrame): DataFrame = {
+    val dirs = StoreFs.priorBatchDirs(s, s"$root/$sub", batchId)
+    if (dirs.isEmpty) empty
+    else s.read.parquet(dirs.maxBy(
+      _.split("batch_").last.toLong))
+  }
+
+  private def readWm(s: SparkSession, root: String, batchId: Long): Long = {
+    val dirs = StoreFs.priorBatchDirs(s, s"$root/wm", batchId)
+    if (dirs.isEmpty) 0L
+    else s.read.parquet(dirs.maxBy(_.split("batch_").last.toLong))
+      .head().getLong(0)
+  }
+
+  private def writeStep(s: SparkSession, root: String, batchId: Long,
+      states: Seq[(String, DataFrame)], wm: Long): Unit = {
+    states.foreach { case (sub, df) =>
+      df.write.mode("overwrite").parquet(s"$root/$sub/batch_$batchId")
+    }
+    import s.implicits._
+    Seq(wm).toDF("wm_ms").write.mode("overwrite")
+      .parquet(s"$root/wm/batch_$batchId")
+    // state dirs are full snapshots, not slices: everything older than
+    // the replay predecessor is dead weight — sweep it (ask: bounded
+    // store debris)
+    (states.map(_._1) :+ "wm").foreach { sub =>
+      StoreFs.priorBatchDirs(s, s"$root/$sub", batchId - 1)
+        .foreach(StoreFs.deleteDir(s, _))
+    }
+  }
+
+  /** One persisted step of the folded SCD-2 cadence: reads state under
+    * `root`, folds `batch`, persists the new state, returns the
+    * emitted rows (reading the PRIOR state dirs, which the sweep
+    * keeps). Idempotent per batchId. */
+  def versionStep(root: String, batchId: Long, batch: DataFrame,
+      retentionMs: Long = 30L * 24 * 3600 * 1000): DataFrame = {
+    val s = batch.sparkSession
+    val open = readState(s, root, "open", batchId, emptyVersionState(s))
+    val (out, newOpen, wm) = versionFoldBatch(open,
+      readWm(s, root, batchId), batch, retentionMs)
+    val outC = out.localCheckpoint(true)
+    writeStep(s, root, batchId, Seq("open" -> newOpen), wm)
+    outC
+  }
+
+  /** One persisted step of the folded sessionize cadence. */
+  def sessionStep(root: String, batchId: Long, batch: DataFrame,
+      gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    val s = batch.sparkSession
+    val st = readState(s, root, "sess", batchId, emptySessionState(s))
+    val (out, newSt, wm) = sessionFoldBatch(st,
+      readWm(s, root, batchId), batch, gapMs)
+    val outC = out.localCheckpoint(true)
+    writeStep(s, root, batchId, Seq("sess" -> newSt), wm)
+    outC
+  }
+
+  /** One persisted step of the folded privacy cadence. */
+  def privacyStep(root: String, batchId: Long, batch: DataFrame)
+      : DataFrame = {
+    val s = batch.sparkSession
+    val priv = readState(s, root, "priv", batchId, emptyPrivState(s))
+    val pubs = readState(s, root, "pubs", batchId, emptyPubState(s))
+    val (out, newPriv, newPubs, wm) = privacyFoldBatch(priv, pubs,
+      readWm(s, root, batchId), batch)
+    val outC = out.localCheckpoint(true)
+    writeStep(s, root, batchId,
+      Seq("priv" -> newPriv, "pubs" -> newPubs), wm)
+    outC
+  }
+
+  /** Streaming query glue: the folded SCD-2 cadence as a foreachBatch
+    * writer — `events` carries [[EventStream.eventSchema]] columns;
+    * each micro-batch's emitted rows go to `sink`. */
+  def versionHistoryFolded(events: DataFrame, root: String,
+      retentionMs: Long = 30L * 24 * 3600 * 1000)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (b: Dataset[Row], id: Long) =>
+      sink(versionStep(root, id, b.toDF(), retentionMs), id)
+    }
+
+  def sessionizeFolded(events: DataFrame, root: String,
+      gapMs: Long = 30L * 60 * 1000)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (b: Dataset[Row], id: Long) =>
+      sink(sessionStep(root, id, b.toDF(), gapMs), id)
+    }
+
+  def privacyDeletesFolded(events: DataFrame, root: String)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (b: Dataset[Row], id: Long) =>
+      sink(privacyStep(root, id, b.toDF()), id)
+    }
+
+  /** Max event ts of the batch in epoch ms (one bounded 1-row
+    * aggregate — the watermark update), 0 for an empty batch. */
+  private def maxTsOf(ev: DataFrame): Long = {
+    val r = ev.agg(max("ts_ms")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+}
