@@ -27,7 +27,10 @@ object StoreFs {
     val (f, root) = fs(s, storePath)
     if (!f.exists(root)) Seq.empty
     else f.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_"))
+      // exact batch_<digits> only: .compact.build staging and a
+      // crash-left batch_N.old swap remnant must not parse
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.matches("batch_\\d+"))
       .filter(_.getPath.getName.stripPrefix("batch_").toLong < batchId)
       .map(_.getPath.toString)
   }
@@ -44,8 +47,65 @@ object StoreFs {
     ()
   }
 
+  /** SLICE COMPACTION (r14 verdict #4): every ingest cadence
+    * accumulates `batch_N` parquet dirs without bound — row volume is
+    * fine, but small-file debris and per-refresh listing/open costs
+    * grow with batch count. This folds all slices EXCEPT THE NEWEST
+    * into one combined dir named `batch_<second-newest id>` (the
+    * Partitioned.compactDays precedent): readers are unchanged
+    * (priorBatchDirs cutoffs see the same ids, rows keep every
+    * column — a slice-level merge, not a semantic one), and replay
+    * stays idempotent because the only batch a restarted stream can
+    * re-run is the NEWEST, which is deliberately left out (a replay
+    * overwrites its own slice only, never the folded history).
+    * Output file count is sized by bytes (~128 MB targets), retiring
+    * the debris. Call at refresh/compaction points, never per batch.
+    * Returns the number of dirs folded away (0 = nothing to do). */
+  def compactSlices(s: SparkSession, storePath: String): Int = {
+    val all = priorBatchDirs(s, storePath, Long.MaxValue)
+      .map(p => p -> p.split("batch_").last.toLong)
+    if (all.size < 3) return 0
+    val newestId = all.map(_._2).max
+    val olds = all.filter(_._2 != newestId)
+    val target = olds.map(_._2).max
+    val stage = s"$storePath/.compact.build"
+    deleteDir(s, stage)
+    val src = s.read.parquet(olds.map(_._1): _*)
+    val f = fs(s, storePath)._1
+    val bytes = olds.map { case (p, _) =>
+      f.getContentSummary(new Path(p)).getLength }.sum
+    val parts = math.max(1L, bytes / (128L << 20)).toInt
+    src.coalesce(parts).write.mode("overwrite").parquet(stage)
+    olds.filter(_._2 != target).foreach { case (p, _) => deleteDir(s, p) }
+    swapDir(s, stage, s"$storePath/batch_$target")
+    olds.size - 1
+  }
+
+  /** Land a freshly-built store family: `staging` (a COMPLETE family
+    * directory) replaces `target` via two metadata renames — a reader
+    * opening the family sees the previous generation or the new one,
+    * never an in-progress mix (the r14 ADVICE: an in-place overwrite
+    * let a mid-refresh reader pair an atlas with a different g0; the
+    * build takes minutes, the swap window is two renames). */
+  def swapDir(s: SparkSession, staging: String, target: String): Unit = {
+    val (f, st) = fs(s, staging)
+    val tg = new Path(target)
+    val old = new Path(target + ".old")
+    if (f.exists(old)) f.delete(old, true)
+    if (f.exists(tg)) f.rename(tg, old)
+    f.rename(st, tg)
+    if (f.exists(old)) f.delete(old, true)
+    ()
+  }
+
   /** Conf key for how many fingerprints of one store family survive a
-    * [[retentionSweep]] (the live root + N−1 most recent superseded). */
+    * [[retentionSweep]] (the live root + N−1 most recent superseded).
+    * The sweep protects THIS session's readers (ensure-built stores
+    * localCheckpoint eagerly before any sweep); a concurrent EXTERNAL
+    * JVM still scanning a superseded fingerprint is protected only by
+    * the retained generations — when multiple sessions share a store
+    * root, keep the retain at >= 2 (the default); retain = 1 is safe
+    * only for a single-writer single-reader deployment. */
   val RetainConf = "spark.graft.storeRetain"
   val DefaultRetain = 2
 

@@ -63,4 +63,12 @@ object StreamingDedup {
     docs.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       processBatch(batch.toDF(), batchId, storePath, matchRoot)
     }
+
+  /** Maintenance cadence (r14 verdict #4): fold the accumulated band
+    * slices — minus the newest, which a restarted stream may replay —
+    * into one sized dir. Row-identical for every subsequent match
+    * join (the store read is a slice union either way); call on the
+    * deployment's compaction schedule, never per batch. */
+  def compactStore(s: org.apache.spark.sql.SparkSession,
+      storePath: String): Int = StoreFs.compactSlices(s, storePath)
 }

@@ -64,6 +64,13 @@ object StreamingEmbDedup {
       processBatch(b.toDF(), id, storePath, matchRoot)
     }
 
+  /** Maintenance cadence for the band store (r14 verdict #4) —
+    * see [[StreamingDedup.compactStore]]. */
+  def compactStore(s: org.apache.spark.sql.SparkSession,
+      storePath: String): Int =
+    StoreFs.compactSlices(s, s"$storePath/bands") +
+      StoreFs.compactSlices(s, s"$storePath/vecs")
+
   // ---- x2 SURVIVOR-STORE cadence (r13, VERDICT #3) ----------------
   //
   // Maintains the d12-prod SURVIVOR set and its navigable graph as an
@@ -196,13 +203,25 @@ object StreamingEmbDedup {
   private[graft] def refreshSurvivorGraph(
       s: org.apache.spark.sql.SparkSession, root: String,
       fullEmb: DataFrame): (String, String) = {
+    // the survivor slices compact on the same cadence (r14 verdict
+    // #4): newest slice left out for replay safety
+    StoreFs.compactSlices(s, s"$root/cellmap")
+    StoreFs.compactSlices(s, s"$root/vecs")
     val surv = survivorIds(s, root)
     val embS = fullEmb.join(surv, Seq("vec_id"), "left_semi")
       .localCheckpoint(true) // consumers: vectors write + graph build
-    embS.write.mode("overwrite").parquet(s"$root/vectors")
+    // staged build + per-dir rename swap (see x5RefreshHierarchy):
+    // the vectors/graph pair stays one generation for readers up to
+    // the two-metadata-op swap window
+    val stage = s"$root/.x2.build"
+    StoreFs.deleteDir(s, stage)
+    embS.write.mode("overwrite").parquet(s"$stage/vectors")
     graft.similarity.Similarity.searchGraphOn(embS, 16)
       .select("vec_id", "nbr")
-      .write.mode("overwrite").parquet(s"$root/graph")
+      .write.mode("overwrite").parquet(s"$stage/graph")
+    StoreFs.swapDir(s, s"$stage/vectors", s"$root/vectors")
+    StoreFs.swapDir(s, s"$stage/graph", s"$root/graph")
+    StoreFs.deleteDir(s, stage)
     (s"$root/vectors", s"$root/graph")
   }
 
@@ -225,24 +244,30 @@ object StreamingEmbDedup {
       fullEmb: DataFrame, levels: Int = 3)
       : (String, Seq[String], String) = {
     import graft.similarity.Similarity
+    StoreFs.compactSlices(s, s"$root/cellmap")
+    StoreFs.compactSlices(s, s"$root/vecs")
     val surv = survivorIds(s, root)
     val embS = fullEmb.join(surv, Seq("vec_id"), "left_semi")
       .localCheckpoint(true) // consumers: g0 + layer builds + atlas
     val (uppers, _) = Similarity.s16LayersOn(embS, levels)
     val g0 = Similarity.searchGraphOn(embS, 16).select("vec_id", "nbr")
       .localCheckpoint(true) // consumers: persist + atlas comps
-    val g0P = s"$root/hier/g0"
-    g0.write.mode("overwrite").parquet(g0P)
-    val upperPs = (1 to levels).map(l => s"$root/hier/g$l")
-    uppers.zip(upperPs).foreach { case (g, p) =>
-      g.write.mode("overwrite").parquet(p) }
-    val atlasP = s"$root/hier/atlas"
+    // the whole family lands in a staging dir and swaps in via rename
+    // (r14 ADVICE): a reader walking root/hier mid-refresh sees one
+    // generation, never an atlas paired with a different g0
+    val stage = s"$root/.hier.build"
+    StoreFs.deleteDir(s, stage)
+    g0.write.mode("overwrite").parquet(s"$stage/g0")
+    (1 to levels).foreach(l =>
+      uppers(l - 1).write.mode("overwrite").parquet(s"$stage/g$l"))
     Similarity.entryAtlas(
         embS.filter(col("vec_id") >= 10)
           .withColumn("level", Similarity.levelOf(col("vec_id"), levels)),
         Similarity.compsOf(g0))
-      .write.mode("overwrite").parquet(atlasP)
-    (g0P, upperPs, atlasP)
+      .write.mode("overwrite").parquet(s"$stage/atlas")
+    StoreFs.swapDir(s, stage, s"$root/hier")
+    (s"$root/hier/g0", (1 to levels).map(l => s"$root/hier/g$l"),
+      s"$root/hier/atlas")
   }
 
   /** Streaming query for the survivor cadence — requires a prior

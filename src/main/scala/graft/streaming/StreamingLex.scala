@@ -29,7 +29,11 @@ import graft.functions.{TextFunctions => T}
   * contributes NO weight until the next [[refreshDictionary]], and
   * df/n/avgdl drift by whatever arrived since. Exact equality with
   * the batch build holds at every compaction point; in between, the
-  * slices are exact and only the corpus statistics are stale.
+  * slices are exact and only the corpus statistics are stale. A
+  * doc_id ingested in MORE than one batch (update / out-of-band
+  * re-ingest) counts ONCE: slices carry their batch id and every
+  * read dedupes latest-batch-wins, so df/n/avgdl and the weight
+  * view see each doc's newest profile only.
   *
   * Layout under `root`: `tf/batch_N` slices (overwrite per batch —
   * StreamingDedup's replay idempotence), `dict/df` + `dict/stats`.
@@ -57,11 +61,25 @@ object StreamingLex {
       .withColumn("dl",
         sum("tf").over(org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id")))
+      .withColumn("batch", lit(batchId))
     tf.write.mode("overwrite").parquet(s"$root/tf/batch_$batchId")
     b.select(col("doc_id"),
         when(col("text").isNotNull,
-          size(filter(T.tokens(col("text")), t => t =!= ""))).as("dl"))
+          size(filter(T.tokens(col("text")), t => t =!= ""))).as("dl"),
+        lit(batchId).as("batch"))
       .write.mode("overwrite").parquet(s"$root/docs/batch_$batchId")
+  }
+
+  /** Latest-batch-wins dedupe over accumulated slices: a doc_id
+    * re-ingested (update / replay out of band) in a LATER batch
+    * supersedes every earlier slice row it had, so the corpus
+    * statistics and the weight view count each doc exactly once —
+    * the one-shot build's view of the final corpus. */
+  private def latestWins(slices: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    slices.withColumn("_mb", max("batch").over(w))
+      .filter(col("batch") === col("_mb"))
+      .drop("_mb", "batch")
   }
 
   /** Accumulated tf slices (all batches). */
@@ -71,7 +89,7 @@ object StreamingLex {
     if (dirs.isEmpty)
       s.range(0).select(col("id").as("doc_id"),
         lit("").as("term"), col("id").as("tf"), col("id").as("dl"))
-    else s.read.parquet(dirs: _*)
+    else latestWins(s.read.parquet(dirs: _*))
   }
 
   /** (Re)freeze the dictionary — df per term + the 1-row (n, avgdl) —
@@ -87,13 +105,19 @@ object StreamingLex {
     val docs = if (docDirs.isEmpty)
       s.range(0).select(col("id").as("doc_id"),
         col("id").cast("int").as("dl"))
-      else s.read.parquet(docDirs: _*)
+      else latestWins(s.read.parquet(docDirs: _*))
     // n counts EVERY ingested doc (null-text ones ride a null dl the
     // sum skips) — the one-shot build's count(1)/sum(size(tokens))
     // statistics, verbatim
     docs.agg(count(lit(1)).as("n"),
         (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
       .write.mode("overwrite").parquet(s"$root/dict/stats")
+    // slice compaction rides the same cadence (r14 verdict #4): fold
+    // the accumulated tf/doc slices — minus the newest, which a
+    // restarted stream may replay — into one sized dir
+    StoreFs.compactSlices(s, s"$root/tf")
+    StoreFs.compactSlices(s, s"$root/docs")
+    ()
   }
 
   /** The maintained BM25 weight view: accumulated exact tf slices ⋈

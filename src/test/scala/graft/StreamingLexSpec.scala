@@ -34,12 +34,18 @@ class StreamingLexSpec extends AnyFunSuite {
     // bit-identical doubles: same exact integer inputs through the
     // same expression tree
     assert(stored.sameElements(oneShot))
-    // replay idempotence: re-running a wave (overwrite slice) is a
-    // no-op for the maintained view
+    // replay idempotence: re-running the NEWEST wave (the only batch
+    // a restarted stream can re-run — compaction at the refresh point
+    // deliberately leaves it unfolded) is a no-op for the view
     streaming.StreamingLex.lexBatch(
-      corpus.filter(col("doc_id") % 3 === 1), 1, root)
+      corpus.filter(col("doc_id") % 3 === 2), 2, root)
     assert(weights(streaming.StreamingLex.storedWeights(spark, root))
       .sameElements(oneShot))
+    // the refresh compacted waves 0+1 into one slice dir; wave 2 and
+    // the folded dir are all that remain
+    val tfDirs = new java.io.File(s"$root/tf").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).toSet
+    assert(tfDirs == Set("batch_1", "batch_2"), tfDirs.mkString(","))
   }
 
   test("staleness contract: a term unseen at the freeze carries no " +
@@ -68,5 +74,36 @@ class StreamingLexSpec extends AnyFunSuite {
     val n = spark.read.parquet(s"$root/dict/stats")
       .head.getAs[Long]("n")
     assert(n == 3)
+  }
+
+  test("a doc_id re-ingested in a later batch counts once — latest " +
+      "batch wins for the corpus statistics and the weight view") {
+    val root = Files.createTempDirectory("graft_lex_reingest").toString
+    streaming.StreamingLex.lexBatch(
+      Seq((1L, "a b"), (2L, "a")).toDF("doc_id", "text"), 0, root)
+    // doc 1 updated in batch 1: new text drops b, adds c
+    streaming.StreamingLex.lexBatch(
+      Seq((1L, "a c")).toDF("doc_id", "text"), 1, root)
+    streaming.StreamingLex.refreshDictionary(spark, root)
+    // n = 2 docs (not 3), df(a) = 2 (not 3), b gone, c present
+    val stats = spark.read.parquet(s"$root/dict/stats").head
+    assert(stats.getAs[Long]("n") == 2)
+    val df = spark.read.parquet(s"$root/dict/df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(df == Map("a" -> 2L, "c" -> 1L))
+    // the weight view carries doc 1's NEWEST profile only
+    val w = streaming.StreamingLex.storedWeights(spark, root)
+    assert(w.filter($"doc_id" === 1).select("term").collect()
+      .map(_.getString(0)).toSet == Set("a", "c"))
+    assert(w.filter($"doc_id" === 1 && $"term" === "a").count() == 1)
+    // equivalence: identical to one-shot ingest of the final corpus
+    val root2 = Files.createTempDirectory("graft_lex_reingest2").toString
+    streaming.StreamingLex.lexBatch(
+      Seq((1L, "a c"), (2L, "a")).toDF("doc_id", "text"), 0, root2)
+    streaming.StreamingLex.refreshDictionary(spark, root2)
+    def rows(r: String) = streaming.StreamingLex.storedWeights(spark, r)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getDouble(2)))
+      .toSet
+    assert(rows(root) == rows(root2))
   }
 }
