@@ -116,6 +116,10 @@ object SparkEntry {
     "h14_normalize_dates" -> (History.h14NormalizeDates _),
     "h15_truncation_tolerance" -> (History.h15TruncationTolerance _),
     "b4_consistency_report" -> (operators.Consistency.b4ConsistencyReport _),
+    // r15: the reference's END-TO-END program (bz_etl.py:123
+    // run_both_etl) as one registered query — reconstruct → nest →
+    // normalize → ES bulk wire lines, bugs + comments streams
+    "b5_full_etl" -> (graft.etl.FullEtl.b5FullEtl _),
     "t10_line_filter" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t10LineFilter(s, d)),
     "t13_boilerplate" -> ((s: SparkSession, d: String) =>
@@ -1949,6 +1953,65 @@ object SparkEntry {
         |LEFT JOIN sv ON v.id = sv.id AND v.ts = sv.ts
         |LEFT JOIN natt ON v.id = natt.id AND v.ts = natt.ts
         |ORDER BY v.id, v.version""".stripMargin),
+    // the end-to-end ETL: the b2 CTE chain rendered as ES bulk wire
+    // payloads (action line + source line, chr(10)-joined) plus the
+    // c2 comment stream's payloads — field order, null renderings,
+    // and the escape ladder mirror FullEtl.jstr byte for byte
+    "b5_full_etl" -> (bugHistoryCte +
+      """pur AS (
+        |  SELECT user_id AS id, epoch_ms(ts) AS ts,
+        |    CAST(CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS VARCHAR) AS subId
+        |  FROM events WHERE event_type = 'purchase'),
+        |atts AS (SELECT id, subId, min(ts) AS created FROM pur GROUP BY 1, 2),
+        |natt AS (
+        |  SELECT v.id, v.ts, count(*) AS n,
+        |    CAST(sum(CASE WHEN CAST(a.subId AS BIGINT) % 3 = 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_patch,
+        |    min(CASE WHEN CAST(a.subId AS BIGINT) % 2 = 0
+        |      THEN 'text/plain' ELSE 'image/png' END) AS mime_min
+        |  FROM versions v JOIN atts a ON v.id = a.id AND a.created <= v.ts
+        |  GROUP BY 1, 2),
+        |b2v AS (
+        |  SELECT v.id, v.version, v.ts AS valid_from, v.expires_on, sv.status,
+        |    COALESCE(natt.n, 0) AS n_atts,
+        |    COALESCE(natt.n_patch, 0) AS n_patch, natt.mime_min AS mime_min
+        |  FROM versions v
+        |  LEFT JOIN sv ON v.id = sv.id AND v.ts = sv.ts
+        |  LEFT JOIN natt ON v.id = natt.id AND v.ts = natt.ts),
+        |bug_lines AS (
+        |  SELECT id || '_' || valid_from AS _id,
+        |    '{"index":{"_index":"snapshots","_id":"' || id || '_' ||
+        |      valid_from || '"}}' || chr(10) ||
+        |    '{"id":' || id || ',"version":' || version ||
+        |    ',"valid_from":' || valid_from ||
+        |    ',"expires_on":' || expires_on ||
+        |    ',"status":' || CASE WHEN status IS NULL THEN 'null'
+        |      ELSE '"' || status || '"' END ||
+        |    ',"n_atts":' || n_atts || ',"n_patch":' || n_patch ||
+        |    ',"mime_min":' || CASE WHEN mime_min IS NULL THEN 'null'
+        |      ELSE '"' || mime_min || '"' END || '}' AS line
+        |  FROM b2v),
+        |cmt AS (
+        |  SELECT doc_id AS comment_id, doc_id % 100 AS bug_id,
+        |    'u' || (doc_id % 50) || '@example.com' AS modified_by,
+        |    1704067200000 + doc_id * 3600000 AS modified_ts,
+        |    CASE WHEN n_chars < 150 THEN '[screened]' ELSE text END AS comment
+        |  FROM documents WHERE source <> 'src0'),
+        |comment_lines AS (
+        |  SELECT 'c' || comment_id AS _id,
+        |    '{"index":{"_index":"comments","_id":"c' || comment_id ||
+        |      '"}}' || chr(10) ||
+        |    '{"comment_id":' || comment_id || ',"bug_id":' || bug_id ||
+        |    ',"modified_by":' || CASE WHEN modified_by IS NULL THEN 'null'
+        |      ELSE '"' || modified_by || '"' END ||
+        |    ',"modified_ts":' || modified_ts ||
+        |    ',"comment":' || CASE WHEN comment IS NULL THEN 'null'
+        |      ELSE '"' || replace(replace(replace(comment, '\', '\\'),
+        |        '"', '\"'), chr(10), '\n') || '"' END || '}' AS line
+        |  FROM cmt)
+        |SELECT _id, line FROM bug_lines
+        |UNION ALL SELECT _id, line FROM comment_lines
+        |ORDER BY _id""".stripMargin),
     // NOTE: this oracle hand-unrolls exactly TWO matching rounds
     // (scored1/best1, scored2/best2). AliasAnalysis.analyze runs up to
     // rounds=3 with a convergence check; on the driver's testdata the
