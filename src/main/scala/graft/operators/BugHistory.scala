@@ -87,8 +87,6 @@ object BugHistory {
       singleFields: Seq[String], multiFields: Seq[String],
       longFields: Seq[String] = Nil,
       segBounds: Option[DataFrame] = None): DataFrame = {
-    val NEG = Long.MinValue
-
     // The raw activity feeds four consumers (timeline, single-field
     // changes, multi-field changes, per-version change records).
     // Deliberately NOT cached, and callers should not cache their
@@ -96,83 +94,10 @@ object BugHistory {
     // was 2-5x slower than recompute — these subtrees are codegen'd
     // scans+windows, and a cache boundary costs an eager
     // materialization job plus AQE losing sight of the child stats.
-    val actCols = Seq("id", "ts", "modified_by", "field",
-      "old_value", "new_value")
-    val act = if (longFields.isEmpty) activity else {
-      // LongField reassembly: same-(id, field, ts) fragments merge
-      // into one change row, old/new values concatenated in `seq`
-      // order (the reference chains old_value promises walking
-      // backwards; forwards, the split new_value concatenates the
-      // same way). One hash aggregation over the long-field rows
-      // only — keyed (id, field, ts), no wider shuffle than the
-      // segment stage already pays.
-      val seqCol = if (activity.columns.contains("seq")) col("seq")
-        else lit(0L)
-      val base = activity.withColumn("_seq", seqCol.cast("long"))
-      def joined(c: String) = concat_ws("", transform(
-        array_sort(collect_list(struct(col("_seq").as("s"),
-          col(c).as("v")))), x => x.getField("v")))
-      val merged = base.filter(col("field").isin(longFields: _*))
-        .groupBy("id", "field", "ts")
-        .agg(min_by(col("modified_by"), col("_seq")).as("modified_by"),
-          joined("old_value").as("old_value"),
-          joined("new_value").as("new_value"))
-      // materialized ONCE: unlike the raw-activity case above (cheap
-      // codegen'd scans, where every caching variant measured slower),
-      // the reassembled frame is a union with a hash aggregation that
-      // four consumers would otherwise re-execute — the d11 band-frame
-      // precedent. Measured 2.2 -> 1.6 s for b1 at sf0.1.
-      base.filter(!col("field").isin(longFields: _*))
-        .select(actCols.map(col): _*)
-        .union(merged.select(actCols.map(col): _*))
-        .localCheckpoint(true)
-    }
+    val act = reassembleLongFields(activity, longFields)
 
     // ---- version timeline ------------------------------------------------
-    val timeline = act.select(col("id"), col("ts"))
-      .union(current.select(col("id"), col("created_ts").as("ts")))
-      .distinct()
-    val versions = segBounds match {
-      case None =>
-        val wV = Window.partitionBy("id").orderBy("ts")
-        timeline
-          .withColumn("expires_on",
-            coalesce(lead("ts", 1).over(wV), lit(MaxTimestamp)))
-          .withColumn("version", row_number().over(wV).cast("long"))
-      case Some(b) =>
-        // SEGMENT FOLD (r13 verdict #1): lead/row_number inside each
-        // (id, seg) slice; across the cut, expires_on = the next
-        // non-empty segment's first ts and version = within-segment
-        // rank + the prefix-summed earlier-segment counts (the c6
-        // bucket-spine device on the |entities × K|-row seg frame).
-        // Rows are distinct (id, ts) and segments are contiguous ts
-        // ranges, so the stitched result ≡ the monolithic window.
-        val segged = SegmentFold.withSeg(timeline, b, "id", "ts")
-        val wV = Window.partitionBy("id", "seg").orderBy("ts")
-        val inner = segged
-          .withColumn("lead_in", lead("ts", 1).over(wV))
-          .withColumn("rn", row_number().over(wV).cast("long"))
-        val wS = Window.partitionBy("id").orderBy("seg")
-        val meta = segged.groupBy("id", "seg")
-          .agg(count(lit(1)).as("cnt"), min("ts").as("first_ts"))
-          .withColumn("next_first", lead("first_ts", 1).over(wS))
-          .withColumn("offset", coalesce(sum("cnt").over(
-            wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select("id", "seg", "next_first", "offset")
-        inner.join(meta, Seq("id", "seg"))
-          .withColumn("expires_on", coalesce(col("lead_in"),
-            col("next_first"), lit(MaxTimestamp)))
-          .withColumn("version", col("offset") + col("rn"))
-          .select(col("id"), col("ts"), col("expires_on"), col("version"))
-          // materialized ONCE when the fold is active: three consumers
-          // (the singles cross-join frame, the membership probes, the
-          // final assemble) would each re-run the folded timeline —
-          // at whale scale that is 3× a distinct + segmented window +
-          // two stitch joins. The PLAIN path stays uncheckpointed (the
-          // measured history-DAG rule: cache boundaries lose there).
-          .localCheckpoint(true)
-    }
-
+    val versions = versionFrame(act, current, segBounds)
     // ---- single-value fields --------------------------------------------
     // BACKWARD-ANCHORED, like the reference: the walk starts at the
     // CURRENT row and applies changes in reverse, so a version's value
@@ -289,42 +214,7 @@ object BugHistory {
     // of a never-added item extends presence back to history start.
     // On consistent logs this is identical to forward +1/-1 replay.
     val multis = if (multiFields.isEmpty) None else Some {
-      val mchg = act.filter(col("field").isin(multiFields: _*))
-      val ev = mchg.select(col("id"), col("field"), col("ts"),
-          explode(split(col("new_value"), ",\\s*")).as("item"), lit(1).as("delta"))
-        .union(mchg.select(col("id"), col("field"), col("ts"),
-          explode(split(col("old_value"), ",\\s*")).as("item"), lit(-1).as("delta")))
-        .filter(col("item") =!= "")
-      val wI = Window.partitionBy("id", "field", "item").orderBy("ts", "delta")
-      val currentMembers = current.select(col("id"),
-          explode(array(multiFields.map(f =>
-            struct(lit(f).as("field"), col(f).cast("array<string>").as("items"))): _*))
-            .as("fv"))
-        .select(col("id"), col("fv.field"), explode(col("fv.items")).as("item"))
-      // a remove event ⇒ present over [previous event, the remove)
-      val removalSpans = ev
-        .withColumn("prev_ts", lag("ts", 1).over(wI))
-        .filter(col("delta") === -1)
-        .select(col("id"), col("field"), col("item"),
-          coalesce(col("prev_ts"), lit(NEG)).as("start_ts"),
-          col("ts").as("end_ts"))
-      // newest segment ⇒ present iff the item is in the current row
-      val lastEv = ev
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("id", "field", "item")
-            .orderBy(col("ts").desc, col("delta").desc)))
-        .filter(col("rn") === 1)
-      val tailSpans = lastEv
-        .join(currentMembers, Seq("id", "field", "item"), "left_semi")
-        .select(col("id"), col("field"), col("item"),
-          col("ts").as("start_ts"), lit(MaxTimestamp).as("end_ts"))
-      // current items with no activity at all: present forever
-      val evKeys = ev.select("id", "field", "item").distinct()
-      val currentOnly = currentMembers
-        .join(evKeys, Seq("id", "field", "item"), "left_anti")
-        .select(col("id"), col("field"), col("item"),
-          lit(NEG).as("start_ts"), lit(MaxTimestamp).as("end_ts"))
-      val intervals = removalSpans.union(tailSpans).union(currentOnly)
+      val intervals = presenceIntervals(act, current, multiFields)
       // membership: interval covers the version's valid_from. NOT the
       // old interval-filter join on the bare id (versions × ALL of the
       // entity's interval rows — the r13 churn-skew probe measured it
@@ -336,14 +226,12 @@ object BugHistory {
       // matched to the latest interval with start_ts <= ts, covered
       // iff ts < its end_ts. Per-key intervals are disjoint half-open
       // spans, so the latest-start interval is the only possible
-      // cover; same-start degenerates collapse to max(end) first so
-      // the as-of right side stays unique per (keys, time).
+      // cover (presenceIntervals collapses same-start degenerates to
+      // max(end), keeping the as-of right side unique).
       val itemKeys = intervals.select("id", "field", "item").distinct()
       val probes = versions.select(col("id"), col("ts"))
         .join(itemKeys, Seq("id"))
       val ivals = intervals
-        .groupBy("id", "field", "item", "start_ts")
-        .agg(max("end_ts").as("end_ts"))
         .select(col("id").as("i_id"), col("field").as("i_field"),
           col("item").as("i_item"), col("start_ts"), col("end_ts"))
       val member = AsOf.join(probes, ivals,
@@ -383,6 +271,187 @@ object BugHistory {
       .withColumn("snapshot_id", concat(col("id"), lit("_"), col("ts")))
       .withColumnRenamed("ts", "valid_from")
       .orderBy("id", "version")
+  }
+
+  /** LongField reassembly (parse_bug_history.py:1189): same-(id,
+    * field, ts) fragments merge into one change row, old/new values
+    * concatenated in `seq` order (the reference chains old_value
+    * promises walking backwards; forwards, the split new_value
+    * concatenates the same way). One hash aggregation over the
+    * long-field rows only — keyed (id, field, ts), no wider shuffle
+    * than the segment stage already pays. The reassembled frame is
+    * materialized ONCE (unlike the raw-activity scans, where every
+    * caching variant measured slower): a union with a hash
+    * aggregation that four consumers would otherwise re-execute —
+    * the d11 band-frame precedent. Measured 2.2 -> 1.6 s for b1 at
+    * sf0.1. */
+  private def reassembleLongFields(activity: DataFrame,
+      longFields: Seq[String]): DataFrame = {
+    val actCols = Seq("id", "ts", "modified_by", "field",
+      "old_value", "new_value")
+    if (longFields.isEmpty) activity else {
+      val seqCol = if (activity.columns.contains("seq")) col("seq")
+        else lit(0L)
+      val base = activity.withColumn("_seq", seqCol.cast("long"))
+      def joined(c: String) = concat_ws("", transform(
+        array_sort(collect_list(struct(col("_seq").as("s"),
+          col(c).as("v")))), x => x.getField("v")))
+      val merged = base.filter(col("field").isin(longFields: _*))
+        .groupBy("id", "field", "ts")
+        .agg(min_by(col("modified_by"), col("_seq")).as("modified_by"),
+          joined("old_value").as("old_value"),
+          joined("new_value").as("new_value"))
+      base.filter(!col("field").isin(longFields: _*))
+        .select(actCols.map(col): _*)
+        .union(merged.select(actCols.map(col): _*))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** The version timeline: distinct activity times (+ creation) with
+    * expiry chaining and a version rank per entity
+    * (parse_bug_history.py:514). Plain single-window path when
+    * `segBounds` is None; SEGMENT FOLD (r13 verdict #1) otherwise —
+    * lead/row_number inside each (id, seg) slice; across the cut,
+    * expires_on = the next non-empty segment's first ts and version =
+    * within-segment rank + the prefix-summed earlier-segment counts
+    * (the c6 bucket-spine device on the |entities × K|-row seg
+    * frame). Rows are distinct (id, ts) and segments are contiguous
+    * ts ranges, so the stitched result ≡ the monolithic window. The
+    * folded frame is materialized ONCE (three consumers — the singles
+    * cross-join frame, the membership probes, the final assemble —
+    * would each re-run the folded timeline); the PLAIN path stays
+    * uncheckpointed (the measured history-DAG rule: cache boundaries
+    * lose there). */
+  private[operators] def versionFrame(act: DataFrame, current: DataFrame,
+      segBounds: Option[DataFrame]): DataFrame = {
+    val timeline = act.select(col("id"), col("ts"))
+      .union(current.select(col("id"), col("created_ts").as("ts")))
+      .distinct()
+    segBounds match {
+      case None =>
+        val wV = Window.partitionBy("id").orderBy("ts")
+        timeline
+          .withColumn("expires_on",
+            coalesce(lead("ts", 1).over(wV), lit(MaxTimestamp)))
+          .withColumn("version", row_number().over(wV).cast("long"))
+      case Some(b) =>
+        val segged = SegmentFold.withSeg(timeline, b, "id", "ts")
+        val wV = Window.partitionBy("id", "seg").orderBy("ts")
+        val inner = segged
+          .withColumn("lead_in", lead("ts", 1).over(wV))
+          .withColumn("rn", row_number().over(wV).cast("long"))
+        val wS = Window.partitionBy("id").orderBy("seg")
+        val meta = segged.groupBy("id", "seg")
+          .agg(count(lit(1)).as("cnt"), min("ts").as("first_ts"))
+          .withColumn("next_first", lead("first_ts", 1).over(wS))
+          .withColumn("offset", coalesce(sum("cnt").over(
+            wS.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("id", "seg", "next_first", "offset")
+        inner.join(meta, Seq("id", "seg"))
+          .withColumn("expires_on", coalesce(col("lead_in"),
+            col("next_first"), lit(MaxTimestamp)))
+          .withColumn("version", col("offset") + col("rn"))
+          .select(col("id"), col("ts"), col("expires_on"), col("version"))
+          .localCheckpoint(true)
+    }
+  }
+
+  /** Backward-anchored multi-value PRESENCE intervals in ts space —
+    * (id, field, item, start_ts, end_ts), half-open, disjoint per
+    * key, same-start degenerates collapsed to max(end) so an as-of
+    * lookup's right side is unique (parse_bug_history.py:816
+    * addValues / :848 removeValues; semantics documented at the
+    * reconstruct call site). start_ts = Long.MinValue marks
+    * presence since history start. */
+  private[operators] def presenceIntervals(act: DataFrame,
+      current: DataFrame, multiFields: Seq[String]): DataFrame = {
+    val NEG = Long.MinValue
+    val mchg = act.filter(col("field").isin(multiFields: _*))
+    val ev = mchg.select(col("id"), col("field"), col("ts"),
+        explode(split(col("new_value"), ",\\s*")).as("item"), lit(1).as("delta"))
+      .union(mchg.select(col("id"), col("field"), col("ts"),
+        explode(split(col("old_value"), ",\\s*")).as("item"), lit(-1).as("delta")))
+      .filter(col("item") =!= "")
+    val wI = Window.partitionBy("id", "field", "item").orderBy("ts", "delta")
+    val currentMembers = current.select(col("id"),
+        explode(array(multiFields.map(f =>
+          struct(lit(f).as("field"), col(f).cast("array<string>").as("items"))): _*))
+          .as("fv"))
+      .select(col("id"), col("fv.field"), explode(col("fv.items")).as("item"))
+    // a remove event ⇒ present over [previous event, the remove)
+    val removalSpans = ev
+      .withColumn("prev_ts", lag("ts", 1).over(wI))
+      .filter(col("delta") === -1)
+      .select(col("id"), col("field"), col("item"),
+        coalesce(col("prev_ts"), lit(NEG)).as("start_ts"),
+        col("ts").as("end_ts"))
+    // newest segment ⇒ present iff the item is in the current row
+    val lastEv = ev
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id", "field", "item")
+          .orderBy(col("ts").desc, col("delta").desc)))
+      .filter(col("rn") === 1)
+    val tailSpans = lastEv
+      .join(currentMembers, Seq("id", "field", "item"), "left_semi")
+      .select(col("id"), col("field"), col("item"),
+        col("ts").as("start_ts"), lit(MaxTimestamp).as("end_ts"))
+    // current items with no activity at all: present forever
+    val evKeys = ev.select("id", "field", "item").distinct()
+    val currentOnly = currentMembers
+      .join(evKeys, Seq("id", "field", "item"), "left_anti")
+      .select(col("id"), col("field"), col("item"),
+        lit(NEG).as("start_ts"), lit(MaxTimestamp).as("end_ts"))
+    removalSpans.union(tailSpans).union(currentOnly)
+      .groupBy("id", "field", "item", "start_ts")
+      .agg(max("end_ts").as("end_ts"))
+  }
+
+  /** B1's membership stage with RUN-LENGTH output (r14 verdict #7):
+    * (id, field, item, from_version, to_version) — the item is
+    * present for every version v with `from_version <= v <
+    * to_version` (to_version null = present through the newest
+    * version). The registered b1 form materializes versions × live
+    * items (the answer's own cells — 75-80 s of the 10×-whale's
+    * ~90 s wall is THIS output); a consumer that wants CHANGES pays
+    * only O(membership churn) here: the same presence intervals,
+    * mapped from ts space to version ranks by two as-of merge scans
+    * against the version timeline (first version at-or-after each
+    * bound — the negated-ts trick reuses the latest-at-or-before
+    * native operator). [[BugHistorySpec]] proves exploding this over
+    * the version frame reproduces the full form's exploded arrays
+    * bit-for-bit. Same gate surface as [[reconstruct]]: longFields
+    * reassembly and the segment-fold bounds apply to the timeline. */
+  def membershipIntervals(current: DataFrame, activity: DataFrame,
+      multiFields: Seq[String], longFields: Seq[String] = Nil,
+      segBounds: Option[DataFrame] = None): DataFrame = {
+    val act = reassembleLongFields(activity, longFields)
+    val versions = versionFrame(act, current, segBounds)
+      .localCheckpoint(true) // two as-of consumers below
+    val ivals = presenceIntervals(act, current, multiFields)
+    // first version with ts >= bound == latest (-ts) <= (-bound):
+    // the native as-of join, negated. Every finite bound is an
+    // activity ts and therefore ON the timeline; NEG (pre-history)
+    // nulls through the join and coalesces to version 1, and
+    // MaxTimestamp end bounds (open tails) stay null = open-ended.
+    def versionAt(df: DataFrame, bound: String, out: String): DataFrame = {
+      // a FRESH right side per lookup: the two as-of scans may not
+      // share one plan instance (self-join attribute collision)
+      val vneg = versions.select(col("id").as("v_id"),
+        (-col("ts")).as("v_nts"), col("version").as(out))
+      val probed = df.withColumn("_nts",
+        when(col(bound) === Long.MinValue || col(bound) === MaxTimestamp,
+          lit(null).cast("long")).otherwise(-col(bound)))
+      AsOf.join(probed, vneg, Seq("id"), Seq("v_id"), "_nts", "v_nts")
+        .drop("_nts", "v_nts", "v_id")
+    }
+    val withFrom = versionAt(ivals, "start_ts", "from_version")
+      .withColumn("from_version",
+        when(col("start_ts") === Long.MinValue, lit(1L))
+          .otherwise(col("from_version")))
+    versionAt(withFrom, "end_ts", "to_version")
+      .select(col("id"), col("field"), col("item"),
+        col("from_version"), col("to_version"))
   }
 
   /** Nest sub-entity version histories into parent versions — the

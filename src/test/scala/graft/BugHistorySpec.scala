@@ -248,6 +248,48 @@ class BugHistorySpec extends AnyFunSuite {
     assert(!forced.get.filter($"seg_id" === 1L).isEmpty)
   }
 
+  test("membershipIntervals (r14 #7): the run-length form explodes to " +
+      "the full form's membership arrays — fixture, corpus, and " +
+      "forced-fold paths") {
+    def check(cur: org.apache.spark.sql.DataFrame,
+        act: org.apache.spark.sql.DataFrame, multi: Seq[String],
+        longFields: Seq[String],
+        segB: Option[org.apache.spark.sql.DataFrame],
+        full: org.apache.spark.sql.DataFrame): Unit = {
+      val iv = operators.BugHistory.membershipIntervals(
+        cur, act, multi, longFields, segB)
+      val exploded = iv
+        .join(full.select(col("id"), col("version")), Seq("id"))
+        .filter(col("version") >= col("from_version") &&
+          (col("to_version").isNull || col("version") < col("to_version")))
+        .select(col("id"), col("version"), col("item"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      val reference = multi.flatMap { f =>
+        full.select(col("id"), col("version"), explode(col(f)).as("item"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      }.toSet
+      assert(exploded == reference)
+      assert(reference.nonEmpty, "fixture produced no membership cells")
+    }
+    // fixture (covers pre-history removal, tail presence, no-activity)
+    check(current, activity, Seq("cc"), Nil, None, result)
+    // fixture under a FORCED fold (timeline routed through segments)
+    val b = operators.SegmentFold.boundsFor(
+      activity.select(col("id"), col("ts")), "id", "ts", 2L)
+    assert(b.nonEmpty)
+    check(current, activity, Seq("cc"), Nil, b,
+      operators.BugHistory.reconstruct(current, activity,
+        Seq("status", "assignee"), Seq("cc"), segBounds = b))
+    // the b1 driver corpus shaping (longFields + real churn)
+    val (cur, act, segB) = operators.HistoryDriver.b1Parts(
+      spark, SparkTest.sf)
+    check(cur, act, Seq("cc"), Seq("summary"), segB,
+      operators.BugHistory.reconstruct(cur, act,
+        Seq("status", "owner", "summary"), Seq("cc"),
+        longFields = Seq("summary"), segBounds = segB))
+  }
+
   test("b1/b2 under a FORCED segment threshold ≡ the registered plain " +
       "path end-to-end (the gate the driver's oracle scales keep off)") {
     val plain1 = operators.HistoryDriver.b1BugHistory(spark, SparkTest.sf)
