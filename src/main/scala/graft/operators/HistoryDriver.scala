@@ -36,6 +36,38 @@ object HistoryDriver {
     * attachments keyed (user, k%10) whose `size` field changes per
     * purchase; each bug version reports its nested attachment state. */
   def b2NestedHistory(s: SparkSession, d: String): DataFrame = {
+    val (parents, subVersions) = b2Parts(s, d)
+    val nested = BugHistory.nestSubEntities(parents, subVersions,
+      Seq("size", "is_patch_raw", "mimetype"))
+    // normalize() INSIDE the nested docs (transform_bugzilla.py:62-70):
+    // attachments_is{patch,obsolete,private} flags are int-coerced
+    // (value2int) and mimetype is renamed/carried unchanged — applied
+    // per nested attachment, not on the flat row
+    val norm = nested.withColumn("sub_entities",
+      transform(col("sub_entities"), a => struct(
+        a.getField("subId").as("subId"),
+        a.getField("size").as("size"),
+        a.getField("is_patch_raw").cast("int").as("is_patch"),
+        a.getField("mimetype").as("mimetype"))))
+    norm
+      .select(col("id"), col("version"), col("valid_from"), col("expires_on"),
+        col("status"),
+        size(coalesce(col("sub_entities"), array().cast(
+          "array<struct<subId:string,size:string,is_patch:int,mimetype:string>>")))
+          .cast("long").as("n_atts"),
+        // aggregates over the NORMALIZED nested values, so the oracle
+        // (which re-derives them independently) checks the coercion
+        coalesce(aggregate(col("sub_entities"), lit(0L),
+          (acc, a) => acc + a.getField("is_patch")), lit(0L)).as("n_patch"),
+        array_min(transform(col("sub_entities"), a => a.getField("mimetype")))
+          .as("mime_min"))
+      .orderBy("id", "version")
+  }
+
+  /** b2's composition stages — (parents, subVersions) — exposed for
+    * the nest-stage decomposition probe (r15 verdict #3). */
+  private[graft] def b2Parts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     // Deliberately NO .cache() anywhere in this DAG, although parents
     // and the purchase shaping each feed two consumers: measured at
     // sf0.1, every caching variant (parents+pur, reconstruct
@@ -81,31 +113,7 @@ object HistoryDriver {
       .withColumn("mimetype",
         when(col("subId").cast("long") % 2 === 0, lit("text/plain"))
           .otherwise(lit("image/png")))
-    val nested = BugHistory.nestSubEntities(parents, subVersions,
-      Seq("size", "is_patch_raw", "mimetype"))
-    // normalize() INSIDE the nested docs (transform_bugzilla.py:62-70):
-    // attachments_is{patch,obsolete,private} flags are int-coerced
-    // (value2int) and mimetype is renamed/carried unchanged — applied
-    // per nested attachment, not on the flat row
-    val norm = nested.withColumn("sub_entities",
-      transform(col("sub_entities"), a => struct(
-        a.getField("subId").as("subId"),
-        a.getField("size").as("size"),
-        a.getField("is_patch_raw").cast("int").as("is_patch"),
-        a.getField("mimetype").as("mimetype"))))
-    norm
-      .select(col("id"), col("version"), col("valid_from"), col("expires_on"),
-        col("status"),
-        size(coalesce(col("sub_entities"), array().cast(
-          "array<struct<subId:string,size:string,is_patch:int,mimetype:string>>")))
-          .cast("long").as("n_atts"),
-        // aggregates over the NORMALIZED nested values, so the oracle
-        // (which re-derives them independently) checks the coercion
-        coalesce(aggregate(col("sub_entities"), lit(0L),
-          (acc, a) => acc + a.getField("is_patch")), lit(0L)).as("n_patch"),
-        array_min(transform(col("sub_entities"), a => a.getField("mimetype")))
-          .as("mime_min"))
-      .orderBy("id", "version")
+    (parents, subVersions)
   }
 
   def b1BugHistory(s: SparkSession, d: String): DataFrame =

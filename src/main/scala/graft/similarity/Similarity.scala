@@ -1210,17 +1210,20 @@ object Similarity {
       .localCheckpoint(true)
     var expanded = visited.select("q_id", "c_id").limit(0)
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
-      val frontier = visited
+    // same conf-gated round fusion as the hierarchical walk (r15
+    // verdict #6 — see s16Walk)
+    val cpEvery = math.max(1, q.sparkSession.conf
+      .getOption("spark.graft.walk.cpEvery").map(_.toInt).getOrElse(1))
+    for (r <- 1 to rounds) {
+      val cp = r % cpEvery == 0 || r == rounds
+      val frontier = maybeCp(visited
         .join(expanded, Seq("q_id", "c_id"), "left_anti")
         .withColumn("rk", row_number().over(byQuery))
         .filter(col("rk") <= beam)
-        .select("q_id", "c_id")
-        .localCheckpoint(true)
-      expanded = expanded.union(frontier).localCheckpoint(true)
-      visited = visited
-        .union(expandFrontier(frontier, visited, graph, q, cv))
-        .localCheckpoint(true)
+        .select("q_id", "c_id"), cp)
+      expanded = maybeCp(expanded.union(frontier), cp)
+      visited = maybeCp(visited
+        .union(expandFrontier(frontier, visited, graph, q, cv)), cp)
     }
     visited
       .withColumn("rank", row_number().over(byQuery).cast("long"))
@@ -1732,23 +1735,30 @@ object Similarity {
     var visited = cur
     var expanded = cur.select("q_id", "c_id", "lane").limit(0)
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    // r15 (verdict #6): the stored walk's 1× wall is the eager
+    // checkpoint JOBS — |Q|-proportional, three per round. cpEvery=N
+    // fuses N rounds into one lazy plan before materializing (the
+    // fused span re-executes its subtree ~3× per skipped round);
+    // conf-gated so the A/B (PROBE_WALKCP) is a one-flag measure and
+    // the registered form changes only if the measurement wins.
+    val cpEvery = math.max(1, s.conf
+      .getOption("spark.graft.walk.cpEvery").map(_.toInt).getOrElse(1))
+    for (r <- 1 to rounds) {
+      val cp = r % cpEvery == 0 || r == rounds
       // frontier checkpoints (3 consumers: expanded's union, the
       // graph expansion, and — via expanded — every later round's
       // anti-join; leaving either lazy re-derives the window chain
-      // and measured 4 s slower at 1×)
-      val frontier = visited
+      // and measured 4 s slower at 1× under cpEvery=1)
+      val frontier = maybeCp(visited
         .join(expanded, Seq("q_id", "c_id", "lane"), "left_anti")
         .withColumn("rk", row_number().over(byLane))
         .join(quotas, Seq("q_id", "lane"))
         .filter(col("rk") <= col("quota"))
-        .select("q_id", "c_id", "cos3", "lane")
-        .localCheckpoint(true)
-      expanded = expanded.union(frontier.select("q_id", "c_id", "lane"))
-        .localCheckpoint(true)
-      visited = visited
-        .union(laneExpand(frontier, visited, g0, q, cv))
-        .localCheckpoint(true)
+        .select("q_id", "c_id", "cos3", "lane"), cp)
+      expanded = maybeCp(
+        expanded.union(frontier.select("q_id", "c_id", "lane")), cp)
+      visited = maybeCp(
+        visited.union(laneExpand(frontier, visited, g0, q, cv)), cp)
     }
     visited
       .select("q_id", "c_id", "cos3").distinct()
@@ -1757,6 +1767,9 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id"), col("cos3").as("cos"))
       .orderBy("q_id", "rank")
   }
+
+  private def maybeCp(df: DataFrame, doIt: Boolean): DataFrame =
+    if (doIt) df.localCheckpoint(true) else df
 
   /** One lane-walk round: expand EVERY row of `frontier` through the
     * graph's neighbor lists, keep candidates UNSEEN in their own

@@ -166,6 +166,28 @@ object Probe {
                 get_json_object(col("props"), "$.k").as("item"))
               .as[graft.streaming.ConsistencyMonitor.MvOp]).toDF()
         }
+        // FOLDED per-batch forms (r14 verdict #1): the distributed
+        // pre-fold replaces the flatMapGroupsWithState per-group heap
+        // buffer — the whale batch runs through spillable entity
+        // windows (segment-folded), so these rows complete at a small
+        // heap (run the probe JVM at -Xmx4g) where the stateful rows
+        // above need the whale batch resident per task
+        val esfRoot = probeRoot("graft_esf_probe")
+        val evB = Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        time(s"versionFold ${m}x one-batch") {
+          graft.streaming.EventStreamFold
+            .versionStep(s"$esfRoot/v$m", 0L, evB).count()
+        }
+        time(s"sessionFold ${m}x one-batch") {
+          graft.streaming.EventStreamFold
+            .sessionStep(s"$esfRoot/s$m", 0L, evB).count()
+        }
+        time(s"privacyFold ${m}x one-batch") {
+          graft.streaming.EventStreamFold
+            .privacyStep(s"$esfRoot/p$m", 0L, evB).count()
+        }
       }
       spark.stop(); return
     }
@@ -190,10 +212,67 @@ object Probe {
         time(s"multis only #$i") {
           ex(BugHistory.reconstruct(current, activity, Nil, Seq("cc"),
             Seq("summary"), segB)) }
+        // r15 (verdict #7): the run-length membership variant — same
+        // presence intervals, O(churn) output instead of the full
+        // form's versions × live items cells
+        time(s"multis INTERVAL variant #$i") {
+          ex(BugHistory.membershipIntervals(current, activity,
+            Seq("cc"), Seq("summary"), segB)) }
         time(s"full #$i") {
           ex(BugHistory.reconstruct(current, activity,
             Seq("status", "owner", "summary"), Seq("cc"),
             Seq("summary"), segB)) }
+      }
+      spark.stop(); return
+    }
+
+    // b2 NEST-stage decomposition (r15, verdict #3): attribute b2's
+    // wall between its three composition stages — the b1 parent
+    // reconstruct, the sub-entity reconstruct (cid-keyed, own fold
+    // gate), and the nest itself (as-of merge scan + sorted struct
+    // collect) — on SPARK_GRAFT_SF_DIR (point it at a whale corpus
+    // for the ladder row).
+    if (sys.env.get("PROBE_B2DECOMP").contains("1")) {
+      import graft.operators.{BugHistory, HistoryDriver}
+      Tables.events(spark, d).count()
+      def ex(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.executedPlan.execute().count()
+      (1 to 2).foreach { i =>
+        val (parents, subVersions) = HistoryDriver.b2Parts(spark, d)
+        time(s"parents (b1 versions) #$i") { ex(parents) }
+        time(s"subVersions #$i") { ex(subVersions) }
+        // nest in ISOLATION: both inputs pre-materialized, so the
+        // timed region is the as-of expansion + struct collect only
+        val pC = parents.localCheckpoint(true)
+        val sC = subVersions.localCheckpoint(true)
+        time(s"nest only (as-of + collect) #$i") {
+          ex(BugHistory.nestSubEntities(pC, sC,
+            Seq("size", "is_patch_raw", "mimetype"))) }
+        time(s"b2 full #$i") {
+          ex(graft.SparkEntry.queries("b2_nested_history")(spark, d)) }
+      }
+      spark.stop(); return
+    }
+
+    // walk checkpoint-fusion A/B (r15, verdict #6): the stored
+    // hierarchical walks spend their 1× wall on per-round eager
+    // checkpoint jobs. PROBE_WALKCP="1,2" times the registered
+    // s16/x5/s15-family walks at each cpEvery (1 = the shipped
+    // per-round policy, N = fuse N rounds lazily before
+    // materializing). Ship a default change ONLY if measured faster.
+    sys.env.get("PROBE_WALKCP").foreach { ns =>
+      Tables.embeddings(spark, d).count()
+      def run(q: String): Long = graft.SparkEntry.queries(q)(spark, d)
+        .queryExecution.executedPlan.execute().count()
+      Seq("s16_hnsw", "x5_survivor_hnsw", "s15_graph_search",
+        "x2_dedup_index").foreach { q =>
+        run(q) // ensure-build + warm outside the timed region
+        ns.split(",").map(_.trim).foreach { n =>
+          spark.conf.set("spark.graft.walk.cpEvery", n)
+          time(s"$q cpEvery=$n run1") { run(q) }
+          time(s"$q cpEvery=$n run2") { run(q) }
+        }
+        spark.conf.unset("spark.graft.walk.cpEvery")
       }
       spark.stop(); return
     }
