@@ -120,6 +120,15 @@ object SparkEntry {
     // run_both_etl) as one registered query — reconstruct → nest →
     // normalize → ES bulk wire lines, bugs + comments streams
     "b5_full_etl" -> (graft.etl.FullEtl.b5FullEtl _),
+    // r15 (verdict #7): b1's membership stage with RUN-LENGTH output —
+    // (item, from_version, to_version) presence runs, O(churn) not
+    // versions × live items
+    "b6_membership_intervals" -> ((s: SparkSession, d: String) => {
+      val (cur, act, segB) = operators.HistoryDriver.b1Parts(s, d)
+      operators.BugHistory.membershipIntervals(cur, act, Seq("cc"),
+          Seq("summary"), segB)
+        .orderBy("id", "item", "from_version")
+    }),
     "t10_line_filter" -> ((s: SparkSession, d: String) =>
       graft.text.TextAnalysis.t10LineFilter(s, d)),
     "t13_boilerplate" -> ((s: SparkSession, d: String) =>
@@ -1953,6 +1962,22 @@ object SparkEntry {
         |LEFT JOIN sv ON v.id = sv.id AND v.ts = sv.ts
         |LEFT JOIN natt ON v.id = natt.id AND v.ts = natt.ts
         |ORDER BY v.id, v.version""".stripMargin),
+    // the run-length membership form: the b1 chain's presence
+    // intervals mapped to version ranks (first version at-or-after
+    // each bound; pre-history starts -> version 1, open tails null)
+    "b6_membership_intervals" -> (bugHistoryCte +
+      """ivals AS (
+        |  SELECT id, item, start_ts, max(end_ts) AS end_ts
+        |  FROM intervals GROUP BY 1, 2, 3)
+        |SELECT i.id, 'cc' AS field, i.item,
+        |  CASE WHEN i.start_ts = -9223372036854775808
+        |    THEN CAST(1 AS BIGINT)
+        |    ELSE min(CASE WHEN v.ts >= i.start_ts THEN v.version END)
+        |  END AS from_version,
+        |  min(CASE WHEN v.ts >= i.end_ts THEN v.version END) AS to_version
+        |FROM ivals i JOIN versions v ON v.id = i.id
+        |GROUP BY i.id, i.item, i.start_ts, i.end_ts
+        |ORDER BY i.id, i.item, from_version""".stripMargin),
     // the end-to-end ETL: the b2 CTE chain rendered as ES bulk wire
     // payloads (action line + source line, chr(10)-joined) plus the
     // c2 comment stream's payloads — field order, null renderings,
