@@ -41,6 +41,50 @@ import org.apache.spark.sql.functions._
   */
 object ProbeGen {
 
+  /** The shared probe MEASUREMENT KIT (r13 #7 / r15 #5): timing,
+    * plan-executing counts, recall, waves, temp roots — the helpers
+    * every campaign uses, defined ONCE so a campaign in
+    * [[graft.tools.Probe]] is a row over these, not a re-implemented
+    * block. */
+  def time[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  /** executedPlan.execute().count(), NOT df.count(): a bare count
+    * lets Catalyst PRUNE windows that don't change row count (h1/h11
+    * timed vacuously — the whale's single-task sort never ran);
+    * executing the final plan pays every column. */
+  def planCount(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.executedPlan.execute().count()
+
+  /** A registered query, full-plan executed. */
+  def runQ(s: org.apache.spark.sql.SparkSession, dir: String,
+      q: String): Long = planCount(graft.SparkEntry.queries(q)(s, dir))
+
+  /** The cold-then-warm timing pair every wall table reports. */
+  def coldWarm(name: String)(f: => Long): Unit = {
+    time(s"$name cold") { f }; time(s"$name warm") { f }
+    ()
+  }
+
+  /** recall@k of `df`'s (q_id, c_id) rows against an exact truth
+    * frame of the same shape. */
+  def recallOf(exact: org.apache.spark.sql.DataFrame,
+      df: org.apache.spark.sql.DataFrame): Double =
+    exact.join(df.select("q_id", "c_id"), Seq("q_id", "c_id"),
+      "left_semi").count().toDouble / exact.count()
+
+  /** Replica-index wave split (whaleEvents/main shift ids by 10M per
+    * replica). */
+  def waveOf(df: org.apache.spark.sql.DataFrame, idCol: String,
+      w: Int, waves: Int = 3): org.apache.spark.sql.DataFrame =
+    df.filter(expr(s"($idCol div 10000000) % $waves = $w"))
+
+  def probeRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
   /** Build-if-absent WHALE events corpus at `m` × sf0.1's 100k rows
     * with ONE entity holding 20% of every corpus — the PROBE_ETLSKEW
     * churn-skew protocol (sf0.1's own max entity is 99 rows; organic

@@ -14,11 +14,8 @@ object Probe {
     val spark = GraftSession.local()
     val cpusStr = GraftSession.cpus
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    def time[A](name: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
-      r
-    }
+    import graft.ProbeGen.{time, planCount, runQ, coldWarm, recallOf,
+      waveOf, probeRoot}
     // r11 (VERDICT #4): recall FLOORS as probe-mode assertions — a
     // graph/atlas change that silently costs recall now FAILS the
     // probe run loudly, the way plan contracts guard shuffles.
@@ -35,26 +32,21 @@ object Probe {
         require(r >= f,
           f"recall floor broken: $name measured $r%.3f < floor $f%.2f")
       }
-    // shared wave/corpus helpers (r13 verdict #7 — one parameterized
-    // set instead of a per-campaign copy): replica-index wave split
-    // (ProbeGen shifts ids by 10M per replica) and a temp probe root
-    def probeRoot(tag: String): String =
-      java.nio.file.Files.createTempDirectory(tag).toString
-    def waveOf(df: org.apache.spark.sql.DataFrame, idCol: String,
-        w: Int, waves: Int = 3): org.apache.spark.sql.DataFrame =
-      df.filter(expr(s"($idCol div 10000000) % $waves = $w"))
+    // the recall wall row every walk campaign prints (label suffix is
+    // the only per-campaign variation); floors apply when set
+    def recallRow(exact: org.apache.spark.sql.DataFrame, suffix: String)(
+        name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val r = time(s"$name run") { recallOf(exact, df) }
+      println(f"[probe]   $name $suffix: $r%.2f")
+      assertFloor(name, r)
+    }
     // generic mode: PROBE_QUERIES=name1,name2 times each registered
     // query (cold, then warm) on SPARK_GRAFT_SF_DIR
     sys.env.get("PROBE_QUERIES").foreach { qs =>
       Tables.documents(spark, d).count()
       Tables.embeddings(spark, d).count()
       qs.split(",").foreach { name =>
-        time(s"$name cold") {
-          graft.SparkEntry.queries(name)(spark, d).count()
-        }
-        time(s"$name warm") {
-          graft.SparkEntry.queries(name)(spark, d).count()
-        }
+        coldWarm(name) { graft.SparkEntry.queries(name)(spark, d).count() }
       }
       spark.stop(); return
     }
@@ -72,21 +64,12 @@ object Probe {
       ms.split(",").map(_.trim.toInt).foreach { m =>
         val dir = graft.ProbeGen.whaleEvents(spark, m)
         Tables.events(spark, dir).count() // warm listing/footer cache
-        // executedPlan.execute().count(), NOT df.count(): a bare
-        // count lets Catalyst PRUNE windows that don't change row
-        // count (h1/h11 timed vacuously — the whale's single-task
-        // sort never ran); executing the final plan pays every column
-        def full(q: String): Long = graft.SparkEntry.queries(q)(
-          spark, dir).queryExecution.executedPlan.execute().count()
         val qs = sys.env.get("PROBE_ETLSKEW_QUERIES")
           .map(_.split(",").map(_.trim).toSeq)
           .getOrElse(Seq("h1_snapshot_history", "h11_sessionize",
             "b1_bug_history", "b2_nested_history",
             "b4_consistency_report"))
-        qs.foreach { q =>
-          time(s"$q ${m}x cold") { full(q) }
-          time(s"$q ${m}x warm") { full(q) }
-        }
+        qs.foreach(q => coldWarm(s"$q ${m}x") { runQ(spark, dir, q) })
       }
       spark.stop(); return
     }
@@ -110,12 +93,9 @@ object Probe {
       ms.split(",").map(_.trim.toInt).foreach { m =>
         val dir = graft.ProbeGen.whaleEvents(spark, m)
         Tables.events(spark, dir).count()
-        if (!sys.env.contains("PROBE_STREAMSKEW_SKIP_B3")) {
-          def b3(): Long = graft.SparkEntry.queries("b3_diff_history")(
-            spark, dir).queryExecution.executedPlan.execute().count()
-          time(s"b3 registered ${m}x cold") { b3() }
-          time(s"b3 registered ${m}x warm") { b3() }
-        }
+        if (!sys.env.contains("PROBE_STREAMSKEW_SKIP_B3"))
+          coldWarm(s"b3 registered ${m}x") {
+            runQ(spark, dir, "b3_diff_history") }
         // bounded-story replay: same row volume, constant story size
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("id").orderBy("ts", "event_id")
@@ -204,8 +184,7 @@ object Probe {
       import graft.operators.{BugHistory, HistoryDriver}
       Tables.events(spark, d).count()
       val (current, activity, segB) = HistoryDriver.b1Parts(spark, d)
-      def ex(df: org.apache.spark.sql.DataFrame) =
-        df.queryExecution.executedPlan.execute().count()
+      def ex(df: org.apache.spark.sql.DataFrame) = planCount(df)
       (1 to 2).foreach { i =>
         time(s"shaping (activity count) #$i") { activity.count() }
         time(s"timeline+changes only #$i") {
@@ -240,21 +219,18 @@ object Probe {
     if (sys.env.get("PROBE_B2DECOMP").contains("1")) {
       import graft.operators.{BugHistory, HistoryDriver}
       Tables.events(spark, d).count()
-      def ex(df: org.apache.spark.sql.DataFrame) =
-        df.queryExecution.executedPlan.execute().count()
       (1 to 2).foreach { i =>
         val (parents, subVersions) = HistoryDriver.b2Parts(spark, d)
-        time(s"parents (b1 versions) #$i") { ex(parents) }
-        time(s"subVersions #$i") { ex(subVersions) }
+        time(s"parents (b1 versions) #$i") { planCount(parents) }
+        time(s"subVersions #$i") { planCount(subVersions) }
         // nest in ISOLATION: both inputs pre-materialized, so the
         // timed region is the as-of expansion + struct collect only
         val pC = parents.localCheckpoint(true)
         val sC = subVersions.localCheckpoint(true)
         time(s"nest only (as-of + collect) #$i") {
-          ex(BugHistory.nestSubEntities(pC, sC,
+          planCount(BugHistory.nestSubEntities(pC, sC,
             Seq("size", "is_patch_raw", "mimetype"))) }
-        time(s"b2 full #$i") {
-          ex(graft.SparkEntry.queries("b2_nested_history")(spark, d)) }
+        time(s"b2 full #$i") { runQ(spark, d, "b2_nested_history") }
       }
       spark.stop(); return
     }
@@ -267,15 +243,13 @@ object Probe {
     // materializing). Ship a default change ONLY if measured faster.
     sys.env.get("PROBE_WALKCP").foreach { ns =>
       Tables.embeddings(spark, d).count()
-      def run(q: String): Long = graft.SparkEntry.queries(q)(spark, d)
-        .queryExecution.executedPlan.execute().count()
       Seq("s16_hnsw", "x5_survivor_hnsw", "s15_graph_search",
         "x2_dedup_index").foreach { q =>
-        run(q) // ensure-build + warm outside the timed region
+        runQ(spark, d, q) // ensure-build + warm outside the timed region
         ns.split(",").map(_.trim).foreach { n =>
           spark.conf.set("spark.graft.walk.cpEvery", n)
-          time(s"$q cpEvery=$n run1") { run(q) }
-          time(s"$q cpEvery=$n run2") { run(q) }
+          time(s"$q cpEvery=$n run1") { runQ(spark, d, q) }
+          time(s"$q cpEvery=$n run2") { runQ(spark, d, q) }
         }
         spark.conf.unset("spark.graft.walk.cpEvery")
       }
@@ -474,18 +448,10 @@ object Probe {
       }
       Seq(97L * 64, Long.MaxValue).foreach { qb =>
         val tag = if (qb == Long.MaxValue) "all" else "64"
-        time(s"inline arm |Q|=$tag cold") {
-          graft.text.TextAnalysis.t12Bm25(spark, d, 20, qb).count()
-        }
-        time(s"inline arm |Q|=$tag warm") {
-          graft.text.TextAnalysis.t12Bm25(spark, d, 20, qb).count()
-        }
-        time(s"stored arm |Q|=$tag cold") {
-          Similarity.t12Bm25Stored(spark, d, 20, qb).count()
-        }
-        time(s"stored arm |Q|=$tag warm") {
-          Similarity.t12Bm25Stored(spark, d, 20, qb).count()
-        }
+        coldWarm(s"inline arm |Q|=$tag") {
+          graft.text.TextAnalysis.t12Bm25(spark, d, 20, qb).count() }
+        coldWarm(s"stored arm |Q|=$tag") {
+          Similarity.t12Bm25Stored(spark, d, 20, qb).count() }
       }
       spark.stop(); return
     }
@@ -595,23 +561,14 @@ object Probe {
       Tables.documents(spark, d).count()
       val docs = Tables.documents(spark, d)
       if (mode == "0") {
-        time("d2 pairs FIXED width cold") {
-          Dedup.minhashPairs(docs, extraRows = 0).count()
-        }
-        time("d2 pairs FIXED width warm") {
-          Dedup.minhashPairs(docs, extraRows = 0).count()
-        }
+        coldWarm("d2 pairs FIXED width") {
+          Dedup.minhashPairs(docs, extraRows = 0).count() }
         time("d17 chunk FIXED width cold") {
           Dedup.pairsFromBands(
             Dedup.mhBands(Dedup.chunkFrame(docs, 64, 48)), 0).count()
         }
       } else {
-        time("d2 pairs width-law cold") {
-          Dedup.minhashPairs(docs).count()
-        }
-        time("d2 pairs width-law warm") {
-          Dedup.minhashPairs(docs).count()
-        }
+        coldWarm("d2 pairs width-law") { Dedup.minhashPairs(docs).count() }
         time("d17 chunk width-law cold") {
           Dedup.chunkDedupFrame(docs, 64, 48).count()
         }
@@ -625,20 +582,11 @@ object Probe {
     if (sys.env.get("PROBE_D5KNOB").exists(Set("1", "2"))) {
       Tables.embeddings(spark, d).count()
       val emb = Tables.embeddings(spark, d)
-      if (sys.env.get("PROBE_D5KNOB").contains("1")) {
-        time("d5 pairs (32, r=3) cold") {
-          graft.dedup.Dedup.embeddingPairsFrame(emb).count()
-        }
-        time("d5 pairs (32, r=3) warm") {
-          graft.dedup.Dedup.embeddingPairsFrame(emb).count()
-        }
-      }
-      time("d5 pairs (32, r=12) cold") {
-        graft.dedup.Dedup.embeddingPairsFrame(emb, 32, 12).count()
-      }
-      time("d5 pairs (32, r=12) warm") {
-        graft.dedup.Dedup.embeddingPairsFrame(emb, 32, 12).count()
-      }
+      if (sys.env.get("PROBE_D5KNOB").contains("1"))
+        coldWarm("d5 pairs (32, r=3)") {
+          graft.dedup.Dedup.embeddingPairsFrame(emb).count() }
+      coldWarm("d5 pairs (32, r=12)") {
+        graft.dedup.Dedup.embeddingPairsFrame(emb, 32, 12).count() }
       spark.stop(); return
     }
 
@@ -676,12 +624,8 @@ object Probe {
     // d12's cell-confined production form
     if (sys.env.get("PROBE_D12PROD").contains("1")) {
       Tables.embeddings(spark, d).count()
-      time("d12 prod (cells) cold") {
-        graft.dedup.Dedup.d12SemDedupProd(spark, d).count()
-      }
-      time("d12 prod (cells) warm") {
-        graft.dedup.Dedup.d12SemDedupProd(spark, d).count()
-      }
+      coldWarm("d12 prod (cells)") {
+        graft.dedup.Dedup.d12SemDedupProd(spark, d).count() }
       spark.stop(); return
     }
 
@@ -689,18 +633,10 @@ object Probe {
     if (sys.env.get("PROBE_PRODFORMS").contains("1")) {
       Tables.lineitem(spark, d).count()
       Tables.documents(spark, d).count()
-      time("o10 prod form cold") {
-        graft.operators.Sketches.o10QuantileSketchProd(spark, d).count()
-      }
-      time("o10 prod form warm") {
-        graft.operators.Sketches.o10QuantileSketchProd(spark, d).count()
-      }
-      time("o12 prod form cold") {
-        graft.operators.Sketches.o12SourceSimilarityProd(spark, d).count()
-      }
-      time("o12 prod form warm") {
-        graft.operators.Sketches.o12SourceSimilarityProd(spark, d).count()
-      }
+      coldWarm("o10 prod form") {
+        graft.operators.Sketches.o10QuantileSketchProd(spark, d).count() }
+      coldWarm("o12 prod form") {
+        graft.operators.Sketches.o12SourceSimilarityProd(spark, d).count() }
       spark.stop(); return
     }
 
@@ -759,8 +695,7 @@ object Probe {
         .select("q_id", "c_id").localCheckpoint(true)
       val nex = exact.count()
       def recall(df: org.apache.spark.sql.DataFrame): Double =
-        exact.join(df.select("q_id", "c_id"), Seq("q_id", "c_id"),
-          "left_semi").count().toDouble / nex
+        recallOf(exact, df)
       val pre = time("PRE-filter: graph on filtered corpus + walk") {
         val g = Similarity.searchGraphOn(evens, 16)
           .select("vec_id", "nbr").localCheckpoint(true)
@@ -888,15 +823,7 @@ object Probe {
       Tables.embeddings(spark, d).count()
       val exact = Similarity.s1AnnBruteForce(spark, d)
         .select(col("q_id"), col("c_id")).localCheckpoint(true)
-      def recall(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-        val r = time(s"$name run") {
-          exact.join(df.select("q_id", "c_id"),
-              Seq("q_id", "c_id"), "left_semi")
-            .count().toDouble / exact.count()
-        }
-        println(f"[probe]   $name recall@5 vs exact: $r%.2f")
-        assertFloor(name, r)
-      }
+      val recall = recallRow(exact, "recall@5 vs exact") _
       recall("s15", Similarity.s15GraphSearch(spark, d))
       recall("s16", Similarity.s16Hnsw(spark, d))
       recall("s2 (lsh tier)", Similarity.s2AnnLsh(spark, d))
@@ -981,14 +908,7 @@ object Probe {
       println(s"[probe]   survivors: $n1 of $n0")
       val exact = Similarity.s1AnnBruteForce(spark, outDir)
         .select("q_id", "c_id").localCheckpoint(true)
-      def recall(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-        val r = time(s"$name run") {
-          exact.join(df.select("q_id", "c_id"), Seq("q_id", "c_id"),
-            "left_semi").count().toDouble / exact.count()
-        }
-        println(f"[probe]   $name recall@5 vs exact-on-survivors: $r%.2f")
-        assertFloor(name, r)
-      }
+      val recall = recallRow(exact, "recall@5 vs exact-on-survivors") _
       recall("s2 seed tier", Similarity.s2AnnLsh(spark, outDir))
       recall("s15", Similarity.s15GraphSearch(spark, outDir))
       recall("s16", Similarity.s16Hnsw(spark, outDir))
@@ -1132,13 +1052,7 @@ object Probe {
       Tables.embeddings(spark, d).count()
       val exact = Similarity.s1AnnBruteForce(spark, d)
         .select("q_id", "c_id").localCheckpoint(true)
-      def recall(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-        val r = time(s"$name run") {
-          exact.join(df.select("q_id", "c_id"), Seq("q_id", "c_id"),
-            "left_semi").count().toDouble / exact.count()
-        }
-        println(f"[probe]   $name recall@5: $r%.2f")
-      }
+      val recall = recallRow(exact, "recall@5") _
       recall("s2 seed tier", Similarity.s2AnnLsh(spark, d))
       recall("s15 (ef, rounds=3)", Similarity.s15GraphSearch(spark, d))
       recall("s15 (ef, rounds=5)",
