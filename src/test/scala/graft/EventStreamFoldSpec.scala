@@ -289,6 +289,48 @@ class EventStreamFoldSpec extends AnyFunSuite {
     } finally spark.conf.unset(operators.SegmentFold.ThresholdConf)
   }
 
+  test("watermark boundary: a row with ts == wm drops, ts > wm " +
+      "survives — folded ≡ stateful") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600000L
+    val base = 1704067200000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val b1 = Seq(Ev(1L, ts(base + 100 * H), 1L))
+    // after b1: wm = base+99h. b2 carries one row exactly AT the
+    // watermark and one 1 s past it
+    val b2 = Seq(Ev(2L, ts(base + 99 * H), 2L),
+      Ev(3L, ts(base + 99 * H + 1000), 3L))
+
+    val ms = MemoryStream[Ev]
+    val q = EventStream.sessionize(ms.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("graft_sessf_wm")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    Seq(b1, b2).foreach { w => ms.addData(w); q.processAllAvailable() }
+    q.stop()
+    val stateful = spark.table("graft_sessf_wm").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+
+    var st = EventStreamFold.emptySessionState(spark)
+    var wm = 0L
+    var folded = Set.empty[(Long, Long, Long)]
+    Seq(b1, b2).foreach { w =>
+      val (out, newSt, wmN) = EventStreamFold.sessionFoldBatch(st, wm,
+        w.map(e => EventStream.EvFull(e.event_id, e.ts, e.user_id, "x", 0.0))
+          .toDS().toDF())
+      folded ++= out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      st = newSt.localCheckpoint(true)
+      wm = wmN
+    }
+    assert(folded == stateful)
+    // the boundary itself: entity 2's at-watermark row is late in
+    // BOTH forms; entity 3's row survives
+    assert(!stateful.exists(_._1 == 2L) && stateful.exists(_._1 == 3L))
+  }
+
   test("boundsFor clamps k to 2 — never an empty quantile array") {
     import spark.implicits._
     // maxCnt 200 > threshold 100 but <= one segment target (4096):

@@ -976,4 +976,33 @@ class PlanContractSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1,
       s"more than the signature cross:\n$p")
   }
+
+  test("b5: the end-to-end ETL composition adds only narrow map " +
+      "stages over b2 + c2 — no cartesian, no nested loop, and the " +
+      "wire rendering introduces no extra corpus scan") {
+    val p = finalPlan("b5_full_etl")
+    val b2P = finalPlan("b2_nested_history")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // the b2 chain's |singleFields|-row literal cross (the backward
+    // anchor's field spine) is the only allowed nested loop — the
+    // composition may not ADD one
+    def bnlj(s: String) = "BroadcastNestedLoopJoin".r.findAllIn(s).length
+    assert(bnlj(p) <= bnlj(b2P),
+      s"composition added nested loops (b2=${bnlj(b2P)}):\n$p")
+    // bugs arm: the b2 chain's scans; comments arm: ONE documents
+    // scan — rendering is concat projections, not new reads
+    assert(scanCount(p) <= scanCount(b2P) + 1,
+      s"wire rendering added scans (b2=${scanCount(b2P)}):\n$p")
+  }
+
+  test("b6: the run-length membership form maps interval bounds " +
+      "through as-of merge scans — never an interval-filter nested " +
+      "loop") {
+    val p = finalPlan("b6_membership_intervals")
+    assert("AsOfJoin".r.findAllIn(p).length >= 2,
+      s"expected the two versionAt as-of scans:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"bound mapping degenerated to a nested loop:\n$p")
+  }
 }
