@@ -67,6 +67,22 @@ object EventStreamFold {
   def versionFoldBatch(open: DataFrame, wmPrevMs: Long, batch: DataFrame,
       retentionMs: Long = 30L * 24 * 3600 * 1000)
       : (DataFrame, DataFrame, Long) = {
+    val (out, upserts, _, carried, wm) =
+      versionFoldParts(open, wmPrevMs, batch, retentionMs)
+    (out, upserts.unionByName(carried.select(upserts.columns.map(col): _*)),
+      wm)
+  }
+
+  /** [[versionFoldBatch]] decomposed into STATE DELTAS — (emitted
+    * rows, upserted state rows, evicted entity keys, carried-
+    * untouched state, new watermark). newOpen ≡ upserts ∪ carried;
+    * the delta-persisted step writes ONLY upserts + eviction
+    * tombstones per batch (O(touched + evicted), not O(entities) —
+    * the LSM shape a 100 TB state store needs), while the in-memory
+    * spec form unions the full frame. */
+  private[graft] def versionFoldParts(open: DataFrame, wmPrevMs: Long,
+      batch: DataFrame, retentionMs: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Long) = {
     val s = batch.sparkSession
     val ev = batch.select(col("user_id"), col("event_id"),
       col("event_type"), col("value"), unix_millis(col("ts")).as("ts_ms"))
@@ -142,10 +158,9 @@ object EventStreamFold {
         greatest(col("ts_ms") + retentionMs, lit(wmPrevMs + 1)))
     val carried = live.join(touched, Seq("user_id"), "left_anti")
     val out = closedWithin.unionByName(stitch).unionByName(evicted)
-    val newOpen = openFromBatch
+    val upserts = openFromBatch
       .unionByName(refreshOnly.select(openFromBatch.columns.map(col): _*))
-      .unionByName(carried.select(openFromBatch.columns.map(col): _*))
-    (out, newOpen, wmNew)
+    (out, upserts, evicted.select("user_id"), carried, wmNew)
   }
 
   // ---------------------------------------------------------------------
@@ -163,6 +178,18 @@ object EventStreamFold {
     * the stateful form's contract states). */
   def sessionFoldBatch(state: DataFrame, wmPrevMs: Long, batch: DataFrame,
       gapMs: Long = 30L * 60 * 1000): (DataFrame, DataFrame, Long) = {
+    val (out, upserts, _, carried, wm) =
+      sessionFoldParts(state, wmPrevMs, batch, gapMs)
+    (out, upserts.unionByName(carried.select(upserts.columns.map(col): _*)),
+      wm)
+  }
+
+  /** [[sessionFoldBatch]] decomposed into state deltas — see
+    * [[versionFoldParts]]. Timed-out sessions evict silently, so the
+    * evicted-keys frame drives tombstones only. */
+  private[graft] def sessionFoldParts(state: DataFrame, wmPrevMs: Long,
+      batch: DataFrame, gapMs: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Long) = {
     val s = batch.sparkSession
     val ev = batch.select(col("user_id"), col("event_id"),
       unix_millis(col("ts")).as("ts_ms"))
@@ -197,8 +224,9 @@ object EventStreamFold {
     // timed-out sessions evicted silently above (nothing to emit)
     val carried = live.join(b.select("user_id").distinct(),
       Seq("user_id"), "left_anti")
-    (out, fromBatch.unionByName(carried.select(
-      fromBatch.columns.map(col): _*)), wmNew)
+    (out, fromBatch,
+      state.filter(col("timeout_ms") < wmPrevMs).select("user_id"),
+      carried, wmNew)
   }
 
   // ---------------------------------------------------------------------
@@ -226,6 +254,22 @@ object EventStreamFold {
     * equi-join, no ordered scan. Refreshes are the public flips. */
   def privacyFoldBatch(priv: DataFrame, pubs: DataFrame, wmPrevMs: Long,
       batch: DataFrame): (DataFrame, DataFrame, DataFrame, Long) = {
+    val (out, privUp, privCar, pubAdd, pubDeadKeys, pubCar, wm) =
+      privacyFoldParts(priv, pubs, wmPrevMs, batch)
+    val _ = pubDeadKeys
+    (out, privUp.unionByName(privCar),
+      pubAdd.unionByName(pubCar), wm)
+  }
+
+  /** [[privacyFoldBatch]] decomposed into state deltas — (out, priv
+    * upserts, priv carried, published-id additions, published-id
+    * deletion KEYS, published-id carried, wm). The deletion keys are
+    * exactly the stored ids the batch's first private flip deleted
+    * (the emitted delete actions' id space). */
+  private[graft] def privacyFoldParts(priv: DataFrame, pubs: DataFrame,
+      wmPrevMs: Long, batch: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame,
+        DataFrame, Long) = {
     val s = batch.sparkSession
     val ev = batch.select(col("user_id"), col("event_id"),
       col("event_type"), unix_millis(col("ts")).as("ts_ms"))
@@ -281,31 +325,66 @@ object EventStreamFold {
     val touched = b.select("user_id").distinct()
     val newPrivFromBatch = agg.select(col("user_id"),
       (col("_last_err") === 1).as("priv"))
-    val newPriv = newPrivFromBatch.unionByName(
-      priv.join(touched, Seq("user_id"), "left_anti"))
+    val privCarried = priv.join(touched, Seq("user_id"), "left_anti")
     val survivors = publishers.join(agg, Seq("user_id"))
       .filter(col("_k") === col("_n_flips"))
       .select("user_id", "pub_id")
-    val storedSurvive = pubs.join(
+    // stored ids die iff the entity flipped at least once this batch
+    // (the batch's FIRST private flip deleted them — the same id
+    // space the delete actions carry)
+    val pubsDeadKeys = pubs.join(
+        agg.filter(col("_n_flips") >= 1).select("user_id"),
+        Seq("user_id"), "left_semi")
+      .select("user_id", "pub_id")
+    val pubsCarried = pubs.join(
         agg.filter(col("_n_flips") === 0).select("user_id"),
         Seq("user_id"), "left_semi")
       .unionByName(pubs.join(touched, Seq("user_id"), "left_anti"))
-    (out, newPriv, survivors.unionByName(storedSurvive), wmNew)
+    (out, newPrivFromBatch, privCarried, survivors, pubsDeadKeys,
+      pubsCarried, wmNew)
   }
 
   // ---------------------------------------------------------------------
   // Persisted-state step + foreachBatch wrappers (the cadence glue)
   // ---------------------------------------------------------------------
 
-  /** Latest persisted state strictly before `batchId` (replay safety:
-    * a re-run batch reads its predecessor, never its own first
-    * attempt), or the empty frame. */
-  private def readState(s: SparkSession, root: String, sub: String,
-      batchId: Long, empty: DataFrame): DataFrame = {
+  /** DELTA state read (the LSM shape — r15): union the slices written
+    * by batches strictly before `batchId` (replay safety), keep each
+    * key's newest (`_b`) row, drop tombstones. A per-batch FULL state
+    * snapshot would pay O(entities) write I/O every batch; the delta
+    * store pays O(touched + evicted) per batch and moves the merge to
+    * the read side, where [[compactState]] keeps the slice count (and
+    * so the merge input) bounded at the compaction cadence. */
+  private def readDelta(s: SparkSession, root: String, sub: String,
+      batchId: Long, empty: DataFrame, keys: Seq[String]): DataFrame = {
     val dirs = StoreFs.priorBatchDirs(s, s"$root/$sub", batchId)
     if (dirs.isEmpty) empty
-    else s.read.parquet(dirs.maxBy(
-      _.split("batch_").last.toLong))
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col("_b").desc)
+      s.read.parquet(dirs: _*)
+        .withColumn("_rk", row_number().over(w))
+        .filter(col("_rk") === 1 && !col("_dead"))
+        .drop("_rk", "_b", "_dead")
+    }
+  }
+
+  /** One delta slice: upserts plus tombstones for `tombKeys` (keys
+    * upserted in the SAME batch are excluded — within one slice an
+    * upsert supersedes the eviction that preceded it). Overwrite-
+    * idempotent per batch. */
+  private def writeDelta(s: SparkSession, path: String, batchId: Long,
+      upserts: DataFrame, tombKeys: DataFrame, keys: Seq[String]): Unit = {
+    val deadKeys = tombKeys.join(upserts.select(keys.map(col): _*),
+      keys, "left_anti")
+    val dead = deadKeys.select(upserts.schema.fields.map(f =>
+      (if (keys.contains(f.name)) col(f.name)
+       else lit(null).cast(f.dataType)).as(f.name)): _*)
+      .withColumn("_dead", lit(true))
+    upserts.withColumn("_dead", lit(false))
+      .unionByName(dead)
+      .withColumn("_b", lit(batchId))
+      .write.mode("overwrite").parquet(s"$path/batch_$batchId")
   }
 
   private def readWm(s: SparkSession, root: String, batchId: Long): Long = {
@@ -315,35 +394,40 @@ object EventStreamFold {
       .head().getLong(0)
   }
 
-  private def writeStep(s: SparkSession, root: String, batchId: Long,
-      states: Seq[(String, DataFrame)], wm: Long): Unit = {
-    states.foreach { case (sub, df) =>
-      df.write.mode("overwrite").parquet(s"$root/$sub/batch_$batchId")
-    }
+  private def writeWm(s: SparkSession, root: String, batchId: Long,
+      wm: Long): Unit = {
     import s.implicits._
     Seq(wm).toDF("wm_ms").write.mode("overwrite")
       .parquet(s"$root/wm/batch_$batchId")
-    // state dirs are full snapshots, not slices: everything older than
-    // the replay predecessor is dead weight — sweep it (ask: bounded
-    // store debris)
-    (states.map(_._1) :+ "wm").foreach { sub =>
-      StoreFs.priorBatchDirs(s, s"$root/$sub", batchId - 1)
-        .foreach(StoreFs.deleteDir(s, _))
-    }
+    // wm IS a snapshot — only the replay predecessor is needed
+    StoreFs.priorBatchDirs(s, s"$root/wm", batchId - 1)
+      .foreach(StoreFs.deleteDir(s, _))
   }
 
-  /** One persisted step of the folded SCD-2 cadence: reads state under
-    * `root`, folds `batch`, persists the new state, returns the
-    * emitted rows (reading the PRIOR state dirs, which the sweep
-    * keeps). Idempotent per batchId. */
+  /** Maintenance cadence: fold each state-store family's accumulated
+    * delta slices (minus the newest — replay safety) into one sized
+    * dir. Latest-wins and tombstones ride the kept `_b` column, so
+    * the merged view is unchanged; call at the deployment's
+    * compaction schedule. */
+  def compactState(s: SparkSession, root: String): Int =
+    Seq("open", "sess", "priv", "pubs")
+      .map(sub => StoreFs.compactSlices(s, s"$root/$sub")).sum
+
+  /** One persisted step of the folded SCD-2 cadence: reads the merged
+    * delta state under `root`, folds `batch`, writes the batch's
+    * upserts + eviction tombstones, returns the emitted rows.
+    * Idempotent per batchId. */
   def versionStep(root: String, batchId: Long, batch: DataFrame,
       retentionMs: Long = 30L * 24 * 3600 * 1000): DataFrame = {
     val s = batch.sparkSession
-    val open = readState(s, root, "open", batchId, emptyVersionState(s))
-    val (out, newOpen, wm) = versionFoldBatch(open,
+    val open = readDelta(s, root, "open", batchId, emptyVersionState(s),
+      Seq("user_id"))
+    val (out, upserts, evictedKeys, _, wm) = versionFoldParts(open,
       readWm(s, root, batchId), batch, retentionMs)
     val outC = out.localCheckpoint(true)
-    writeStep(s, root, batchId, Seq("open" -> newOpen), wm)
+    writeDelta(s, s"$root/open", batchId, upserts, evictedKeys,
+      Seq("user_id"))
+    writeWm(s, root, batchId, wm)
     outC
   }
 
@@ -351,11 +435,14 @@ object EventStreamFold {
   def sessionStep(root: String, batchId: Long, batch: DataFrame,
       gapMs: Long = 30L * 60 * 1000): DataFrame = {
     val s = batch.sparkSession
-    val st = readState(s, root, "sess", batchId, emptySessionState(s))
-    val (out, newSt, wm) = sessionFoldBatch(st,
+    val st = readDelta(s, root, "sess", batchId, emptySessionState(s),
+      Seq("user_id"))
+    val (out, upserts, evictedKeys, _, wm) = sessionFoldParts(st,
       readWm(s, root, batchId), batch, gapMs)
     val outC = out.localCheckpoint(true)
-    writeStep(s, root, batchId, Seq("sess" -> newSt), wm)
+    writeDelta(s, s"$root/sess", batchId, upserts, evictedKeys,
+      Seq("user_id"))
+    writeWm(s, root, batchId, wm)
     outC
   }
 
@@ -363,13 +450,18 @@ object EventStreamFold {
   def privacyStep(root: String, batchId: Long, batch: DataFrame)
       : DataFrame = {
     val s = batch.sparkSession
-    val priv = readState(s, root, "priv", batchId, emptyPrivState(s))
-    val pubs = readState(s, root, "pubs", batchId, emptyPubState(s))
-    val (out, newPriv, newPubs, wm) = privacyFoldBatch(priv, pubs,
-      readWm(s, root, batchId), batch)
+    val priv = readDelta(s, root, "priv", batchId, emptyPrivState(s),
+      Seq("user_id"))
+    val pubs = readDelta(s, root, "pubs", batchId, emptyPubState(s),
+      Seq("user_id", "pub_id"))
+    val (out, privUp, _, pubAdd, pubDead, _, wm) = privacyFoldParts(
+      priv, pubs, readWm(s, root, batchId), batch)
     val outC = out.localCheckpoint(true)
-    writeStep(s, root, batchId,
-      Seq("priv" -> newPriv, "pubs" -> newPubs), wm)
+    writeDelta(s, s"$root/priv", batchId, privUp,
+      privUp.select("user_id").limit(0), Seq("user_id"))
+    writeDelta(s, s"$root/pubs", batchId, pubAdd, pubDead,
+      Seq("user_id", "pub_id"))
+    writeWm(s, root, batchId, wm)
     outC
   }
 

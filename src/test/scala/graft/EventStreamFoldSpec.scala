@@ -33,6 +33,18 @@ class EventStreamFoldSpec extends AnyFunSuite {
     w.toDS().toDF()
   }
 
+  /** The merged delta-state view: latest (_b) per key, tombstones
+    * dropped — the read EventStreamFold's steps perform. */
+  private def readOpen(root: String): Set[Seq[Any]] = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("_b").desc)
+    spark.read.parquet(s"$root/open/batch_*")
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1 && !col("_dead"))
+      .drop("_rk", "_b", "_dead")
+      .collect().map(_.toSeq).toSet
+  }
+
   test("folded SCD-2 over chronological waves ≡ flatMapGroupsWithState") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -358,9 +370,21 @@ class EventStreamFoldSpec extends AnyFunSuite {
     val o2 = EventStreamFold.versionStep(root, 2L, toBatch(waves(2)))
       .collect().map(_.toSeq).toSet
     assert((o0 ++ o1 ++ o2).nonEmpty)
-    // only the replay predecessor and the latest snapshot survive
+    // DELTA slices: one per batch (replay overwrote its own), each
+    // holding only the batch's upserts + tombstones — not snapshots
     val dirs = new java.io.File(s"$root/open").listFiles().map(_.getName)
-    assert(dirs.toSet == Set("batch_1", "batch_2"), dirs.mkString(","))
+      .filter(_.startsWith("batch")).toSet
+    assert(dirs == Set("batch_0", "batch_1", "batch_2"),
+      dirs.mkString(","))
+    // compaction folds all but the newest; the merged state view —
+    // and therefore the next step — is unchanged
+    val mergedBefore = readOpen(root)
+    assert(EventStreamFold.compactState(spark, root) >= 1)
+    val dirsC = new java.io.File(s"$root/open").listFiles().map(_.getName)
+      .filter(_.startsWith("batch")).toSet
+    assert(dirsC == Set("batch_1", "batch_2"), dirsC.mkString(","))
+    assert(readOpen(root) == mergedBefore,
+      "compaction changed the merged state view")
     // three-wave persisted total ≡ the in-memory fold total
     var open = EventStreamFold.emptyVersionState(spark)
     var wm = 0L
@@ -373,6 +397,42 @@ class EventStreamFoldSpec extends AnyFunSuite {
       wm = wmN
     }
     assert((o0 ++ o1 ++ o2) == mem)
+  }
+
+  test("persisted privacy steps: the delta pubs store tombstones " +
+      "deleted ids; outputs ≡ in-memory fold") {
+    val root = Files.createTempDirectory("graft_esf_priv").toString
+    def ts(h: Int) = new java.sql.Timestamp(1704067200000L + h * 3600000L)
+    val b1 = Seq(EvFull(1L, ts(0), 1L, "click", 0.0),
+      EvFull(2L, ts(1), 1L, "purchase", 0.0),
+      EvFull(3L, ts(0), 3L, "click", 0.0))
+    val b2 = Seq(EvFull(4L, ts(2), 1L, "error", 0.0))
+    val persisted =
+      EventStreamFold.privacyStep(root, 0L, toBatch(b1))
+        .collect().map(_.toSeq).toSet ++
+      EventStreamFold.privacyStep(root, 1L, toBatch(b2))
+        .collect().map(_.toSeq).toSet
+    var priv = EventStreamFold.emptyPrivState(spark)
+    var pubs = EventStreamFold.emptyPubState(spark)
+    var wm = 0L
+    var mem = Set.empty[Seq[Any]]
+    Seq(b1, b2).foreach { w =>
+      val (out, np, nb, wmN) =
+        EventStreamFold.privacyFoldBatch(priv, pubs, wm, toBatch(w))
+      mem ++= out.collect().map(_.toSeq)
+      priv = np.localCheckpoint(true); pubs = nb.localCheckpoint(true)
+      wm = wmN
+    }
+    assert(persisted == mem && persisted.nonEmpty)
+    // merged pubs view: user 1's two published ids died with the
+    // flip (tombstoned in slice 1), user 3's survives
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "pub_id").orderBy(col("_b").desc)
+    val merged = spark.read.parquet(s"$root/pubs/batch_*")
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1 && !col("_dead"))
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(merged == Set(3L), merged.mkString(","))
   }
 
   test("folded cadence drives a streaming query end-to-end") {
