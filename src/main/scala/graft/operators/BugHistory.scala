@@ -426,8 +426,12 @@ object BugHistory {
       multiFields: Seq[String], longFields: Seq[String] = Nil,
       segBounds: Option[DataFrame] = None): DataFrame = {
     val act = reassembleLongFields(activity, longFields)
-    val versions = versionFrame(act, current, segBounds)
-      .localCheckpoint(true) // two as-of consumers below
+    // two as-of consumers below — but the FOLDED versionFrame is
+    // already checkpointed; a second checkpoint would re-materialize
+    // the whole whale timeline (review r15)
+    val versions0 = versionFrame(act, current, segBounds)
+    val versions = if (segBounds.isDefined) versions0
+      else versions0.localCheckpoint(true)
     val ivals = presenceIntervals(act, current, multiFields)
     // first version with ts >= bound == latest (-ts) <= (-bound):
     // the native as-of join, negated. Every finite bound is an

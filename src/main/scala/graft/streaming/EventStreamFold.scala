@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.SegmentFold
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** WHALE-SAFE per-batch fold forms of the stateful streaming trio
@@ -43,7 +43,15 @@ import org.apache.spark.sql.functions._
 object EventStreamFold {
 
   val WatermarkDelayMs: Long = 3600000L // the trio's "1 hour"
-  private val MaxTs = 9999999999000L
+  // the batch operators' open-ended sentinel — one constant, never a
+  // re-hardcoded literal (the one-batch ≡ h1 spec rides on it)
+  private val MaxTs = graft.operators.History.MaxTimestamp
+  /** The STATEFUL forms round emitted values with
+    * math.round(v*100)/100.0 — floor(x+0.5), half-toward-+infinity —
+    * while Spark's round() is HALF_UP (away from zero): they differ
+    * on NEGATIVE exact halves (-0.125 → -0.12 vs -0.13). The folded
+    * forms must mirror the stateful arithmetic exactly. */
+  private def round2(c: Column): Column = floor(c * 100 + lit(0.5)) / 100
 
   // ---------------------------------------------------------------------
   // SCD-2 version maintenance (EventStream.versionHistory, folded)
@@ -90,7 +98,12 @@ object EventStreamFold {
     // late-data filter (ts at-or-before the watermark, as Spark drops
     // them before the stateful operator), then exact (ts, event_id)
     // tie collapse — the stable sort in the stateful form keeps one of
-    // an identical-key pair; min(struct) picks deterministically
+    // an identical-key pair; min(struct) picks deterministically.
+    // (On ANOMALOUS duplicate-key rows with DIFFERENT payloads the
+    // stateful form keeps whichever arrived first in the iterator —
+    // a nondeterministic choice — so "identical" is unachievable
+    // there by construction; the fold picks the deterministic
+    // min-payload representative instead, stated here.)
     val b = ev.filter(col("ts_ms") > wmPrevMs)
       .groupBy("user_id", "ts_ms", "event_id")
       .agg(min(struct(col("event_type"), col("value"))).as("_r"))
@@ -103,7 +116,7 @@ object EventStreamFold {
     // stateful form's do after a timeout fires).
     val evicted = open.filter(col("timeout_ms") < wmPrevMs)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        round(col("value"), 2).as("value"), col("ts_ms").as("valid_from"),
+        round2(col("value")).as("value"), col("ts_ms").as("valid_from"),
         lit(MaxTs).as("valid_to"), col("version"))
     val live = open.filter(col("timeout_ms") >= wmPrevMs)
     val op = live.select(col("user_id"), col("version").as("_ov"),
@@ -127,7 +140,7 @@ object EventStreamFold {
       else chained0
     val closedWithin = chained.filter(col("next_ts").isNotNull)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        round(col("value"), 2).as("value"), col("ts_ms").as("valid_from"),
+        round2(col("value")).as("value"), col("ts_ms").as("valid_from"),
         col("next_ts").as("valid_to"),
         (coalesce(col("_ov"), lit(0L)) + col("rn")).as("version"))
     val agg = chained.groupBy("user_id")
@@ -137,7 +150,7 @@ object EventStreamFold {
     // the stored open version closes at the batch's first kept row
     val stitch = agg.join(op, Seq("user_id"))
       .select(col("user_id"), col("_oeid").as("event_id"),
-        col("_otype").as("event_type"), round(col("_oval"), 2).as("value"),
+        col("_otype").as("event_type"), round2(col("_oval")).as("value"),
         col("_ots").as("valid_from"), col("_first_ts").as("valid_to"),
         col("_ov").as("version"))
     val openFromBatch = agg.join(op, Seq("user_id"), "left")

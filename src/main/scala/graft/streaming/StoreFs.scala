@@ -62,23 +62,50 @@ object StoreFs {
     * the debris. Call at refresh/compaction points, never per batch.
     * Returns the number of dirs folded away (0 = nothing to do). */
   def compactSlices(s: SparkSession, storePath: String): Int = {
+    val stage = s"$storePath/.compact.build"
+    val f = fs(s, storePath)._1
+    // CRASH RECOVERY first: a committed merge (manifest present —
+    // written only after the parquet landed) whose source deletes or
+    // swap didn't finish resumes here; an uncommitted stage is junk
+    if (f.exists(new Path(stage)))
+      if (f.exists(new Path(s"$stage/_sources")))
+        return finishCompact(s, storePath, stage)
+      else deleteDir(s, stage)
     val all = priorBatchDirs(s, storePath, Long.MaxValue)
       .map(p => p -> p.split("batch_").last.toLong)
     if (all.size < 3) return 0
     val newestId = all.map(_._2).max
     val olds = all.filter(_._2 != newestId)
-    val target = olds.map(_._2).max
-    val stage = s"$storePath/.compact.build"
-    deleteDir(s, stage)
     val src = s.read.parquet(olds.map(_._1): _*)
-    val f = fs(s, storePath)._1
     val bytes = olds.map { case (p, _) =>
       f.getContentSummary(new Path(p)).getLength }.sum
     val parts = math.max(1L, bytes / (128L << 20)).toInt
     src.coalesce(parts).write.mode("overwrite").parquet(stage)
-    olds.filter(_._2 != target).foreach { case (p, _) => deleteDir(s, p) }
-    swapDir(s, stage, s"$storePath/batch_$target")
-    olds.size - 1
+    // the COMMIT POINT: the manifest (slice dir names, target last)
+    // lands only after the merged parquet is complete — from here the
+    // merge wins and any crash resumes via finishCompact
+    val target = olds.maxBy(_._2)._1.split("/").last
+    val names = olds.map(_._1.split("/").last).filter(_ != target) :+ target
+    val out = f.create(new Path(s"$stage/_sources"), true)
+    out.write(names.mkString("\n").getBytes("UTF-8")); out.close()
+    finishCompact(s, storePath, stage)
+  }
+
+  /** Complete a committed merge: delete the manifest's source slices
+    * (target LAST in the list — its rows live on in the merge) and
+    * swap the staged dir into the target's name. Idempotent: every
+    * step tolerates having already happened. */
+  private def finishCompact(s: SparkSession, storePath: String,
+      stage: String): Int = {
+    val f = fs(s, storePath)._1
+    val in = f.open(new Path(s"$stage/_sources"))
+    val names = scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList
+    in.close()
+    val target = names.last
+    names.init.foreach(n => deleteDir(s, s"$storePath/$n"))
+    swapDir(s, stage, s"$storePath/$target")
+    names.size - 1
   }
 
   /** Land a freshly-built store family: `staging` (a COMPLETE family
@@ -92,8 +119,12 @@ object StoreFs {
     val tg = new Path(target)
     val old = new Path(target + ".old")
     if (f.exists(old)) f.delete(old, true)
-    if (f.exists(tg)) f.rename(tg, old)
-    f.rename(st, tg)
+    // FileSystem.rename reports failure by RETURNING false (no
+    // exception) — an unchecked false here would silently lose the
+    // store (target renamed away, staging never landed)
+    if (f.exists(tg)) require(f.rename(tg, old),
+      s"swapDir: could not retire $target")
+    require(f.rename(st, tg), s"swapDir: could not land $staging at $target")
     if (f.exists(old)) f.delete(old, true)
     ()
   }

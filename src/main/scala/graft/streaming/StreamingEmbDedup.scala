@@ -210,19 +210,18 @@ object StreamingEmbDedup {
     val surv = survivorIds(s, root)
     val embS = fullEmb.join(surv, Seq("vec_id"), "left_semi")
       .localCheckpoint(true) // consumers: vectors write + graph build
-    // staged build + per-dir rename swap (see x5RefreshHierarchy):
-    // the vectors/graph pair stays one generation for readers up to
-    // the two-metadata-op swap window
+    // staged build + ONE family-dir swap (the x5RefreshHierarchy
+    // shape — review r15 closed the two-swap window the first cut of
+    // this left): vectors and graph land under root/x2 together, so a
+    // reader never pairs one generation's vectors with another's graph
     val stage = s"$root/.x2.build"
     StoreFs.deleteDir(s, stage)
     embS.write.mode("overwrite").parquet(s"$stage/vectors")
     graft.similarity.Similarity.searchGraphOn(embS, 16)
       .select("vec_id", "nbr")
       .write.mode("overwrite").parquet(s"$stage/graph")
-    StoreFs.swapDir(s, s"$stage/vectors", s"$root/vectors")
-    StoreFs.swapDir(s, s"$stage/graph", s"$root/graph")
-    StoreFs.deleteDir(s, stage)
-    (s"$root/vectors", s"$root/graph")
+    StoreFs.swapDir(s, stage, s"$root/x2")
+    (s"$root/x2/vectors", s"$root/x2/graph")
   }
 
   /** The x5 (survivor HIERARCHY) compaction (r14 — r15 candidate (b)

@@ -76,8 +76,12 @@ object StreamingLex {
     * statistics and the weight view count each doc exactly once —
     * the one-shot build's view of the final corpus. */
   private def latestWins(slices: DataFrame): DataFrame = {
+    // a store written before the batch column existed (upgrade path)
+    // reads as one generation — batch 0 for every row
+    val tagged = if (slices.columns.contains("batch")) slices
+      else slices.withColumn("batch", lit(0L))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-    slices.withColumn("_mb", max("batch").over(w))
+    tagged.withColumn("_mb", max("batch").over(w))
       .filter(col("batch") === col("_mb"))
       .drop("_mb", "batch")
   }

@@ -53,6 +53,44 @@ class StoreCompactionSpec extends AnyFunSuite {
     assert(StreamingDedup.compactStore(spark, storePath) == 0)
   }
 
+  test("crash recovery: a committed merge (manifest present) resumes " +
+      "to the same result; an uncommitted stage is discarded") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_compact_crash").toString
+    (0 to 3).foreach(i => Seq((i.toLong, s"v$i")).toDF("id", "v")
+      .write.parquet(s"$root/batch_$i"))
+    def rows() = spark.read.parquet(s"$root/batch_*")
+      .collect().map(_.toSeq).toSet
+    val before = rows()
+    // simulate a crash AFTER the commit point (merged parquet +
+    // manifest written) but BEFORE any source delete or the swap
+    val stage = s"$root/.compact.build"
+    spark.read.parquet(s"$root/batch_0", s"$root/batch_1", s"$root/batch_2")
+      .coalesce(1).write.parquet(stage)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$stage/_sources"),
+      "batch_0\nbatch_1\nbatch_2".getBytes("UTF-8"))
+    assert(streaming.StoreFs.compactSlices(spark, root) == 2)
+    val dirs = new java.io.File(root).listFiles().map(_.getName)
+      .filter(_.startsWith("batch")).toSet
+    assert(dirs == Set("batch_2", "batch_3"), dirs.mkString(","))
+    assert(rows() == before, "recovery lost or duplicated rows")
+    // an UNCOMMITTED stage (no manifest — the write died mid-flight)
+    // is junk: discarded, and a fresh compaction proceeds over the
+    // intact sources
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft_compact_junk").toString
+    (0 to 3).foreach(i => Seq((i.toLong, s"v$i")).toDF("id", "v")
+      .write.parquet(s"$root2/batch_$i"))
+    new java.io.File(s"$root2/.compact.build").mkdirs()
+    val before2 = spark.read.parquet(s"$root2/batch_*")
+      .collect().map(_.toSeq).toSet
+    assert(streaming.StoreFs.compactSlices(spark, root2) == 2)
+    assert(spark.read.parquet(s"$root2/batch_*")
+      .collect().map(_.toSeq).toSet == before2)
+  }
+
   test("compactSlices is a no-op below 3 slices and ignores non-slice " +
       "dirs") {
     import spark.implicits._
