@@ -2033,9 +2033,20 @@ object SparkEntry {
         |    ',"comment":' || CASE WHEN comment IS NULL THEN 'null'
         |      ELSE '"' || replace(replace(replace(comment, '\', '\\'),
         |        '"', '\"'), chr(10), '\n') || '"' END || '}' AS line
-        |  FROM cmt)
+        |  FROM cmt),
+        |nowp AS (
+        |  SELECT id FROM (
+        |    SELECT id, event_type, row_number() OVER (PARTITION BY id
+        |      ORDER BY ts DESC, event_id DESC) AS prn FROM ev)
+        |  WHERE prn = 1 AND event_type = 'error'),
+        |delete_lines AS (
+        |  SELECT DISTINCT 'd' || id || '_' || ts AS _id,
+        |    '{"delete":{"_index":"snapshots","_id":"' || id || '_' ||
+        |      ts || '"}}' AS line
+        |  FROM ev WHERE id IN (SELECT id FROM nowp))
         |SELECT _id, line FROM bug_lines
         |UNION ALL SELECT _id, line FROM comment_lines
+        |UNION ALL SELECT _id, line FROM delete_lines
         |ORDER BY _id""".stripMargin),
     // NOTE: this oracle hand-unrolls exactly TWO matching rounds
     // (scored1/best1, scored2/best2). AliasAnalysis.analyze runs up to

@@ -73,6 +73,17 @@ object FullEtl {
         lit(",\"modified_ts\":"), col("modified_ts"),
         lit(",\"comment\":"), jstr(col("comment")),
         lit("}")).as("line"))
-    bugLines.unionByName(commentLines).orderBy("_id")
+    // the privacy-deletion half (bz_etl.py:179-209 runs it BEFORE the
+    // re-ETL): one DELETE action line per published doc of each
+    // now-private entity — EsSink.writeDeletes' wire format (action
+    // line only, no source). The refresh worklist is not wire output;
+    // it drives re-extraction and stays p3's own registered surface.
+    val deleteLines = graft.operators.Screening.p3PrivacyDelete(s, d)
+      .filter(col("kind") === "delete")
+      .select(concat(lit("d"), col("id")).as("_id"),
+        concat(lit("{\"delete\":{\"_index\":\"snapshots\",\"_id\":\""),
+          col("id"), lit("\"}}")).as("line"))
+    bugLines.unionByName(commentLines).unionByName(deleteLines)
+      .orderBy("_id")
   }
 }
