@@ -982,17 +982,20 @@ class PlanContractSpec extends AnyFunSuite {
       "wire rendering introduces no extra corpus scan") {
     val p = finalPlan("b5_full_etl")
     val b2P = finalPlan("b2_nested_history")
+    val p3P = finalPlan("p3_privacy_delete")
     assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
     // the b2 chain's |singleFields|-row literal cross (the backward
     // anchor's field spine) is the only allowed nested loop — the
     // composition may not ADD one
     def bnlj(s: String) = "BroadcastNestedLoopJoin".r.findAllIn(s).length
-    assert(bnlj(p) <= bnlj(b2P),
+    assert(bnlj(p) <= bnlj(b2P) + bnlj(p3P),
       s"composition added nested loops (b2=${bnlj(b2P)}):\n$p")
     // bugs arm: the b2 chain's scans; comments arm: ONE documents
-    // scan — rendering is concat projections, not new reads
-    assert(scanCount(p) <= scanCount(b2P) + 1,
-      s"wire rendering added scans (b2=${scanCount(b2P)}):\n$p")
+    // scan; delete arm: the p3 chain's scans — rendering is concat
+    // projections, not new reads
+    assert(scanCount(p) <= scanCount(b2P) + 1 + scanCount(p3P),
+      s"wire rendering added scans (b2=${scanCount(b2P)}, " +
+        s"p3=${scanCount(p3P)}):\n$p")
   }
 
   test("b6: the run-length membership form maps interval bounds " +
