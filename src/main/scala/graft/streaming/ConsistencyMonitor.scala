@@ -21,6 +21,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * must respect per-key event-time order (the log is append-only in
   * the reference's bugs_activity, so it does). The spec proves stream
   * rows ≡ the batch b4 report on the same replayed activity.
+  *
+  * SCALE NOTE (r15, the EventStreamFold question asked of every
+  * stateful op): the per-batch `rows.toSeq.sortBy` buffers one
+  * GROUP, and the groups here are (id, field, item) / (id, field) —
+  * finer than the entity. A whale entity's batch spreads across its
+  * items and fields, so per-task memory is bounded by per-item (resp.
+  * per-field) churn — the same argument that keeps b1's multi-value
+  * windows unfolded by design. A single (entity, field) hot key that
+  * still dominates a batch would take the [[EventStreamFold]]
+  * treatment (per-batch lag-window fold, (id, field)-keyed); the
+  * whale probes exercise this monitor one-batch at 100× without a
+  * wall (§4a round-13/14).
   */
 object ConsistencyMonitor {
 

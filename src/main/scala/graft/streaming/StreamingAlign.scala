@@ -22,6 +22,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Spec: streamed CLOSED segments ≡ batch h16 segments with finite
   * expires_on, on the real corpus SCDs and on a gapped fixture.
+  *
+  * SCALE NOTE (r15): the per-batch group buffer here is
+  * entity-keyed — the trio's whale shape, one tier milder (the input
+  * is SCD-2 BOUNDARY events, versions not raw activity, so a whale's
+  * per-batch volume is its version churn). The escape is the
+  * [[EventStreamFold]] template: the batch h16 spine machinery is
+  * already window algebra, and a folded form would feed only each
+  * entity's open-segment boundary into state. Not yet folded — the
+  * version-churn bound has kept it off the whale probes' walls.
   */
 object StreamingAlign {
 

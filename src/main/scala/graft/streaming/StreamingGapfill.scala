@@ -36,7 +36,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Spec: streamed ticks ≡ batch h17 rows — exactly, no exclusions —
   * on the corpus events across three chronological waves, and on a
   * fixture pinning leading gap / aligned observation / multi-hour
-  * gap fills. */
+  * gap fills.
+  *
+  * SCALE NOTE (r15): the per-batch group buffer is entity-keyed —
+  * the trio's whale shape — AND the per-group output is the gap
+  * spine itself (span-hours of ticks), so a whale's batch cost is
+  * output-bound on top of the buffer. The folded escape is the
+  * [[EventStreamFold]] template over the batch h17 machinery
+  * (sequence()-exploded spine + the native as-of fill, both already
+  * distributed); state input would shrink to each entity's
+  * (nextTick, last observation) boundary. Not yet folded — at the
+  * whale probes the one-batch cost tracked the output (the spine),
+  * not the buffer. */
 object StreamingGapfill {
 
   case class Obs(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
