@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.operators.SegmentFold
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** WHALE-SAFE per-batch fold forms of the stateful streaming trio
@@ -358,6 +359,107 @@ object EventStreamFold {
   }
 
   // ---------------------------------------------------------------------
+  // Temporal align (StreamingAlign.align, folded — r15)
+  // ---------------------------------------------------------------------
+
+  /** Empty align state: one open combined segment per live entity. */
+  def emptyAlignState(s: SparkSession): DataFrame =
+    s.range(0).select(col("id"), col("id").as("last_ts"),
+      lit("").as("l"), lit("").as("r"), col("id").as("timeout_ms"))
+
+  // "assigned null" (a side-closing gap event) must stay distinct
+  // from "no assignment in this window" inside the running last —
+  // encode assignments as v<value> / n, decode at the edges
+  private def encA(v: Column): Column =
+    coalesce(concat(lit("v"), v), lit("n"))
+  private def decA(v: Column): Column =
+    when(v.isNull || v === "n", lit(null).cast("string"))
+      .otherwise(substring(v, 2, Int.MaxValue))
+
+  /** One micro-batch of the folded temporal align
+    * ([[StreamingAlign.align]]'s distributed form — r15, the trio's
+    * template applied to the remaining entity-keyed stateful op).
+    * `batch` carries (id, ts, side, value, seq). The per-entity
+    * replay becomes window algebra: the carried open boundary joins
+    * the batch as two SEED assignment rows at its own ts (ordered
+    * before every real event there), a running last-assignment per
+    * side walks the (ts, side, seq) order, each (id, ts) group's
+    * final row is that boundary's post state, and lead(ts) closes
+    * every boundary but the newest — which becomes the upsert.
+    * Rows behind the open boundary drop (the stateful late rule);
+    * entities whose rows ALL drop still refresh their timeout (their
+    * seeds flow through alone). Eviction emits the open segment with
+    * the MaxTimestamp sentinel, before the batch's data. */
+  private[graft] def alignFoldParts(state: DataFrame, wmPrevMs: Long,
+      batch: DataFrame, retentionMs: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, Long) = {
+    val ev = batch.select(col("id"), unix_millis(col("ts")).as("ts_ms"),
+      col("side"), col("value"), col("seq"))
+    val wmNew = math.max(wmPrevMs,
+      { val r = ev.agg(max("ts_ms")).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0) } - WatermarkDelayMs)
+    val b = ev.filter(col("ts_ms") > wmPrevMs)
+    val evicted = state.filter(col("timeout_ms") < wmPrevMs)
+      .select(col("id"), col("last_ts").as("valid_from"),
+        lit(MaxTs).as("expires_on"), col("l").as("status"),
+        col("r").as("grp"))
+    val live = state.filter(col("timeout_ms") >= wmPrevMs)
+    val touched = b.select("id").distinct()
+    val st = live.select(col("id"), col("last_ts").as("_lts"),
+      col("l").as("_l0"), col("r").as("_r0"))
+    val seeds = st.join(touched, Seq("id"), "left_semi")
+      .select(col("id"), col("_lts").as("ts_ms"),
+        explode(array(
+          struct(lit("l").as("side"), encA(col("_l0")).as("enc"),
+            lit(Long.MinValue).as("seq")),
+          struct(lit("r").as("side"), encA(col("_r0")).as("enc"),
+            lit(Long.MinValue + 1).as("seq")))).as("e"))
+      .select(col("id"), col("ts_ms"), col("e.side").as("side"),
+        col("e.enc").as("enc"), col("e.seq").as("seq"))
+    val real = b.join(st, Seq("id"), "left")
+      .filter(col("_lts").isNull || col("ts_ms") >= col("_lts"))
+      .select(col("id"), col("ts_ms"), col("side"),
+        encA(col("value")).as("enc"), col("seq"))
+    val unified = real.unionByName(seeds)
+    val wRun = Window.partitionBy("id")
+      .orderBy(col("ts_ms"), col("side"), col("seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaries = unified
+      .withColumn("_lrun", last(
+        when(col("side") === "l", col("enc")), ignoreNulls = true).over(wRun))
+      .withColumn("_rrun", last(
+        when(col("side") === "r", col("enc")), ignoreNulls = true).over(wRun))
+      .withColumn("_grn", row_number().over(
+        Window.partitionBy("id", "ts_ms")
+          .orderBy(col("side").desc, col("seq").desc)))
+      .filter(col("_grn") === 1)
+      .withColumn("_next", lead("ts_ms", 1).over(
+        Window.partitionBy("id").orderBy("ts_ms")))
+    val outSegs = boundaries.filter(col("_next").isNotNull)
+      .select(col("id"), col("ts_ms").as("valid_from"),
+        col("_next").as("expires_on"), decA(col("_lrun")).as("status"),
+        decA(col("_rrun")).as("grp"))
+    val upserts = boundaries.filter(col("_next").isNull)
+      .select(col("id"), col("ts_ms").as("last_ts"),
+        decA(col("_lrun")).as("l"), decA(col("_rrun")).as("r"),
+        greatest(col("ts_ms") + retentionMs, lit(wmPrevMs + 1))
+          .as("timeout_ms"))
+    val carried = live.join(touched, Seq("id"), "left_anti")
+    (outSegs.unionByName(evicted), upserts, evicted.select("id"),
+      carried, wmNew)
+  }
+
+  /** The in-memory (full-state) align fold — the spec form. */
+  def alignFoldBatch(state: DataFrame, wmPrevMs: Long, batch: DataFrame,
+      retentionMs: Long = 30L * 24 * 3600 * 1000)
+      : (DataFrame, DataFrame, Long) = {
+    val (out, upserts, _, carried, wm) =
+      alignFoldParts(state, wmPrevMs, batch, retentionMs)
+    (out, upserts.unionByName(carried.select(upserts.columns.map(col): _*)),
+      wm)
+  }
+
+  // ---------------------------------------------------------------------
   // Persisted-state step + foreachBatch wrappers (the cadence glue)
   // ---------------------------------------------------------------------
 
@@ -423,7 +525,7 @@ object EventStreamFold {
     * the merged view is unchanged; call at the deployment's
     * compaction schedule. */
   def compactState(s: SparkSession, root: String): Int =
-    Seq("open", "sess", "priv", "pubs")
+    Seq("open", "sess", "priv", "pubs", "align")
       .map(sub => StoreFs.compactSlices(s, s"$root/$sub")).sum
 
   /** One persisted step of the folded SCD-2 cadence: reads the merged
@@ -477,6 +579,31 @@ object EventStreamFold {
     writeWm(s, root, batchId, wm)
     outC
   }
+
+  /** One persisted step of the folded align cadence. */
+  def alignStep(root: String, batchId: Long, batch: DataFrame,
+      retentionMs: Long = 30L * 24 * 3600 * 1000): DataFrame = {
+    val s = batch.sparkSession
+    val st = readDelta(s, root, "align", batchId, emptyAlignState(s),
+      Seq("id"))
+    val (out, upserts, evictedKeys, _, wm) = alignFoldParts(st,
+      readWm(s, root, batchId), batch, retentionMs)
+    val outC = out.localCheckpoint(true)
+    writeDelta(s, s"$root/align", batchId, upserts, evictedKeys,
+      Seq("id"))
+    writeWm(s, root, batchId, wm)
+    outC
+  }
+
+  /** The folded align cadence as a foreachBatch writer — `events`
+    * carries StreamingAlign's (id, ts, side, value, seq). */
+  def alignFolded(events: DataFrame, root: String,
+      retentionMs: Long = 30L * 24 * 3600 * 1000)
+      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    events.writeStream.foreachBatch { (b: Dataset[Row], id: Long) =>
+      sink(alignStep(root, id, b.toDF(), retentionMs), id)
+    }
 
   /** Streaming query glue: the folded SCD-2 cadence as a foreachBatch
     * writer — `events` carries [[EventStream.eventSchema]] columns;

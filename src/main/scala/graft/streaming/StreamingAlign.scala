@@ -26,11 +26,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * SCALE NOTE (r15): the per-batch group buffer here is
   * entity-keyed — the trio's whale shape, one tier milder (the input
   * is SCD-2 BOUNDARY events, versions not raw activity, so a whale's
-  * per-batch volume is its version churn). The escape is the
-  * [[EventStreamFold]] template: the batch h16 spine machinery is
-  * already window algebra, and a folded form would feed only each
-  * entity's open-segment boundary into state. Not yet folded — the
-  * version-churn bound has kept it off the whale probes' walls.
+  * per-batch volume is its version churn). The FOLDED form exists:
+  * [[EventStreamFold.alignFoldBatch]] / [[EventStreamFold.alignStep]]
+  * run each micro-batch through distributed window algebra with the
+  * open boundary as two seed rows and the delta state store —
+  * spec-pinned ≡ this stateful form's closed segments. This form
+  * remains the low-latency small-entity path.
   */
 object StreamingAlign {
 

@@ -105,4 +105,77 @@ class StreamingAlignSpec extends AnyFunSuite {
     // the gap really is exercised: a segment with null left coverage
     assert(expected.exists(s => s._4.isEmpty && s._5.nonEmpty))
   }
+
+  /** Drive the FOLDED align (EventStreamFold.alignFoldBatch) over
+    * waves, returning its CLOSED segments. */
+  private def runFolded(waves: Seq[Seq[AlignEvent]]): Set[(Long, Long,
+      Long, Option[String], Option[String])] = {
+    import spark.implicits._
+    import graft.streaming.EventStreamFold
+    var st = EventStreamFold.emptyAlignState(spark)
+    var wm = 0L
+    var out = Set.empty[(Long, Long, Long, Option[String], Option[String])]
+    waves.foreach { w =>
+      val (o, newSt, wmN) =
+        EventStreamFold.alignFoldBatch(st, wm, w.toDS().toDF())
+      out ++= o.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), Option(r.getString(3)), Option(r.getString(4))))
+      st = newSt.localCheckpoint(true)
+      wm = wmN
+    }
+    out.filter(_._3 != operators.History.MaxTimestamp)
+  }
+
+  test("FOLDED align (r15) ≡ stateful ≡ batch h16 on the corpus SCDs " +
+      "across two waves, and on the gapped fixture") {
+    val (leftScd, rightScd) = operators.AsOf.h16Scds(spark, sf)
+    val events = boundaryEvents(leftScd, "l", "status") ++
+      boundaryEvents(rightScd, "r", "grp")
+    val tsCut = events.map(_.ts.getTime).sorted.apply(events.size / 2)
+    val waves = Seq(events.filter(_.ts.getTime < tsCut),
+      events.filter(_.ts.getTime >= tsCut))
+    val folded = runFolded(waves)
+    val expected = batchClosed(leftScd, rightScd)
+    assert(folded == expected,
+      s"missing ${(expected -- folded).size} / " +
+        s"extra ${(folded -- expected).size}")
+    assert(folded.nonEmpty)
+    // the gapped fixture, one batch (seeds + same-ts ordering edges)
+    val M = operators.History.MaxTimestamp
+    val B = 1700000000000L
+    def ts(m: Long) = B + m * 60000L
+    import spark.implicits._
+    val left = Seq((1L, ts(0), ts(10), "a"), (1L, ts(20), M, "b"))
+      .toDF("id", "valid_from", "expires_on", "status")
+    val right = Seq((1L, ts(5), M, "g1"))
+      .toDF("id", "valid_from", "expires_on", "grp")
+    val fixtureEv = boundaryEvents(left, "l", "status") ++
+      boundaryEvents(right, "r", "grp")
+    assert(runFolded(Seq(fixtureEv)) == batchClosed(left, right))
+  }
+
+  test("FOLDED align persisted steps: replay-idempotent delta store") {
+    import spark.implicits._
+    import graft.streaming.EventStreamFold
+    val (leftScd, rightScd) = operators.AsOf.h16Scds(spark, sf)
+    val events = boundaryEvents(leftScd, "l", "status") ++
+      boundaryEvents(rightScd, "r", "grp")
+    val tsCut = events.map(_.ts.getTime).sorted.apply(events.size / 2)
+    val waves = Seq(events.filter(_.ts.getTime < tsCut),
+      events.filter(_.ts.getTime >= tsCut))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_alignstep").toString
+    def step(i: Int) = EventStreamFold.alignStep(root, i.toLong,
+        waves(i).toDS().toDF())
+      .collect().map(_.toSeq).toSet
+    val o0 = step(0)
+    val o1 = step(1)
+    assert(step(1) == o1, "replay diverged")
+    val persisted = (o0 ++ o1).filter(
+      _(2).asInstanceOf[Long] != operators.History.MaxTimestamp)
+    val mem = runFolded(waves).map(t =>
+      Seq(t._1, t._2, t._3, t._4.orNull, t._5.orNull): Seq[Any])
+    assert(persisted == mem)
+    assert(persisted.nonEmpty)
+  }
 }
