@@ -26,6 +26,20 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE's coalescing floor assumes partition BYTES ≈ partition
+      // COST. The engine's verify stages (128-bit hamming per band
+      // collision, exact cosine per candidate, per-(doc,term) BM25
+      // scoring) run at single-digit MB/s per core, so the 1 MB
+      // default floor folds them onto 1-4 tasks while 28 cores idle —
+      // measured at sf0.1 (r15, interleaved isolated A/Bs): d13
+      // 4.3→1.8 s, d4 1.7→1.4 s, t12 2.0→1.4-2.2 s from this floor
+      // alone. 128 KB keeps each task ≥ tens of ms of work at those
+      // stages' measured throughput (a 64 KB floor measured ~2 s
+      // WORSE on x1, whose many-stage plans pay per-task plan
+      // deserialization), and at cluster scale the floor is
+      // irrelevant — advisoryPartitionSizeInBytes (64 MB default)
+      // governs long before any partition shrinks toward it.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "128k")
       // allow co-partitioning on a SUBSET of the join keys: a table
       // bucketed on a scalar key (the d9 sketch store, entity-bucketed
       // history) can then feed a wider equi-join with zero exchange on

@@ -44,4 +44,24 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Spread a narrow scan whose SPLIT COUNT cannot feed the cluster
+    * (r15 opt). Scan parallelism is bounded by parquet row groups,
+    * and a CPU-dense projection downstream of an unsplittable scan
+    * (per-byte simhash, BPE, per-pair hamming) serializes onto that
+    * split count no matter how many cores exist — the guide §2.5
+    * "input skew: one huge unsplittable file… repartition immediately
+    * after the read" case. When the scan already has at least
+    * `defaultParallelism` splits — any production-scale input — this
+    * is the identity and costs nothing; below it, one deterministic
+    * round-robin shuffle of the raw rows (sortBeforeRepartition is
+    * on, so retries reproduce the assignment) buys the downstream
+    * stage full parallelism. Row order and partition layout never
+    * reach any registered result: every consumer re-keys (band join,
+    * groupBy) or totally orders downstream.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

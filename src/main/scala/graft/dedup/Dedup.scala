@@ -266,8 +266,12 @@ object Dedup {
     // is two codegen'd xor+popcounts; the exact filter prunes the
     // shuffle, while a distinct-first plan shuffles every collision
     // and pays two more joins).
-    val banded = Tables.documents(s, d)
-      .filter(col("text").isNotNull)
+    // spread the unsplittable scan before the per-byte simhash walk
+    // and the band self-join's map side (r15 opt: the single-row-group
+    // local file serialized the whole sketch+exchange-write onto one
+    // task; measured 3.9 → 1.0 s warm at sf0.1 — see Tables.spread)
+    val banded = Tables.spread(Tables.documents(s, d)
+        .filter(col("text").isNotNull))
       // fused split+distinct+simhash: same bits as
       // simhash(tokenSet(text)), one byte walk (spec-asserted)
       .select(col("doc_id"),

@@ -1104,9 +1104,13 @@ object Similarity {
           greatest(col("x.vec_id"), col("y.nbr")).as("id2"))
         .distinct()
         .join(edges.select("id1", "id2"), Seq("id1", "id2"), "left_anti")
-      edges = edges
-        .union(graft.dedup.Dedup.scoredCosine(cand, vecs))
-        .localCheckpoint(true)
+      // checkpoint only the NEWLY scored edges; the union over
+      // checkpointed parts stays lazy (r15 opt — the old
+      // union-then-checkpoint re-copied the ENTIRE edge set, the
+      // graph's biggest intermediate, once per descent round; every
+      // consumer re-keys, so part layout is semantically inert)
+      edges = edges.union(
+        graft.dedup.Dedup.scoredCosine(cand, vecs).localCheckpoint(true))
     }
     knnFromPairs(edges.filter(col("cos") >= 0.3), k)
       .orderBy("vec_id", "rk")
@@ -1206,26 +1210,45 @@ object Similarity {
   private[graft] def s15WalkQC(q: DataFrame, cv: DataFrame,
       graph: DataFrame, k: Int, beam: Int, rounds: Int,
       seedPlanes: Int = 4): DataFrame = {
-    var visited = lshShortlistQC(q, cv, beam, seedPlanes)
+    // ONE state frame, ONE materialization per round (r15 opt). The
+    // old loop kept visited/expanded as separate frames and eagerly
+    // checkpointed frontier, expanded∪frontier, AND visited∪new every
+    // round — 3 full query pipelines per round, each fanned into 5-6
+    // AQE stage jobs, re-copying the whole accumulated state: the
+    // measured s15 invocation launched 58 Spark jobs for ~600 state
+    // rows (s16: 133), and the walk wall was job fixed-overhead, not
+    // data. Folding the expanded-set bookkeeping into an `exp` FLAG on
+    // the visited rows makes each round one checkpointed plan:
+    // ranking unexpanded rows first (exp ASC leads the window order,
+    // so row_number over all rows ranks the unexpanded prefix exactly
+    // as the old anti-join + window did), frontier = the top-beam
+    // unexpanded slice, flag update and expansion union in the same
+    // plan. Same rows, same total order, bit-identical output — the
+    // oracle and the stored≡inline specs pin it.
+    // |Q|-bounded constant query batch → LocalRelation (zero
+    // per-round broadcast-build jobs; see localize)
+    val lq = localize(q)
+    var state = lshShortlistQC(lq, cv, beam, seedPlanes)
+      .withColumn("exp", lit(false))
       .localCheckpoint(true)
-    var expanded = visited.select("q_id", "c_id").limit(0)
-      .localCheckpoint(true)
-    // same conf-gated round fusion as the hierarchical walk (r15
-    // verdict #6 — see s16Walk)
+    val byQueryEf = Window.partitionBy("q_id")
+      .orderBy(col("exp").asc, col("cos3").desc, col("c_id").asc)
+    // conf-gated round fusion (r15 verdict #6 — see s16Walk)
     val cpEvery = math.max(1, q.sparkSession.conf
       .getOption("spark.graft.walk.cpEvery").map(_.toInt).getOrElse(1))
     for (r <- 1 to rounds) {
       val cp = r % cpEvery == 0 || r == rounds
-      val frontier = maybeCp(visited
-        .join(expanded, Seq("q_id", "c_id"), "left_anti")
-        .withColumn("rk", row_number().over(byQuery))
-        .filter(col("rk") <= beam)
-        .select("q_id", "c_id"), cp)
-      expanded = maybeCp(expanded.union(frontier), cp)
-      visited = maybeCp(visited
-        .union(expandFrontier(frontier, visited, graph, q, cv)), cp)
+      val ranked = state.withColumn("rk", row_number().over(byQueryEf))
+      val frontier = ranked
+        .filter(!col("exp") && col("rk") <= beam)
+        .select("q_id", "c_id")
+      state = maybeCp(ranked
+        .select(col("q_id"), col("c_id"), col("cos3"),
+          (col("exp") || col("rk") <= beam).as("exp"))
+        .union(expandFrontier(frontier, state, graph, lq, cv)
+          .withColumn("exp", lit(false))), cp)
     }
-    visited
+    state
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id"), col("cos3").as("cos"))
@@ -1416,9 +1439,11 @@ object Similarity {
       .select("vec_id", "nbr").localCheckpoint(true))
     // with a persisted atlas the stored walk touches NO corpus-sized
     // computation at all: seeds come from the atlas store, hops from
-    // the layer stores
+    // the layer stores. Single consumer (the seed scoring pass), so
+    // scan it directly — a checkpoint here was one pure-overhead job
+    // per invocation (r15 opt)
     val entry = atlasPath.map(p => s.read.parquet(p)
-      .select("c_id", "comp", "csize").localCheckpoint(true))
+      .select("c_id", "comp", "csize"))
     s16Walk(s, d, g0, uppers, k, beam, rounds, upperRounds,
       entry = entry)
   }
@@ -1649,7 +1674,10 @@ object Similarity {
     val levels = upperGraphs.size
     val emb = Tables.embeddings(s, d).filter(col("vec_id") >= 10)
     val lvl = emb.withColumn("level", levelOf(col("vec_id"), levels))
-    val q = queries(s, d)
+    // the query batch is a |Q|-bounded constant joined into every
+    // descent and layer-0 round — one LocalRelation, zero per-round
+    // broadcast-build jobs / embeddings re-scans (see localize)
+    val q = localize(queries(s, d))
     val cv = corpus(s, d).select(col("c_id"), col("c_emb"))
     // The ENTRY ATLAS ([[entryAtlas]] — why it exists and what each
     // piece buys is measured at the [[s16Hnsw]] scaladoc): a pure
@@ -1712,17 +1740,24 @@ object Similarity {
       .withColumn("quota",
         greatest(lit(1L), expr(s"($beam * csize) div tot")))
       .select("q_id", "lane", "quota")
-      .localCheckpoint(true) // joined by every layer-0 round
+    // |Q|·lanes rows, joined by every layer-0 round: LocalRelation
+    // (zero per-round broadcast-build jobs), not a checkpoint
+    val quotasL = localize(quotas)
     val byLane = Window.partitionBy("q_id", "lane")
       .orderBy(col("cos3").desc, col("c_id").asc)
     // descent: expand every lane head through the upper layer, keep
     // the best candidate per lane (upper-layer bands are narrower
     // than g0's, so a hop may leave the lane's g0 component — the
     // long-range links the hierarchy exists for; the lane TAG stays,
-    // only layer-0 edges confine). One checkpoint per layer: the
-    // per-lane state is referenced 3× per step, so the uncheckpointed
-    // subtree grows ~9× across a layer's two rounds — still trivial —
-    // while halving the eager-materialization jobs.
+    // only layer-0 edges confine). Checkpoint per ROUND, not per
+    // layer (r15 opt): the per-lane state is referenced 3× per step,
+    // so a layer's two lazy rounds grew the subtree ~9× — trivial to
+    // COMPUTE, but every descent stage's task binary serializes that
+    // whole tree (shared subtrees are distinct objects to the Java
+    // serializer), and the walk's stages were shipping 2-6 MiB task
+    // binaries per job — driver serialize + per-task deserialize was
+    // a large slice of the walk wall. Per-round checkpoints keep the
+    // serialized plan one round deep.
     for (l <- levels to 1 by -1) {
       for (_ <- 1 to upperRounds)
         cur = cur
@@ -1730,37 +1765,41 @@ object Similarity {
           .withColumn("rk", row_number().over(byLane))
           .filter(col("rk") <= descentBeam)
           .select("q_id", "c_id", "cos3", "lane")
-      cur = cur.localCheckpoint(true)
+          .localCheckpoint(true)
     }
-    var visited = cur
-    var expanded = cur.select("q_id", "c_id", "lane").limit(0)
-      .localCheckpoint(true)
-    // r15 (verdict #6): the stored walk's 1× wall is the eager
-    // checkpoint JOBS — |Q|-proportional, three per round. cpEvery=N
-    // fuses N rounds into one lazy plan before materializing (the
-    // fused span re-executes its subtree ~3× per skipped round);
-    // conf-gated so the A/B (PROBE_WALKCP) is a one-flag measure and
-    // the registered form changes only if the measurement wins.
+    // ONE state frame, ONE materialization per round (r15 opt — the
+    // same fold as s15WalkQC, with the lane key and quota budgets):
+    // the expanded-set bookkeeping becomes an `exp` flag, exp ASC
+    // leads the per-lane window order so row_number ranks the
+    // unexpanded prefix exactly as the old anti-join + window did,
+    // and frontier selection, flag update and lane expansion land in
+    // one checkpointed plan. The old loop's 3 eager pipelines per
+    // round (frontier, expanded∪frontier, visited∪new) re-copied the
+    // whole accumulated walk state and fanned into ~15 AQE stage
+    // jobs per round — 133 Spark jobs per stored-walk invocation,
+    // pure scheduler overhead on |Q|-bounded frames. cpEvery=N (r15
+    // verdict #6) still fuses N rounds into one lazy plan.
+    var state = cur.withColumn("exp", lit(false))
+    val byLaneEf = Window.partitionBy("q_id", "lane")
+      .orderBy(col("exp").asc, col("cos3").desc, col("c_id").asc)
     val cpEvery = math.max(1, s.conf
       .getOption("spark.graft.walk.cpEvery").map(_.toInt).getOrElse(1))
     for (r <- 1 to rounds) {
       val cp = r % cpEvery == 0 || r == rounds
-      // frontier checkpoints (3 consumers: expanded's union, the
-      // graph expansion, and — via expanded — every later round's
-      // anti-join; leaving either lazy re-derives the window chain
-      // and measured 4 s slower at 1× under cpEvery=1)
-      val frontier = maybeCp(visited
-        .join(expanded, Seq("q_id", "c_id", "lane"), "left_anti")
-        .withColumn("rk", row_number().over(byLane))
-        .join(quotas, Seq("q_id", "lane"))
-        .filter(col("rk") <= col("quota"))
-        .select("q_id", "c_id", "cos3", "lane"), cp)
-      expanded = maybeCp(
-        expanded.union(frontier.select("q_id", "c_id", "lane")), cp)
-      visited = maybeCp(
-        visited.union(laneExpand(frontier, visited, g0, q, cv)), cp)
+      val ranked = state
+        .join(broadcast(quotasL), Seq("q_id", "lane"), "left")
+        .withColumn("rk", row_number().over(byLaneEf))
+      val frontier = ranked
+        .filter(!col("exp") && col("rk") <= col("quota"))
+        .select("q_id", "c_id", "cos3", "lane")
+      state = maybeCp(ranked
+        .select(col("q_id"), col("c_id"), col("cos3"), col("lane"),
+          (col("exp") || col("rk") <= coalesce(col("quota"), lit(0L)))
+            .as("exp"))
+        .union(laneExpand(frontier, state, g0, q, cv)
+          .withColumn("exp", lit(false))), cp)
     }
-    visited
+    state
       .select("q_id", "c_id", "cos3").distinct()
       .withColumn("rank", row_number().over(byQuery).cast("long"))
       .filter(col("rank") <= k)
@@ -1771,6 +1810,21 @@ object Similarity {
   private def maybeCp(df: DataFrame, doIt: Boolean): DataFrame =
     if (doIt) df.localCheckpoint(true) else df
 
+  /** Collect a |Q|-BOUNDED constant frame into a LocalRelation
+    * (r15 opt). The walk's query vectors and lane quotas are joined
+    * into every round's plan; as distributed frames each use costs a
+    * broadcast-build stage job (and a parquet re-scan) PER ROUND,
+    * while a LocalRelation's broadcast build is driver-local — zero
+    * jobs, zero scans. Bounded by construction: |Q| rows (the query
+    * batch) or |Q|·lanes quota rows — the same corpus-independent
+    * class as the repo's other bounded collects (bloom words, spine
+    * frames), NOT a corpus funnel. One collect job at walk start
+    * replaces rounds× broadcast jobs. */
+  private def localize(df: DataFrame): DataFrame = {
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+  }
+
   /** One lane-walk round: expand EVERY row of `frontier` through the
     * graph's neighbor lists, keep candidates UNSEEN in their own
     * lane (anti-join against `visited`), and exact-score them. The
@@ -1779,12 +1833,15 @@ object Similarity {
     * dedups). */
   private def laneExpand(frontier: DataFrame, visited: DataFrame,
       graph: DataFrame, q: DataFrame, cv: DataFrame): DataFrame = {
-    val cand = frontier.select("q_id", "c_id", "lane")
+    // walk-state frames are |Q|-bounded at any scale — broadcast
+    // them explicitly so only the corpus-sized graph/vector sides
+    // stream (see expandFrontier's rationale, r15 opt)
+    val cand = broadcast(frontier.select("q_id", "c_id", "lane"))
       .join(graph, col("c_id") === col("vec_id"))
       .select(col("q_id"), col("nbr").as("c_id"), col("lane")).distinct()
-      .join(visited.select("q_id", "c_id", "lane"),
+      .join(broadcast(visited.select("q_id", "c_id", "lane")),
         Seq("q_id", "c_id", "lane"), "left_anti")
-    cand
+    broadcast(cand)
       .join(cv, "c_id")
       .join(broadcast(q), "q_id")
       .select(col("q_id"), col("c_id"),
@@ -2203,11 +2260,20 @@ object Similarity {
   private[graft] def expandFrontier(frontier: DataFrame,
       visited: DataFrame, graph: DataFrame, q: DataFrame,
       cv: DataFrame): DataFrame = {
-    val cand = frontier.join(graph, col("c_id") === col("vec_id"))
+    // every frame here except `graph` and `cv` is |Q|-bounded BY
+    // CONSTRUCTION (frontier ≤ |Q|·beam, visited ≤ |Q|·(seed +
+    // beam·nbrs·rounds) — per-query-batch walk state, corpus-
+    // independent at any scale), so hint the broadcasts explicitly:
+    // plan-time BroadcastHashJoins instead of exchanges AQE must
+    // first shuffle and then convert (r15 opt — each avoided
+    // exchange is one fewer AQE stage job per round, and the
+    // corpus-sized graph/vector sides stream with no shuffle at all)
+    val cand = broadcast(frontier)
+      .join(graph, col("c_id") === col("vec_id"))
       .select(col("q_id"), col("nbr").as("c_id")).distinct()
-      .join(visited.select("q_id", "c_id"), Seq("q_id", "c_id"),
-        "left_anti")
-    cand
+      .join(broadcast(visited.select("q_id", "c_id")),
+        Seq("q_id", "c_id"), "left_anti")
+    broadcast(cand)
       .join(cv, "c_id")
       .join(broadcast(q), "q_id")
       .select(col("q_id"), col("c_id"),

@@ -561,7 +561,11 @@ object TextAnalysis {
   def t16BpeEncode(s: SparkSession, d: String,
       rounds: Int = 3): DataFrame =
     t16BpeEncodeFrame(
-      Tables.documents(s, d).filter(col("text").isNotNull)
+      // spread the unsplittable scan: tokenize + 3 merge passes + 3
+      // pair explosions otherwise run on the single row-group's one
+      // task (r15 opt — see Tables.spread; identity at any
+      // production split count)
+      Tables.spread(Tables.documents(s, d).filter(col("text").isNotNull))
         .select(col("doc_id"), T.tokens(col("text")).as("toks")),
       rounds)
 
@@ -596,7 +600,10 @@ object TextAnalysis {
       if (rules.isEmpty) col("toks")
       else T.bpeEncodeAll(col("toks"), array(rules.map { case (l, r) =>
         struct(lit(l).as("l"), lit(r).as("r")) }: _*))
-    docs
+    // spread: the all-rules one-pass encode is the CPU-dense stage
+    // and otherwise runs on the unsplittable scan's one task (r15
+    // opt — identity at production split counts)
+    Tables.spread(docs)
       .select(col("doc_id"), T.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens_raw"),
@@ -631,7 +638,8 @@ object TextAnalysis {
       .partitionBy("source", "shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    docs
+    // spread: same one-pass encode stage as t17 (r15 opt)
+    Tables.spread(docs)
       .select(col("doc_id"), col("source"), T.tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("source"),
         (col("doc_id") % shards).as("shard"),
