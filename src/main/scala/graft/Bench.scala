@@ -66,11 +66,19 @@ object Bench {
     // the plan audit reads — so the final line carries the top-20
     // per-query mins sorted by descending time (~800 B, always inside
     // the kept tail even when the full map above is cut mid-line).
+    // r16 measurement-artifact fix: every BENCH_r*.json through r15
+    // recorded "parsed": null — the full-map line above outgrew the
+    // kept tail around r3 and the old final line keyed its map "top",
+    // not "queries", so no complete contract-shaped object survived
+    // for the driver's parser. The final line now uses the contract
+    // key "queries" (truncated to the top 20, flagged as such); the
+    // full map still prints above, and no number changed.
     val top = results.toSeq.sortBy(-_._2._1).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + v._1 }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""n_queries":${results.size},"top":$top,""" +
+      s""""queries":$top,"n_queries":${results.size},""" +
+      s""""queries_truncated_to_top":20,""" +
       s""""load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }

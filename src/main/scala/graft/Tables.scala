@@ -62,6 +62,26 @@ object Tables {
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // Derive the split-count estimate from the FILE RELATION, not
+    // df.rdd (ADVICE r15: the RDD conversion forces a second full
+    // physical planning of the subtree on every call and reads the
+    // pre-AQE count). A parquet scan's split count is
+    // ≥ ceil(bytes / maxPartitionBytes) — an UNDERestimate only when
+    // many small files pad it upward via openCostInBytes, and then
+    // only matters below `target` splits (≲ 4 GB total at the 128 MB
+    // default), where one extra round-robin shuffle is noise. Frames
+    // with no file relation (derived plans) return no estimate and
+    // are left untouched — spread is for scan roots by contract.
+    val bytes = df.queryExecution.logical.collectLeaves().collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation.sizeInBytes
+    }
+    if (bytes.isEmpty) df
+    else {
+      val maxSplit = math.max(1L, df.sparkSession.sessionState.conf
+        .filesMaxPartitionBytes)
+      val est = bytes.map(b => (b + maxSplit - 1) / maxSplit).sum
+      if (est < target) df.repartition(target) else df
+    }
   }
 }

@@ -1446,7 +1446,22 @@ object Dedup {
     // the way below it. Settled frames defer to ONE union at the end
     // (their parents are checkpointed).
     val settledParts = scala.collection.mutable.ListBuffer[DataFrame]()
-    while (!done && round < maxRounds) {
+    // AQE stays OFF inside the round loop (r16 opt): every exchange
+    // in a round is explicitly sized by the 2M-edges/partition law
+    // (the repartitions above/below), the joins are co-partitioned on
+    // those keys (no exchange for AQE to re-plan or skew-split), and
+    // aggregations cannot be AQE-split at all — so adaptive execution
+    // contributes only its one-scheduler-job-per-stage overhead,
+    // measured at 80 jobs ≈ 5 s for d10's 6 rounds on a 1.5k-edge
+    // sf0.1 graph (PlanAudit r16). This is scale-independent
+    // reasoning: at 100 TB the law raises roundParallelism, not the
+    // exchange count. Conf is restored after the loop.
+    def withAqeOff[T](body: => T): T = {
+      val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try body finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    }
+    while (!done && round < maxRounds) withAqeOff {
       // large-star over the symmetrized neighborhood; the explicit
       // u-hash repartition pins the round's parallelism and is reused
       // by the aggregate and both joins below

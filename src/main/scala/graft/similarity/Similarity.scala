@@ -1723,7 +1723,8 @@ object Similarity {
       .withColumn("rs", row_number().over(Window.partitionBy("q_id")
         .orderBy(col("csize").desc, col("comp").asc)))
       .filter(col("rk") <= descentBeam || col("rs") === 1)
-      .localCheckpoint(true) // consumers: the walk state AND the quotas
+      .transform(cpState) // consumers: the walk state AND the quotas;
+      // bounded pipeline (|atlas|·|Q| rows, cv streams) — see cpState
     var cur = seeds.select(col("q_id"), col("c_id"), col("cos3"),
       col("comp").as("lane"))
     // MASS-PROPORTIONAL frontier quotas: each lane's share of the
@@ -1760,12 +1761,11 @@ object Similarity {
     // serialized plan one round deep.
     for (l <- levels to 1 by -1) {
       for (_ <- 1 to upperRounds)
-        cur = cur
+        cur = cpState(cur
           .union(laneExpand(cur, cur, upperGraphs(l - 1), q, cv))
           .withColumn("rk", row_number().over(byLane))
           .filter(col("rk") <= descentBeam)
-          .select("q_id", "c_id", "cos3", "lane")
-          .localCheckpoint(true)
+          .select("q_id", "c_id", "cos3", "lane"))
     }
     // ONE state frame, ONE materialization per round (r15 opt — the
     // same fold as s15WalkQC, with the lane key and quota budgets):
@@ -1808,7 +1808,49 @@ object Similarity {
   }
 
   private def maybeCp(df: DataFrame, doIt: Boolean): DataFrame =
-    if (doIt) df.localCheckpoint(true) else df
+    if (doIt) cpState(df) else df
+
+  /** Materialize a walk-STATE pipeline with AQE off (r16 opt). Every
+    * exchange in these plans carries |Q|-bounded walk state — the
+    * corpus-sized graph/vector sides enter only as the streamed
+    * probe of plan-time broadcast hash joins and never shuffle — so
+    * AQE buys nothing (nothing to coalesce or skew-split) while
+    * charging one scheduler job per exchange per round: the stored
+    * s16 walk measured 117 jobs ≈ 1 task each, 7.7 s of pure
+    * stage-job overhead at sf0.1 (PlanAudit r16). With AQE off a
+    * round materializes as ONE result job plus its broadcast builds.
+    * Same plan shape otherwise (hints are plan-time); same rows —
+    * the oracle and stored≡inline specs pin bit-equality. State
+    * partitions drop to `spark.graft.walk.statePartitions`
+    * (default 8): scale-honest because the state is |Q|-bounded BY
+    * CONSTRUCTION at any corpus size. Corpus-touching pipelines
+    * (index builds, seed shortlists) keep AQE untouched. */
+  private def cpState(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val parts = conf.get("spark.sql.shuffle.partitions")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    conf.set("spark.sql.shuffle.partitions",
+      conf.getOption("spark.graft.walk.statePartitions").getOrElse("8"))
+    try df.localCheckpoint(true)
+    finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.shuffle.partitions", parts)
+    }
+  }
+
+  /** Broadcast hint for walk-STATE frames (frontier / visited /
+    * candidate sets). These are |Q|-bounded by construction, but they
+    * DO grow with |Q|·beam·degree·rounds, so the hint is conf-gated
+    * (ADVICE r15): `spark.graft.walk.broadcastState=false` drops the
+    * hints and lets Spark's size-based planning (and AQE) pick the
+    * join strategy — the safety net for an oversized query batch or
+    * a deep walk. Default on: at the contract's batch sizes the state
+    * is KBs and plan-time hash joins save one AQE exchange per use. */
+  private def hintState(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption("spark.graft.walk.broadcastState")
+        .forall(_.toBoolean)) broadcast(df)
+    else df
 
   /** Collect a |Q|-BOUNDED constant frame into a LocalRelation
     * (r15 opt). The walk's query vectors and lane quotas are joined
@@ -1821,8 +1863,16 @@ object Similarity {
     * frames), NOT a corpus funnel. One collect job at walk start
     * replaces rounds× broadcast jobs. */
   private def localize(df: DataFrame): DataFrame = {
+    // Size guard (ADVICE r15): misuse on a corpus-sized frame must
+    // fail loudly, not OOM the driver — every intended input is a
+    // query batch (|Q|) or quota frame (|Q|·lanes), orders of
+    // magnitude below this bound at any scale.
+    val rows = df.limit(100001).collect()
+    require(rows.length <= 100000,
+      "localize() is for |Q|-bounded constant frames; got >100k rows " +
+        s"from plan: ${df.queryExecution.logical.nodeName}")
     df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema)
+      java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   /** One lane-walk round: expand EVERY row of `frontier` through the
@@ -1836,12 +1886,12 @@ object Similarity {
     // walk-state frames are |Q|-bounded at any scale — broadcast
     // them explicitly so only the corpus-sized graph/vector sides
     // stream (see expandFrontier's rationale, r15 opt)
-    val cand = broadcast(frontier.select("q_id", "c_id", "lane"))
+    val cand = hintState(frontier.select("q_id", "c_id", "lane"))
       .join(graph, col("c_id") === col("vec_id"))
       .select(col("q_id"), col("nbr").as("c_id"), col("lane")).distinct()
-      .join(broadcast(visited.select("q_id", "c_id", "lane")),
+      .join(hintState(visited.select("q_id", "c_id", "lane")),
         Seq("q_id", "c_id", "lane"), "left_anti")
-    broadcast(cand)
+    hintState(cand)
       .join(cv, "c_id")
       .join(broadcast(q), "q_id")
       .select(col("q_id"), col("c_id"),
@@ -2268,12 +2318,12 @@ object Similarity {
     // first shuffle and then convert (r15 opt — each avoided
     // exchange is one fewer AQE stage job per round, and the
     // corpus-sized graph/vector sides stream with no shuffle at all)
-    val cand = broadcast(frontier)
+    val cand = hintState(frontier)
       .join(graph, col("c_id") === col("vec_id"))
       .select(col("q_id"), col("nbr").as("c_id")).distinct()
-      .join(broadcast(visited.select("q_id", "c_id")),
+      .join(hintState(visited.select("q_id", "c_id")),
         Seq("q_id", "c_id"), "left_anti")
-    broadcast(cand)
+    hintState(cand)
       .join(cv, "c_id")
       .join(broadcast(q), "q_id")
       .select(col("q_id"), col("c_id"),
